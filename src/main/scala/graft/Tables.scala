@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-typed loaders for the driver-generated parquet fixtures
+  * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md), plus the
+  * numeric-determinism helpers shared by every oracle-checked query.
+  *
+  * Determinism policy (SURVEY.md §2 rules, refined empirically against
+  * DuckDB 1.0.0 this session):
+  *   - Raw double columns (prices, quantities, balances) are low-entropy
+  *     (≤2 decimal places) → casting them to DECIMAL(18,6) is exact and
+  *     identical in Spark and DuckDB.
+  *   - Products stay within DECIMAL(38,12): (18,6)×(19,6) is exact in both
+  *     engines. NEVER exceed precision 38 — DuckDB silently promotes to
+  *     DOUBLE on decimal overflow, Spark rounds; both are hash-poison.
+  *   - Scale reduction: Spark CAST(decimal AS decimal) rounds HALF_UP,
+  *     DuckDB CAST truncates — so the DuckDB oracle must spell
+  *     CAST(ROUND(x, 6) AS DECIMAL(38,6)) (ROUND = half-away-from-zero,
+  *     which equals HALF_UP for all signs).
+  *   - Division: DuckDB promotes any decimal division to DOUBLE → never
+  *     divide decimals. Averages are emitted as micro-unit BIGINTs using
+  *     exact integer arithmetic: (2*sum_micro + cnt) DIV (2*cnt) (half-up).
+  *   - events.ts is ns in parquet; both engines read it truncated to µs
+  *     (verify: ParquetProbeSpec); still prefer second-truncated or epoch
+  *     outputs in grouped results.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact cast of a low-entropy raw double column to working decimal. */
+  def d6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Canonical output decimal type for aggregates — matches DuckDB's
+    * SUM(DECIMAL(18,6)) result type DECIMAL(38,6) so the driver's schema
+    * compare sees identical types. Exact (widening) in Spark. */
+  def out6(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** Exact micro-units (×1e6) of a ≤2-decimal double column, as BIGINT.
+    * All-decimal path — no double rounding anywhere. */
+  def micro(c: Column): Column =
+    (c.cast(DecimalType(18, 6)) * lit(1000000L)).cast(LongType)
+
+  /** Half-up integer average of micro-units: (2*sum + n) DIV (2*n), by
+    * column name (SQL `div` = integral division; `/` would go through
+    * DOUBLE and lose exactness past 2^53). Exact and engine-identical for
+    * positive sums; DuckDB twin: `(2*sum + n) // (2*n)`. */
+  def avgMicroExpr(sumMicroCol: String, cntCol: String): Column =
+    expr(s"(2*$sumMicroCol + $cntCol) div (2*$cntCol)")
+}
