@@ -20,6 +20,9 @@ object Probe {
       val t = System.nanoTime(); println(f"[probe] $label: ${(t - t0) / 1e9}%.2f s"); t
     }
     var t = tick("session", t00)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.printSchema()
+    ev.orderBy("event_id").limit(3).collect().foreach(r => println("[probe] event: " + r))
     val sf = "/root/testdata/sf0.1"
     spark.read.parquet(s"$sf/lineitem.parquet").count()
     t = tick("raw count", t)

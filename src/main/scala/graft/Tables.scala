@@ -39,7 +39,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). We read it as raw ns
+    * BIGINT (legacy conf) and truncate to µs — exactly what DuckDB's
+    * reader does — so `ts` is a µs TimestampType identical in both
+    * engines, with the raw ns kept as `ts_ns`. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

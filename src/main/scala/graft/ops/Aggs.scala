@@ -53,5 +53,47 @@ object Aggs {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  def all: Seq[Q] = Seq(aggPricingSummary)
+  /** D2 — exact distinct counts (Expand + two-phase agg under the hood).
+    * Scale note: count(DISTINCT x) forces a shuffle on (group, x); at
+    * 100 TB prefer D3's approx_count_distinct unless exactness is
+    * contractual. */
+  val aggDistinctExact: Q = Q(
+    "agg_distinct_exact",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** D7 — post-aggregation filter (HAVING). The avg threshold is an
+    * exact integer comparison on micro-units — no decimal division. */
+  val aggHaving: Q = Q(
+    "agg_having",
+    """SELECT c_nationkey, COUNT(*) AS n_cust,
+      |  (2*SUM(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)) + COUNT(*)) // (2*COUNT(*)) AS avg_bal_micro
+      |FROM customer
+      |GROUP BY c_nationkey
+      |HAVING COUNT(*) > 2
+      |   AND SUM(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)) > 4000000000 * COUNT(*)
+      |ORDER BY c_nationkey""".stripMargin
+  ) { (s, dir) =>
+    customer(s, dir)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(micro(col("c_acctbal"))).as("bal_micro"))
+      .where(col("n_cust") > 2 && col("bal_micro") > lit(4000000000L) * col("n_cust"))
+      .withColumn("avg_bal_micro", avgMicroExpr("bal_micro", "n_cust"))
+      .drop("bal_micro")
+      .orderBy("c_nationkey")
+  }
+
+  def all: Seq[Q] = Seq(aggPricingSummary, aggDistinctExact, aggHaving)
 }

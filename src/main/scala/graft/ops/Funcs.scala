@@ -1,6 +1,180 @@
 package graft.ops
 
-/** §2 — Funcs (filled incrementally; see SURVEY.md §2). */
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.B — projection / filter / scalar expressions. All stay inside
+  * WholeStageCodegen (built-in expressions only). Engine-compat notes:
+  * Spark's floor/year/size/datediff return INT/LONG vs DuckDB's
+  * DOUBLE/BIGINT — every such output is cast to BIGINT on both sides;
+  * ln/pow outputs are ROUND(,4)ed (libm last-ulp differences), sqrt is
+  * IEEE-correctly-rounded so it may pass through raw. */
 object Funcs {
-  def all: Seq[Q] = Seq()
+
+  /** B1 — computed money columns (exact decimal path, see Tables). */
+  val projectCompute: Q = Q(
+    "project_compute",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))), 6) AS DECIMAL(38,6)) AS revenue,
+      |  CAST(ROUND(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))), 6) AS DECIMAL(18,6))
+      |      * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))), 6) AS DECIMAL(38,6)) AS charge
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge""".stripMargin
+  ) { (s, dir) =>
+    val rev = d6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - d6(col("l_discount")))
+    val rev6 = rev.cast("decimal(18,6)")
+    val charge = rev6 * (lit(1).cast("decimal(18,6)") + d6(col("l_tax")))
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        out6(rev).as("revenue"), out6(charge).as("charge"))
+      .orderBy("l_orderkey", "l_linenumber", "revenue", "charge")
+  }
+
+  /** B2 — compound filter: IN + LIKE + comparison. */
+  val filterCompound: Q = Q(
+    "filter_compound",
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+      |WHERE o_orderstatus IN ('O','F') AND o_orderpriority LIKE '1-%'
+      |  AND o_totalprice > 50000
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    orders(s, dir)
+      .where(col("o_orderstatus").isin("O", "F")
+        && col("o_orderpriority").like("1-%")
+        && col("o_totalprice") > 50000)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** B3 — CASE / COALESCE / NULLIF. */
+  val funcCaseCoalesce: Q = Q(
+    "func_case_coalesce",
+    """SELECT c_custkey,
+      |  CASE WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY') THEN 'industrial'
+      |       WHEN c_mktsegment = 'BUILDING' THEN 'construction'
+      |       ELSE 'other' END AS seg_bucket,
+      |  COALESCE(NULLIF(CASE WHEN c_acctbal > 0 THEN 'pos'
+      |                       WHEN c_acctbal < 0 THEN 'neg' ELSE '' END, ''),
+      |           'zero') AS bal_sign
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    customer(s, dir)
+      .select(col("c_custkey"),
+        when(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), "industrial")
+          .when(col("c_mktsegment") === "BUILDING", "construction")
+          .otherwise("other").as("seg_bucket"),
+        coalesce(
+          nullif(when(col("c_acctbal") > 0, "pos")
+            .when(col("c_acctbal") < 0, "neg").otherwise(""), lit("")),
+          lit("zero")).as("bal_sign"))
+      .orderBy("c_custkey")
+  }
+
+  /** B4 — string functions. */
+  val funcString: Q = Q(
+    "func_string",
+    """SELECT p_partkey,
+      |  lower(p_name) AS name_lower, upper(p_brand) AS brand_upper,
+      |  substring(p_type, 1, 4) AS type_pre,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  replace(p_name, ' ', '_') AS name_snake,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+      |FROM part ORDER BY p_partkey""".stripMargin
+  ) { (s, dir) =>
+    part(s, dir)
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 4).as("type_pre"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"))
+      .orderBy("p_partkey")
+  }
+
+  /** B5 — datetime functions (UTC session, ms-precision source). */
+  val funcDate: Q = Q(
+    "func_date",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+      |  CAST(day(o_orderdate) AS BIGINT) AS o_day,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("o_year"),
+        month(col("o_orderdate")).cast("bigint").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("bigint").as("days_since"))
+      .orderBy("o_orderkey")
+  }
+
+  /** B6 — math functions. sqrt is IEEE-exact both engines; ln is
+    * ROUND(,4)ed (libm ulp drift); % on positive doubles == fmod. */
+  val funcMath: Q = Q(
+    "func_math",
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_quantity - 25.0) AS qty_dev,
+      |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+      |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+      |  sqrt(l_extendedprice) AS price_sqrt,
+      |  round(ln(l_extendedprice), 4) AS price_ln4,
+      |  l_quantity % 7.0 AS qty_mod7
+      |FROM lineitem WHERE l_orderkey % 10 = 0
+      |ORDER BY l_orderkey, l_linenumber, qty_dev, price_sqrt, qty_mod7, price_ln4""".stripMargin
+  ) { (s, dir) =>
+    lineitem(s, dir)
+      .where(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25.0).as("qty_dev"),
+        floor(col("l_extendedprice") / 1000.0).cast("bigint").as("price_k_floor"),
+        ceil(col("l_quantity") / 7.0).cast("bigint").as("qty_ceil7"),
+        sqrt(col("l_extendedprice")).as("price_sqrt"),
+        round(log(col("l_extendedprice")), 4).as("price_ln4"),
+        (col("l_quantity") % 7.0).as("qty_mod7"))
+      .orderBy("l_orderkey", "l_linenumber", "qty_dev", "price_sqrt", "qty_mod7", "price_ln4")
+  }
+
+  /** B7 — array functions over tokenized text. */
+  val funcArray: Q = Q(
+    "func_array",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      |  string_split(text, ' ')[1] AS first_tok,
+      |  string_split(text, ' ')[-1] AS last_tok
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).cast("bigint").as("n_tokens"),
+        array_contains(toks, "spark").as("has_spark"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** B8 — JSON extraction from string payloads (Electron-style dict). */
+  val funcJsonMap: Q = Q(
+    "func_json_map",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("event_id")
+  }
+
+  def all: Seq[Q] = Seq(projectCompute, filterCompound, funcCaseCoalesce,
+    funcString, funcDate, funcMath, funcArray, funcJsonMap)
 }

@@ -1,6 +1,53 @@
 package graft.ops
 
-/** §2 — Generators (filled incrementally; see SURVEY.md §2). */
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.G — generators (1-to-N) and scalar UDFs. G1 is the flatMap analog
+  * of a catenae Link returning a list of Electrons. Scale note: explode
+  * happens inside codegen before the aggregation's map-side combine, so
+  * the shuffle carries (word, partial count), not raw tokens. G2's UDF is
+  * Catalyst-opaque by design (the surface test) — the oracle twin proves
+  * the semantics, and the registered-function path is exercised via
+  * spark.udf.register. */
 object Generators {
-  def all: Seq[Q] = Seq()
+
+  /** G1 — explode tokens → word count top-50. */
+  val explodeTokens: Q = Q(
+    "explode_tokens",
+    """SELECT word, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY cnt DESC, word LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(50)
+  }
+
+  /** G2 — registered Scala UDF (price banding) + grouped counts. */
+  val udfScalar: Q = Q(
+    "udf_scalar",
+    """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+      |            WHEN o_totalprice < 300000 THEN 'mid'
+      |            ELSE 'high' END AS band,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
+  ) { (s, dir) =>
+    val priceBand = udf((p: Double) =>
+      if (p < 100000) "low" else if (p < 300000) "mid" else "high")
+    s.udf.register("price_band", priceBand)
+    orders(s, dir)
+      .select(call_udf("price_band", col("o_totalprice")).as("band"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("band")
+  }
+
+  def all: Seq[Q] = Seq(explodeTokens, udfScalar)
 }

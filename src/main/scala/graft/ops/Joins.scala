@@ -1,6 +1,116 @@
 package graft.ops
 
-/** §2 — Joins (filled incrementally; see SURVEY.md §2). */
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.C — joins. Scale notes per query:
+  *  - C1 pins broadcast() on the dims: at 100 TB the fact side never
+  *    shuffles; nation/region/customer-dims stay ≤ MBs.
+  *  - C2 pre-aggregates lineitem on the join key BEFORE the join, so the
+  *    shuffle carries one row per order instead of one per lineitem
+  *    (map-side combine first) — the join then co-partitions two
+  *    already-reduced sides.
+  *  - C3-C5 shuffle on the equi key; left_semi/left_anti never materialize
+  *    the right payload.
+  *  - C6 is a broadcast nested-loop on the two tiny dims only.
+  */
 object Joins {
-  def all: Seq[Q] = Seq()
+
+  /** C1 — dimension enrichment via broadcast hash joins. */
+  val joinBroadcastDims: Q = Q(
+    "join_broadcast_dims",
+    """SELECT c_custkey, n_name, r_name
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    customer(s, dir)
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "n_name", "r_name")
+      .orderBy("c_custkey")
+  }
+
+  /** C2 — fact-to-fact equi join; lineitem pre-aggregated on the key. */
+  val joinShuffleFact: Q = Q(
+    "join_shuffle_fact",
+    """SELECT o_orderkey, o_totalprice,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 6) AS DECIMAL(38,6)) AS order_revenue,
+      |  COUNT(*) AS n_items
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey, o_totalprice
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val rev = d6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - d6(col("l_discount")))
+    val liAgg = lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(out6(sum(rev)).as("order_revenue"), count(lit(1)).as("n_items"))
+    orders(s, dir)
+      .join(liAgg, col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "o_totalprice", "order_revenue", "n_items")
+      .orderBy("o_orderkey")
+  }
+
+  /** C3 — left outer join keeping order-less customers (count = 0). */
+  val joinLeftOuter: Q = Q(
+    "join_left_outer",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))),
+      |                CAST(0 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        out6(coalesce(sum(d6(col("o_totalprice"))), lit(0).cast("decimal(18,6)")))
+          .as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** C4 — left semi (EXISTS). */
+  val joinSemi: Q = Q(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** C5 — left anti (NOT EXISTS). */
+  val joinAnti: Q = Q(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** C6 — cross join + theta residual on tiny dims (BNLJ). */
+  val joinCrossTheta: Q = Q(
+    "join_cross_theta",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |WHERE r_regionkey <> n_regionkey
+      |ORDER BY r_name, n_name""".stripMargin
+  ) { (s, dir) =>
+    region(s, dir)
+      .crossJoin(nation(s, dir))
+      .where(col("r_regionkey") =!= col("n_regionkey"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+  }
+
+  def all: Seq[Q] = Seq(joinBroadcastDims, joinShuffleFact, joinLeftOuter,
+    joinSemi, joinAnti, joinCrossTheta)
 }
