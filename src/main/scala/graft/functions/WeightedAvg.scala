@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** D9 — typed two-column Aggregator: quantity-weighted average price in
+  * exact integer micro-units. Input rows are (price_micro * qty, qty);
+  * the buffer is the pair of exact sums (mergeable across partitions —
+  * partial aggregation works like any built-in); finish applies the
+  * half-up integer division (2*Σpq + Σq) / (2*Σq), identical to the
+  * DuckDB oracle's `//`. Overflow headroom: Σpq < 9.2e18 holds through
+  * sf ≈ 1 (6M rows × 5e12); beyond that switch the buffer to
+  * BigDecimal. */
+object WeightedAvg extends Aggregator[(Long, Long), (Long, Long), Long] {
+  def zero: (Long, Long) = (0L, 0L)
+  def reduce(b: (Long, Long), a: (Long, Long)): (Long, Long) =
+    (b._1 + a._1, b._2 + a._2)
+  def merge(b1: (Long, Long), b2: (Long, Long)): (Long, Long) =
+    (b1._1 + b2._1, b1._2 + b2._2)
+  def finish(r: (Long, Long)): Long =
+    if (r._2 == 0L) 0L else (2 * r._1 + r._2) / (2 * r._2)
+  def bufferEncoder: Encoder[(Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

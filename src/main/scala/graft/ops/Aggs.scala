@@ -95,5 +95,130 @@ object Aggs {
       .orderBy("c_nationkey")
   }
 
-  def all: Seq[Q] = Seq(aggPricingSummary, aggDistinctExact, aggHaving)
+  /** D3 — approximate distinct (HLL++). No oracle: HLL implementations
+    * differ across engines; a property test (AggsSpec) asserts ±5% of
+    * exact. This is the 100 TB path that replaces D2's exact distinct:
+    * constant memory, single-pass, mergeable across partitions. */
+  val aggDistinctApprox: Q = Q.noOracle("agg_distinct_approx") { (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** D4 — ROLLUP with GROUPING markers over the dim-enriched orders. */
+  val aggRollup: Q = Q(
+    "agg_rollup",
+    """SELECT r_name, n_name,
+      |  CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+      |  CAST(GROUPING(n_name) AS BIGINT) AS g_n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_spent,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    val base = orders(s, dir)
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), d6(col("o_totalprice")).as("tp"))
+    // grouping() on a post-join column trips the ambiguous-self-join
+    // check in the DataFrame API; the SQL surface resolves it cleanly.
+    base.createOrReplaceTempView("rollup_base")
+    s.sql(
+      """SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+        |  CAST(GROUPING(n_name) AS BIGINT) AS g_n,
+        |  CAST(SUM(tp) AS DECIMAL(38,6)) AS total_spent,
+        |  COUNT(*) AS n_orders
+        |FROM rollup_base
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+  }
+
+  /** D5 — CUBE over lineitem flags. */
+  val aggCube: Q = Q(
+    "agg_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_ls"),
+        count(lit(1)).as("n_rows"),
+        out6(sum(d6(col("l_quantity")))).as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n_rows", "sum_qty")
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** D6 — explicit GROUPING SETS through the SQL entry point (ANTLR →
+    * same analyzer/optimizer as the DataFrame surface). */
+  val aggGroupingSets: Q = Q(
+    "agg_grouping_sets",
+    """SELECT c_mktsegment, n_name, COUNT(*) AS n_cust,
+      |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+      |  CAST(GROUPING(n_name) AS BIGINT) AS g_nat
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+      |ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    customer(s, dir).createOrReplaceTempView("gs_customer")
+    nation(s, dir).createOrReplaceTempView("gs_nation")
+    s.sql(
+      """SELECT c_mktsegment, n_name, COUNT(*) AS n_cust,
+        |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+        |  CAST(GROUPING(n_name) AS BIGINT) AS g_nat
+        |FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        |ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+  }
+
+  /** D8 — ordered array aggregation (ArrayType output hashing). */
+  val aggCollectSorted: Q = Q(
+    "agg_collect_sorted",
+    """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+  ) { (s, dir) =>
+    orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  /** D9 — custom typed Aggregator: quantity-weighted average price per
+    * returnflag, in exact micro-units (see WeightedAvg). */
+  val udafWeightedAvg: Q = Q(
+    "udaf_weighted_avg",
+    """SELECT l_returnflag,
+      |  (2*SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |    + SUM(CAST(l_quantity AS BIGINT))) // (2*SUM(CAST(l_quantity AS BIGINT))) AS wavg_price_micro
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    val wavg = udaf(graft.functions.WeightedAvg)
+    lineitem(s, dir)
+      .withColumn("pq_micro", micro(col("l_extendedprice")) * col("l_quantity").cast("bigint"))
+      .withColumn("q_int", col("l_quantity").cast("bigint"))
+      .groupBy("l_returnflag")
+      .agg(wavg(col("pq_micro"), col("q_int")).as("wavg_price_micro"))
+      .orderBy("l_returnflag")
+  }
+
+  def all: Seq[Q] = Seq(aggPricingSummary, aggDistinctExact, aggDistinctApprox,
+    aggRollup, aggCube, aggGroupingSets, aggHaving, aggCollectSorted,
+    udafWeightedAvg)
 }

@@ -111,6 +111,66 @@ object Joins {
       .orderBy("r_name", "n_name")
   }
 
+  /** C7 — interval/range join: purchases within 2h after a signup, same
+    * user. Equi on user_id + time-range residual → SMJ on user_id with
+    * the range applied as a join residual; the streaming twin (H7) is a
+    * stream-stream join with symmetric watermarks. All time math in
+    * epoch µs (engine-identical). */
+  val joinRangeInterval: Q = Q(
+    "join_range_interval",
+    """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON s.user_id = p.user_id
+      | AND epoch_us(p.ts) >  epoch_us(s.ts)
+      | AND epoch_us(p.ts) <= epoch_us(s.ts) + 7200000000
+      |ORDER BY signup_id, purchase_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val sg = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"), col("ts_us").as("s_us"))
+    val pu = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts_us").as("p_us"))
+    sg.join(pu, col("s_user") === col("p_user")
+        && col("p_us") > col("s_us")
+        && col("p_us") <= col("s_us") + lit(7200000000L))
+      .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
+        (col("p_us") - col("s_us")).as("delay_us"))
+      .orderBy("signup_id", "purchase_id")
+  }
+
+  /** C8 — as-of join emulation: for each 'error' event, the most recent
+    * strictly-prior event of the same user (any type), ties on µs broken
+    * by event_id. Spark has no native ASOF; the lag-window form costs one
+    * shuffle+sort per user partition and is identical SQL in the oracle
+    * (DuckDB's ASOF JOIN has different tie semantics, so we pin our own).
+    * Scale path: range-partition by user, sort within partition — exactly
+    * what the window translates to. */
+  val joinAsof: Q = Q(
+    "join_asof",
+    """SELECT event_id, user_id, ts_us, prev_id, prev_type, prev_us FROM (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |    lag(event_id)   OVER w AS prev_id,
+      |    lag(event_type) OVER w AS prev_type,
+      |    lag(epoch_us(ts)) OVER w AS prev_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |) t WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .where(col("event_type") === "error")
+      .select("event_id", "user_id", "ts_us", "prev_id", "prev_type", "prev_us")
+      .orderBy("event_id")
+  }
+
   def all: Seq[Q] = Seq(joinBroadcastDims, joinShuffleFact, joinLeftOuter,
-    joinSemi, joinAnti, joinCrossTheta)
+    joinSemi, joinAnti, joinCrossTheta, joinRangeInterval, joinAsof)
 }

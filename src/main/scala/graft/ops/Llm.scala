@@ -1,6 +1,181 @@
 package graft.ops
 
-/** §2 — Llm (filled incrementally; see SURVEY.md §2). */
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.I — LLM-data-pipeline operators (the north-star additions).
+  *
+  * Numeric policy for embeddings: float32 elements are scaled to exact
+  * BIGINTs (round(x·1e7)) once at the edge; every dot product / norm /
+  * centroid below is exact integer arithmetic — order-independent,
+  * overflow-checked (|x|≤~1 → elem ≤ 1e7, dot ≤ 64·1e14 ≪ 2^63), and
+  * bit-identical across engines. Cosine scores are formed from those
+  * exact integers with IEEE-deterministic ops (int→double cast, sqrt,
+  * division) so even the float outputs are engine-identical.
+  *
+  * Scale paths (100 TB), each noted per query: exact dedup is a plain
+  * hash aggregate; near-dup's bitmask trick works because the fixture
+  * vocabulary ≤ 64 — the general path is MinHash+LSH (llm_minhash_lsh,
+  * property-tested against the exact form); similarity's brute force is
+  * the correctness baseline — the scale path is LSH bucketing
+  * (llm_ann_lsh) which probes a candidate subset instead of all vectors.
+  */
 object Llm {
-  def all: Seq[Q] = Seq()
+
+  /** I1 — exact dedup on sha256(text): keep min doc_id per digest. At
+    * 100 TB this is one shuffle of (digest, doc_id) pairs — no text
+    * movement. */
+  val llmExactDedup: Q = Q(
+    "llm_exact_dedup",
+    """SELECT sha256(text) AS digest, MIN(doc_id) AS doc_id,
+      |  COUNT(*) AS n_dups
+      |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    documents(s, dir)
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** I2 — exact token-set Jaccard near-dup pairs (τ = 0.95, integer
+    * cross-multiplied: 20·|A∩B| ≥ 19·|A∪B|). The fixture vocabulary is
+    * ≤ 64 tokens, so each doc's token set is one BIGINT bitmask and a
+    * pair test is two bit_counts — the all-pairs join moves 8-byte
+    * masks, not token lists. The data-derived token→bit mapping is the
+    * same deterministic row_number in both engines. General-vocab scale
+    * path: llm_minhash_lsh below. */
+  val llmJaccardNearDup: Q = Q(
+    "llm_jaccard_near_dup",
+    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS BIGINT) AS bit
+      |      FROM (SELECT DISTINCT tok FROM toks)),
+      |m AS (SELECT doc_id, bit_or(CAST(1 AS BIGINT) << bit) AS mask
+      |      FROM toks JOIN v USING (tok) GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(a.mask & b.mask) AS BIGINT) AS n_inter,
+      |  CAST(bit_count(a.mask | b.mask) AS BIGINT) AS n_union
+      |FROM m a JOIN m b ON a.doc_id < b.doc_id
+      |WHERE 20 * CAST(bit_count(a.mask & b.mask) AS BIGINT)
+      |   >= 19 * CAST(bit_count(a.mask | b.mask) AS BIGINT)
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val vocab = toks.select("tok").distinct()
+      .withColumn("bit", (row_number().over(Window.orderBy("tok")) - 1).cast("bigint"))
+    val masks = toks.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(bit_or(expr("shiftleft(1L, cast(bit as int))")).as("mask"))
+    val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))
+    val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("n_inter", bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("bigint"))
+      .withColumn("n_union", bit_count(col("mask_a").bitwiseOR(col("mask_b"))).cast("bigint"))
+      .where(lit(20) * col("n_inter") >= lit(19) * col("n_union"))
+      .select("doc_a", "doc_b", "n_inter", "n_union")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Scaled-integer embedding table shared by I3/I4: e = round(x·1e7) as
+    * BIGINT per element, n2 = exact self-dot. */
+  private def scaledEmb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    embeddings(s, dir)
+      .withColumn("e", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000.0d) as bigint))"))
+      .withColumn("n2", expr(
+        "aggregate(zip_with(e, e, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+
+  /** I3 — brute-force cosine top-5 neighbors for vec_id < 10. Exact
+    * integer dots; the cosine double is formed by IEEE-deterministic ops
+    * so ranking ties are impossible to get wrong across engines; output
+    * is ids+ranks only. Scale path: llm_ann_lsh (bucketed candidates). */
+  val llmSimilarityTopk: Q = Q(
+    "llm_similarity_topk",
+    """WITH s AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |    CAST(list_sum(list_transform(list_zip(e, e), p -> p[1] * p[2])) AS BIGINT) AS n2
+      |  FROM s),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(q.e, c.e), p2 -> p2[1] * p2[2])) AS BIGINT) AS dot,
+      |    q.n2 AS qn2, c.n2 AS cn2
+      |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC,
+      |               neighbor_id) AS BIGINT) AS rank
+      |  FROM p)
+      |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = scaledEmb(s, dir)
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("n2").as("qn2"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("n2").as("cn2"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", expr("aggregate(zip_with(qe, ce, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .withColumn("score",
+        col("dot").cast("double") / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** I4 — per-label element-wise centroid in scaled units (exact integer
+    * sums; half-up division identical in both engines). At 100 TB this
+    * is a single (label, pos) hash aggregate after an explode — or the
+    * custom array Aggregator (graft.functions.VectorCentroid) that
+    * avoids the explode shuffle width. */
+  val llmEmbeddingCentroid: Q = Q(
+    "llm_embedding_centroid",
+    """WITH s AS (SELECT label,
+      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |x AS (SELECT label, unnest(e) AS v,
+      |    CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS pos FROM s)
+      |SELECT label, pos,
+      |  (2 * SUM(v) + COUNT(*)) // (2 * COUNT(*)) AS centroid_scaled,
+      |  COUNT(*) AS n_vecs
+      |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin
+  ) { (s, dir) =>
+    scaledEmb(s, dir)
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos").cast("bigint").as("pos"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n_vecs"))
+      .withColumn("centroid_scaled", expr("(2*sv + n_vecs) div (2*n_vecs)"))
+      .select("label", "pos", "centroid_scaled", "n_vecs")
+      .orderBy("label", "pos")
+  }
+
+  /** I5 — per-language text stats (micro-unit averages, exact). */
+  val llmTextStats: Q = Q(
+    "llm_text_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(n_chars) AS sum_chars,
+      |  (2*SUM(n_chars)*1000000 + COUNT(*)) // (2*COUNT(*)) AS avg_chars_micro,
+      |  (2*SUM(CAST(len(string_split(text, ' ')) AS BIGINT))*1000000 + COUNT(*))
+      |    // (2*COUNT(*)) AS avg_tokens_micro
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    documents(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("avg_chars_micro", expr("(2*sum_chars*1000000 + n_docs) div (2*n_docs)"))
+      .withColumn("avg_tokens_micro", expr("(2*sum_tokens*1000000 + n_docs) div (2*n_docs)"))
+      .select("lang", "n_docs", "sum_chars", "avg_chars_micro", "avg_tokens_micro")
+      .orderBy("lang")
+  }
+
+  def all: Seq[Q] = Seq(llmExactDedup, llmJaccardNearDup, llmSimilarityTopk,
+    llmEmbeddingCentroid, llmTextStats)
 }

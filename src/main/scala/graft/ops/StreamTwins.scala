@@ -1,6 +1,120 @@
 package graft.ops
 
-/** §2 — StreamTwins (filled incrementally; see SURVEY.md §2). */
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.H — batch twins of the streaming operators. Each query here defines
+  * the semantics that the Structured Streaming layer (graft.stream.*)
+  * must converge to once all data has arrived; StreamingSpec proves
+  * batch ≡ stream over MemoryStream for each pair. The oracle checks the
+  * batch side; the streaming side reuses the same expressions.
+  *
+  * All event-time values are epoch µs/s BIGINTs (both engines truncate
+  * the ns source identically; see Tables.events). Scale notes: tumbling/
+  * sliding windows shuffle once on (window, key) with map-side partials;
+  * session windows and the stateful counter shuffle on user_id — state
+  * per key is bounded by the watermark in the streaming twin. */
 object StreamTwins {
-  def all: Seq[Q] = Seq()
+
+  /** H1 — tumbling 1-hour windows per event_type. */
+  val streamTumblingCounts: Q = Q(
+    "stream_tumbling_counts",
+    """SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), out6(sum(d6(col("value")))).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("ws_us", "event_type")
+  }
+
+  /** H2 — sliding windows: 1 hour long, every 15 minutes. The oracle
+    * expands each event into its 4 covering windows explicitly. */
+  val streamSlidingAvg: Q = Q(
+    "stream_sliding_counts",
+    """SELECT ((epoch_us(ts) // 1000000) // 900) * 900 - o AS ws_s,
+      |  COUNT(*) AS n
+      |FROM events CROSS JOIN (SELECT unnest([0, 900, 1800, 2700]) AS o) offs
+      |GROUP BY 1 ORDER BY ws_s""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(window.start) div 1000000").as("ws_s"), col("n"))
+      .orderBy("ws_s")
+  }
+
+  /** H3 — session windows with a 30-minute gap. Spark: session_window;
+    * oracle: gaps-and-islands with the same boundary rule (a gap of
+    * exactly 30 min starts a NEW session — Spark merges only on strict
+    * overlap). end_us = last event + gap, matching session_window.end. */
+  val streamSessionWindows: Q = Q(
+    "stream_session_windows",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT user_id, us,
+      |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |g AS (SELECT user_id, us,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+      |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+      |  COUNT(*) AS n_events
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** H4 — dedup: first event per (user_id, event_type) by (ts, event_id).
+    * Streaming twin: dropDuplicatesWithinWatermark keyed the same way. */
+  val streamDedup: Q = Q(
+    "stream_dedup",
+    """SELECT user_id, event_type, event_id, ts_us FROM (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts_us")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** H5 — per-user running event count (the Aerospike-counter analog;
+    * streaming twin: mapGroupsWithState in graft.stream.Stages). */
+  val streamStatefulCounter: Q = Q(
+    "stream_stateful_counter",
+    """SELECT user_id, event_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS k
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("k", row_number().over(w).cast("bigint"))
+      .select("user_id", "event_id", "k")
+      .orderBy("user_id", "event_id")
+  }
+
+  def all: Seq[Q] = Seq(streamTumblingCounts, streamSlidingAvg,
+    streamSessionWindows, streamDedup, streamStatefulCounter)
 }

@@ -89,6 +89,24 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** E5 — range frame: events per user in the preceding 600 s (inclusive
+    * of peers at the same second). Epoch-seconds BIGINT range keys —
+    * identical RANGE semantics in both engines. */
+  val windowRangeFrame: Q = Q(
+    "window_range_frame",
+    """SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+      |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_prec_600s
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-600, 0)
+    events(s, dir)
+      .withColumn("ts_s", expr("unix_micros(ts) div 1000000"))
+      .withColumn("n_prec_600s", count(lit(1)).over(w))
+      .select("user_id", "event_id", "ts_s", "n_prec_600s")
+      .orderBy("event_id")
+  }
+
   def all: Seq[Q] = Seq(windowTopkPerGroup, windowRankDenseNtile,
-    windowRunningSum, windowLagLead)
+    windowRunningSum, windowLagLead, windowRangeFrame)
 }
