@@ -24,11 +24,7 @@ object StreamTwins {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin
   ) { (s, dir) =>
-    events(s, dir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), out6(sum(d6(col("value")))).as("sum_value"))
-      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
-        col("n"), col("sum_value"))
+    graft.stream.StreamOps.tumblingCounts(events(s, dir))
       .orderBy("ws_us", "event_type")
   }
 
@@ -41,10 +37,7 @@ object StreamTwins {
       |FROM events CROSS JOIN (SELECT unnest([0, 900, 1800, 2700]) AS o) offs
       |GROUP BY 1 ORDER BY ws_s""".stripMargin
   ) { (s, dir) =>
-    events(s, dir)
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("n"))
-      .select(expr("unix_micros(window.start) div 1000000").as("ws_s"), col("n"))
+    graft.stream.StreamOps.slidingCounts(events(s, dir))
       .orderBy("ws_s")
   }
 
@@ -66,13 +59,7 @@ object StreamTwins {
       |  COUNT(*) AS n_events
       |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
   ) { (s, dir) =>
-    events(s, dir)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("start_us"),
-        unix_micros(col("session_window.end")).as("end_us"),
-        col("n_events"))
+    graft.stream.StreamOps.sessionWindows(events(s, dir))
       .orderBy("user_id", "start_us")
   }
 

@@ -1,0 +1,110 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The H-operators (SURVEY §2.H), written once over an events DataFrame
+  * with columns (event_id long, ts timestamp, user_id long,
+  * event_type string, value double, props string). Each function works
+  * on BOTH a batch frame and a streaming frame — the batch twins in
+  * graft.ops.StreamTwins and the MemoryStream tests call the very same
+  * code, which is the proof obligation that stream ≡ batch.
+  *
+  * Watermarks: `withWatermark` is only legal/meaningful on streaming
+  * frames; pass `watermark = Some("10 minutes")` in streaming use. State
+  * eviction at 100 TB: the watermark bounds every stateful op's store
+  * (windows, sessions, dedup keys) — without it state grows with key
+  * cardinality forever.
+  */
+object StreamOps {
+
+  private def wm(events: DataFrame, watermark: Option[String]): DataFrame =
+    watermark.fold(events)(w => events.withWatermark("ts", w))
+
+  /** H1 — tumbling 1-hour counts per event_type. */
+  def tumblingCounts(events: DataFrame, watermark: Option[String] = None): DataFrame =
+    wm(events, watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** H2 — sliding windows (1 h length, 15 min slide). */
+  def slidingCounts(events: DataFrame, watermark: Option[String] = None): DataFrame =
+    wm(events, watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(window.start) div 1000000").as("ws_s"), col("n"))
+
+  /** H3 — session windows, 30-minute gap. */
+  def sessionWindows(events: DataFrame, watermark: Option[String] = None): DataFrame =
+    wm(events, watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
+  /** H4 — streaming dedup: first arrival per (user_id, event_type) wins.
+    * Equals the batch row_number()=1 twin when events arrive in
+    * (ts, event_id) order. With a watermark the state for old keys is
+    * evicted (dropDuplicatesWithinWatermark). */
+  def dedupFirst(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val base = wm(events, watermark)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+    val deduped = watermark match {
+      case Some(_) => base.dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+      case None    => base.dropDuplicates(Seq("user_id", "event_type"))
+    }
+    deduped.select("user_id", "event_type", "event_id", "ts_us")
+  }
+
+  /** H5/H6 input element type for the typed stateful ops. */
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class Counted(user_id: Long, event_id: Long, k: Long)
+
+  /** H5 — per-user running event count via explicit per-key state
+    * (the Aerospike-counter analog; state = one Long per user). Works on
+    * a typed stream; flatMap emits one Counted row per input event with
+    * its running index. Events must arrive per-user in event order for
+    * the k values to match the batch twin (Kafka partitions by user key
+    * give exactly that; the MemoryStream test feeds in order). */
+  def statefulCounter(events: Dataset[Ev]): Dataset[Counted] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Counted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          var k = state.getOption.getOrElse(0L)
+          val out = evs.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .map { e => k += 1; Counted(user, e.event_id, k) }
+          state.update(k)
+          out.iterator
+      }
+  }
+
+  /** H7 — stream-stream interval join (the streaming twin of C7): for
+    * each signup, purchases by the same user within the following two
+    * hours. Watermarks on both sides bound the join state. */
+  def intervalJoin(signups: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val s = signups.withWatermark("ts", watermark)
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    s.join(p, col("s_user") === col("p_user")
+        && col("p_ts") > col("s_ts")
+        && col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("delay_us"))
+  }
+}

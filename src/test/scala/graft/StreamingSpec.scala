@@ -1,0 +1,169 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.stream.StreamOps
+import graft.stream.StreamOps.Ev
+
+/** Proof that stream ≡ batch for the H-operators: each test drives the
+  * SAME StreamOps code once as a MemoryStream micro-batch query and once
+  * as a batch frame over identical rows, and asserts identical results.
+  * Also covers watermark late-row dropping (H6), the stream-stream
+  * interval join (H7 vs the C7 batch twin), and checkpoint restart. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  /** Deterministic little corpus: 3 users, bursts with >30min gaps. */
+  private val evs: Seq[Ev] = {
+    val types = Seq("click", "view", "signup", "purchase", "error")
+    (0L until 200L).map { i =>
+      Ev(i, ts(i * 7 % 500), i % 3, types((i % 5).toInt), (i % 50) / 2.0)
+    }
+  }
+
+  private def batchDf: DataFrame = evs.toDF()
+
+  /** Run a streaming transform of a MemoryStream over `data` to
+    * completion (complete/append per `mode`) and return the sink rows. */
+  private def runStream(data: Seq[Ev], mode: OutputMode, chunks: Int = 4)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val ms = MemoryStream[Ev]
+    val name = s"sink_${System.nanoTime()}"
+    val q = f(ms.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    data.grouped(math.max(1, data.size / chunks)).foreach { chunk =>
+      ms.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name)
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame, sortCols: Seq[String]): Unit = {
+    val sa = a.orderBy(sortCols.map(col): _*).collect().toSeq
+    val sb = b.orderBy(sortCols.map(col): _*).collect().toSeq
+    assert(sa == sb)
+  }
+
+  test("H1 tumbling counts: stream == batch") {
+    val streamed = runStream(evs, OutputMode.Complete())(StreamOps.tumblingCounts(_))
+    assertSame(streamed, StreamOps.tumblingCounts(batchDf), Seq("ws_us", "event_type"))
+  }
+
+  test("H2 sliding counts: stream == batch") {
+    val streamed = runStream(evs, OutputMode.Complete())(StreamOps.slidingCounts(_))
+    assertSame(streamed, StreamOps.slidingCounts(batchDf), Seq("ws_s"))
+  }
+
+  test("H3 session windows: stream == batch") {
+    val streamed = runStream(evs, OutputMode.Complete())(StreamOps.sessionWindows(_))
+    assertSame(streamed, StreamOps.sessionWindows(batchDf),
+      Seq("user_id", "start_us"))
+  }
+
+  test("H4 dedup: stream (in-order arrival) == batch first-by-ts") {
+    val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val streamed = runStream(ordered, OutputMode.Append())(StreamOps.dedupFirst(_))
+    // batch twin: row_number()=1 by (ts, event_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    val batch = batchDf
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts_us")
+    assertSame(streamed, batch, Seq("user_id", "event_type"))
+  }
+
+  test("H5 stateful counter: stream == batch running count") {
+    val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Ev]
+    val name = "sink_h5"
+    val q = StreamOps.statefulCounter(ms.toDS()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    ordered.grouped(50).foreach { c => ms.addData(c); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table(name)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val batch = batchDf
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("k", row_number().over(w).cast("bigint"))
+      .select("user_id", "event_id", "k")
+    assertSame(streamed, batch, Seq("user_id", "event_id"))
+  }
+
+  test("H6 watermark: late rows beyond the watermark are dropped") {
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(ms.toDF(), watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("sink_h6")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: events at minute 0..5 (hour-0 window) and minute 200
+    ms.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(5), 1, "click", 1.0),
+      Ev(3, ts(200), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: advance event time far past hour 0 + watermark → hour-0
+    // window finalizes and is emitted
+    ms.addData(Ev(4, ts(400), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: a LATE row for hour 0 — beyond watermark, must be ignored
+    ms.addData(Ev(5, ts(1), 1, "click", 99.0))
+    q.processAllAvailable()
+    // batch 4: push watermark forward so remaining windows emit
+    ms.addData(Ev(6, ts(4000), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sink_h6")
+      .where(col("ws_us") === 0L).select("n").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 2L) // late event 5 NOT counted
+  }
+
+  test("H7 stream-stream interval join == C7 batch twin") {
+    val sms = MemoryStream[Ev]; val pms = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      sms.toDF().where(col("event_type") === "signup"),
+      pms.toDF().where(col("event_type") === "purchase"),
+      watermark = "10 hours")
+    val q = joined.writeStream.format("memory").queryName("sink_h7")
+      .outputMode(OutputMode.Append()).start()
+    sms.addData(evs); pms.addData(evs)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sink_h7")
+    val e = batchDf.withColumn("ts_us", unix_micros(col("ts")))
+    val sg = e.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"), col("ts_us").as("s_us"))
+    val pu = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts_us").as("p_us"))
+    val batch = sg.join(pu, col("s_user") === col("p_user")
+        && col("p_us") > col("s_us") && col("p_us") <= col("s_us") + lit(7200000000L))
+      .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
+        (col("p_us") - col("s_us")).as("delay_us"))
+    assertSame(streamed, batch, Seq("signup_id", "purchase_id"))
+  }
+
+  test("checkpoint restart: no loss, no duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val ms = MemoryStream[Ev]
+    def start() = StreamOps.dedupFirst(ms.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", dir)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    ms.addData(evs.take(100)); q1.processAllAvailable(); q1.stop()
+    val q2 = start() // resume from WAL
+    ms.addData(evs.drop(100)); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == got.select("user_id", "event_type").distinct().count())
+    assert(got.count() == batchDf.select("user_id", "event_type").distinct().count())
+  }
+}
