@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{DotLong, TokenizePos}
+
+/** Production wiring for graft's native expressions:
+  * `--conf spark.sql.extensions=graft.GraftExtensions` registers them in
+  * every session (tests cover this path; the query builders also
+  * self-register via GraftFunctions.register so a plain session works). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotLong(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("tokenize_pos"),
+      new ExpressionInfo(classOf[TokenizePos].getName, "tokenize_pos"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenizePos(exprs.head)))
+  }
+}

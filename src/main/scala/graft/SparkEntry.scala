@@ -11,7 +11,8 @@ object SparkEntry {
   /** Every implemented operator, one Q per SURVEY §2 row. */
   def registry: Seq[Q] =
     Scans.all ++ Funcs.all ++ Joins.all ++ Aggs.all ++ Windows.all ++
-      SetSort.all ++ Generators.all ++ StreamTwins.all ++ Llm.all
+      SetSort.all ++ Generators.all ++ StreamTwins.all ++ Llm.all ++
+      TextOps.all ++ DedupOps.all ++ MediaOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: media travels as an
+  * opaque BINARY payload plus typed metadata, and decode/feature-extract
+  * runs as a partition-mapped batch stage. The Spark-side plumbing —
+  * schema, partitioning, batch shape, executor-side decode — is real and
+  * tested (MediaSpec); the codec itself is pluggable, and the only fake
+  * thing in this container is the decoder implementation (no image/audio
+  * libraries present — see RealImageDecoder).
+  *
+  * Scale notes (100 TB of media): payloads stay columnar-compressed in
+  * parquet and are never shuffled — feature extraction is a narrow
+  * mapPartitions directly over the scan, so the only data movement is
+  * the (small) feature output. Batch the decoder (grouped(batchSize))
+  * so native decoders amortize setup per batch, exactly like an Arrow
+  * batch boundary.
+  */
+final case class MediaMeta(mediaType: String, lang: String, nChars: Long)
+final case class MediaRecord(id: Long, meta: MediaMeta, payload: Array[Byte])
+final case class MediaFeatures(id: Long, nBytes: Long, headerHex: String,
+    width: Long, height: Long)
+
+trait MediaDecoder extends Serializable {
+  /** Decode one batch of records (batching lets native codecs amortize
+    * per-call setup; the iterator shape keeps memory bounded). */
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+}
+
+/** Deterministic stand-in decoder: "dimensions" derived from the first
+  * payload bytes, header hex from the first 8 bytes. Exists so the
+  * pipeline plumbing is fully testable in this container. */
+object StubDecoder extends MediaDecoder {
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val b0 = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
+      val b1 = if (r.payload.length > 1) r.payload(1) & 0xff else 0
+      MediaFeatures(
+        id = r.id,
+        nBytes = r.payload.length.toLong,
+        headerHex = r.payload.take(8).map("%02x".format(_)).mkString,
+        width = 1L + b0 % 64,
+        height = 1L + b1 % 64)
+    }
+}
+
+/** The real decoder slot: wire an image/audio codec here (e.g.
+  * javax.imageio / ffmpeg bindings) on a cluster that ships them. Not
+  * implementable in this container — the libraries are absent. */
+object RealImageDecoder extends MediaDecoder {
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    ??? // image libs absent in this environment; see StubDecoder for the contract
+}
+
+object Media {
+
+  /** Lift the documents fixture into media records (utf-8 payload +
+    * typed metadata) — the fixture stand-in for a binary media table. */
+  def fromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .map { case (id, text, lang, nChars) =>
+        MediaRecord(id, MediaMeta("text/plain", lang, nChars), text.getBytes("UTF-8"))
+      }
+  }
+
+  /** Executor-side batched feature extraction: one decoder instance per
+    * partition, records processed in `batchSize` groups. */
+  def extractFeatures(ds: Dataset[MediaRecord], decoder: MediaDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(decoder.decodeBatch)
+    }
+  }
+}

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.GraftFunctions
+
+/** §2.I extension — the near-duplicate detection family beyond I1/I2:
+  * SimHash, word-n-gram Jaccard, embedding-cosine near-dup, and
+  * MinHash+LSH (the general-vocabulary scale path, engine-hash-based so
+  * property-tested rather than oracle-checked — DedupSpec proves its
+  * verified output equals the exact I2 pairs on the fixtures).
+  */
+object DedupOps {
+
+  /** SimHash near-dup (oracle-exact): 60-bit sha256-derived token
+    * hashes; bit b of a doc's signature is the sign of Σ_tokens (±1 on
+    * bit b); pairs with Hamming distance ≤ 6 are near-dups. One narrow
+    * pass builds signatures (doc×token×bit rows stay inside codegen);
+    * the 8-byte signatures then do an all-pairs bitwise compare — at
+    * 100 TB you'd band the signature (e.g. 4×16-bit chunks, exact-match
+    * bucket join on any chunk) instead of all-pairs; the bucketing is
+    * the same trick llm_minhash_lsh demonstrates. */
+  val llmSimhashDedup: Q = Q(
+    "llm_simhash_dedup",
+    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS th FROM toks),
+      |contrib AS (SELECT doc_id, b,
+      |    SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT CAST(t AS INTEGER) AS b FROM range(60) r(t)) bits
+      |  GROUP BY doc_id, b),
+      |sig AS (SELECT doc_id,
+      |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    GraftFunctions.register(s)
+    // signature build is one narrow pass: distinct token hashes per doc
+    // -> native simhash60 codegen loop (no 60x bit-row explosion)
+    val sig = documents(s, dir)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(split(text, ' '), " +
+          "t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) as bigint)))").as("ths"))
+      .withColumn("simhash", expr("simhash60(ths)"))
+    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
+      .where(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Word-bigram Jaccard (τ = 0.5) over the doc_id%10==0 sample — the
+    * n-gram flavor of I2. Bigram vocabulary is quadratic so no bitmask;
+    * this is the classic inverted-index (token → doc) join with the
+    * pair-count aggregation; the sample bound keeps all-SF bench cost
+    * flat. Scale path: prefix filtering or MinHash over the n-gram sets
+    * — same llm_minhash_lsh machinery. */
+  val llmNgramJaccard: Q = Q(
+    "llm_ngram_jaccard",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE doc_id % 10 = 0),
+      |bg AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+      |      p -> p[1] || ' ' || p[2])) AS gram
+      |  FROM d WHERE len(toks) >= 2),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM bg a JOIN bg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = doc_a
+      |JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE 3 * n_inter >= sa.n + sb.n
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val d = documents(s, dir)
+      .where(col("doc_id") % 10 === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+    val bg = d.select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+          "(x, y) -> concat(x, ' ', y))")).as("gram"))
+      .distinct()
+    val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = bg.as("a")
+      .join(bg.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .where(lit(3) * col("n_inter") >= col("n_a") + col("n_b"))
+      .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup (τ = 0.95): all vector pairs whose
+    * cosine similarity (exact scaled-integer dots via the native
+    * dot_long expression → IEEE-deterministic score) exceeds the
+    * threshold. All-pairs is the correctness baseline; llm_ann_lsh is
+    * the bucketed scale path. */
+  val llmCosineNearDup: Q = Q(
+    "llm_cosine_near_dup",
+    """WITH s AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |    CAST(list_sum(list_transform(list_zip(e, e), p -> p[1] * p[2])) AS BIGINT) AS n2
+      |  FROM s)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE CAST(CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+      |   >= 0.95 * sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))
+      |ORDER BY vec_a, vec_b""".stripMargin
+  ) { (s, dir) =>
+    GraftFunctions.register(s)
+    val emb = Llm.scaledEmb(s, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("n2").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("n2").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .where(expr("cast(dot_long(ea, eb) as double)")
+        >= lit(0.95) * sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** MinHash+LSH near-dup — the 100 TB path for I2's semantics on an
+    * unbounded vocabulary: 32 xxhash64 permutations → 8 bands × 4 rows;
+    * docs sharing any band bucket become candidates (the only shuffle
+    * moves (band, bucket-hash) keys); candidates are then exact-verified
+    * with the I2 bitmask Jaccard (τ = 0.95) so precision is 1 and only
+    * recall is probabilistic. No oracle (xxhash64 is engine-specific);
+    * DedupSpec measures recall vs llm_jaccard_near_dup. */
+  val llmMinhashLsh: Q = Q.noOracle("llm_minhash_lsh") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    // per-doc signature build (narrow): 32 minhashes then 8 band hashes
+    // per document — the only wide ops are the tiny (band, bucket) joins
+    val bands = documents(s, dir)
+      .select(col("doc_id"),
+        expr("array_distinct(split(text, ' '))").as("dtoks"))
+      .withColumn("mhs", expr(
+        "transform(sequence(0, 31), i -> array_min(transform(dtoks, t -> xxhash64(t, i))))"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 7), b -> xxhash64(element_at(mhs, b*4+1), " +
+          "element_at(mhs, b*4+2), element_at(mhs, b*4+3), element_at(mhs, b*4+4)))"))
+        .as(Seq("band", "bh")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on the candidate set (I2's bitmask Jaccard)
+    val vocab = toks.select("tok").distinct()
+      .withColumn("bit", (row_number().over(Window.orderBy("tok")) - 1).cast("bigint"))
+    val masks = toks.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(bit_or(expr("shiftleft(1L, cast(bit as int))")).as("mask"))
+    cand
+      .join(broadcast(masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))), "doc_a")
+      .join(broadcast(masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"))), "doc_b")
+      .where(lit(20) * bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("bigint")
+        >= lit(19) * bit_count(col("mask_a").bitwiseOR(col("mask_b"))).cast("bigint"))
+      .select("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def all: Seq[Q] = Seq(llmSimhashDedup, llmNgramJaccard, llmCosineNearDup,
+    llmMinhashLsh)
+}

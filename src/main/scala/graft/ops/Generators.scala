@@ -49,5 +49,26 @@ object Generators {
       .orderBy("band")
   }
 
-  def all: Seq[Q] = Seq(explodeTokens, udfScalar)
+  /** G3 — the true UDTF surface: the custom Catalyst Generator
+    * graft.functions.TokenizePos driven through LATERAL VIEW (SQL entry
+    * point; registered via GraftFunctions/GraftExtensions). Semantically
+    * posexplode(split(...)) — which is exactly what the oracle twin
+    * computes — but exercised through the Generator extension point. */
+  val udtfGenerator: Q = Q(
+    "udtf_generator",
+    """SELECT doc_id, tok, pos FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |    CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos
+      |  FROM documents WHERE doc_id < 100) t
+      |ORDER BY doc_id, pos""".stripMargin
+  ) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    documents(s, dir).where(col("doc_id") < 100).createOrReplaceTempView("g3_docs")
+    s.sql(
+      """SELECT doc_id, t.tok, CAST(t.pos AS BIGINT) AS pos
+        |FROM g3_docs LATERAL VIEW tokenize_pos(text) t AS tok, pos
+        |ORDER BY doc_id, pos""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(explodeTokens, udfScalar, udtfGenerator)
 }

@@ -81,12 +81,13 @@ object Llm {
 
   /** Scaled-integer embedding table shared by I3/I4: e = round(x·1e7) as
     * BIGINT per element, n2 = exact self-dot. */
-  private def scaledEmb(s: org.apache.spark.sql.SparkSession, dir: String) =
+  def scaledEmb(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.GraftFunctions.register(s)
     embeddings(s, dir)
       .withColumn("e", expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 10000000.0d) as bigint))"))
-      .withColumn("n2", expr(
-        "aggregate(zip_with(e, e, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .withColumn("n2", expr("dot_long(e, e)"))
+  }
 
   /** I3 — brute-force cosine top-5 neighbors for vec_id < 10. Exact
     * integer dots; the cosine double is formed by IEEE-deterministic ops
@@ -113,13 +114,14 @@ object Llm {
       |ORDER BY query_id, rank""".stripMargin
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
     val emb = scaledEmb(s, dir)
     val q = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("n2").as("qn2"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("n2").as("cn2"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qe, ce, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("dot_long(qe, ce)"))
       .withColumn("score",
         col("dot").cast("double") / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
       .withColumn("rank", row_number().over(w).cast("bigint"))
@@ -176,6 +178,45 @@ object Llm {
       .orderBy("lang")
   }
 
+  /** ANN via sign-LSH — the scale path behind I3's semantics: 8 tables
+    * of 4 deterministic pseudo-random hyperplanes (weights derived from
+    * xxhash64, so engine-specific → no oracle; AnnSpec measures recall
+    * vs the brute-force I3). Candidates = vectors sharing any table's
+    * 4-bit sign bucket with the query; only candidates get exact-scored.
+    * At 100 TB: buckets are the shuffle key, each query probes a few
+    * buckets instead of the full corpus, and the per-bucket brute force
+    * is the same dot_long codegen loop. */
+  val llmAnnLsh: Q = Q.noOracle("llm_ann_lsh") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = scaledEmb(s, dir)
+    val hp = s.range(32).select(col("id").cast("int").as("h"))
+      .withColumn("w", expr(
+        "transform(sequence(0, 63), d -> cast(xxhash64(h * 64 + d) % 1001 - 500 as bigint))"))
+    val sigs = emb.crossJoin(broadcast(hp))
+      .withColumn("bit", (expr("dot_long(w, e)") > 0).cast("bigint"))
+      .withColumn("t", expr("h div 4"))
+      .groupBy("vec_id", "t")
+      .agg(sum(expr("shiftleft(bit, h % 4)")).as("bucket"))
+    val qs = sigs.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    val cand = qs
+      .join(sigs.select(col("vec_id").as("neighbor_id"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val qe = emb.select(col("vec_id").as("query_id"), col("e").as("qe"), col("n2").as("qn2"))
+    val ce = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("n2").as("cn2"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    cand.join(broadcast(qe), "query_id").join(ce, "neighbor_id")
+      .withColumn("score", expr("cast(dot_long(qe, ce) as double)")
+        / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   def all: Seq[Q] = Seq(llmExactDedup, llmJaccardNearDup, llmSimilarityTopk,
-    llmEmbeddingCentroid, llmTextStats)
+    llmEmbeddingCentroid, llmTextStats, llmAnnLsh)
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, VectorCentroid}
+import graft.multimodal.{Media, StubDecoder}
+
+/** Properties of the non-oracle LLM ops (engine-specific hashing or
+  * approximation) against their exact oracle-checked twins, plus the
+  * custom Expression/Aggregator/multimodal equivalences. */
+class LlmSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("dot_long == interpreted HOF dot product (eval + codegen paths)") {
+    GraftFunctions.register(spark)
+    val df = spark.range(100).select(
+      expr("transform(sequence(0, 63), d -> id * 64 + d)").as("a"),
+      expr("transform(sequence(0, 63), d -> (id + 3) * (d + 1))").as("b"))
+    val got = df.select(
+      expr("dot_long(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("hof"))
+    assert(got.where(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("D3 approx_count_distinct within 5% of exact") {
+    val r = SparkEntry.queries("agg_distinct_approx")(spark, dir).collect()
+    r.foreach { row =>
+      val approx = row.getAs[Long]("approx_parts").toDouble
+      val exact = row.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("exact dedup is idempotent (dedup of survivors changes nothing)") {
+    val survivors = SparkEntry.queries("llm_exact_dedup")(spark, dir)
+      .select(col("doc_id"), col("digest"))
+    val again = survivors.groupBy("digest").agg(min("doc_id").as("doc_id"))
+    assert(again.count() == survivors.count())
+  }
+
+  test("minhash LSH: precision 1 vs exact Jaccard pairs, recall reported") {
+    val exact = SparkEntry.queries("llm_jaccard_near_dup")(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("llm_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verified LSH pairs must all be true near-dups")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      info(s"minhash LSH recall = $recall (${lsh.size}/${exact.size})")
+      assert(recall >= 0.5, s"recall $recall unexpectedly low")
+    }
+  }
+
+  test("ann LSH: top-5 within candidates; recall vs brute force reported") {
+    val exact = SparkEntry.queries("llm_similarity_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("llm_ann_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    info(s"ann LSH recall@5 = $recall")
+    assert(recall >= 0.4, s"recall $recall unexpectedly low")
+  }
+
+  test("VectorCentroid Aggregator == oracle-checked posexplode centroid") {
+    val typed = {
+      import spark.implicits._
+      val cent = udaf(VectorCentroid)
+      graft.ops.Llm.scaledEmb(spark, dir)
+        .groupBy("label").agg(cent(col("e")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos").cast("long"), col("v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val oracle = SparkEntry.queries("llm_embedding_centroid")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(typed == oracle)
+  }
+
+  test("media pipeline: typed mapPartitions features == SQL feature query") {
+    val typed = Media.extractFeatures(Media.fromDocuments(spark, dir), StubDecoder)
+      .collect().map(f => f.id -> ((f.nBytes, f.headerHex, f.width, f.height))).toMap
+    val sql = SparkEntry.queries("llm_media_features")(spark, dir)
+      .collect().map { r: Row =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_bytes"), r.getAs[String]("header_hex"),
+          r.getAs[Int]("width").toLong, r.getAs[Int]("height").toLong))
+      }.toMap
+    assert(typed == sql)
+  }
+
+  test("session windows: no intra-session gap >= 30min, inter-session gap >= 30min") {
+    val sessions = SparkEntry.queries("stream_session_windows")(spark, dir).collect()
+    val byUser = sessions.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("start_us"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session must start at/after previous end (= last + gap)
+          assert(b.getAs[Long]("start_us") >= a.getAs[Long]("end_us"))
+        case _ =>
+      }
+    }
+  }
+
+  test("top-k is a prefix of the full sort (F1)") {
+    val top = SparkEntry.queries("sort_multikey_limit")(spark, dir).collect().toSeq
+    val full = graft.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100).collect().toSeq
+    assert(top == full)
+  }
+}
