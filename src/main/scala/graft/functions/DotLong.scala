@@ -78,5 +78,7 @@ object GraftFunctions {
       "tokenize_pos", exprs => TokenizePos(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash32", exprs => MinHash32(exprs.head), "built-in")
   }
 }

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression: 32 MinHash values of a token array —
+  * element i is min over tokens of XXH64(token bytes, seed = i).
+  *
+  * Replaces `transform(sequence(0,31), i -> array_min(transform(toks,
+  * t -> xxhash64(t, i))))`: the interpreted HOF pair costs ~1k boxed
+  * lambda evaluations per document (measured 12-18 s over the bench
+  * corpus); this is one JVM-compiled loop per document hashing each
+  * token's bytes 32 times with zero allocation beyond the result array.
+  * CodegenFallback is fine — the per-document inner loop dominates, not
+  * the single virtual eval call. */
+case class MinHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash32 expects ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash32"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val mins = Array.fill(32)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var s = 0
+      while (s < 32) {
+        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), s)
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash32 =
+    copy(child = newChild)
+}

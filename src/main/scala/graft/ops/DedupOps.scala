@@ -132,7 +132,11 @@ object DedupOps {
   }
 
   /** MinHash+LSH near-dup — the 100 TB path for I2's semantics on an
-    * unbounded vocabulary: 32 xxhash64 permutations → 8 bands × 4 rows;
+    * unbounded vocabulary: 32 XXH64 permutations (native minhash32
+    * expression) → 4 bands × 8 rows (r=8 keeps the candidate set sparse
+    * even on this highly self-similar corpus: P[band collision] at
+    * Jaccard 0.6 is 0.6^8 ≈ 2%, while τ=0.95 pairs still collide with
+    * probability ≈ 1-(1-0.95^8)^4 ≈ 0.99);
     * docs sharing any band bucket become candidates (the only shuffle
     * moves (band, bucket-hash) keys); candidates are then exact-verified
     * with the I2 bitmask Jaccard (τ = 0.95) so precision is 1 and only
@@ -145,14 +149,17 @@ object DedupOps {
       .distinct()
     // per-doc signature build (narrow): 32 minhashes then 8 band hashes
     // per document — the only wide ops are the tiny (band, bucket) joins
+    GraftFunctions.register(s)
     val bands = documents(s, dir)
       .select(col("doc_id"),
         expr("array_distinct(split(text, ' '))").as("dtoks"))
-      .withColumn("mhs", expr(
-        "transform(sequence(0, 31), i -> array_min(transform(dtoks, t -> xxhash64(t, i))))"))
+      .withColumn("mhs", expr("minhash32(dtoks)"))
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 7), b -> xxhash64(element_at(mhs, b*4+1), " +
-          "element_at(mhs, b*4+2), element_at(mhs, b*4+3), element_at(mhs, b*4+4)))"))
+        "transform(sequence(0, 3), b -> xxhash64(" +
+          "element_at(mhs, b*8+1), element_at(mhs, b*8+2), " +
+          "element_at(mhs, b*8+3), element_at(mhs, b*8+4), " +
+          "element_at(mhs, b*8+5), element_at(mhs, b*8+6), " +
+          "element_at(mhs, b*8+7), element_at(mhs, b*8+8)))"))
         .as(Seq("band", "bh")))
     val cand = bands.as("x")
       .join(bands.as("y"),
