@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Dev tool: dump formatted physical plans for the scale-claim evidence
+  * in PLANS.md (`runMain graft.Plans <sfDir> <outFile>`). */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outFile) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val keys = Seq("scan_filter_pushdown", "join_broadcast_dims",
+      "sort_multikey_limit", "agg_pricing_summary", "llm_similarity_topk")
+    val sb = new StringBuilder
+    keys.foreach { k =>
+      val df = SparkEntry.queries(k)(spark, sfDir)
+      sb.append(s"==== $k ====\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("\n")
+    }
+    Files.writeString(Paths.get(outFile), sb.toString)
+    spark.stop()
+  }
+}
