@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.{DotLong, MinHash32, SimHash60}
+
+/** ScalaCheck properties for the native expressions (pure eval path —
+  * no SparkSession needed; the codegen path is covered by LlmSpec's
+  * dataframe-level equivalence test). */
+object ExpressionProps extends Properties("graft.expressions") {
+
+  private val longArr = Gen.listOfN(64, Gen.chooseNum(-1000000L, 1000000L))
+
+  property("dot_long == BigInt dot product") = Prop.forAll(longArr, longArr) {
+    (a: List[Long], b: List[Long]) =>
+      val got = DotLong(
+        Literal.create(a.toArray, ArrayType(LongType)),
+        Literal.create(b.toArray, ArrayType(LongType))).eval(null).asInstanceOf[Long]
+      val want = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      BigInt(got) == want
+  }
+
+  private val tokArr = Gen.nonEmptyListOf(Gen.identifier.map(_.take(12)))
+
+  property("simhash60: bit b set iff strict majority of hashes set bit b") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 60) - 1))) { hs =>
+      val sig = SimHash60(Literal.create(hs.toArray, ArrayType(LongType)))
+        .eval(null).asInstanceOf[Long]
+      (0 until 60).forall { b =>
+        val set = hs.count(h => ((h >> b) & 1L) == 1L)
+        val expected = 2 * set > hs.size
+        (((sig >> b) & 1L) == 1L) == expected
+      }
+    }
+
+  property("minhash32: permutation-invariant and monotone under union") =
+    Prop.forAll(tokArr, tokArr) { (a: List[String], b: List[String]) =>
+      def mh(toks: Seq[String]): Seq[Long] = {
+        val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray)
+        MinHash32(Literal.create(arr, ArrayType(StringType)))
+          .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      }
+      val same = mh(a) == mh(scala.util.Random.shuffle(a))
+      // min over a union is the pairwise min of the parts' minhashes
+      val unionOk = mh(a ++ b) == mh(a).zip(mh(b)).map { case (x, y) => math.min(x, y) }
+      same && unionOk
+    }
+}
