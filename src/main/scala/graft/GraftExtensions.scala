@@ -12,6 +12,7 @@ import graft.functions.{DotLong, TokenizePos}
   * self-register via GraftFunctions.register so a plain session works). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     ext.injectFunction((
       FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
