@@ -171,6 +171,36 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** C8b — the same as-of semantics through the custom whole-operator
+    * path: graft.plans.AsOfJoinPlan/-Exec (LogicalPlan + Strategy +
+    * physical merge join; one hash exchange + sort per side, single
+    * buffered right row of state — see AsOfJoin scaladoc for why this
+    * beats the window/range-join compositions at scale). Same oracle
+    * semantics as C8. */
+  val joinAsofNative: Q = Q(
+    "join_asof_native",
+    """SELECT event_id, user_id, ts_us, prev_id, prev_type, prev_us FROM (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |    lag(event_id)   OVER w AS prev_id,
+      |    lag(event_type) OVER w AS prev_type,
+      |    lag(epoch_us(ts)) OVER w AS prev_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |) t WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val lft = ev.where(col("event_type") === "error")
+      .select("event_id", "user_id", "ts_us")
+    val rgt = ev.select(col("user_id").as("r_user"), col("ts_us").as("prev_us"),
+      col("event_id").as("prev_id"), col("event_type").as("prev_type"))
+    graft.plans.AsOfJoin.asof(lft, rgt,
+        "user_id", "ts_us", "event_id", "r_user", "prev_us", "prev_id")
+      .select("event_id", "user_id", "ts_us", "prev_id", "prev_type", "prev_us")
+      .orderBy("event_id")
+  }
+
   def all: Seq[Q] = Seq(joinBroadcastDims, joinShuffleFact, joinLeftOuter,
-    joinSemi, joinAnti, joinCrossTheta, joinRangeInterval, joinAsof)
+    joinSemi, joinAnti, joinCrossTheta, joinRangeInterval, joinAsof,
+    joinAsofNative)
 }
