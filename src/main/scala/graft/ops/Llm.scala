@@ -217,6 +217,54 @@ object Llm {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN via IVF (inverted-file) — the other classic scale path: coarse
+    * quantize every vector to its nearest centroid (lists), probe the
+    * `nprobe` nearest lists per query, exact-score only those lists'
+    * members. Here the coarse centroids are the per-label centroids
+    * (I4's aggregate — in production, k-means iterations of exactly
+    * that centroid aggregate). At 100 TB the lists are the partitioning
+    * key: a query touches nprobe partitions instead of the corpus.
+    * No oracle (the nested argmin is engine-awkward); AnnSpec-style
+    * recall check lives in LlmSpec. */
+  val llmAnnIvf: Q = Q.noOracle("llm_ann_ivf") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = scaledEmb(s, dir)
+    // coarse centroids: element-wise mean per label (exact ints)
+    val cents = emb
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(expr("(2*sum(v) + count(1)) div (2*count(1))").as("cv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
+      .select(col("label").as("c_label"), col("ce"))
+    // assign every vector to its nearest centroid list (L2 via dots)
+    val assignW = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_label"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("dot_long(e, e) - 2 * dot_long(e, ce) + dot_long(ce, ce)"))
+      .withColumn("rn", row_number().over(assignW))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2"))
+    // queries probe their nprobe=2 nearest lists
+    val probeW = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_label"))
+    val probes = emb.where(col("vec_id") < 10).crossJoin(broadcast(cents))
+      .withColumn("d2", expr("dot_long(e, e) - 2 * dot_long(e, ce) + dot_long(ce, ce)"))
+      .withColumn("rn", row_number().over(probeW))
+      .where(col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("c_label").as("list_id"),
+        col("e").as("qe"), col("n2").as("qn2"))
+    // exact-score candidates within the probed lists only
+    val rankW = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    probes.join(assigned.select(col("list_id"), col("vec_id").as("neighbor_id"),
+        col("e").as("ce2"), col("n2").as("cn2")), "list_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", expr("cast(dot_long(qe, ce2) as double)")
+        / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+      .withColumn("rank", row_number().over(rankW).cast("bigint"))
+      .where(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   def all: Seq[Q] = Seq(llmExactDedup, llmJaccardNearDup, llmSimilarityTopk,
-    llmEmbeddingCentroid, llmTextStats, llmAnnLsh)
+    llmEmbeddingCentroid, llmTextStats, llmAnnLsh, llmAnnIvf)
 }

@@ -64,6 +64,16 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall unexpectedly low")
   }
 
+  test("ann IVF: recall vs brute force reported") {
+    val exact = SparkEntry.queries("llm_similarity_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("llm_ann_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    info(s"ann IVF recall@5 = $recall")
+    assert(recall >= 0.2, s"recall $recall unexpectedly low")
+  }
+
   test("VectorCentroid Aggregator == oracle-checked posexplode centroid") {
     val typed = {
       import spark.implicits._

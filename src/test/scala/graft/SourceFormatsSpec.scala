@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source-format coverage beyond parquet: CSV and JSON (line-delimited)
+  * round-trips with explicit schemas — the batch ingest formats a
+  * pipeline meets besides columnar storage. Schemas are always explicit
+  * (schema inference is a full extra pass at 100 TB). */
+class SourceFormatsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docs = Tables.documents(spark, sf("sf0.001"))
+    .select("doc_id", "lang", "n_chars")
+
+  test("csv round-trip with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    assert(back.count() == docs.count())
+    assert(back.agg(sum("n_chars")).collect()(0).getLong(0) ==
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+  }
+
+  test("json-lines round-trip with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+}
