@@ -218,7 +218,73 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
+  /** D10 — exact lower median per group, spelled as the engine-neutral
+    * row_number construction (percentile/quantile builtins differ in
+    * interpolation across engines; element-at-position does not). At
+    * 100 TB prefer approx_percentile — same trade as D2 vs D3. */
+  val aggMedian: Q = Q(
+    "agg_median",
+    """WITH r AS (SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_quantity AS median_qty, n AS n_rows
+      |FROM r WHERE rn = (n + 1) // 2
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("l_returnflag")
+      .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    val wAll = Window.partitionBy("l_returnflag")
+    lineitem(s, dir)
+      .withColumn("rn", row_number().over(wOrd).cast("bigint"))
+      .withColumn("n_rows", count(lit(1)).over(wAll))
+      .where(expr("rn = (n_rows + 1) div 2"))
+      .select(col("l_returnflag"), col("l_quantity").as("median_qty"), col("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** D11 — pivot: status columns per priority (Spark groupBy().pivot();
+    * oracle: FILTERed counts — empty cells coalesced to 0 on the Spark
+    * side since pivot yields NULL there). */
+  val aggPivot: Q = Q(
+    "agg_pivot",
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, dir) =>
+    orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** D12 — unpivot/melt (Spark Dataset.unpivot; oracle: UNION ALL). */
+  val aggUnpivot: Q = Q(
+    "agg_unpivot",
+    """SELECT p_partkey, attr, val FROM (
+      |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part)
+      |ORDER BY p_partkey, attr""".stripMargin
+  ) { (s, dir) =>
+    part(s, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+        "attr", "val")
+      .orderBy("p_partkey", "attr")
+  }
+
   def all: Seq[Q] = Seq(aggPricingSummary, aggDistinctExact, aggDistinctApprox,
     aggRollup, aggCube, aggGroupingSets, aggHaving, aggCollectSorted,
-    udafWeightedAvg)
+    udafWeightedAvg, aggMedian, aggPivot, aggUnpivot)
 }

@@ -107,6 +107,26 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** E6 — first_value/last_value over the full-partition frame. */
+  val windowFirstLast: Q = Q(
+    "window_first_last",
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  last_value(o_orderkey) OVER w AS last_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   def all: Seq[Q] = Seq(windowTopkPerGroup, windowRankDenseNtile,
-    windowRunningSum, windowLagLead, windowRangeFrame)
+    windowRunningSum, windowLagLead, windowRangeFrame, windowFirstLast)
 }
