@@ -143,7 +143,11 @@ object DedupOps {
     * recall is probabilistic. No oracle (xxhash64 is engine-specific);
     * DedupSpec measures recall vs llm_jaccard_near_dup. */
   val llmMinhashLsh: Q = Q.noOracle("llm_minhash_lsh") { (s, dir) =>
-    // per-doc signature build (narrow): 32 minhashes then 4 band hashes
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    // per-doc signature build (narrow): 32 minhashes then 8 band hashes
     // per document — the only wide ops are the tiny (band, bucket) joins
     GraftFunctions.register(s)
     val bands = documents(s, dir)
@@ -163,18 +167,17 @@ object DedupOps {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on the candidate set: token-set Jaccard via
-    // array_intersect on the per-doc distinct-token arrays (no extra
-    // vocab/mask shuffles — candidates are few, array ops are cheap)
-    val sets = documents(s, dir)
-      .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("ts"))
+    // exact verification on the candidate set (I2's bitmask Jaccard)
+    val vocab = toks.select("tok").distinct()
+      .withColumn("bit", (row_number().over(Window.orderBy("tok")) - 1).cast("bigint"))
+    val masks = toks.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(bit_or(expr("shiftleft(1L, cast(bit as int))")).as("mask"))
     cand
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))), "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("bigint"))
-      .withColumn("n_union",
-        (size(col("ts_a")) + size(col("ts_b"))).cast("bigint") - col("n_inter"))
-      .where(lit(20) * col("n_inter") >= lit(19) * col("n_union"))
+      .join(broadcast(masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))), "doc_a")
+      .join(broadcast(masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"))), "doc_b")
+      .where(lit(20) * bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("bigint")
+        >= lit(19) * bit_count(col("mask_a").bitwiseOR(col("mask_b"))).cast("bigint"))
       .select("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
