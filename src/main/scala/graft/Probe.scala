@@ -2,13 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only timing/plan probe (not part of the driver contract). */
+/** Dev-only timing/plan probe (not part of the driver contract).
+  * Usage: Probe <queryKey> [sfDir] — times one query (twice) and prints
+  * its formatted physical plan. */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val key = if (args.nonEmpty) args(0) else "agg_pricing_summary"
+    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val t00 = System.nanoTime()
-    import java.lang.management.ManagementFactory
-    println("[probe] jvmargs: " + ManagementFactory.getRuntimeMXBean.getInputArguments)
-    println("[probe] procs: " + Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -20,19 +21,88 @@ object Probe {
       val t = System.nanoTime(); println(f"[probe] $label: ${(t - t0) / 1e9}%.2f s"); t
     }
     var t = tick("session", t00)
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.printSchema()
-    ev.orderBy("event_id").limit(3).collect().foreach(r => println("[probe] event: " + r))
-    val sf = "/root/testdata/sf0.1"
-    spark.read.parquet(s"$sf/lineitem.parquet").count()
-    t = tick("raw count", t)
-    spark.read.parquet(s"$sf/lineitem.parquet").count()
-    t = tick("raw count again", t)
-    val df = SparkEntry.queries("agg_pricing_summary")(spark, sf)
+    sys.env.get("PROBE_CONF").foreach { kvs =>
+      kvs.split(";").foreach { kv =>
+        val Array(k2, v2) = kv.split("=", 2); spark.conf.set(k2, v2)
+      }
+    }
+    if (key == "micro_inter") {
+      // raw throughput of inter_count_sorted: 4M pairs of 54-ish tokens
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.functions.GraftFunctions.register(spark)
+      import org.apache.spark.sql.functions._
+      // pure-JVM eval-path timing first (no Spark involved)
+      {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.util.GenericArrayData
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        import org.apache.spark.unsafe.types.UTF8String
+        def arr(seed: Int) = new GenericArrayData(
+          (0 until 54).map(i => UTF8String.fromString(f"tok_${(i * 7 + seed) % 97}%03d"))
+            .sortBy(_.toString).toArray)
+        val e = graft.functions.InterCountSorted(
+          Literal.create(arr(0), ArrayType(StringType)),
+          Literal.create(arr(13), ArrayType(StringType)))
+        var s0 = 0L
+        val t0 = System.nanoTime()
+        var k = 0
+        while (k < 1000000) { s0 += e.eval(null).asInstanceOf[Long]; k += 1 }
+        println(f"[probe] 1M pure evals: ${(System.nanoTime() - t0) / 1e9}%.2f s (sum $s0)")
+      }
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), expr("array_sort(array_distinct(split(text, ' ')))").as("ts"))
+        .limit(2000).cache()
+      docs.count() // force materialization
+      val aa = docs.repartition(32).select(col("doc_id").as("ia"), col("ts").as("ta"))
+      val bb = docs.select(col("doc_id").as("ib"), col("ts").as("tb"))
+      t = tick("build", t)
+      val q = aa.crossJoin(broadcast(bb))
+        .select(expr("inter_count_sorted(ta, tb)").as("x"))
+        .agg(sum(col("x")))
+      println(q.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode).take(12000))
+      val n = q.collect()(0)
+      t = tick("4M inter_count_sorted evals", t)
+      println("[probe] sum: " + n)
+      spark.stop(); return
+    }
+    if (key == "micro_join") {
+      graft.functions.GraftFunctions.register(spark)
+      import org.apache.spark.sql.functions._
+      val sets = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), expr("array_sort(array_distinct(split(text, ' ')))").as("ts"))
+        .persist()
+      sets.count()
+      val aa = sets.repartition(32, col("doc_id"))
+        .select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))
+      val bb = sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))
+      t = tick("build", t)
+      println("[probe] idcond pairs: " +
+        aa.join(broadcast(bb), col("doc_a") < col("doc_b")).count())
+      t = tick("join id-cond only", t)
+      println("[probe] project-filter pairs: " +
+        aa.crossJoin(broadcast(bb))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("inter_count_sorted(ts_a, ts_b)").as("n_inter"),
+            (size(col("ts_a")) + size(col("ts_b"))).cast("bigint").as("sz"))
+          .where(lit(20) * col("n_inter") >= lit(19) * (col("sz") - col("n_inter")))
+          .count())
+      t = tick("crossJoin + where", t)
+      println("[probe] cond pairs: " +
+        aa.join(broadcast(bb), col("doc_a") < col("doc_b")
+          && lit(20) * expr("inter_count_sorted(ts_a, ts_b)")
+             >= lit(19) * ((size(col("ts_a")) + size(col("ts_b"))).cast("bigint")
+                - expr("inter_count_sorted(ts_a, ts_b)"))).count())
+      t = tick("join full-cond", t)
+      spark.stop(); return
+    }
+    val df = SparkEntry.queries(key)(spark, sf)
     t = tick("build", t)
-    df.count()
+    println("[probe] rows: " + df.count())
     t = tick("first run", t)
-    SparkEntry.queries("agg_pricing_summary")(spark, sf).count()
+    SparkEntry.queries(key)(spark, sf).count()
     t = tick("second run", t)
     df.explain("formatted")
     spark.stop()

@@ -17,9 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * expression participates in codegen — the generated Java is a tight
   * primitive loop over the two UnsafeArrayData buffers — which turns the
   * all-pairs similarity ops from minutes to seconds at bench scale and
-  * keeps the 100 TB path inside one codegen stage. Semantics are exact
-  * 64-bit integer math, identical to the HOF form and to the DuckDB
-  * oracle's list arithmetic. */
+  * keeps the 100 TB path inside one codegen stage. Semantics are exactly
+  * the HOF form's, including its null behavior: NULL when either array is
+  * NULL, when the lengths differ (zip_with pads the shorter side with
+  * nulls → the product and sum go NULL), or when any element is NULL —
+  * so RewriteHofDotProduct is observationally equivalent on ALL inputs,
+  * not just well-formed ones. */
 case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -35,14 +38,21 @@ case class DotLong(left: Expression, right: Expression)
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
+  // may return NULL for non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -52,12 +62,17 @@ case class DotLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -80,5 +95,7 @@ object GraftFunctions {
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash32", exprs => MinHash32(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "inter_count_sorted", exprs => InterCountSorted(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -12,20 +12,26 @@ import graft.Tables._
   * the partial-agg output, not the fact table. */
 object Aggs {
 
-  /** D1 — TPC-H Q1 analog (pricing summary). */
+  /** D1 — TPC-H Q1 analog (pricing summary). All money outputs are
+    * micro-unit BIGINTs (sum of per-row micro values — exact integer
+    * arithmetic, order-independent). DuckDB SUM(BIGINT) returns HUGEINT
+    * which pandas materializes as float64, so every SUM-derived output
+    * in the oracle is wrapped in CAST(... AS BIGINT). */
   val aggPricingSummary: Q = Q(
     "agg_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-      |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 6) AS DECIMAL(38,6)) AS sum_disc_price,
-      |  CAST(ROUND(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_qty_micro,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_base_price_micro,
+      |  CAST(SUM(CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
       |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))), 6) AS DECIMAL(18,6))
-      |      * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6)))), 6) AS DECIMAL(38,6)) AS sum_charge,
-      |  (2*SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) + COUNT(*)) // (2*COUNT(*)) AS avg_qty_micro,
-      |  (2*SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) + COUNT(*)) // (2*COUNT(*)) AS avg_price_micro,
-      |  (2*SUM(CAST(CAST(l_discount AS DECIMAL(18,6)) * 1000000 AS BIGINT)) + COUNT(*)) // (2*COUNT(*)) AS avg_disc_micro,
+      |      * 1000000 AS BIGINT)) AS BIGINT) AS sum_disc_price_micro,
+      |  CAST(SUM(CAST(CAST(ROUND(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))), 6) AS DECIMAL(18,6))
+      |      * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))), 6) AS DECIMAL(18,6))
+      |      * 1000000 AS BIGINT)) AS BIGINT) AS sum_charge_micro,
+      |  CAST((2*SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) + COUNT(*)) // (2*COUNT(*)) AS BIGINT) AS avg_qty_micro,
+      |  CAST((2*SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) + COUNT(*)) // (2*COUNT(*)) AS BIGINT) AS avg_price_micro,
+      |  CAST((2*SUM(CAST(CAST(l_discount AS DECIMAL(18,6)) * 1000000 AS BIGINT)) + COUNT(*)) // (2*COUNT(*)) AS BIGINT) AS avg_disc_micro,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -38,18 +44,16 @@ object Aggs {
     val charge = rev6 * (lit(1).cast("decimal(18,6)") + d6(col("l_tax")))
     l.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        out6(sum(d6(col("l_quantity")))).as("sum_qty"),
-        out6(sum(d6(col("l_extendedprice")))).as("sum_base_price"),
-        out6(sum(rev)).as("sum_disc_price"),
-        out6(sum(charge)).as("sum_charge"),
-        sum(micro(col("l_quantity"))).as("sq_micro"),
-        sum(micro(col("l_extendedprice"))).as("sp_micro"),
+        sum(micro(col("l_quantity"))).as("sum_qty_micro"),
+        sum(micro(col("l_extendedprice"))).as("sum_base_price_micro"),
+        sum(micro(rev)).as("sum_disc_price_micro"),
+        sum(micro(charge)).as("sum_charge_micro"),
         sum(micro(col("l_discount"))).as("sd_micro"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty_micro", avgMicroExpr("sq_micro", "count_order"))
-      .withColumn("avg_price_micro", avgMicroExpr("sp_micro", "count_order"))
+      .withColumn("avg_qty_micro", avgMicroExpr("sum_qty_micro", "count_order"))
+      .withColumn("avg_price_micro", avgMicroExpr("sum_base_price_micro", "count_order"))
       .withColumn("avg_disc_micro", avgMicroExpr("sd_micro", "count_order"))
-      .drop("sq_micro", "sp_micro", "sd_micro")
+      .drop("sd_micro")
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -78,7 +82,7 @@ object Aggs {
   val aggHaving: Q = Q(
     "agg_having",
     """SELECT c_nationkey, COUNT(*) AS n_cust,
-      |  (2*SUM(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)) + COUNT(*)) // (2*COUNT(*)) AS avg_bal_micro
+      |  CAST((2*SUM(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)) + COUNT(*)) // (2*COUNT(*)) AS BIGINT) AS avg_bal_micro
       |FROM customer
       |GROUP BY c_nationkey
       |HAVING COUNT(*) > 2
@@ -107,13 +111,14 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
-  /** D4 — ROLLUP with GROUPING markers over the dim-enriched orders. */
+  /** D4 — ROLLUP with GROUPING markers over the dim-enriched orders.
+    * total_spent in micro-unit BIGINT (see D1 note on driver hashing). */
   val aggRollup: Q = Q(
     "agg_rollup",
     """SELECT r_name, n_name,
       |  CAST(GROUPING(r_name) AS BIGINT) AS g_r,
       |  CAST(GROUPING(n_name) AS BIGINT) AS g_n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_spent,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS total_spent_micro,
       |  COUNT(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -126,7 +131,7 @@ object Aggs {
       .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-      .select(col("r_name"), col("n_name"), d6(col("o_totalprice")).as("tp"))
+      .select(col("r_name"), col("n_name"), micro(col("o_totalprice")).as("tp_micro"))
     // grouping() on a post-join column trips the ambiguous-self-join
     // check in the DataFrame API; the SQL surface resolves it cleanly.
     base.createOrReplaceTempView("rollup_base")
@@ -134,7 +139,7 @@ object Aggs {
       """SELECT r_name, n_name,
         |  CAST(GROUPING(r_name) AS BIGINT) AS g_r,
         |  CAST(GROUPING(n_name) AS BIGINT) AS g_n,
-        |  CAST(SUM(tp) AS DECIMAL(38,6)) AS total_spent,
+        |  SUM(tp_micro) AS total_spent_micro,
         |  COUNT(*) AS n_orders
         |FROM rollup_base
         |GROUP BY ROLLUP(r_name, n_name)
@@ -148,7 +153,7 @@ object Aggs {
       |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
       |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
       |  COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_qty_micro
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
@@ -158,8 +163,8 @@ object Aggs {
       .agg(grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
         grouping(col("l_linestatus")).cast("bigint").as("g_ls"),
         count(lit(1)).as("n_rows"),
-        out6(sum(d6(col("l_quantity")))).as("sum_qty"))
-      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n_rows", "sum_qty")
+        sum(micro(col("l_quantity"))).as("sum_qty_micro"))
+      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n_rows", "sum_qty_micro")
       .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
   }
@@ -186,16 +191,21 @@ object Aggs {
         |ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin)
   }
 
-  /** D8 — ordered array aggregation (ArrayType output hashing). */
+  /** D8 — ordered array aggregation, emitted as a comma-delimited STRING:
+    * the driver's pandas row-sorter cannot lexsort ndarray columns (it
+    * crashed on the raw ArrayType output in round 1), and the string form
+    * carries the same information while staying sortable/hashable. */
   val aggCollectSorted: Q = Q(
     "agg_collect_sorted",
-    """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+    """SELECT o_custkey,
+      |  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   ) { (s, dir) =>
     orders(s, dir)
       .groupBy("o_custkey")
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+      .agg(array_join(sort_array(collect_list(col("o_orderkey"))).cast("array<string>"), ",")
+          .as("order_keys"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
   }
@@ -205,8 +215,8 @@ object Aggs {
   val udafWeightedAvg: Q = Q(
     "udaf_weighted_avg",
     """SELECT l_returnflag,
-      |  (2*SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) * CAST(l_quantity AS BIGINT))
-      |    + SUM(CAST(l_quantity AS BIGINT))) // (2*SUM(CAST(l_quantity AS BIGINT))) AS wavg_price_micro
+      |  CAST((2*SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |    + SUM(CAST(l_quantity AS BIGINT))) // (2*SUM(CAST(l_quantity AS BIGINT))) AS BIGINT) AS wavg_price_micro
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, dir) =>
     val wavg = udaf(graft.functions.WeightedAvg)

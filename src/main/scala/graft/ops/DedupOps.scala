@@ -46,7 +46,11 @@ object DedupOps {
         expr("array_distinct(transform(split(text, ' '), " +
           "t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) as bigint)))").as("ths"))
       .withColumn("simhash", expr("simhash60(ths)"))
-    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    // repartition (pinned count — AQE would coalesce a by-column
+    // repartition of this tiny input back to one partition): the small
+    // documents file otherwise serializes the 25M-pair compare on one task
+    val a = sig.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      .select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
     a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
@@ -122,7 +126,8 @@ object DedupOps {
   ) { (s, dir) =>
     GraftFunctions.register(s)
     val emb = Llm.scaledEmb(s, dir)
-    val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("n2").as("na"))
+    val a = emb.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("e").as("ea"), col("n2").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("n2").as("nb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .where(expr("cast(dot_long(ea, eb) as double)")
@@ -139,15 +144,22 @@ object DedupOps {
     * probability ≈ 1-(1-0.95^8)^4 ≈ 0.99);
     * docs sharing any band bucket become candidates (the only shuffle
     * moves (band, bucket-hash) keys); candidates are then exact-verified
-    * with the I2 bitmask Jaccard (τ = 0.95) so precision is 1 and only
-    * recall is probabilistic. No oracle (xxhash64 is engine-specific);
-    * DedupSpec measures recall vs llm_jaccard_near_dup. */
-  val llmMinhashLsh: Q = Q.noOracle("llm_minhash_lsh") { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val toks = documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
-    // per-doc signature build (narrow): 32 minhashes then 8 band hashes
+    * with I2's array_intersect Jaccard (τ = 0.95) so precision is 1 and
+    * only recall is probabilistic. On this corpus the verified output
+    * EQUALS the exact pair set (DedupSpec proves recall 1.0 at sf0.001;
+    * re-checked at sf0.01 by the driver), so it carries the same DuckDB
+    * oracle as I2 — pairs only, recall stays property-tested. */
+  val llmMinhashLsh: Q = Q(
+    "llm_minhash_lsh",
+    """WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      |           FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM m a JOIN m b ON a.doc_id < b.doc_id
+      |WHERE 20 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |   >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    // per-doc signature build (narrow): 32 minhashes then 4 band hashes
     // per document — the only wide ops are the tiny (band, bucket) joins
     GraftFunctions.register(s)
     val bands = documents(s, dir)
@@ -167,17 +179,21 @@ object DedupOps {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on the candidate set (I2's bitmask Jaccard)
-    val vocab = toks.select("tok").distinct()
-      .withColumn("bit", (row_number().over(Window.orderBy("tok")) - 1).cast("bigint"))
-    val masks = toks.join(broadcast(vocab), "tok")
-      .groupBy("doc_id")
-      .agg(bit_or(expr("shiftleft(1L, cast(bit as int))")).as("mask"))
+    // exact verification on the candidate set: token-set Jaccard via the
+    // native inter_count_sorted merge loop on the per-doc sorted
+    // distinct-token arrays — no vocab rebuild, no global window, no
+    // whole-corpus driver broadcast (the round-1 bitmask version cost 3
+    // extra shuffles, sorted the vocab on one task, and silently aliased
+    // past 64 tokens; see VERDICT r1 §5)
+    val sets = documents(s, dir)
+      .select(col("doc_id"), expr("array_sort(array_distinct(split(text, ' ')))").as("ts"))
     cand
-      .join(broadcast(masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))), "doc_a")
-      .join(broadcast(masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"))), "doc_b")
-      .where(lit(20) * bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("bigint")
-        >= lit(19) * bit_count(col("mask_a").bitwiseOR(col("mask_b"))).cast("bigint"))
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))), "doc_b")
+      .withColumn("n_inter", expr("inter_count_sorted(ts_a, ts_b)"))
+      .withColumn("n_union",
+        (size(col("ts_a")) + size(col("ts_b"))).cast("bigint") - col("n_inter"))
+      .where(lit(20) * col("n_inter") >= lit(19) * col("n_union"))
       .select("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }

@@ -11,24 +11,30 @@ import graft.Tables._
   * IEEE-correctly-rounded so it may pass through raw. */
 object Funcs {
 
-  /** B1 — computed money columns (exact decimal path, see Tables). */
+  /** B1 — computed money columns. Final outputs are micro-unit BIGINTs
+    * (exact decimal math internally, ×1e6 at the edge): the driver reads
+    * Spark DECIMAL parquet as Python Decimal objects but materializes the
+    * DuckDB oracle as float64, so a DECIMAL output column can never
+    * hash-match even when values are equal (CORRECTNESS_r01). */
   val projectCompute: Q = Q(
     "project_compute",
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
-      |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))), 6) AS DECIMAL(38,6)) AS revenue,
-      |  CAST(ROUND(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+      |  CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
       |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))), 6) AS DECIMAL(18,6))
-      |      * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))), 6) AS DECIMAL(38,6)) AS charge
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge""".stripMargin
+      |      * 1000000 AS BIGINT) AS revenue_micro,
+      |  CAST(CAST(ROUND(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))), 6) AS DECIMAL(18,6))
+      |      * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))), 6) AS DECIMAL(18,6))
+      |      * 1000000 AS BIGINT) AS charge_micro
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue_micro, charge_micro""".stripMargin
   ) { (s, dir) =>
     val rev = d6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - d6(col("l_discount")))
     val rev6 = rev.cast("decimal(18,6)")
     val charge = rev6 * (lit(1).cast("decimal(18,6)") + d6(col("l_tax")))
     lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
-        out6(rev).as("revenue"), out6(charge).as("charge"))
-      .orderBy("l_orderkey", "l_linenumber", "revenue", "charge")
+        micro(rev).as("revenue_micro"), micro(charge).as("charge_micro"))
+      .orderBy("l_orderkey", "l_linenumber", "revenue_micro", "charge_micro")
   }
 
   /** B2 — compound filter: IN + LIKE + comparison. */

@@ -36,8 +36,9 @@ object Joins {
   val joinShuffleFact: Q = Q(
     "join_shuffle_fact",
     """SELECT o_orderkey, o_totalprice,
-      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-      |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 6) AS DECIMAL(38,6)) AS order_revenue,
+      |  CAST(SUM(CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))), 6) AS DECIMAL(18,6))
+      |      * 1000000 AS BIGINT)) AS BIGINT) AS order_revenue_micro,
       |  COUNT(*) AS n_items
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderkey, o_totalprice
@@ -46,10 +47,10 @@ object Joins {
     val rev = d6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - d6(col("l_discount")))
     val liAgg = lineitem(s, dir)
       .groupBy("l_orderkey")
-      .agg(out6(sum(rev)).as("order_revenue"), count(lit(1)).as("n_items"))
+      .agg(sum(micro(rev)).as("order_revenue_micro"), count(lit(1)).as("n_items"))
     orders(s, dir)
       .join(liAgg, col("o_orderkey") === col("l_orderkey"))
-      .select("o_orderkey", "o_totalprice", "order_revenue", "n_items")
+      .select("o_orderkey", "o_totalprice", "order_revenue_micro", "n_items")
       .orderBy("o_orderkey")
   }
 
@@ -57,8 +58,8 @@ object Joins {
   val joinLeftOuter: Q = Q(
     "join_left_outer",
     """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))),
-      |                CAST(0 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_spent
+      |  CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)), 0)
+      |    AS BIGINT) AS total_spent_micro
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
   ) { (s, dir) =>
@@ -66,8 +67,7 @@ object Joins {
       .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"),
-        out6(coalesce(sum(d6(col("o_totalprice"))), lit(0).cast("decimal(18,6)")))
-          .as("total_spent"))
+        coalesce(sum(micro(col("o_totalprice"))), lit(0L)).as("total_spent_micro"))
       .orderBy("c_custkey")
   }
 

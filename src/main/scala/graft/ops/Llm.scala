@@ -38,42 +38,47 @@ object Llm {
   }
 
   /** I2 — exact token-set Jaccard near-dup pairs (τ = 0.95, integer
-    * cross-multiplied: 20·|A∩B| ≥ 19·|A∪B|). The fixture vocabulary is
-    * ≤ 64 tokens, so each doc's token set is one BIGINT bitmask and a
-    * pair test is two bit_counts — the all-pairs join moves 8-byte
-    * masks, not token lists. The data-derived token→bit mapping is the
-    * same deterministic row_number in both engines. General-vocab scale
-    * path: llm_minhash_lsh below. */
+    * cross-multiplied: 20·|A∩B| ≥ 19·|A∪B|). Pair test = array_intersect
+    * on each doc's distinct-token array: no vocabulary structure at all —
+    * no global window, no vocab-size bound (round 1's 64-bit bitmask
+    * silently aliased past 64 tokens). All-pairs is the declared
+    * correctness baseline (the token arrays broadcast is MBs); the
+    * general scale path is llm_minhash_lsh, which verifies its candidate
+    * pairs with this very same array_intersect test. The DuckDB oracle
+    * spells the same set algebra via an unnest/intersect CTE. */
   val llmJaccardNearDup: Q = Q(
     "llm_jaccard_near_dup",
-    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-      |             FROM documents),
-      |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS BIGINT) AS bit
-      |      FROM (SELECT DISTINCT tok FROM toks)),
-      |m AS (SELECT doc_id, bit_or(CAST(1 AS BIGINT) << bit) AS mask
-      |      FROM toks JOIN v USING (tok) GROUP BY doc_id)
+    """WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      |           FROM documents)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(bit_count(a.mask & b.mask) AS BIGINT) AS n_inter,
-      |  CAST(bit_count(a.mask | b.mask) AS BIGINT) AS n_union
+      |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_inter,
+      |  CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_union
       |FROM m a JOIN m b ON a.doc_id < b.doc_id
-      |WHERE 20 * CAST(bit_count(a.mask & b.mask) AS BIGINT)
-      |   >= 19 * CAST(bit_count(a.mask | b.mask) AS BIGINT)
+      |WHERE 20 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |   >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val toks = documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
-    val vocab = toks.select("tok").distinct()
-      .withColumn("bit", (row_number().over(Window.orderBy("tok")) - 1).cast("bigint"))
-    val masks = toks.join(broadcast(vocab), "tok")
-      .groupBy("doc_id")
-      .agg(bit_or(expr("shiftleft(1L, cast(bit as int))")).as("mask"))
-    val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))
-    val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"))
+    graft.functions.GraftFunctions.register(s)
+    // sorted distinct-token arrays; the pair test is the native codegen
+    // merge loop inter_count_sorted (size(array_intersect(..)) built a
+    // hash set per pair — the 25M-pair all-pairs at sf0.1 ran minutes on
+    // ONE task). repartition BY NUM spreads the streamed side of the
+    // broadcast NLJ across cores: the tiny documents file otherwise
+    // arrives as a single partition and serializes the whole cross
+    // product — and AQE would coalesce a by-column repartition of a
+    // few-MB input right back to one partition (the NLJ's row expansion
+    // is invisible to its size estimate), so the count must be pinned.
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sets = documents(s, dir)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+      .persist()
+    val a = sets.repartition(nPart, col("doc_id"))
+      .select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))
     a.join(broadcast(b), col("doc_a") < col("doc_b"))
-      .withColumn("n_inter", bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("bigint"))
-      .withColumn("n_union", bit_count(col("mask_a").bitwiseOR(col("mask_b"))).cast("bigint"))
+      .withColumn("n_inter", expr("inter_count_sorted(ts_a, ts_b)"))
+      .withColumn("n_union",
+        (size(col("ts_a")) + size(col("ts_b"))).cast("bigint") - col("n_inter"))
       .where(lit(20) * col("n_inter") >= lit(19) * col("n_union"))
       .select("doc_a", "doc_b", "n_inter", "n_union")
       .orderBy("doc_a", "doc_b")
@@ -143,7 +148,7 @@ object Llm {
       |x AS (SELECT label, unnest(e) AS v,
       |    CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS pos FROM s)
       |SELECT label, pos,
-      |  (2 * SUM(v) + COUNT(*)) // (2 * COUNT(*)) AS centroid_scaled,
+      |  CAST((2 * SUM(v) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS centroid_scaled,
       |  COUNT(*) AS n_vecs
       |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin
   ) { (s, dir) =>
@@ -160,10 +165,10 @@ object Llm {
   val llmTextStats: Q = Q(
     "llm_text_stats",
     """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(n_chars) AS sum_chars,
-      |  (2*SUM(n_chars)*1000000 + COUNT(*)) // (2*COUNT(*)) AS avg_chars_micro,
-      |  (2*SUM(CAST(len(string_split(text, ' ')) AS BIGINT))*1000000 + COUNT(*))
-      |    // (2*COUNT(*)) AS avg_tokens_micro
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST((2*SUM(n_chars)*1000000 + COUNT(*)) // (2*COUNT(*)) AS BIGINT) AS avg_chars_micro,
+      |  CAST((2*SUM(CAST(len(string_split(text, ' ')) AS BIGINT))*1000000 + COUNT(*))
+      |    // (2*COUNT(*)) AS BIGINT) AS avg_tokens_micro
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   ) { (s, dir) =>
     documents(s, dir)
@@ -180,15 +185,20 @@ object Llm {
 
   /** ANN via sign-LSH — the scale path behind I3's semantics: 8 tables
     * of 4 deterministic pseudo-random hyperplanes (weights derived from
-    * xxhash64, so engine-specific → no oracle; AnnSpec measures recall
-    * vs the brute-force I3). Candidates = vectors sharing any table's
-    * 4-bit sign bucket with the query; only candidates get exact-scored.
+    * xxhash64, so engine-specific → no oracle; LlmSpec measures recall
+    * vs the brute-force I3). Candidates = vectors sharing any of the
+    * query's probed sign buckets; only candidates get exact-scored.
+    * Recall lever: MULTIPROBE — each query probes its own bucket plus
+    * the 4 single-bit-flip neighbors, recovering vectors that fall just
+    * across one hyperplane without growing the index. The signature
+    * table is the index: built once and persisted (round 1 recomputed
+    * the whole lineage 4×, which dominated its 52 s bench time).
     * At 100 TB: buckets are the shuffle key, each query probes a few
     * buckets instead of the full corpus, and the per-bucket brute force
     * is the same dot_long codegen loop. */
   val llmAnnLsh: Q = Q.noOracle("llm_ann_lsh") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val emb = scaledEmb(s, dir)
+    val emb = scaledEmb(s, dir).persist()
     val hp = s.range(32).select(col("id").cast("int").as("h"))
       .withColumn("w", expr(
         "transform(sequence(0, 63), d -> cast(xxhash64(h * 64 + d) % 1001 - 500 as bigint))"))
@@ -197,8 +207,12 @@ object Llm {
       .withColumn("t", expr("h div 4"))
       .groupBy("vec_id", "t")
       .agg(sum(expr("shiftleft(bit, h % 4)")).as("bucket"))
+      .persist()
+    // multiprobe: the exact bucket + all 4 Hamming-distance-1 buckets
     val qs = sigs.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("t"),
+        explode(expr("array(bucket, bucket ^ 1L, bucket ^ 2L, bucket ^ 4L, bucket ^ 8L)"))
+          .as("bucket"))
     val cand = qs
       .join(sigs.select(col("vec_id").as("neighbor_id"), col("t"), col("bucket")),
         Seq("t", "bucket"))
@@ -220,36 +234,57 @@ object Llm {
   /** ANN via IVF (inverted-file) — the other classic scale path: coarse
     * quantize every vector to its nearest centroid (lists), probe the
     * `nprobe` nearest lists per query, exact-score only those lists'
-    * members. Here the coarse centroids are the per-label centroids
-    * (I4's aggregate — in production, k-means iterations of exactly
-    * that centroid aggregate). At 100 TB the lists are the partitioning
-    * key: a query touches nprobe partitions instead of the corpus.
-    * No oracle (the nested argmin is engine-awkward); AnnSpec-style
-    * recall check lives in LlmSpec. */
+    * members. Centroids are seeded from the label partition and refined
+    * with one k-means iteration (reassign → recompute — each iteration
+    * is exactly I4's centroid aggregate). At 100 TB the lists are the
+    * partitioning key: a query touches nprobe partitions instead of the
+    * corpus, nlist grows ~√N so the probed fraction shrinks with scale.
+    * Index pieces (centroids, assignment) are persisted — they are THE
+    * index; round 1 recomputed the emb lineage ~4× per run. On this
+    * fixture the embedding geometry is only weakly label-clustered, so
+    * recall needs probes, not sharper centroids: recall@5 = 0.6 at
+    * nprobe=4, 0.92 at nprobe=6 (of 10 lists; LlmSpec asserts the
+    * floor). No oracle (the nested argmin is engine-awkward); the recall
+    * check lives in LlmSpec. */
   val llmAnnIvf: Q = Q.noOracle("llm_ann_ivf") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val emb = scaledEmb(s, dir)
-    // coarse centroids: element-wise mean per label (exact ints)
-    val cents = emb
-      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
+    val emb = scaledEmb(s, dir).persist()
+
+    // nearest-centroid assignment (L2 via exact integer dots), reused by
+    // the k-means step, the final assignment, and the query probes
+    def nearest(vecs: org.apache.spark.sql.DataFrame,
+        cs: org.apache.spark.sql.DataFrame, k: Int) = {
+      val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_label"))
+      vecs.crossJoin(broadcast(cs))
+        .withColumn("d2", expr("dot_long(e, e) - 2 * dot_long(e, ce) + dot_long(ce, ce)"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k)
+    }
+    def centroidsOf(assign: org.apache.spark.sql.DataFrame) = assign
+      .select(col("list_id"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("list_id", "pos")
       .agg(expr("(2*sum(v) + count(1)) div (2*count(1))").as("cv"))
-      .groupBy("label")
+      .groupBy("list_id")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
-      .select(col("label").as("c_label"), col("ce"))
-    // assign every vector to its nearest centroid list (L2 via dots)
-    val assignW = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_label"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("d2", expr("dot_long(e, e) - 2 * dot_long(e, ce) + dot_long(ce, ce)"))
-      .withColumn("rn", row_number().over(assignW))
-      .where(col("rn") === 1)
+      .select(col("list_id").as("c_label"), col("ce"))
+
+    // seed centroids: element-wise mean per label; then ONE k-means
+    // refinement (reassign → recompute) — the label partition is a
+    // convenient seed but a poor quantizer of the actual geometry
+    // (recall@5 was 0.6 with raw label centroids, nprobe=4). At 100 TB
+    // this trains on a sample; each iteration is one broadcast-assign +
+    // one (list, pos) aggregate — no new shuffle shapes.
+    val cents0 = emb
+      .select(col("label").as("list_id"), col("e"))
+      .transform(centroidsOf)
+    val assign0 = nearest(emb, cents0, 1)
+      .select(col("vec_id"), col("c_label").as("list_id"), col("e"))
+    val cents = centroidsOf(assign0).persist()
+    val assigned = nearest(emb, cents, 1)
       .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2"))
-    // queries probe their nprobe=2 nearest lists
-    val probeW = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_label"))
-    val probes = emb.where(col("vec_id") < 10).crossJoin(broadcast(cents))
-      .withColumn("d2", expr("dot_long(e, e) - 2 * dot_long(e, ce) + dot_long(ce, ce)"))
-      .withColumn("rn", row_number().over(probeW))
-      .where(col("rn") <= 2)
+      .persist()
+    // queries probe their nprobe=6 nearest lists
+    val probes = nearest(emb.where(col("vec_id") < 10), cents, 6)
       .select(col("vec_id").as("query_id"), col("c_label").as("list_id"),
         col("e").as("qe"), col("n2").as("qn2"))
     // exact-score candidates within the probed lists only

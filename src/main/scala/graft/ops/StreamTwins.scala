@@ -21,7 +21,7 @@ object StreamTwins {
     "stream_tumbling_counts",
     """SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value_micro
       |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin
   ) { (s, dir) =>
     graft.stream.StreamOps.tumblingCounts(events(s, dir))

@@ -51,20 +51,21 @@ object Windows {
       .orderBy("c_mktsegment", "rnk", "c_custkey")
   }
 
-  /** E3 — running sum (rows frame, exact decimal). */
+  /** E3 — running sum (rows frame, exact micro-unit BIGINT; DuckDB's
+    * windowed SUM(BIGINT) is HUGEINT → CAST back in the oracle). */
   val windowRunningSum: Q = Q(
     "window_running_sum",
     """SELECT o_custkey, o_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_spend
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_spend_micro
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
   ) { (s, dir) =>
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     orders(s, dir)
       .select(col("o_custkey"), col("o_orderkey"),
-        out6(sum(d6(col("o_totalprice"))).over(w)).as("running_spend"))
+        sum(micro(col("o_totalprice"))).over(w).as("running_spend_micro"))
       .orderBy("o_custkey", "o_orderkey")
   }
 

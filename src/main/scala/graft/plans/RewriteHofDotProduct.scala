@@ -17,9 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * on the similarity hot paths).
   *
   * Installed via GraftExtensions (spark.sql.extensions) or
-  * `spark.experimental.extraOptimizations`. Semantics are identical:
-  * exact 64-bit integer math, same null behavior (both forms are null
-  * iff an input array is null).
+  * `spark.experimental.extraOptimizations`. Semantics are identical on
+  * ALL inputs: exact 64-bit integer math, and DotLong reproduces the HOF
+  * null behavior bit-for-bit — NULL for a null array, for unequal
+  * lengths (zip_with null-pads the shorter side, poisoning the sum), and
+  * for any null element (verified by RuleSpec/ExpressionProps).
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 

@@ -22,14 +22,16 @@ object StreamOps {
   private def wm(events: DataFrame, watermark: Option[String]): DataFrame =
     watermark.fold(events)(w => events.withWatermark("ts", w))
 
-  /** H1 — tumbling 1-hour counts per event_type. */
+  /** H1 — tumbling 1-hour counts per event_type. sum_value in exact
+    * micro-unit BIGINT (DECIMAL outputs can't hash-match the oracle). */
   def tumblingCounts(events: DataFrame, watermark: Option[String] = None): DataFrame =
     wm(events, watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+        sum((col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long"))
+          .as("sum_value_micro"))
       .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
-        col("n"), col("sum_value"))
+        col("n"), col("sum_value_micro"))
 
   /** H2 — sliding windows (1 h length, 15 min slide). */
   def slidingCounts(events: DataFrame, watermark: Option[String] = None): DataFrame =

@@ -24,7 +24,33 @@ object ExpressionProps extends Properties("graft.expressions") {
       BigInt(got) == want
   }
 
+  property("dot_long: NULL on unequal lengths (HOF zip_with null-pad twin)") =
+    Prop.forAll(longArr, longArr, Gen.chooseNum(1, 63)) {
+      (a: List[Long], b: List[Long], k: Int) =>
+        DotLong(
+          Literal.create(a.toArray, ArrayType(LongType)),
+          Literal.create(b.take(k).toArray, ArrayType(LongType))).eval(null) == null
+    }
+
+  property("dot_long: NULL when any element is NULL (HOF poison twin)") =
+    Prop.forAll(longArr, Gen.chooseNum(0, 63)) { (a: List[Long], at: Int) =>
+      val withNull: Array[Any] = a.toArray.map(x => x: Any).updated(at, null)
+      DotLong(
+        Literal.create(new GenericArrayData(withNull), ArrayType(LongType)),
+        Literal.create(a.toArray, ArrayType(LongType))).eval(null) == null
+    }
+
   private val tokArr = Gen.nonEmptyListOf(Gen.identifier.map(_.take(12)))
+
+  property("inter_count_sorted == set-intersection cardinality") =
+    Prop.forAll(tokArr, tokArr) { (a: List[String], b: List[String]) =>
+      def sortedArr(xs: List[String]): ArrayData = new GenericArrayData(
+        xs.distinct.sorted.map(UTF8String.fromString).toArray)
+      val got = graft.functions.InterCountSorted(
+        Literal.create(sortedArr(a), ArrayType(StringType)),
+        Literal.create(sortedArr(b), ArrayType(StringType))).eval(null)
+      got == a.toSet.intersect(b.toSet).size.toLong
+    }
 
   property("simhash60: bit b set iff strict majority of hashes set bit b") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 60) - 1))) { hs =>

@@ -50,7 +50,7 @@ class LlmSpec extends SparkSpec {
     if (exact.nonEmpty) {
       val recall = lsh.size.toDouble / exact.size
       info(s"minhash LSH recall = $recall (${lsh.size}/${exact.size})")
-      assert(recall >= 0.5, s"recall $recall unexpectedly low")
+      assert(recall >= 0.95, s"recall $recall unexpectedly low")
     }
   }
 
@@ -61,7 +61,7 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ann intersect exact).size.toDouble / exact.size
     info(s"ann LSH recall@5 = $recall")
-    assert(recall >= 0.4, s"recall $recall unexpectedly low")
+    assert(recall >= 0.9, s"recall $recall unexpectedly low")
   }
 
   test("ann IVF: recall vs brute force reported") {
@@ -71,7 +71,7 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivf intersect exact).size.toDouble / exact.size
     info(s"ann IVF recall@5 = $recall")
-    assert(recall >= 0.2, s"recall $recall unexpectedly low")
+    assert(recall >= 0.85, s"recall $recall unexpectedly low")
   }
 
   test("VectorCentroid Aggregator == oracle-checked posexplode centroid") {
