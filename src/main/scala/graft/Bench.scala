@@ -30,19 +30,40 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
+    }.toSeq
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+    // Noise strategy for this shared host (bursty multi-minute CPU-steal
+    // windows, observed 10-40x swings): take the min over PASSES of the
+    // whole suite rather than back-to-back repeats — consecutive samples
+    // of one query land in the same steal burst, samples minutes apart
+    // don't. Two full passes, then a third sample only for queries still
+    // slow AND unstable (genuine cost reproduces, a burst doesn't).
+    val mins = scala.collection.mutable.Map.empty[String, Double]
+    val maxs = scala.collection.mutable.Map.empty[String, Double]
+    (1 to 2).foreach { _ =>
+      selected.foreach { case (name, _) =>
+        val t = once(name)
+        if (t >= 0) {
+          mins(name) = math.min(mins.getOrElse(name, Double.MaxValue), t)
+          maxs(name) = math.max(maxs.getOrElse(name, 0.0), t)
+        }
       }
-      val t1 = once(); val t2 = once()
-      val best =
-        if (t1 < 0 && t2 < 0) { errors ::= name; -1.0 }
-        else math.min(if (t1 < 0) t2 else t1, if (t2 < 0) t1 else t2)
-      name -> best
     }
+    val results = selected.map { case (name, _) =>
+      var best = mins.getOrElse(name, -1.0)
+      if (best < 0) errors ::= name
+      else if (best > 3.0 && maxs(name) / best > 3.0) {
+        val t3 = once(name)
+        if (t3 >= 0) best = math.min(best, t3)
+      }
+      name -> best
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
