@@ -18,7 +18,9 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val keys = Seq("scan_filter_pushdown", "join_broadcast_dims",
-      "sort_multikey_limit", "agg_pricing_summary", "llm_similarity_topk")
+      "sort_multikey_limit", "agg_pricing_summary", "llm_similarity_topk",
+      "llm_jaccard_near_dup", "llm_minhash_lsh", "llm_simhash_banded",
+      "llm_ann_lsh", "llm_ann_ivf")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

@@ -59,6 +59,61 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash near-dup via BANDING — the 100 TB path for llm_simhash_dedup's
+    * exact semantics, with GUARANTEED (not probabilistic) recall: split
+    * the 60-bit signature into 7 bands (6×9 bits + 1×6); a pair at
+    * Hamming distance ≤ 6 differs in at most 6 bands, so by pigeonhole
+    * at least one band is bit-identical — candidates = pairs sharing any
+    * (band, value) bucket, then the exact bit_count(xor) ≤ 6 check keeps
+    * precision 1. Identical output to the all-pairs form (same DuckDB
+    * oracle), but the only wide op is the (band, value) bucket join:
+    * random pairs collide per 9-bit band with p = 1/512, so candidates
+    * are ~N²/512·7 instead of N²/2 — and at 100 TB the bucket key is the
+    * shuffle key, no all-pairs anywhere. */
+  val llmSimhashBanded: Q = Q(
+    "llm_simhash_banded",
+    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS th FROM toks),
+      |contrib AS (SELECT doc_id, b,
+      |    SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT CAST(t AS INTEGER) AS b FROM range(60) r(t)) bits
+      |  GROUP BY doc_id, b),
+      |sig AS (SELECT doc_id,
+      |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    GraftFunctions.register(s)
+    val sig = documents(s, dir)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(split(text, ' '), " +
+          "t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) as bigint)))").as("ths"))
+      .withColumn("simhash", expr("simhash60(ths)"))
+      .persist() // the signature index, probed by both sides of the bucket join
+    // bands 0-5: 9 bits each; band 6: the top 6 bits (mask is harmless)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511L)"))
+        .as(Seq("band", "bv")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sig_a"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
+      .where(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Word-bigram Jaccard (τ = 0.5) over the doc_id%10==0 sample — the
     * n-gram flavor of I2. Bigram vocabulary is quadratic so no bitmask;
     * this is the classic inverted-index (token → doc) join with the
@@ -173,6 +228,7 @@ object DedupOps {
           "element_at(mhs, b*8+5), element_at(mhs, b*8+6), " +
           "element_at(mhs, b*8+7), element_at(mhs, b*8+8)))"))
         .as(Seq("band", "bh")))
+      .persist() // the LSH index: built once, probed by both join sides
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
@@ -187,6 +243,7 @@ object DedupOps {
     // past 64 tokens; see VERDICT r1 §5)
     val sets = documents(s, dir)
       .select(col("doc_id"), expr("array_sort(array_distinct(split(text, ' ')))").as("ts"))
+      .persist() // broadcast twice (a-side and b-side) — tokenize once
     cand
       .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))), "doc_a")
       .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))), "doc_b")
@@ -198,6 +255,6 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  def all: Seq[Q] = Seq(llmSimhashDedup, llmNgramJaccard, llmCosineNearDup,
-    llmMinhashLsh)
+  def all: Seq[Q] = Seq(llmSimhashDedup, llmSimhashBanded, llmNgramJaccard,
+    llmCosineNearDup, llmMinhashLsh)
 }

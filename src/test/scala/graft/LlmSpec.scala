@@ -54,6 +54,14 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("banded simhash == all-pairs simhash (pigeonhole recall is exact)") {
+    val allPairs = SparkEntry.queries("llm_simhash_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = SparkEntry.queries("llm_simhash_banded")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == allPairs)
+  }
+
   test("ann LSH: top-5 within candidates; recall vs brute force reported") {
     val exact = SparkEntry.queries("llm_similarity_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
