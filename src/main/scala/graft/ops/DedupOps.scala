@@ -255,6 +255,88 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Fuzzy-dedup survivor selection — the step a training-data pipeline
+    * actually runs on near-dup PAIRS: group them into connected
+    * components and keep one representative per component. Pairs alone
+    * under-delete (A~B, B~C ⇒ drop two of {A,B,C} even when A!~C).
+    *
+    * Spark side: min-label propagation WITH POINTER JUMPING — every doc
+    * starts labeled with its own id; each round (a) takes the min of
+    * its label and its neighbors' labels (one shuffle: edges ⋈ labels →
+    * min per dst), then (b) jumps through the label indirection
+    * (l(v) := min(l(v), l(l(v))), one more join) — (b) halves chain
+    * lengths so convergence is O(log diameter), not O(diameter): this
+    * corpus has one giant chain-shaped component (137 of 500 docs at
+    * sf0.01), and plain propagation needed ~10 rounds there and would
+    * need hundreds at sf0.1. Labels are re-materialized with an EAGER
+    * localCheckpoint each round — caching alone is not enough, because
+    * the logical plan references labels twice per round and therefore
+    * DOUBLES in size every iteration (optimizer time goes exponential;
+    * measured: rounds 1-4 went from ~1 s to ~60 s before the lineage
+    * cut). At 100 TB: same loop with reliable checkpoint() to the
+    * cluster FS, and the large-star/small-star variant to bound skew.
+    *
+    * Oracle: DuckDB recursive CTE computes each doc's reachable set;
+    * MIN(reachable) is the same component representative and COUNT is
+    * the component size. cluster_id = min doc_id of the component, so
+    * survivors are exactly the rows with doc_id = cluster_id. */
+  val llmDedupClusters: Q = Q(
+    "llm_dedup_clusters",
+    """WITH RECURSIVE
+      |m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+      |  WHERE 20 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |     >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+      |SELECT a AS doc_id, MIN(b) AS cluster_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val pairs = Llm.llmJaccardNearDup.build(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("label").as("src_label")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_label")).as("nbr_label"))
+      val l1 = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump: follow the label one hop (labels ARE doc ids)
+      val next = l1
+        .join(l1.select(col("doc_id").as("pdoc"), col("label").as("plabel")),
+          l1("label") === col("pdoc"))
+        .select(col("doc_id"), col("old_label"),
+          least(l1("label"), col("plabel")).as("label"))
+        .localCheckpoint(true) // eager: cuts the per-round lineage doubling
+      changed = next.where(col("label") =!= col("old_label")).count()
+      labels = next.select("doc_id", "label")
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels
+      .join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(llmSimhashDedup, llmSimhashBanded, llmNgramJaccard,
-    llmCosineNearDup, llmMinhashLsh)
+    llmCosineNearDup, llmMinhashLsh, llmDedupClusters)
 }

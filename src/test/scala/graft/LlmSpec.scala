@@ -54,6 +54,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: pairs co-clustered, cluster_id is component min, sizes add up") {
+    val pairs = SparkEntry.queries("llm_jaccard_near_dup")(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = SparkEntry.queries("llm_dedup_clusters")(spark, dir).collect()
+    val cluster = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every near-dup pair lands in one cluster
+    pairs.foreach { case (a, b) => assert(cluster(a) == cluster(b), s"pair ($a,$b) split") }
+    // the representative is the minimum member, and is its own representative
+    val members = cluster.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    members.foreach { case (cid, ms) => assert(ms.min == cid && cluster(cid) == cid) }
+    // n_members matches the actual component sizes; total covers all docs
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") == members(r.getAs[Long]("cluster_id")).size.toLong)
+    }
+    assert(rows.length == cluster.size)
+  }
+
   test("banded simhash == all-pairs simhash (pigeonhole recall is exact)") {
     val allPairs = SparkEntry.queries("llm_simhash_dedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
