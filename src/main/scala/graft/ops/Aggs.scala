@@ -255,6 +255,27 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
+  /** D10b — approximate quantiles (GK sketch): the 100 TB path that D10's
+    * scaladoc promises in place of the exact row_number median. One pass,
+    * constant memory per group, mergeable across partitions — no window,
+    * no per-group sort. No oracle (sketch internals are engine-specific);
+    * AggsSpec/LlmSpec-style property: within 2 quantity units of the
+    * exact percentile at accuracy 1000 on this data. Output exploded to
+    * (flag, quantile, value) rows — never array columns (driver checker
+    * can't sort them). */
+  val aggQuantilesApprox: Q = Q.noOracle("agg_quantiles_approx") { (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, array(0.25d, 0.5d, 0.75d), 1000)")
+        .as("qs"))
+      .select(col("l_returnflag"),
+        posexplode(col("qs")).as(Seq("q_idx", "q_value")))
+      .withColumn("quantile", element_at(array(lit(0.25), lit(0.5), lit(0.75)),
+        col("q_idx") + 1))
+      .select("l_returnflag", "quantile", "q_value")
+      .orderBy("l_returnflag", "quantile")
+  }
+
   /** D11 — pivot: status columns per priority (Spark groupBy().pivot();
     * oracle: FILTERed counts — empty cells coalesced to 0 on the Spark
     * side since pivot yields NULL there). */
@@ -296,5 +317,5 @@ object Aggs {
 
   def all: Seq[Q] = Seq(aggPricingSummary, aggDistinctExact, aggDistinctApprox,
     aggRollup, aggCube, aggGroupingSets, aggHaving, aggCollectSorted,
-    udafWeightedAvg, aggMedian, aggPivot, aggUnpivot)
+    udafWeightedAvg, aggMedian, aggQuantilesApprox, aggPivot, aggUnpivot)
 }

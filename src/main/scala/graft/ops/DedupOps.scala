@@ -301,11 +301,28 @@ object DedupOps {
   ) { (s, dir) =>
     val pairs = Llm.llmJaccardNearDup.build(s, dir)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+    val labels = connectedComponents(
+      documents(s, dir).select(col("doc_id")), pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels
+      .join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation with pointer jumping (see llmDedupClusters
+    * scaladoc for the algorithm and lineage notes). `nodes` = one
+    * doc_id per vertex; `pairs` = undirected edges (doc_a, doc_b).
+    * Returns (doc_id, label) with label = min doc_id of the component. */
+  private[ops] def connectedComponents(
+      nodes: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val Seq(ca, cb) = pairs.columns.toSeq.map(col)
+    val edges = pairs.select(ca.as("src"), cb.as("dst"))
+      .union(pairs.select(cb.as("src"), ca.as("dst")))
       .persist()
-    var labels = documents(s, dir)
+    var labels = nodes
+      .select(col(nodes.columns.head).as("doc_id"))
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
     var changed = 1L
@@ -330,13 +347,97 @@ object DedupOps {
       labels = next.select("doc_id", "label")
       rounds += 1
     }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    edges.unpersist()
     labels
-      .join(sizes, "label")
-      .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
+  }
+
+  /** The end-to-end curation pipeline a training corpus actually goes
+    * through, as ONE composable query: quality gate (llm_quality_score's
+    * exact integer formula, threshold 0.5) → exact dedup (min doc_id per
+    * sha256) → near-dup components over the REMAINING docs (exact
+    * Jaccard τ=0.95 pairs → connectedComponents) → keep each component's
+    * min doc_id. Output = surviving (doc_id, lang, n_chars,
+    * quality_micro).
+    *
+    * Every stage is a previously oracle-verified operator; the value
+    * here is the composition: filters run before the expensive pair
+    * stage (the all-pairs input shrinks quadratically with the quality
+    * cut), dedup keys — digest, token sets, labels — are all computed
+    * once and flow through narrow plans, and the one iterative stage
+    * reuses the checkpointed component loop. The DuckDB oracle is the
+    * same four stages as CTEs over a recursive reach. */
+  val llmCorpusClean: Q = Q(
+    "llm_corpus_clean",
+    """WITH RECURSIVE
+      |q AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |    ((2*n_stop*1000000 + n_tokens) // (2*n_tokens)
+      |      + 1000000 - (2*n_short*1000000 + n_tokens) // (2*n_tokens)
+      |      + least(n_chars, 500) * 2000) // 3 AS quality_micro
+      |  FROM (SELECT doc_id, lang, n_chars, text,
+      |      CAST(len(toks) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and'))) AS BIGINT) AS n_stop,
+      |      CAST(len(list_filter(toks, x -> length(x) <= 2)) AS BIGINT) AS n_short
+      |    FROM (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks FROM documents))),
+      |qf AS (SELECT * FROM q WHERE quality_micro >= 500000),
+      |s2 AS (SELECT qf.* FROM qf
+      |       JOIN (SELECT MIN(doc_id) AS doc_id FROM qf GROUP BY sha256(text)) k USING (doc_id)),
+      |m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM s2),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+      |  WHERE 20 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |     >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (SELECT doc_id, doc_id FROM s2
+      |  UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |comp AS (SELECT a AS cdoc, MIN(b) AS cluster_id FROM reach GROUP BY a)
+      |SELECT s2.doc_id, s2.lang, s2.n_chars, s2.quality_micro
+      |FROM s2 JOIN comp ON s2.doc_id = comp.cdoc AND s2.doc_id = comp.cluster_id
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    GraftFunctions.register(s)
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // stage 1: quality gate (exact integer score, same as llm_quality_score)
+    val scored = documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn("n_stop",
+        expr("size(filter(toks, x -> x in ('the','a','of','to','and')))").cast("bigint"))
+      .withColumn("n_short", expr("size(filter(toks, x -> length(x) <= 2))").cast("bigint"))
+      .withColumn("stop_ratio_micro", expr("(2*n_stop*1000000 + n_tokens) div (2*n_tokens)"))
+      .withColumn("short_ratio_micro", expr("(2*n_short*1000000 + n_tokens) div (2*n_tokens)"))
+      .withColumn("quality_micro", expr(
+        "(stop_ratio_micro + 1000000 - short_ratio_micro + least(n_chars, 500) * 2000) div 3"))
+      .where(col("quality_micro") >= 500000)
+      .select("doc_id", "lang", "n_chars", "quality_micro", "text")
+    // stage 2: exact dedup among quality survivors
+    val exactKeep = scored
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val s2 = scored.join(exactKeep, Seq("doc_id"), "left_semi").persist()
+    // stage 3: exact near-dup pairs among the remaining docs (same
+    // all-pairs + inter_count_sorted baseline as llm_jaccard_near_dup)
+    val sets = s2
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+      .persist()
+    val a = sets.repartition(nPart, col("doc_id"))
+      .select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))
+    val pairs = a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("n_inter", expr("inter_count_sorted(ts_a, ts_b)"))
+      .withColumn("n_union",
+        (size(col("ts_a")) + size(col("ts_b"))).cast("bigint") - col("n_inter"))
+      .where(lit(20) * col("n_inter") >= lit(19) * col("n_union"))
+      .select("doc_a", "doc_b")
+    // stage 4: component survivors (min doc_id per near-dup cluster)
+    val labels = connectedComponents(s2.select(col("doc_id")), pairs)
+    s2.join(labels.where(col("doc_id") === col("label")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars", "quality_micro")
       .orderBy("doc_id")
   }
 
   def all: Seq[Q] = Seq(llmSimhashDedup, llmSimhashBanded, llmNgramJaccard,
-    llmCosineNearDup, llmMinhashLsh, llmDedupClusters)
+    llmCosineNearDup, llmMinhashLsh, llmDedupClusters, llmCorpusClean)
 }

@@ -34,6 +34,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("D10b approx quantiles within 2 units of exact percentiles") {
+    val approx = SparkEntry.queries("agg_quantiles_approx")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = graft.Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25d, 0.5d, 0.75d))").as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("i", "v")))
+      .collect()
+      .map(r => (r.getString(0), Seq(0.25, 0.5, 0.75)(r.getInt(1))) -> r.getDouble(2))
+      .toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= 2.0, s"$k: approx ${approx(k)} vs exact $v")
+    }
+  }
+
   test("exact dedup is idempotent (dedup of survivors changes nothing)") {
     val survivors = SparkEntry.queries("llm_exact_dedup")(spark, dir)
       .select(col("doc_id"), col("digest"))

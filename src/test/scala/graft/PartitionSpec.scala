@@ -23,6 +23,33 @@ class PartitionSpec extends SparkSpec {
     assert(partDirs.exists(_ == "lang=es"))
   }
 
+  test("bucketed tables: equi-join on the bucket key plans with NO exchange") {
+    // bucketBy + saveAsTable through the in-memory catalog: both sides
+    // bucketed 8 ways on the join key — the join must read buckets
+    // co-located and skip the shuffle entirely. At 100 TB this is the
+    // difference between re-shuffling two fact tables per join and
+    // joining in place (the layout cost is paid once, at write time).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val o = Tables.orders(spark, sf("sf0.001")).select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(spark, sf("sf0.001")).select("l_orderkey", "l_quantity")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+      l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      val expected = o.join(l, col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    }
+  }
+
   test("pre-partitioned (co-located) join reuses the partitioning — no extra shuffle") {
     val ev = Tables.events(spark, sf("sf0.001")).select("event_id", "user_id", "event_type")
     val byUser = ev.repartition(4, col("user_id"))

@@ -33,4 +33,17 @@ class SourceFormatsSpec extends SparkSpec {
     assert(back.orderBy("doc_id").collect().toSeq ==
       docs.orderBy("doc_id").collect().toSeq)
   }
+
+  test("orc round-trip preserves values and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // ORC gets the same predicate pushdown treatment as parquet
+    val filtered = back.where(col("n_chars") > 200)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("n_chars"),
+      s"expected pushed filters in ORC scan:\n$scan")
+  }
 }
