@@ -276,6 +276,41 @@ object Aggs {
       .orderBy("l_returnflag", "quantile")
   }
 
+  /** D3b — KMV distinct sketch alongside the exact count (the same
+    * shape as D3's HLL row): the mergeable k-minimum-values Aggregator
+    * flows through partial aggregation like a built-in; KMV additionally
+    * supports sketch-level set ops (union = merge, intersection via
+    * inclusion-exclusion) that HLL can't do. No oracle (hash-dependent);
+    * SketchSpec asserts the ±6% (k=256) error bound. */
+  val aggDistinctKmv: Q = Q.noOracle("agg_distinct_kmv") { (s, dir) =>
+    val kmv = udaf(new graft.functions.KmvDistinct(256))
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(kmv(xxhash64(col("l_partkey"))).as("kmv_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** D13 — salted (two-stage) aggregation, oracle-checked: the skew
+    * path for hot grouping keys. l_returnflag has only 3 values — every
+    * row hammers one of 3 reducers in a naive groupBy — so stage 1
+    * spreads each key across 16 salt buckets and stage 2 combines the
+    * 48 partials. The oracle is the PLAIN group-by: salting must be
+    * invisible in the result (exact micro-unit integers make the
+    * re-associated sum bit-identical). AQE's skew handling only splits
+    * join partitions, not aggregation keys — this is the pattern that
+    * covers the aggregation side at 100 TB. */
+  val aggSaltedHotkey: Q = Q(
+    "agg_salted_hotkey",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    Salted.sumByKey(lineitem(s, dir), "l_returnflag", micro(col("l_quantity")))
+      .orderBy("l_returnflag")
+  }
+
   /** D11 — pivot: status columns per priority (Spark groupBy().pivot();
     * oracle: FILTERed counts — empty cells coalesced to 0 on the Spark
     * side since pivot yields NULL there). */
@@ -317,5 +352,6 @@ object Aggs {
 
   def all: Seq[Q] = Seq(aggPricingSummary, aggDistinctExact, aggDistinctApprox,
     aggRollup, aggCube, aggGroupingSets, aggHaving, aggCollectSorted,
-    udafWeightedAvg, aggMedian, aggQuantilesApprox, aggPivot, aggUnpivot)
+    udafWeightedAvg, aggMedian, aggQuantilesApprox, aggDistinctKmv,
+    aggSaltedHotkey, aggPivot, aggUnpivot)
 }
