@@ -64,11 +64,37 @@ object Bench {
       }
       name -> best
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def line(qs: Map[String, Double], otherN: Int, otherSec: Double): String = {
+      val qj = qs.toSeq.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      val other = if (otherN > 0)
+        s""","other":{"n":$otherN,"sec":${f(otherSec)}}""" else ""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qj$other,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    // Full-precision record for the repo (PLANS.md evidence and local
+    // diffing); the stdout line below is the driver's tail capture.
+    val fullJson = "{" + results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "}"
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
+      s"""{"total":$total,"queries":$fullJson,"errors":$errJson,"sf":"$sfDir"}""".getBytes)
+    catch { case _: Throwable => () }
+    // The driver captures only the LAST 2000 chars of output, and sbt
+    // appends a ~80-char "[success]" line after ours — a JSON line longer
+    // than ~1850 chars gets its head truncated and becomes unparseable
+    // (BENCH_r02 "parsed": null). Fold the fastest queries into an
+    // aggregate bucket until the line fits.
+    var keepN = results.size
+    var out = line(results, 0, 0.0)
+    while (out.length > 1850 && keepN > 8) {
+      keepN -= 8
+      val keep = results.toSeq.sortBy(-_._2).take(keepN).toMap
+      val dropped = results.filterNot { case (k, _) => keep.contains(k) }
+      out = line(keep, dropped.size, dropped.values.filter(_ >= 0).sum)
+    }
+    println(out)
     spark.stop()
   }
 }

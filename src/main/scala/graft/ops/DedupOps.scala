@@ -317,38 +317,69 @@ object DedupOps {
   private[ops] def connectedComponents(
       nodes: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val Seq(ca, cb) = pairs.columns.toSeq.map(col)
-    val edges = pairs.select(ca.as("src"), cb.as("dst"))
-      .union(pairs.select(cb.as("src"), ca.as("dst")))
-      .persist()
-    var labels = nodes
-      .select(col(nodes.columns.head).as("doc_id"))
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("label").as("src_label")), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("src_label")).as("nbr_label"))
-      val l1 = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // pointer jump: follow the label one hop (labels ARE doc ids)
-      val next = l1
-        .join(l1.select(col("doc_id").as("pdoc"), col("label").as("plabel")),
-          l1("label") === col("pdoc"))
-        .select(col("doc_id"), col("old_label"),
-          least(l1("label"), col("plabel")).as("label"))
-        .localCheckpoint(true) // eager: cuts the per-round lineage doubling
-      changed = next.where(col("label") =!= col("old_label")).count()
-      labels = next.select("doc_id", "label")
-      rounds += 1
-    }
-    edges.unpersist()
-    labels
+    val s = nodes.sparkSession
+    // Loop-scoped session tuning (restored in finally): each round's data
+    // is a label table + edge list that SHRINKS as components merge, and
+    // round-1 profiling (jstack over llm_dedup_clusters at sf0.1) showed
+    // the loop 100% overhead-bound — janino compiling fresh codegen per
+    // round (every round is a NEW plan, zero compile-cache hits), 32-task
+    // shuffle file setup for ~2k-row exchanges, and AQE stage re-planning;
+    // executor threads were parked throughout. Interpreted execution +
+    // few-partition shuffles + no AQE inside the loop cut the per-round
+    // fixed cost ~4x. At 100 TB the same loop wants the OPPOSITE settings
+    // — which is exactly why they are scoped to the loop and sized from
+    // the cluster default rather than hard-coded into the algorithm.
+    val prev = Seq("spark.sql.shuffle.partitions", "spark.sql.codegen.wholeStage",
+      "spark.sql.adaptive.enabled").map(k => k -> s.conf.get(k))
+    val loopParts = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt / 4)
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val Seq(ca, cb) = pairs.columns.toSeq.map(col)
+      val edges = pairs.select(ca.as("src"), cb.as("dst"))
+        .union(pairs.select(cb.as("src"), ca.as("dst")))
+        .localCheckpoint(true) // materialize once: replays of the pair
+      // plan (an all-pairs verify at sf0.1) would dominate every round
+      var labels = nodes
+        .select(col(nodes.columns.head).as("doc_id"))
+        .select(col("doc_id"), col("doc_id").as("label"))
+        .localCheckpoint(true)
+      // Convergence probe: labels are doc ids and only ever DECREASE
+      // (min-propagation), so the label sum strictly decreases until the
+      // fixpoint — one cheap agg per round replaces carrying old_label
+      // through an extra join.
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
+        val r = df.agg(sum(col("label"))).head
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      var prevSum = labelSum(labels)
+      var rounds = 0
+      var done = false
+      while (!done && rounds < 50) {
+        // min over {self label} ∪ {neighbor labels}: one union + one
+        // hash agg (single shuffle on doc_id) instead of join+agg+join
+        val l1 = edges
+          .join(labels.select(col("doc_id").as("src"), col("label").as("nl")), "src")
+          .select(col("dst").as("doc_id"), col("nl").as("label"))
+          .union(labels)
+          .groupBy("doc_id")
+          .agg(min(col("label")).as("label"))
+        // pointer jump: l(v) := min(l(v), l(l(v))) — halves chain length,
+        // O(log diameter) rounds on the corpus's chain-shaped components
+        val next = l1
+          .join(l1.select(col("doc_id").as("pdoc"), col("label").as("plabel")),
+            l1("label") === col("pdoc"))
+          .select(col("doc_id"), least(l1("label"), col("plabel")).as("label"))
+          .localCheckpoint(true) // eager: cuts the per-round lineage doubling
+        val newSum = labelSum(next)
+        done = newSum == prevSum
+        prevSum = newSum
+        labels = next
+        rounds += 1
+      }
+      labels
+    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
   /** The end-to-end curation pipeline a training corpus actually goes
