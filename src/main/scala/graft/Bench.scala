@@ -31,12 +31,17 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }.toSeq
+    // Cache lifecycle (r3 VERDICT item 3): builds persist() intermediates
+    // that only their own action should reuse; release them after each
+    // timed run so no query inherits (or re-warns about) another's cache
+    // and the suite holds zero net cached entries between queries.
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
+      finally spark.catalog.clearCache()
     }
     // Noise strategy for this shared host (bursty multi-minute CPU-steal
     // windows, observed 10-40x swings): take the min over PASSES of the

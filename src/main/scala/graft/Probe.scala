@@ -98,6 +98,23 @@ object Probe {
       t = tick("join full-cond", t)
       spark.stop(); return
     }
+    if (key == "micro_cc") {
+      // per-phase cost of llm_dedup_clusters: pair build, then the real
+      // connectedComponents loop with its per-round tick callback
+      graft.functions.GraftFunctions.register(spark)
+      import org.apache.spark.sql.functions._
+      Tables.documents(spark, sf).count()
+      t = tick("warm docs", t)
+      var tv = System.nanoTime()
+      val labels = graft.ops.DedupOps.connectedComponents(
+        Tables.documents(spark, sf).select(col("doc_id")),
+        graft.ops.Llm.jaccardPairs(Tables.documents(spark, sf))
+          .select(col("doc_a"), col("doc_b")),
+        tag => { tv = tick(tag, tv) })
+      println("[probe] label rows: " + labels.count())
+      tick("cc total", t)
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(key)(spark, sf)
     t = tick("build", t)
     println("[probe] rows: " + df.count())

@@ -58,30 +58,47 @@ object Llm {
       |   >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
+    jaccardPairs(documents(s, dir)).orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact τ=0.95 token-set Jaccard pairs (doc_a, doc_b, n_inter,
+    * n_union), unordered — the shared engine behind I2,
+    * llm_dedup_clusters' edge stage, and the LSH verify.
+    *
+    * Sorted distinct-token arrays; the pair test is the native codegen
+    * merge loop inter_count_sorted (size(array_intersect(..)) built a
+    * hash set per pair — the 25M-pair all-pairs at sf0.1 ran minutes on
+    * ONE task). The join condition carries a SIZE-RATIO PREFILTER:
+    * Jaccard ≥ 19/20 needs |A∩B| ≤ min and |A∪B| ≥ max, so
+    * 20·min(|A|,|B|) ≥ 19·max(|A|,|B|) is a necessary condition — one
+    * long compare that short-circuits the merge loop (at sf0.1 it kills
+    * 82% of the 12.5M candidate pairs before inter_count_sorted runs;
+    * the conjunct order in `&&` is preserved by codegen). repartition BY
+    * NUM spreads the streamed side of the broadcast NLJ across cores:
+    * the tiny documents file otherwise arrives as a single partition and
+    * serializes the whole cross product — and AQE would coalesce a
+    * by-column repartition of a few-MB input right back to one partition
+    * (the NLJ's row expansion is invisible to its size estimate), so the
+    * count must be pinned. */
+  private[graft] def jaccardPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     graft.functions.GraftFunctions.register(s)
-    // sorted distinct-token arrays; the pair test is the native codegen
-    // merge loop inter_count_sorted (size(array_intersect(..)) built a
-    // hash set per pair — the 25M-pair all-pairs at sf0.1 ran minutes on
-    // ONE task). repartition BY NUM spreads the streamed side of the
-    // broadcast NLJ across cores: the tiny documents file otherwise
-    // arrives as a single partition and serializes the whole cross
-    // product — and AQE would coalesce a by-column repartition of a
-    // few-MB input right back to one partition (the NLJ's row expansion
-    // is invisible to its size estimate), so the count must be pinned.
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val sets = documents(s, dir)
+    val sets = docs
       .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("ts"))
       .persist()
     val a = sets.repartition(nPart, col("doc_id"))
       .select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))
-    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b")
+        && lit(20) * least(size(col("ts_a")), size(col("ts_b"))).cast("bigint")
+           >= lit(19) * greatest(size(col("ts_a")), size(col("ts_b"))).cast("bigint"))
       .withColumn("n_inter", expr("inter_count_sorted(ts_a, ts_b)"))
       .withColumn("n_union",
         (size(col("ts_a")) + size(col("ts_b"))).cast("bigint") - col("n_inter"))
       .where(lit(20) * col("n_inter") >= lit(19) * col("n_union"))
       .select("doc_a", "doc_b", "n_inter", "n_union")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Scaled-integer embedding table shared by I3/I4: e = round(x·1e7) as
