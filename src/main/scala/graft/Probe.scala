@@ -108,8 +108,8 @@ object Probe {
       var tv = System.nanoTime()
       val labels = graft.ops.DedupOps.connectedComponents(
         Tables.documents(spark, sf).select(col("doc_id")),
-        graft.ops.Llm.jaccardPairs(Tables.documents(spark, sf))
-          .select(col("doc_a"), col("doc_b")),
+        graft.ops.DedupOps.contractedNearDupEdges(Tables.documents(spark, sf),
+          graft.ops.Llm.jaccardPairs(_).select(col("doc_a"), col("doc_b"))),
         tag => { tv = tick(tag, tv) })
       println("[probe] label rows: " + labels.count())
       tick("cc total", t)

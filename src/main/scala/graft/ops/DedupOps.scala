@@ -383,7 +383,12 @@ object DedupOps {
     // branches would otherwise BOTH evaluate the pair plan (no exchange
     // boundary to reuse under a broadcast NLJ: measured 2× the all-pairs
     // verify cost at sf0.1 in round 3)
-    val p0 = pairs.select(ca.as("src"), cb.as("dst")).localCheckpoint(true)
+    // repartition (not coalesce — coalesce would throttle the upstream
+    // pair computation itself) the checkpointed edge halves down to a few
+    // partitions: the loop re-scans them every round, and 64 ~3k-row scan
+    // tasks per round is pure scheduler overhead
+    val p0 = pairs.select(ca.as("src"), cb.as("dst"))
+      .repartition(4).localCheckpoint(true)
     val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = nodes
       .select(col(nodes.columns.head).as("doc_id"))
@@ -421,6 +426,8 @@ object DedupOps {
         .agg(min(col("label")).as("label"))
       // pointer jump: l(v) := min(l(v), l(l(v))) — halves chain length,
       // O(log diameter) rounds on the corpus's chain-shaped components
+      // (a double jump per round was tried: one round fewer, but the
+      // extra join per round cancels the saving — net wash, kept simple)
       val next = l1
         .join(l1.select(col("doc_id").as("pdoc"), col("label").as("plabel")),
           l1("label") === col("pdoc"))
