@@ -86,6 +86,27 @@ class LlmSpec extends SparkSpec {
     assert(rows.length == cluster.size)
   }
 
+  test("token-set contraction preserves connected components exactly") {
+    // the r4 contraction (equal-ts groups -> rep + star edges) must yield
+    // the SAME (doc_id, label) map as components over the direct pair
+    // graph — this is the property the scaladoc proof at
+    // DedupOps.contractedNearDupEdges claims
+    val docs = graft.Tables.documents(spark, dir)
+    val nodes = docs.select(col("doc_id"))
+    def labelsOf(pairs: org.apache.spark.sql.DataFrame) =
+      graft.ops.DedupOps.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = labelsOf(
+      graft.ops.Llm.jaccardPairs(docs).select(col("doc_a"), col("doc_b")))
+    val contracted = labelsOf(graft.ops.DedupOps.contractedNearDupEdges(
+      docs, graft.ops.Llm.jaccardPairs(_).select(col("doc_a"), col("doc_b"))))
+    assert(contracted == direct)
+    // and the LSH pair builder (corpus-clean stage 3) agrees too
+    val lsh = labelsOf(graft.ops.DedupOps.contractedNearDupEdges(
+      docs, graft.ops.DedupOps.lshVerifiedPairs))
+    assert(lsh == direct)
+  }
+
   test("banded simhash == all-pairs simhash (pigeonhole recall is exact)") {
     val allPairs = SparkEntry.queries("llm_simhash_dedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
