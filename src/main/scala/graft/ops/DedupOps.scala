@@ -217,7 +217,14 @@ object DedupOps {
       |   >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
-    lshVerifiedPairs(documents(s, dir)).orderBy("doc_a", "doc_b")
+    // contraction + exact re-expansion (r4): signatures, banding, and
+    // verification all run on equal-token-set representatives (equal-ts
+    // docs share every minhash band by construction, so nothing is lost
+    // by deduplicating them first); the full pair list is reconstructed
+    // from the group structure (expandTsGroups scaladoc)
+    val (tagged, repDocs) = tsContraction(documents(s, dir))
+    expandTsGroups(tagged, lshVerifiedPairs(repDocs), counts = false)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash-LSH candidate generation + exact verification, unordered —
@@ -346,20 +353,65 @@ object DedupOps {
     * every round. The same trick is the 100 TB story for corpora with
     * heavy exact-or-trivial duplication — contraction is one hash
     * aggregate on ts before anything quadratic runs. */
+  /** The shared contraction step: one row per doc tagged with its
+    * equal-ts group representative (`rep` = min doc_id of the group) and
+    * distinct-token count, plus the one-doc-per-group projection the
+    * quadratic stages run on. `tagged` is persisted — every consumer
+    * reads it 2-3×. */
+  private[graft] def tsContraction(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val withTs = docs.select(col("doc_id"), col("text"),
+      array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+    val reps = withTs.groupBy(col("ts")).agg(min(col("doc_id")).as("rep"))
+    val tagged = withTs.join(reps, "ts")
+      .select(col("doc_id"), col("text"), col("rep"),
+        size(col("ts")).cast("bigint").as("tsz"))
+      .persist()
+    val repDocs = tagged.where(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("text"))
+    (tagged, repDocs)
+  }
+
   private[graft] def contractedNearDupEdges(
       docs: org.apache.spark.sql.DataFrame,
       pairBuilder: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val withTs = docs.select(col("doc_id"), col("text"),
-      array_sort(array_distinct(split(col("text"), " "))).as("ts"))
-      .persist() // read by the rep aggregate and the star/rep joins
-    val reps = withTs.groupBy(col("ts")).agg(min(col("doc_id")).as("rep"))
-    val tagged = withTs.join(reps, "ts")
+    val (tagged, repDocs) = tsContraction(docs)
     val stars = tagged.where(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val repDocs = tagged.where(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("text"))
     pairBuilder(repDocs).select(col("doc_a"), col("doc_b")).union(stars)
+  }
+
+  /** Exact re-expansion of rep-level near-dup pairs back to the full
+    * per-doc pair set — the other direction of the contraction, for the
+    * queries whose ORACLE is the complete pair list. Within an equal-ts
+    * group every ordered pair is a Jaccard-1 near-dup with n_inter =
+    * n_union = |ts|; across two groups every member pair has EXACTLY the
+    * rep pair's n_inter/n_union (intersections depend only on the token
+    * sets). Groups are disjoint, so within ∪ cross is duplicate-free and
+    * equals the all-pairs output. `counts` = whether to carry
+    * n_inter/n_union (I2) or just the pair ids (minhash). */
+  private[graft] def expandTsGroups(
+      tagged: org.apache.spark.sql.DataFrame,
+      repPairs: org.apache.spark.sql.DataFrame,
+      counts: Boolean): org.apache.spark.sql.DataFrame = {
+    val m = tagged.select(col("doc_id"), col("rep"), col("tsz"))
+    val x = m.select(col("rep").as("r"), col("doc_id").as("ida"), col("tsz"))
+    val y = m.select(col("rep").as("r"), col("doc_id").as("idb"))
+    val within0 = x.join(y, Seq("r")).where(col("ida") < col("idb"))
+    val within =
+      if (counts) within0.select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        col("tsz").as("n_inter"), col("tsz").as("n_union"))
+      else within0.select(col("ida").as("doc_a"), col("idb").as("doc_b"))
+    val crossTagged = repPairs
+      .join(broadcast(m.select(col("rep").as("doc_a"), col("doc_id").as("da"))), "doc_a")
+      .join(broadcast(m.select(col("rep").as("doc_b"), col("doc_id").as("db"))), "doc_b")
+    val cross =
+      if (counts) crossTagged.select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("n_inter"), col("n_union"))
+      else crossTagged.select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+    within.union(cross)
   }
 
   /** Min-label propagation with pointer jumping (see llmDedupClusters
