@@ -51,12 +51,17 @@ object Bench {
     // slow AND unstable (genuine cost reproduces, a burst doesn't).
     val mins = scala.collection.mutable.Map.empty[String, Double]
     val maxs = scala.collection.mutable.Map.empty[String, Double]
-    (1 to 2).foreach { _ =>
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // pass count is overridable for percentile collection (BASELINE.md's
+    // p50/p95 rows); the driver default stays min-of-2
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    (1 to passes).foreach { _ =>
       selected.foreach { case (name, _) =>
         val t = once(name)
         if (t >= 0) {
           mins(name) = math.min(mins.getOrElse(name, Double.MaxValue), t)
           maxs(name) = math.max(maxs.getOrElse(name, 0.0), t)
+          samples(name) = t :: samples.getOrElse(name, Nil)
         }
       }
     }
@@ -80,11 +85,20 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qj$other,"errors":$errJson,"sf":"$sfDir"}"""
     }
     // Full-precision record for the repo (PLANS.md evidence and local
-    // diffing); the stdout line below is the driver's tail capture.
+    // diffing), including per-query p50/p95 over the collected samples
+    // (meaningful with SPARK_GRAFT_PASSES >= 3); the stdout line below
+    // is the driver's tail capture.
+    def pct(xs: List[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
+    }
     val fullJson = "{" + results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "}"
+    val pctJson = "{" + samples.toSeq.sortBy(_._1).map { case (k, xs) =>
+      "\"" + k + "\":[" + pct(xs, 0.5) + "," + pct(xs, 0.95) + "]"
+    }.mkString(",") + "}"
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
-      s"""{"total":$total,"queries":$fullJson,"errors":$errJson,"sf":"$sfDir"}""".getBytes)
+      s"""{"total":$total,"passes":$passes,"queries":$fullJson,"p50_p95":$pctJson,"errors":$errJson,"sf":"$sfDir"}""".getBytes)
     catch { case _: Throwable => () }
     // The driver captures only the LAST 2000 chars of output, and sbt
     // appends a ~80-char "[success]" line after ours — a JSON line longer

@@ -3,6 +3,9 @@
 BASELINE.md's *measure-at-impl* rows (SURVEY §6 / r3 VERDICT item 5).
 
 Usage: python3 tools/duckbench.py <sfDir> <verifyOutDir> [passes]
+Env: DUCKBENCH_SKIP — comma-separated query keys to leave out (e.g. the
+sf0.1 recursive-CTE reach oracles, which run for 45+ minutes there; the
+driver's correctness gate only ever runs them at sf0.01).
 
 Runs every oracle SQL from <verifyOutDir>/oracle_sql.json (written by
 graft.Verify) over DuckDB views of <sfDir>/*.parquet, forcing full
@@ -27,6 +30,8 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
+    skip = set(filter(None, os.environ.get("DUCKBENCH_SKIP", "").split(",")))
+    oracle = {k: v for k, v in oracle.items() if k not in skip}
     best = {}
     for p in range(passes):
         for name in sorted(oracle):
