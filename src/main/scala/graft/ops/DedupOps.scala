@@ -89,7 +89,15 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
     GraftFunctions.register(s)
-    val sig = documents(s, dir)
+    // token-set contraction (r4): the simhash signature is a pure
+    // function of the distinct-token set, so equal-ts docs share every
+    // band bucket — banding runs on representatives only and the full
+    // pair list is reconstructed after (within-group hamming is exactly
+    // 0; cross pairs inherit the rep pair's hamming). The 248-doc
+    // equal-ts group at sf0.1 alone removes ~430k bucket-collision rows
+    // from the self-join.
+    val (tagged, repDocs) = tsContraction(documents(s, dir))
+    val sig = repDocs
       .select(col("doc_id"),
         expr("array_distinct(transform(split(text, ' '), " +
           "t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) as bigint)))").as("ths"))
@@ -105,7 +113,7 @@ object DedupOps {
     // codegen instruction pair, and filtering first shrinks the
     // full-shuffle distinct from every bucket collision (~N²/512·7 rows)
     // to just the true near-dup pairs (r3 VERDICT item 7)
-    bands.as("x")
+    val repPairs = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
           && col("x.doc_id") < col("y.doc_id"))
@@ -114,6 +122,7 @@ object DedupOps {
           .as("hamming"))
       .where(col("hamming") <= 6)
       .distinct()
+    expandTsGroups(tagged, repPairs, Seq(lit(0L).as("hamming")))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -223,7 +232,7 @@ object DedupOps {
     // by deduplicating them first); the full pair list is reconstructed
     // from the group structure (expandTsGroups scaladoc)
     val (tagged, repDocs) = tsContraction(documents(s, dir))
-    expandTsGroups(tagged, lshVerifiedPairs(repDocs), counts = false)
+    expandTsGroups(tagged, lshVerifiedPairs(repDocs), Seq.empty)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -389,28 +398,26 @@ object DedupOps {
     * n_union = |ts|; across two groups every member pair has EXACTLY the
     * rep pair's n_inter/n_union (intersections depend only on the token
     * sets). Groups are disjoint, so within ∪ cross is duplicate-free and
-    * equals the all-pairs output. `counts` = whether to carry
-    * n_inter/n_union (I2) or just the pair ids (minhash). */
+    * equals the all-pairs output. Any extra columns of `repPairs`
+    * (n_inter/n_union, hamming, ...) are carried through for the cross
+    * pairs; `withinExtra` supplies the same columns — in the same order
+    * — for the within-group (identical-ts) pairs, where their values
+    * are known in closed form (`tsz` is in scope for them). */
   private[graft] def expandTsGroups(
       tagged: org.apache.spark.sql.DataFrame,
       repPairs: org.apache.spark.sql.DataFrame,
-      counts: Boolean): org.apache.spark.sql.DataFrame = {
+      withinExtra: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
     val m = tagged.select(col("doc_id"), col("rep"), col("tsz"))
     val x = m.select(col("rep").as("r"), col("doc_id").as("ida"), col("tsz"))
     val y = m.select(col("rep").as("r"), col("doc_id").as("idb"))
-    val within0 = x.join(y, Seq("r")).where(col("ida") < col("idb"))
-    val within =
-      if (counts) within0.select(col("ida").as("doc_a"), col("idb").as("doc_b"),
-        col("tsz").as("n_inter"), col("tsz").as("n_union"))
-      else within0.select(col("ida").as("doc_a"), col("idb").as("doc_b"))
-    val crossTagged = repPairs
+    val within = x.join(y, Seq("r")).where(col("ida") < col("idb"))
+      .select(col("ida").as("doc_a") +: col("idb").as("doc_b") +: withinExtra: _*)
+    val extra = repPairs.columns.filterNot(Set("doc_a", "doc_b")).map(col).toSeq
+    val cross = repPairs
       .join(broadcast(m.select(col("rep").as("doc_a"), col("doc_id").as("da"))), "doc_a")
       .join(broadcast(m.select(col("rep").as("doc_b"), col("doc_id").as("db"))), "doc_b")
-    val cross =
-      if (counts) crossTagged.select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("n_inter"), col("n_union"))
-      else crossTagged.select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"))
+      .select(least(col("da"), col("db")).as("doc_a")
+        +: greatest(col("da"), col("db")).as("doc_b") +: extra: _*)
     within.union(cross)
   }
 
