@@ -107,6 +107,35 @@ class LlmSpec extends SparkSpec {
     assert(lsh == direct)
   }
 
+  test("corpus-clean near-dup stage plans WITHOUT a nested-loop join") {
+    // executable golden for the r3->r4 fix: the composed pipeline's pair
+    // stage must be the LSH candidate path (bucket equi-joins), never
+    // the all-pairs BroadcastNestedLoopJoin — the one shape that cannot
+    // run at 100 TB
+    val stage = graft.ops.DedupOps.contractedNearDupEdges(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      graft.ops.DedupOps.lshVerifiedPairs)
+    val plan = stage.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked back into the corpus-clean pair stage:\n$plan")
+  }
+
+  test("ts-group expansion == direct pair set on a doc_id-remapped corpus") {
+    // re-key the fixture corpus (doc_id * 7 + 3) so group minima, pair
+    // ordering, and rep selection all shift — the expansion must still
+    // reproduce the direct all-pairs output exactly, including counts
+    val docs = Tables.documents(spark, dir)
+      .select((col("doc_id") * 7 + 3).as("doc_id"), col("text"))
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val direct = graft.ops.Llm.jaccardPairs(docs).collect().map(key).toSet
+    val (tagged, repDocs) = graft.ops.DedupOps.tsContraction(docs)
+    val expanded = graft.ops.DedupOps.expandTsGroups(
+      tagged, graft.ops.Llm.jaccardPairs(repDocs),
+      Seq(col("tsz").as("n_inter"), col("tsz").as("n_union")))
+      .collect().map(key).toSet
+    assert(expanded == direct)
+  }
+
   test("banded simhash == all-pairs simhash (pigeonhole recall is exact)") {
     val allPairs = SparkEntry.queries("llm_simhash_dedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
