@@ -192,7 +192,15 @@ object DedupOps {
       |ORDER BY vec_a, vec_b""".stripMargin
   ) { (s, dir) =>
     GraftFunctions.register(s)
-    val emb = Llm.scaledEmb(s, dir)
+    cosineAllPairs(Llm.scaledEmb(s, dir)).orderBy("vec_a", "vec_b")
+  }
+
+  /** Core of llm_cosine_near_dup over any (vec_id, e, n2) frame (see
+    * cosineLshPairs for why the spec needs the frame parameterized). */
+  private[graft] def cosineAllPairs(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    GraftFunctions.register(s)
     val a = emb.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
       .select(col("vec_id").as("vec_a"), col("e").as("ea"), col("n2").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("n2").as("nb"))
@@ -200,7 +208,72 @@ object DedupOps {
       .where(expr("cast(dot_long(ea, eb) as double)")
         >= lit(0.95) * sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
       .select("vec_a", "vec_b")
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Embedding-cosine near-dup via sign-LSH — the 100 TB path for
+    * llm_cosine_near_dup's semantics (the all-pairs baseline): 8 tables
+    * of 4 deterministic pseudo-random hyperplanes (the same xxhash64
+    * weight scheme as llm_ann_lsh) give each vector a 4-bit sign bucket
+    * per table; candidates are pairs sharing any (table, bucket) — the
+    * only shuffle key — and every candidate is exact-verified with the
+    * integer dot_long cosine test, so precision is 1 and only recall is
+    * probabilistic. For pairs at cosine ≥ 0.95 (≤ 18.2°), a random
+    * hyperplane splits them with p ≤ 0.101, so P[same 4-bit bucket] ≥
+    * 0.9^4 ≈ 0.656 per table and a pair misses all 8 tables with
+    * probability ≤ (1-0.656)^8 ≈ 2e-4 — on the fixtures the verified
+    * output EQUALS the exact pair set (checked at sf0.001/0.01 by
+    * LlmSpec with an asserted floor), so it carries the same DuckDB
+    * oracle as the all-pairs form. */
+  val llmCosineLsh: Q = Q(
+    "llm_cosine_lsh",
+    """WITH s AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |    CAST(list_sum(list_transform(list_zip(e, e), p -> p[1] * p[2])) AS BIGINT) AS n2
+      |  FROM s)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE CAST(CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+      |   >= 0.95 * sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))
+      |ORDER BY vec_a, vec_b""".stripMargin
+  ) { (s, dir) =>
+    GraftFunctions.register(s)
+    cosineLshPairs(Llm.scaledEmb(s, dir).persist()).orderBy("vec_a", "vec_b")
+  }
+
+  /** Core of llm_cosine_lsh over any (vec_id, e, n2) scaled-embedding
+    * frame — separated so the spec can drive it with SYNTHETIC near-dup
+    * vectors: the fixture corpus has zero cosine ≥ 0.95 pairs at every
+    * SF, so both cosine queries are output-empty there and a fixture
+    * recall assertion would be vacuous. */
+  private[graft] def cosineLshPairs(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    GraftFunctions.register(s)
+    val hp = s.range(32).select(col("id").cast("int").as("h"))
+      .withColumn("w", expr(
+        "transform(sequence(0, 63), d -> cast(xxhash64(h * 64 + d) % 1001 - 500 as bigint))"))
+    val sigs = emb.crossJoin(broadcast(hp))
+      .withColumn("bit", (expr("dot_long(w, e)") > 0).cast("bigint"))
+      .withColumn("t", expr("h div 4"))
+      .groupBy("vec_id", "t")
+      .agg(sum(expr("shiftleft(bit, h % 4)")).as("bucket"))
+      .persist() // the sign-bucket index, probed by both join sides
+    val cand = sigs.as("x")
+      .join(sigs.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(broadcast(emb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+        col("n2").as("na"))), "vec_a")
+      .join(broadcast(emb.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+        col("n2").as("nb"))), "vec_b")
+      .where(expr("cast(dot_long(ea, eb) as double)")
+        >= lit(0.95) * sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+      .select("vec_a", "vec_b")
   }
 
   /** MinHash+LSH near-dup — the 100 TB path for I2's semantics on an
@@ -583,5 +656,5 @@ object DedupOps {
   }
 
   def all: Seq[Q] = Seq(llmSimhashDedup, llmSimhashBanded, llmNgramJaccard,
-    llmCosineNearDup, llmMinhashLsh, llmDedupClusters, llmCorpusClean)
+    llmCosineNearDup, llmCosineLsh, llmMinhashLsh, llmDedupClusters, llmCorpusClean)
 }

@@ -136,6 +136,32 @@ class LlmSpec extends SparkSpec {
     assert(expanded == direct)
   }
 
+  test("cosine sign-LSH == exact all-pairs on synthetic near-dup vectors") {
+    // the FIXTURE corpus has zero cosine >= 0.95 pairs at every SF (both
+    // cosine queries are output-empty there), so recall is asserted on a
+    // constructed set: 40 deterministic base vectors, each with a
+    // slightly perturbed twin (guaranteed cosine ~0.9995 > tau) plus the
+    // base set's own cross pairs as hard negatives/positives
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 64).map(d => ((i * 64 + d) * 2654435761L % 2001 - 1000)).toArray)
+    }
+    val twins = base.map { case (id, v) =>
+      (id + 1000, v.zipWithIndex.map { case (x, d) => if (d == (id % 64)) x + 40 else x })
+    }
+    val emb = (base ++ twins).toDF("vec_id", "e0")
+      .select(col("vec_id"), expr("transform(e0, x -> cast(x as bigint))").as("e"))
+      .withColumn("n2", expr("dot_long(e, e)"))
+    val exact = graft.ops.DedupOps.cosineAllPairs(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.ops.DedupOps.cosineLshPairs(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "synthetic corpus produced no near-dup pairs")
+    assert(exact.size >= 40, s"expected at least the 40 twin pairs, got ${exact.size}")
+    assert(lsh == exact, s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+  }
+
   test("banded simhash == all-pairs simhash (pigeonhole recall is exact)") {
     val allPairs = SparkEntry.queries("llm_simhash_dedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
