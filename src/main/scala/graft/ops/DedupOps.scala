@@ -324,6 +324,16 @@ object DedupOps {
     * see VERDICT r1 §5). The verify join carries the same size-ratio
     * prefilter as Llm.jaccardPairs so the merge loop only runs on pairs
     * that could plausibly pass τ. */
+  /** The 4×8 MinHash banding expression over a 32-long `mhs` column —
+    * shared by the batch LSH path and the streaming near-dup probe so
+    * both sides of a stream-static join bucket identically. */
+  private[graft] val minhashBandExpr: String =
+    "transform(sequence(0, 3), b -> xxhash64(" +
+      "element_at(mhs, b*8+1), element_at(mhs, b*8+2), " +
+      "element_at(mhs, b*8+3), element_at(mhs, b*8+4), " +
+      "element_at(mhs, b*8+5), element_at(mhs, b*8+6), " +
+      "element_at(mhs, b*8+7), element_at(mhs, b*8+8)))"
+
   private[graft] def lshVerifiedPairs(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
@@ -332,12 +342,7 @@ object DedupOps {
       .select(col("doc_id"),
         expr("array_distinct(split(text, ' '))").as("dtoks"))
       .withColumn("mhs", expr("minhash32(dtoks)"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 3), b -> xxhash64(" +
-          "element_at(mhs, b*8+1), element_at(mhs, b*8+2), " +
-          "element_at(mhs, b*8+3), element_at(mhs, b*8+4), " +
-          "element_at(mhs, b*8+5), element_at(mhs, b*8+6), " +
-          "element_at(mhs, b*8+7), element_at(mhs, b*8+8)))"))
+      .select(col("doc_id"), posexplode(expr(minhashBandExpr))
         .as(Seq("band", "bh")))
       .persist() // the LSH index: built once, probed by both join sides
     val cand = bands.as("x")

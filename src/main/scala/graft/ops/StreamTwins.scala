@@ -102,6 +102,29 @@ object StreamTwins {
       .orderBy("user_id", "event_id")
   }
 
+  /** H8 — streaming near-dup flagging against a static reference corpus
+    * (the incremental form of llm_minhash_lsh): for each document, the
+    * min-doc_id EARLIER near-duplicate, if any. The registered batch
+    * twin runs the corpus against itself; StreamingSpec proves a
+    * MemoryStream arrival of the same corpus converges to the identical
+    * result (ref_id < doc_id makes arrival order irrelevant). The LSH
+    * candidates are exact-verified, so the DuckDB oracle is the exact
+    * Jaccard pair set reduced the same way. */
+  val streamNearDup: Q = Q(
+    "stream_near_dup",
+    """WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      |           FROM documents),
+      |p AS (SELECT a.doc_id AS ra, b.doc_id AS rb
+      |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+      |  WHERE 20 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |     >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT))
+      |SELECT rb AS doc_id, MIN(ra) AS dup_of FROM p GROUP BY rb
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.stream.StreamOps.nearDupAgainst(documents(s, dir), documents(s, dir))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(streamTumblingCounts, streamSlidingAvg,
-    streamSessionWindows, streamDedup, streamStatefulCounter)
+    streamSessionWindows, streamDedup, streamStatefulCounter, streamNearDup)
 }

@@ -92,6 +92,58 @@ object StreamOps {
       }
   }
 
+  /** H8 / I-ext — streaming near-dup against a STATIC reference corpus:
+    * the incremental form of llm_minhash_lsh, i.e. what a production
+    * ingest pipeline runs as new documents arrive. Each incoming doc is
+    * minhash-banded with the SAME expressions as the batch index
+    * (graft.ops.DedupOps.minhashBandExpr), probed against the corpus's
+    * persisted (band, bucket) index via a stream-static equi-join (the
+    * supported, state-free streaming join shape — the static side is the
+    * build side), exact-verified with the inter_count_sorted Jaccard
+    * test (precision 1), and reduced to the FIRST (min doc_id) earlier
+    * near-duplicate per incoming doc. The only stateful op is the final
+    * min-per-key aggregate — one row per duplicate doc, bounded by the
+    * dup count, emitted in Update/Complete mode.
+    *
+    * Works identically on a batch frame (the registered oracle twin
+    * streams the corpus against itself; `ref_id < doc_id` makes arrival
+    * order irrelevant, so stream ≡ batch — proven in StreamingSpec). */
+  def nearDupAgainst(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // static reference index: (band, bucket-hash) -> ref doc, plus the
+    // sorted token arrays for exact verification — both persisted, both
+    // broadcast-sized per bucket at any corpus scale (bucket join keys)
+    val idx = corpus
+      .select(col("doc_id").as("ref_id"),
+        expr("array_distinct(split(text, ' '))").as("dtoks"))
+      .withColumn("mhs", expr("minhash32(dtoks)"))
+      .select(col("ref_id"), posexplode(expr(graft.ops.DedupOps.minhashBandExpr))
+        .as(Seq("band", "bh")))
+      .persist()
+    val refSets = corpus
+      .select(col("doc_id").as("ref_id"),
+        expr("array_sort(array_distinct(split(text, ' ')))").as("ref_toks"))
+      .persist()
+    // incoming docs: band with the same expressions, carrying the token
+    // array through the explode (no stream-stream join anywhere)
+    val probes = docs
+      .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("dtoks"))
+      .withColumn("mhs", expr("minhash32(dtoks)"))
+      .select(col("doc_id"), expr("array_sort(dtoks)").as("toks"),
+        posexplode(expr(graft.ops.DedupOps.minhashBandExpr)).as(Seq("band", "bh")))
+    probes
+      .join(idx, Seq("band", "bh"))
+      .where(col("ref_id") < col("doc_id"))
+      .join(refSets, "ref_id")
+      .where(lit(20) * least(size(col("toks")), size(col("ref_toks"))).cast("bigint")
+        >= lit(19) * greatest(size(col("toks")), size(col("ref_toks"))).cast("bigint"))
+      .where(lit(20) * expr("inter_count_sorted(toks, ref_toks)")
+        >= lit(19) * ((size(col("toks")) + size(col("ref_toks"))).cast("bigint")
+          - expr("inter_count_sorted(toks, ref_toks)")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("ref_id")).as("dup_of"))
+  }
+
   /** H7 — stream-stream interval join (the streaming twin of C7): for
     * each signup, purchases by the same user within the following two
     * hours. Watermarks on both sides bound the join state. */

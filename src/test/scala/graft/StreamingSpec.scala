@@ -10,11 +10,16 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.stream.StreamOps
 import graft.stream.StreamOps.Ev
 
+/** Top-level so MemoryStream's implicit Encoder derivation can find a
+  * TypeTag (a method-local case class has none). */
+case class NdDoc(doc_id: Long, text: String)
+
 /** Proof that stream ≡ batch for the H-operators: each test drives the
   * SAME StreamOps code once as a MemoryStream micro-batch query and once
   * as a batch frame over identical rows, and asserts identical results.
   * Also covers watermark late-row dropping (H6), the stream-stream
-  * interval join (H7 vs the C7 batch twin), and checkpoint restart. */
+  * interval join (H7 vs the C7 batch twin), the streaming near-dup
+  * probe against a static corpus (H8), and checkpoint restart. */
 class StreamingSpec extends SparkSpec {
 
   import spark.implicits._
@@ -148,6 +153,28 @@ class StreamingSpec extends SparkSpec {
       .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
         (col("p_us") - col("s_us")).as("delay_us"))
     assertSame(streamed, batch, Seq("signup_id", "purchase_id"))
+  }
+
+  test("H8 streaming near-dup vs static corpus: stream == batch") {
+    // the corpus arrives incrementally as a stream while the reference
+    // index is the full static corpus; since only EARLIER docs count
+    // (ref_id < doc_id), arrival order is irrelevant and the stream must
+    // converge to the batch twin run corpus-vs-itself
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    val docs = corpus.collect().map(r => NdDoc(r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[NdDoc]
+    val name = "sink_h8"
+    val q = StreamOps.nearDupAgainst(ms.toDF(), corpus).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Complete()).start()
+    docs.grouped(math.max(1, docs.size / 4)).foreach { c =>
+      ms.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table(name)
+    val batch = StreamOps.nearDupAgainst(corpus, corpus)
+    assert(batch.count() > 0, "fixture has no near-dup docs — test is vacuous")
+    assertSame(streamed, batch, Seq("doc_id"))
   }
 
   test("checkpoint restart: no loss, no duplicates") {
