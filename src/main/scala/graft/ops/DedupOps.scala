@@ -515,6 +515,16 @@ object DedupOps {
     // runtime stats — nothing global is mutated, so there is nothing to
     // scope (r3 VERDICT item 6).
     val Seq(ca, cb) = pairs.columns.toSeq.map(col)
+    val s = nodes.sparkSession
+    // Lineage cut per materialization: on a real cluster (checkpoint dir
+    // configured) use RELIABLE checkpoints — executor loss mid-loop can
+    // then recover from the cluster FS, where a local checkpoint would
+    // kill the job (its truncated lineage cannot recompute lost
+    // partitions). local[*] runs have no checkpoint dir and keep the
+    // cheap local form. Both cut the logical plan to a LogicalRDD.
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def cut(df: org.apache.spark.sql.DataFrame, eager: Boolean) =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
     // materialize the (usually expensive) pair plan ONCE, then derive the
     // symmetric edge list from the checkpointed rows — the union's two
     // branches would otherwise BOTH evaluate the pair plan (no exchange
@@ -524,13 +534,11 @@ object DedupOps {
     // pair computation itself) the checkpointed edge halves down to a few
     // partitions: the loop re-scans them every round, and 64 ~3k-row scan
     // tasks per round is pure scheduler overhead
-    val p0 = pairs.select(ca.as("src"), cb.as("dst"))
-      .repartition(4).localCheckpoint(true)
+    val p0 = cut(pairs.select(ca.as("src"), cb.as("dst")).repartition(4), eager = true)
     val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = nodes
+    var labels = cut(nodes
       .select(col(nodes.columns.head).as("doc_id"))
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("doc_id").as("label")), eager = true)
     tick("cc: edges+labels init")
     // Convergence probe: labels are doc ids and only ever DECREASE
     // (min-propagation), so the label sum strictly decreases until the
@@ -565,11 +573,11 @@ object DedupOps {
       // O(log diameter) rounds on the corpus's chain-shaped components
       // (a double jump per round was tried: one round fewer, but the
       // extra join per round cancels the saving — net wash, kept simple)
-      val next = l1
+      val next = cut(l1
         .join(l1.select(col("doc_id").as("pdoc"), col("label").as("plabel")),
           l1("label") === col("pdoc"))
-        .select(col("doc_id"), least(l1("label"), col("plabel")).as("label"))
-        .localCheckpoint(false) // lazy: the labelSum action materializes it
+        .select(col("doc_id"), least(l1("label"), col("plabel")).as("label")),
+        eager = false) // lazy: the labelSum action materializes it
       val newSum = labelSum(next)
       done = newSum == prevSum
       prevSum = newSum

@@ -107,6 +107,38 @@ class LlmSpec extends SparkSpec {
     assert(lsh == direct)
   }
 
+  test("component loop uses RELIABLE checkpoints when a dir is configured") {
+    // the cluster path: with a checkpoint dir set, the loop's lineage
+    // cuts go to the (cluster) FS so executor loss mid-loop is
+    // recoverable — same labels, and checkpoint data actually written
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    sc.setCheckpointDir(ckDir)
+    try {
+      val docs = Tables.documents(spark, dir)
+      val labels = graft.ops.DedupOps.connectedComponents(
+        docs.select(col("doc_id")),
+        graft.ops.Llm.jaccardPairs(docs).select(col("doc_a"), col("doc_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = SparkEntry.queries("llm_dedup_clusters")(spark, dir)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(labels == expected)
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(written > 0, "no reliable checkpoint data was written")
+    } finally {
+      // SparkContext has no unset API; the shared session keeps the dir,
+      // so later suites would silently switch to reliable checkpoints —
+      // reset via the internal conf entry to keep tests independent
+      sc.setLocalProperty("spark.checkpoint.dir", null)
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("corpus-clean near-dup stage plans WITHOUT a nested-loop join") {
     // executable golden for the r3->r4 fix: the composed pipeline's pair
     // stage must be the LSH candidate path (bucket equi-joins), never
