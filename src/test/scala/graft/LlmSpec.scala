@@ -107,6 +107,17 @@ class LlmSpec extends SparkSpec {
     assert(lsh == direct)
   }
 
+  test("component loop: empty pair set -> every doc is its own singleton") {
+    // a clean corpus (no near-dups) must not break the checkpointed loop
+    // (empty edge materialization, first-round convergence)
+    import spark.implicits._
+    val nodes = spark.range(10).select(col("id").as("doc_id"))
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val labels = graft.ops.DedupOps.connectedComponents(nodes, noPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (0L until 10L).map(i => i -> i).toMap)
+  }
+
   test("component loop uses RELIABLE checkpoints when a dir is configured") {
     // the cluster path: with a checkpoint dir set, the loop's lineage
     // cuts go to the (cluster) FS so executor loss mid-loop is
