@@ -110,17 +110,22 @@ object StreamOps {
     * order irrelevant, so stream ≡ batch — proven in StreamingSpec). */
   def nearDupAgainst(docs: DataFrame, corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // static reference index: (band, bucket-hash) -> ref doc, plus the
-    // sorted token arrays for exact verification — both persisted, both
-    // broadcast-sized per bucket at any corpus scale (bucket join keys)
-    val idx = corpus
+    // static reference index CONTRACTED to one doc per distinct token
+    // set: a group's representative is its MIN doc_id, so for any doc d
+    // the min earlier near-dup is always a rep — if a member m < d
+    // matches, its group's rep r ≤ m also matches (same token set) —
+    // and probing the rep-only index is exactly equivalent while
+    // collapsing equal-ts cliques (sf0.1's 248-doc group: one probe row
+    // instead of up to 247 candidate matches per incoming doc).
+    val (_, repDocs) = graft.ops.DedupOps.tsContraction(corpus)
+    val idx = repDocs
       .select(col("doc_id").as("ref_id"),
         expr("array_distinct(split(text, ' '))").as("dtoks"))
       .withColumn("mhs", expr("minhash32(dtoks)"))
       .select(col("ref_id"), posexplode(expr(graft.ops.DedupOps.minhashBandExpr))
         .as(Seq("band", "bh")))
       .persist()
-    val refSets = corpus
+    val refSets = repDocs
       .select(col("doc_id").as("ref_id"),
         expr("array_sort(array_distinct(split(text, ' ')))").as("ref_toks"))
       .persist()
