@@ -200,7 +200,34 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** C9 — FULL OUTER join: BUILDING-segment customers vs per-customer
+    * order counts. Both null sides are exercised — customers without
+    * orders (null right) and orders from non-BUILDING customers (null
+    * left). Same shuffle shape as the inner fact join; at 100 TB full
+    * outer cannot broadcast either side, so the plan MUST be a
+    * shuffle-hash/sort-merge on the key — which is what Spark picks. */
+  val joinFullOuter: Q = Q(
+    "join_full_outer",
+    """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+      |  c.c_name, o.n_orders
+      |FROM (SELECT c_custkey, c_name FROM customer
+      |      WHERE c_mktsegment = 'BUILDING') c
+      |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+      |                 FROM orders GROUP BY o_custkey) o
+      |  ON c.c_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val c = customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    val o = orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"))
+      .orderBy("custkey")
+  }
+
   def all: Seq[Q] = Seq(joinBroadcastDims, joinShuffleFact, joinLeftOuter,
     joinSemi, joinAnti, joinCrossTheta, joinRangeInterval, joinAsof,
-    joinAsofNative)
+    joinAsofNative, joinFullOuter)
 }

@@ -80,6 +80,37 @@ object SetSort {
       .orderBy("c_custkey")
   }
 
+  /** F6 — INTERSECT ALL (multiset semantics: duplicates kept up to the
+    * min multiplicity on each side). Input sides project non-unique
+    * keys so multiplicities actually differ from the distinct form. */
+  val setIntersectAll: Q = Q(
+    "set_intersect_all",
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      |ORDER BY o_custkey""".stripMargin
+  ) { (s, dir) =>
+    val o = orders(s, dir)
+    o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      .intersectAll(o.where(col("o_orderpriority") === "2-HIGH").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** F7 — EXCEPT ALL (multiset difference: each match cancels ONE
+    * occurrence). */
+  val setExceptAll: Q = Q(
+    "set_except_all",
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      |ORDER BY o_custkey""".stripMargin
+  ) { (s, dir) =>
+    val o = orders(s, dir)
+    o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      .exceptAll(o.where(col("o_orderpriority") === "2-HIGH").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
   def all: Seq[Q] = Seq(sortMultikeyLimit, sortNullsOrdering,
-    setUnionDistinct, setIntersect, setExcept)
+    setUnionDistinct, setIntersect, setExcept, setIntersectAll, setExceptAll)
 }

@@ -128,6 +128,28 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** E7 — percent_rank / cume_dist: relative-position analytics. Both
+    * are ratios of small integers computed in IEEE double ((rank-1)/
+    * (n-1), n_le/n) — bit-identical across engines, so the DOUBLE
+    * outputs hash-match directly. */
+  val windowPercentRank: Q = Q(
+    "window_percent_rank",
+    """SELECT o_custkey, o_orderkey,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   def all: Seq[Q] = Seq(windowTopkPerGroup, windowRankDenseNtile,
-    windowRunningSum, windowLagLead, windowRangeFrame, windowFirstLast)
+    windowRunningSum, windowLagLead, windowRangeFrame, windowFirstLast,
+    windowPercentRank)
 }
