@@ -131,5 +131,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId)
+  /** Deterministic stratified sampling — the data-mixing primitive of a
+    * training pipeline: per-language keep rates applied by CONTENT-
+    * INDEPENDENT hash of the doc id, so the sample is reproducible
+    * across runs, engines, and cluster sizes (no rand(), no
+    * engine-specific hash — the sha256-derived value is the repo's
+    * cross-engine hash pattern). At 100 TB this is a narrow scan with
+    * the filter pushed to the row level: no shuffle, no state, and
+    * changing mix rates is a literal edit. */
+  val llmStratifiedSample: Q = Q(
+    "llm_stratified_sample",
+    """WITH h AS (SELECT doc_id, lang, n_chars,
+      |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars FROM h
+      |WHERE hv % 100 < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25 ELSE 10 END
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    documents(s, dir)
+      .withColumn("hv", expr(
+        "cast(conv(substring(sha2(cast(doc_id as string), 256), 1, 15), 16, 10) as bigint)"))
+      .where(col("hv") % 100 < expr(
+        "case lang when 'en' then 50 when 'es' then 25 else 10 end"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
+    llmStratifiedSample)
 }
