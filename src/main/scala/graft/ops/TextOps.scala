@@ -1,15 +1,19 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** §2.I extension — text-analysis operators for training-data pipelines:
   * token counting (whitespace + regex tokenizers), document
   * fingerprinting (order-sensitive rolling hash), quality scoring
-  * (length/stopword/short-token ratios), and language-ID (marker-token
-  * vote). All single-pass narrow scans — no shuffle except the final
-  * presentation sort; at 100 TB these are the cheap per-document map
-  * stages of a curation pipeline.
+  * (length/stopword/short-token ratios), language-ID (marker-token
+  * vote), deterministic stratified sampling, benchmark decontamination,
+  * salient-term extraction, and repetition filtering. The per-document
+  * scores are single-pass narrow scans (no shuffle except the final
+  * presentation sort); the corpus-level ops (decontaminate, top-terms,
+  * repetition) shuffle only on small keys (gram / term / doc_id), never
+  * on document text.
   *
   * Cross-engine hash: tokens are hashed to 60-bit ints via
   * sha256-hex-prefix (both engines produce identical standard SHA-256;
@@ -157,6 +161,128 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the other half of dedup in a training
+    * pipeline: flag corpus docs sharing any word-4-gram with a held-out
+    * benchmark set (here the deterministic doc_id%53 slice; a real run
+    * joins against the eval suites). Shape: inverted-index join keyed by
+    * the gram. The benchmark side is small BY CONSTRUCTION (eval suites
+    * are KBs-MBs while the corpus is TBs), so it is distinct-ed and
+    * broadcast; the corpus side streams through map-side — no corpus
+    * shuffle at all. If the benchmark ever outgrew broadcast, drop the
+    * hint and both sides hash-partition on gram. */
+  val llmDecontaminate: Q = Q(
+    "llm_decontaminate",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |    list_zip(ws[1:len(ws)-3], ws[2:len(ws)-2], ws[3:len(ws)-1], ws[4:len(ws)]),
+      |    p -> p[1] || ' ' || p[2] || ' ' || p[3] || ' ' || p[4])) AS gram
+      |  FROM t WHERE len(ws) >= 4),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM g JOIN bench USING (gram) WHERE g.doc_id % 53 <> 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  ) { (s, dir) =>
+    val g = documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-4), i -> concat_ws(' ', slice(toks, i+1, 4)))"))
+        .as("gram"))
+      .distinct()
+    val bench = g.where(col("doc_id") % 53 === 0).select("gram").distinct()
+    g.where(col("doc_id") % 53 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc most-salient term: rank by (tf DESC, df ASC, term ASC) —
+    * the TF-IDF ordering with exact integer keys instead of a float
+    * score, so the winner is engine-identical (no log/division drift).
+    * Shape: the two-pass corpus-statistics pattern — document-frequency
+    * aggregated once over the corpus, joined back to per-doc term
+    * counts. Both sides key on term, so the join co-partitions with the
+    * df aggregation's shuffle; per-doc ranking is a window over the
+    * doc_id partition. */
+  val llmTopTerms: Q = Q(
+    "llm_top_terms",
+    """WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM u GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM u GROUP BY 1),
+      |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, term, tf, df FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val u = documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = u.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = u.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("doc_id", "term", "tf", "df")
+      .orderBy("doc_id")
+  }
+
+  /** Within-doc repetition signals (the Gopher-style repetition filter,
+    * word-level since the fixture has no line structure): distinct-token
+    * ratio, top-unigram fraction, top-bigram fraction — all in exact
+    * micro-units — plus the keep/filter verdict. Shape: explode →
+    * per-(doc, term) count → per-doc agg; the groupBys share the doc_id
+    * key so the second agg is a narrow re-agg of the first's shuffle
+    * output. Thresholds (top_tf ≤ 12%, distinct ≥ 45%) split the fixture
+    * 172 keep / 328 filter — a real pipeline tunes them per corpus. */
+  val llmRepetitionFilter: Q = Q(
+    "llm_repetition_filter",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |u AS (SELECT doc_id, unnest(ws) AS term FROM t),
+      |uc AS (SELECT doc_id, term, count(*) AS c FROM u GROUP BY 1, 2),
+      |us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS top_tf
+      |  FROM uc GROUP BY 1),
+      |b AS (SELECT doc_id, unnest(list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+      |    p -> p[1] || ' ' || p[2])) AS gram FROM t WHERE len(ws) >= 2),
+      |bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(max(c) AS BIGINT) AS top_bf FROM bc GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_distinct, top_tf, n_bigrams, top_bf,
+      |  n_distinct * 1000000 // n_tokens AS distinct_ratio_micro,
+      |  top_tf * 1000000 // n_tokens AS top_tf_ratio_micro,
+      |  top_bf * 1000000 // n_bigrams AS top_bf_ratio_micro,
+      |  CAST(CASE WHEN top_tf * 1000000 // n_tokens <= 120000
+      |             AND n_distinct * 1000000 // n_tokens >= 450000
+      |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM us JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val t = documents(s, dir).withColumn("toks", split(col("text"), " "))
+    val uc = t.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val us = uc.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"), max("c").as("top_tf"))
+    val bc = t.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val bs = bc.groupBy("doc_id").agg(
+      sum("c").as("n_bigrams"), max("c").as("top_bf"))
+    us.join(bs, "doc_id")
+      .withColumn("distinct_ratio_micro", expr("n_distinct * 1000000 div n_tokens"))
+      .withColumn("top_tf_ratio_micro", expr("top_tf * 1000000 div n_tokens"))
+      .withColumn("top_bf_ratio_micro", expr("top_bf * 1000000 div n_bigrams"))
+      .withColumn("keep", expr(
+        """cast(case when top_tf * 1000000 div n_tokens <= 120000
+          |       and n_distinct * 1000000 div n_tokens >= 450000
+          |      then 1 else 0 end as bigint)""".stripMargin))
+      .select("doc_id", "n_tokens", "n_distinct", "top_tf", "n_bigrams", "top_bf",
+        "distinct_ratio_micro", "top_tf_ratio_micro", "top_bf_ratio_micro", "keep")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
-    llmStratifiedSample)
+    llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter)
 }
