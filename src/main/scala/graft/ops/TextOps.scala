@@ -283,6 +283,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Context-window chunking: split each doc into 40-token chunks with
+    * 8-token overlap (stride 32) — the embedding/RAG prep step. Pure
+    * generator shape: one explode per doc, no shuffle, chunk boundaries
+    * are pure functions of the token array so the op parallelizes
+    * per-document at any scale. chunk_id i covers tokens
+    * [i*32, i*32+40); the tail chunk truncates. */
+  val llmDocChunks: Q = Q(
+    "llm_doc_chunks",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws,
+      |    unnest(generate_series(0, (len(ws)-1) // 32)) AS chunk_id FROM t)
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(ws[chunk_id*32+1:chunk_id*32+40]) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(ws[chunk_id*32+1:chunk_id*32+40], ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (s, dir) =>
+    documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("chunk_id", explode(expr("sequence(0, (size(toks)-1) div 32)")))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        expr("size(slice(toks, chunk_id*32+1, 40))").cast("bigint").as("n_chunk_tokens"),
+        expr("concat_ws(' ', slice(toks, chunk_id*32+1, 40))").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Training-sequence packing, GPT-style concat-and-carve: within each
+    * source, docs are concatenated in doc_id order and carved into
+    * 256-token sequences; a doc's sequence = its start offset div 256.
+    * The prefix sum is a window per source — sources pack in parallel
+    * and nothing shuffles except the (source, doc_id) sort. If one
+    * source outgrew a partition, the standard fix is hierarchical: per-
+    * partition subtotals, broadcast the per-partition base offsets, add
+    * — same arithmetic, two narrow passes. */
+  val llmPackSequences: Q = Q(
+    "llm_pack_sequences",
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens, start_off,
+      |  start_off // 256 AS seq_no, start_off % 256 AS seq_off
+      |FROM c ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("seq_no", expr("start_off div 256"))
+      .withColumn("seq_off", col("start_off") % 256)
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
-    llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter)
+    llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
+    llmDocChunks, llmPackSequences)
 }
