@@ -339,7 +339,96 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII / denylist redaction — the scrubbing stage of a curation
+    * pipeline: emails and phone numbers are masked by regex, plus a
+    * denylist-term scrub (the mechanism a real pipeline uses for
+    * boilerplate strings, canary tokens, or banned terms — here two
+    * fixture-vocabulary words so the oracle exercises real hits; the
+    * fixture contains no digits or '@', so the email/phone counts
+    * document the zero-hit passthrough). Patterns stay in the common
+    * Java-regex/RE2 subset so both engines compile them identically.
+    * Narrow per-row scan — no shuffle, trivially parallel at 100 TB. */
+  val llmPiiRedact: Q = Q(
+    "llm_pii_redact",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(text, '\(?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(text, '\b(spark|stream)\b')) AS BIGINT) AS n_term,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+      |      '\(?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
+      |    '\b(spark|stream)\b', '<TERM>', 'g') AS clean_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val phone = "\\(?[0-9][0-9() -]{7,}[0-9]"
+    val term  = "\\b(spark|stream)\\b"
+    documents(s, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("bigint").as("n_email"),
+        regexp_count(col("text"), lit(phone)).cast("bigint").as("n_phone"),
+        regexp_count(col("text"), lit(term)).cast("bigint").as("n_term"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>"),
+          term, "<TERM>").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document chunk-level exact dedup — dedup at sub-document
+    * granularity (the near-boilerplate case document-level hashing
+    * misses): chunk every doc with the llm_doc_chunks geometry (40
+    * tokens, stride 32), hash each chunk to a 60-bit sha256-derived
+    * key, elect the minimum (doc_id, chunk_id) as the survivor per
+    * hash, and report per-doc duplicate-chunk fractions. Only
+    * (chunk_hash, doc_id, chunk_id) triples ever shuffle — document
+    * text stays in its scan partition, so the wide stages move ~24
+    * bytes per chunk regardless of chunk width. The survivor election
+    * is a window min over the chunk_hash partition (one shuffle),
+    * re-aggregated per doc_id (second, smaller shuffle). */
+  val llmChunkDedup: Q = Q(
+    "llm_chunk_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws,
+      |    unnest(generate_series(0, (len(ws)-1) // 32)) AS chunk_id FROM t),
+      |h AS (SELECT doc_id, chunk_id,
+      |    ('0x' || substr(sha256(
+      |      array_to_string(ws[chunk_id*32+1:chunk_id*32+40], ' ')), 1, 15))::BIGINT
+      |      AS chunk_hash
+      |  FROM c),
+      |s AS (SELECT chunk_hash, min(doc_id * 100000 + chunk_id) AS surv
+      |  FROM h GROUP BY 1)
+      |SELECT h.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN s.surv <> h.doc_id*100000 + h.chunk_id
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  CAST(sum(CASE WHEN s.surv <> h.doc_id*100000 + h.chunk_id
+      |                THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+      |    AS dup_ratio_micro
+      |FROM h JOIN s USING (chunk_hash)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val h = documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("chunk_id", explode(expr("sequence(0, (size(toks)-1) div 32)")))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        expr("""cast(conv(substring(sha2(
+                 concat_ws(' ', slice(toks, cast(chunk_id*32+1 as int), 40)), 256),
+                 1, 15), 16, 10) as bigint)""").as("chunk_hash"))
+    h.withColumn("surv",
+        min(col("doc_id") * 100000 + col("chunk_id"))
+          .over(Window.partitionBy("chunk_hash")))
+      .withColumn("is_dup",
+        when(col("surv") =!= col("doc_id") * 100000 + col("chunk_id"), 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("is_dup").as("n_dup_chunks"))
+      .withColumn("dup_ratio_micro", expr("n_dup_chunks * 1000000 div n_chunks"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
-    llmDocChunks, llmPackSequences)
+    llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup)
 }
