@@ -350,8 +350,39 @@ object Aggs {
       .orderBy("p_partkey", "attr")
   }
 
+  /** D14 — heavy hitters via a mergeable Misra-Gries sketch PLUS an
+    * exact verification pass, so the result carries a real oracle: MG
+    * guarantees every term with frequency > n/k survives in its ≤ k-1
+    * counters (k=64 here), the exact pass re-counts only the ≤ k-1
+    * candidates and applies the strict threshold — sketch false
+    * positives drop out, false negatives are impossible, output ≡ the
+    * plain GROUP BY ... HAVING. Scale shape: the corpus-wide term
+    * group-by is replaced by one O(k)-memory partial-agg tree (no
+    * per-term shuffle) plus an exact count whose shuffle carries only
+    * candidate-term rows after a broadcast semi-join. */
+  val aggHeavyHitters: Q = Q(
+    "agg_heavy_hitters",
+    """WITH u AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+      |SELECT term, cnt FROM c, t WHERE cnt * 64 > n ORDER BY term""".stripMargin
+  ) { (s, dir) =>
+    val mg = udaf(new graft.functions.MisraGries(64))
+    val terms = documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val cands = terms.agg(mg(col("term")).as("cands"))
+      .select(explode(col("cands")).as("term"))
+    val exact = terms.join(broadcast(cands), "term")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = terms.agg(count(lit(1)).as("n"))
+    exact.crossJoin(broadcast(total))
+      .where(col("cnt") * 64 > col("n"))
+      .select("term", "cnt")
+      .orderBy("term")
+  }
+
   def all: Seq[Q] = Seq(aggPricingSummary, aggDistinctExact, aggDistinctApprox,
     aggRollup, aggCube, aggGroupingSets, aggHaving, aggCollectSorted,
     udafWeightedAvg, aggMedian, aggQuantilesApprox, aggDistinctKmv,
-    aggSaltedHotkey, aggPivot, aggUnpivot)
+    aggSaltedHotkey, aggPivot, aggUnpivot, aggHeavyHitters)
 }

@@ -37,4 +37,33 @@ class SketchSpec extends SparkSpec {
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2)))
     assert(salted.toSeq == direct.toSeq)
   }
+
+  test("Misra-Gries retains every term with frequency > n/k (skewed synthetic)") {
+    import spark.implicits._
+    // skewed stream: 'hot0'..'hot3' each ~10% of n, 500 cold singletons
+    val rows = (0 until 4).flatMap(i => Seq.fill(400)(s"hot$i")) ++
+      (0 until 500).map(i => s"cold$i")
+    val df = spark.createDataset(rows).toDF("term").repartition(8)
+    val mg = udaf(new graft.functions.MisraGries(64))
+    val cands = df.agg(mg(col("term"))).collect()(0).getSeq[String](0).toSet
+    assert(cands.size <= 63, s"buffer bound violated: ${cands.size}")
+    val n = rows.size
+    val exact = rows.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 * 64 > n).keySet
+    assert(exact.subsetOf(cands),
+      s"missed heavy hitters: ${exact -- cands}")
+  }
+
+  test("heavy-hitters query == plain group-by-having on the corpus") {
+    val dir = sf("sf0.001")
+    val terms = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(terms.agg(count(lit(1)).as("n")))
+      .where(col("cnt") * 64 > col("n")).select("term", "cnt")
+    val out = ops.Aggs.aggHeavyHitters.build(spark, dir).select("term", "cnt")
+    assert(out.except(exact).isEmpty && exact.except(out).isEmpty,
+      "sketch+verify output differs from exact heavy hitters")
+    assert(out.count() > 0, "fixture produced no heavy hitters — test is vacuous")
+  }
 }
