@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotLong, TokenizePos}
+import graft.functions.{BloomContains, DotLong, TokenizePos}
 
 /** Production wiring for graft's native expressions:
   * `--conf spark.sql.extensions=graft.GraftExtensions` registers them in
@@ -24,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenizePos].getName, "tokenize_pos"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TokenizePos(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomContains(exprs(0), exprs(1))))
   }
 }

@@ -97,5 +97,7 @@ object GraftFunctions {
       "minhash32", exprs => MinHash32(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "inter_count_sorted", exprs => InterCountSorted(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_contains", exprs => BloomContains(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -428,7 +428,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — llm_decontaminate's 100 TB
+    * shape when the benchmark set outgrows a broadcast HASH JOIN but
+    * its BLOOM FILTER doesn't: the benchmark grams fold into one 8 KiB
+    * bit array (BloomGramAgg — mergeable, built map-side, OR-combined),
+    * every corpus gram probes it with the native codegen
+    * `bloom_contains`, and only the ~(true hits + <1% FP) survivors
+    * reach the exact verify join. Bloom false positives are removed by
+    * that exact join; false negatives are impossible (one-sided error)
+    * — so the output is IDENTICAL to llm_decontaminate and shares its
+    * oracle. The corpus side never shuffles: scan → probe → broadcast
+    * verify join → per-doc count. */
+  val llmBloomDecontaminate: Q = Q(
+    "llm_bloom_decontaminate",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |    list_zip(ws[1:len(ws)-3], ws[2:len(ws)-2], ws[3:len(ws)-1], ws[4:len(ws)]),
+      |    p -> p[1] || ' ' || p[2] || ' ' || p[3] || ' ' || p[4])) AS gram
+      |  FROM t WHERE len(ws) >= 4),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM g JOIN bench USING (gram) WHERE g.doc_id % 53 <> 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val bloomAgg = udaf(new graft.functions.BloomGramAgg(1 << 16))
+    val g = documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-4), i -> concat_ws(' ', slice(toks, i+1, 4)))"))
+        .as("gram"))
+      .distinct()
+      .withColumn("gram_hash",
+        expr("cast(conv(substring(sha2(gram, 256), 1, 15), 16, 10) as bigint)"))
+    val bench = g.where(col("doc_id") % 53 === 0).select("gram", "gram_hash")
+    val bloom = bench.select("gram_hash").distinct()
+      .agg(bloomAgg(col("gram_hash")).as("bits"))
+    g.where(col("doc_id") % 53 =!= 0)
+      .crossJoin(broadcast(bloom))
+      .where(expr("bloom_contains(bits, gram_hash)"))
+      .join(broadcast(bench.select("gram").distinct()), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
-    llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup)
+    llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup,
+    llmBloomDecontaminate)
 }

@@ -66,4 +66,31 @@ class SketchSpec extends SparkSpec {
       "sketch+verify output differs from exact heavy hitters")
     assert(out.count() > 0, "fixture produced no heavy hitters — test is vacuous")
   }
+
+  test("bloom build+probe: zero false negatives, bounded false positives") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val bloomAgg = udaf(new graft.functions.BloomGramAgg(1 << 16))
+    // members and non-members deliberately from disjoint hash streams;
+    // repartition(8) exercises the merge (bitwise OR) path
+    val members = spark.range(0, 3000).select(xxhash64(col("id")).as("h")).repartition(8)
+    val bloom = members.agg(bloomAgg(col("h")).as("bits"))
+    val misses = members.crossJoin(broadcast(bloom))
+      .where(!expr("bloom_contains(bits, h)")).count()
+    assert(misses == 0, s"bloom false negatives: $misses")
+    val nonMembers = spark.range(1000000, 1050000)
+      .select(xxhash64(col("id")).as("h"))
+    val fp = nonMembers.crossJoin(broadcast(bloom))
+      .where(expr("bloom_contains(bits, h)")).count()
+    info(s"bloom FP rate = ${fp / 50000.0} (3000 keys in 2^16 bits, k=7)")
+    assert(fp / 50000.0 < 0.02, s"bloom FP rate too high: ${fp / 50000.0}")
+  }
+
+  test("bloom-prefiltered decontamination == exact decontamination") {
+    val dir = sf("sf0.001")
+    val exact = ops.TextOps.llmDecontaminate.build(spark, dir)
+    val bloomed = ops.TextOps.llmBloomDecontaminate.build(spark, dir)
+    assert(bloomed.except(exact).isEmpty && exact.except(bloomed).isEmpty,
+      "bloom path diverged from exact decontamination")
+  }
 }
