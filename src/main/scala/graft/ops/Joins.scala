@@ -227,7 +227,72 @@ object Joins {
       .orderBy("custkey")
   }
 
+  /** C10 — the composed star-schema query (TPC-H Q5 shape): six-table
+    * join + filtered fact scan + grouped aggregate, the workload the
+    * relational core exists for. Written fully declaratively so
+    * Catalyst chooses the physical shape; at sf the expected plan is
+    * broadcast hash joins for supplier/nation/region (small dims), a
+    * shuffle join between orders and lineitem (the two facts), and the
+    * o_orderdate + r_name filters pushed into the scans (AQE is free to
+    * reorder — that freedom is the point of staying declarative; the
+    * co-nationality predicate c_nationkey = s_nationkey rides on the
+    * lineitem-supplier equi join). Revenue in exact micro-units. */
+  val joinStarSchema: Q = Q(
+    "join_star_schema",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))), 6) AS DECIMAL(18,6))
+      |      * 1000000 AS BIGINT)) AS BIGINT) AS revenue_micro,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+  ) { (s, dir) =>
+    val rev = d6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - d6(col("l_discount")))
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA"
+        && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("n_name")
+      .agg(sum(micro(rev)).as("revenue_micro"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** C11 — salted equi join, oracle-checked against the PLAIN join:
+    * the join-side skew pattern (complement of agg_salted_hotkey).
+    * The big side is salted into 8 sub-keys and the small side
+    * replicated per salt, so one hot key spreads over 8 reducers.
+    * Salting must not change the result — the oracle is the unsalted
+    * join — and the aggregate on top makes the check exact. */
+  val joinSaltedSkew: Q = Q(
+    "join_salted_skew",
+    """SELECT s_suppkey, s_name,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_qty_micro,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin
+  ) { (s, dir) =>
+    Salted.saltedEquiJoin(lineitem(s, dir), supplier(s, dir), "l_suppkey", "s_suppkey")
+      .groupBy("s_suppkey", "s_name")
+      .agg(sum(micro(col("l_quantity"))).as("sum_qty_micro"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_suppkey")
+  }
+
   def all: Seq[Q] = Seq(joinBroadcastDims, joinShuffleFact, joinLeftOuter,
     joinSemi, joinAnti, joinCrossTheta, joinRangeInterval, joinAsof,
-    joinAsofNative, joinFullOuter)
+    joinAsofNative, joinFullOuter, joinStarSchema, joinSaltedSkew)
 }

@@ -19,4 +19,25 @@ object Salted {
       .agg(sum(valueCol).as("__partial"), count(lit(1)).as("__pcnt"))
       .groupBy(col(keyCol))
       .agg(sum(col("__partial")).as("sum_value"), sum(col("__pcnt")).as("n"))
+
+  /** Skew-mitigation for JOINS: salt the big (skewed) side into
+    * `buckets` sub-keys and replicate the small side once per bucket,
+    * so a hot join key's rows land on `buckets` reducers instead of
+    * one. The manual counterpart to AQE's skew-join split for when the
+    * skew is known ahead of time (or the small side is just beyond the
+    * broadcast threshold, where AQE's OptimizeSkewedJoin doesn't
+    * engage because the join never shuffles the small side). Salting
+    * must be invisible in the result — callers oracle-check against
+    * the plain join. */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, buckets: Int = 8): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(replicated,
+      saltedBig(bigKey) === replicated(smallKey)
+        && saltedBig("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
 }

@@ -23,6 +23,21 @@ class PartitionSpec extends SparkSpec {
     assert(partDirs.exists(_ == "lang=es"))
   }
 
+  test("star-schema query: dims broadcast, fact filter pushed to the scan") {
+    val df = ops.Joins.joinStarSchema.build(spark, sf("sf0.01"))
+    df.count() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for the small dims:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "star-schema query must stay on equi joins")
+    // the o_orderdate range predicate must reach the orders parquet scan
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val ordersScan = scans.find(_.contains("orders.parquet"))
+    assert(ordersScan.exists(s => s.contains("PushedFilters") && s.contains("o_orderdate")),
+      s"o_orderdate filter not pushed to scan:\n${ordersScan.getOrElse("no orders scan")}")
+  }
+
   test("bucketed tables: equi-join on the bucket key plans with NO exchange") {
     // bucketBy + saveAsTable through the in-memory catalog: both sides
     // bucketed 8 ways on the join key — the join must read buckets
