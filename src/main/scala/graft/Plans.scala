@@ -20,7 +20,9 @@ object Plans {
     val keys = Seq("scan_filter_pushdown", "join_broadcast_dims",
       "sort_multikey_limit", "agg_pricing_summary", "llm_similarity_topk",
       "llm_jaccard_near_dup", "llm_minhash_lsh", "llm_simhash_banded",
-      "llm_ann_lsh", "llm_ann_ivf", "llm_decontaminate", "llm_pack_sequences")
+      "llm_ann_lsh", "llm_ann_ivf", "llm_decontaminate", "llm_pack_sequences",
+      "join_star_schema", "join_salted_skew", "agg_heavy_hitters",
+      "llm_bloom_decontaminate", "llm_chunk_dedup", "llm_pii_redact")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

@@ -453,22 +453,26 @@ object TextOps {
   ) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     val bloomAgg = udaf(new graft.functions.BloomGramAgg(1 << 16))
-    val g = documents(s, dir)
+    // RAW grams, no corpus-wide distinct: the bloom probe runs in the
+    // scan stage and drops non-candidate rows BEFORE any exchange, so
+    // the only corpus rows that ever shuffle are candidate (doc, gram)
+    // pairs (the per-doc dedup the n_shared semantics need).
+    val raw = documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 4)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-4), i -> concat_ws(' ', slice(toks, i+1, 4)))"))
         .as("gram"))
-      .distinct()
       .withColumn("gram_hash",
         expr("cast(conv(substring(sha2(gram, 256), 1, 15), 16, 10) as bigint)"))
-    val bench = g.where(col("doc_id") % 53 === 0).select("gram", "gram_hash")
-    val bloom = bench.select("gram_hash").distinct()
+    val benchGrams = raw.where(col("doc_id") % 53 === 0).select("gram", "gram_hash")
+    val bloom = benchGrams.select("gram_hash").distinct()
       .agg(bloomAgg(col("gram_hash")).as("bits"))
-    g.where(col("doc_id") % 53 =!= 0)
+    raw.where(col("doc_id") % 53 =!= 0)
       .crossJoin(broadcast(bloom))
       .where(expr("bloom_contains(bits, gram_hash)"))
-      .join(broadcast(bench.select("gram").distinct()), "gram")
+      .select("doc_id", "gram").distinct()
+      .join(broadcast(benchGrams.select("gram").distinct()), "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
