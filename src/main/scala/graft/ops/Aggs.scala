@@ -381,8 +381,26 @@ object Aggs {
       .orderBy("term")
   }
 
+  /** D15 — fixed-width histogram: integer bucketing is a pure
+    * projection, so the whole distribution profile is one two-phase
+    * aggregate over the scan — the standard data-profiling query at
+    * any scale (bucket count bounded, shuffle carries one row per
+    * non-empty bucket per partition). */
+  val aggHistogram: Q = Q(
+    "agg_histogram",
+    """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_qty_micro
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    lineitem(s, dir)
+      .groupBy(floor(col("l_extendedprice") / 5000).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(micro(col("l_quantity"))).as("sum_qty_micro"))
+      .orderBy("bucket")
+  }
+
   def all: Seq[Q] = Seq(aggPricingSummary, aggDistinctExact, aggDistinctApprox,
     aggRollup, aggCube, aggGroupingSets, aggHaving, aggCollectSorted,
     udafWeightedAvg, aggMedian, aggQuantilesApprox, aggDistinctKmv,
-    aggSaltedHotkey, aggPivot, aggUnpivot, aggHeavyHitters)
+    aggSaltedHotkey, aggPivot, aggUnpivot, aggHeavyHitters, aggHistogram)
 }

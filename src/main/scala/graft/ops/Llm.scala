@@ -322,6 +322,37 @@ object Llm {
       .orderBy("query_id", "rank")
   }
 
+  /** I6 — int8 embedding quantization (the storage/bandwidth step of a
+    * vector pipeline: 4 bytes/dim → 1): per-vector max-abs scale,
+    * codes = floor(x·127/maxabs). Determinism: both engines widen the
+    * parquet float32 to double (exact), multiply and divide in IEEE
+    * double in the same order, and floor exactly — no rounding-mode
+    * drift, pinned by explicit CASTs on both surfaces. Codes serialize
+    * to a comma string (the driver checker cannot sort array cells);
+    * zero vectors quantize to all-zero codes. Narrow per-row scan. */
+  val llmEmbeddingQuantize: Q = Q(
+    "llm_embedding_quantize",
+    """WITH m AS (SELECT vec_id, label, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+      |  FROM embeddings)
+      |SELECT vec_id, label, CAST(maxabs AS DOUBLE) AS maxabs,
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(CASE WHEN maxabs = 0 THEN 0
+      |              ELSE floor(CAST(x AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE)) END AS INT)),
+      |    ',') AS codes
+      |FROM m ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    embeddings(s, dir)
+      .withColumn("maxabs", expr("array_max(transform(embedding, x -> abs(x)))"))
+      .select(col("vec_id"), col("label"), col("maxabs").cast("double").as("maxabs"),
+        expr("""concat_ws(',', transform(embedding,
+                 x -> cast(case when maxabs = 0 then 0
+                           else floor(cast(x as double) * 127.0 / cast(maxabs as double)) end as int)))""")
+          .as("codes"))
+      .orderBy("vec_id")
+  }
+
   def all: Seq[Q] = Seq(llmExactDedup, llmJaccardNearDup, llmSimilarityTopk,
-    llmEmbeddingCentroid, llmTextStats, llmAnnLsh, llmAnnIvf)
+    llmEmbeddingCentroid, llmTextStats, llmAnnLsh, llmAnnIvf,
+    llmEmbeddingQuantize)
 }

@@ -477,8 +477,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF vectorization with exact integer weights — the feature
+    * step after cleaning: tf normalized to micro-units per doc, idf as
+    * the micro-scaled inverse document-frequency ratio N/df (the
+    * log-free variant so both engines compute identical integers; a
+    * log-idf needs only a final ROUND and a float column). Same
+    * two-pass corpus-statistics shape as llm_top_terms: df aggregated
+    * once, joined back on term (co-partitioned with the df shuffle);
+    * emitted as exploded (doc_id, term, weight) rows — the sparse
+    * vector representation that feeds similarity joins without ever
+    * materializing dense vectors. */
+  val llmTfidfVectors: Q = Q(
+    "llm_tfidf_vectors",
+    """WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM u GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |  tf.tf * 1000000 // dl.n_tokens AS tf_micro,
+      |  n.n_docs * 1000000 // df.df AS idf_micro,
+      |  (tf.tf * 1000000 // dl.n_tokens) * (n.n_docs * 1000000 // df.df) // 1000000
+      |    AS weight_micro
+      |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+      |ORDER BY doc_id, term""".stripMargin
+  ) { (s, dir) =>
+    val u = documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = u.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("n_tokens"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(dl, "doc_id").join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tf_micro", expr("tf * 1000000 div n_tokens"))
+      .withColumn("idf_micro", expr("n_docs * 1000000 div df"))
+      .withColumn("weight_micro", expr("tf_micro * idf_micro div 1000000"))
+      .select("doc_id", "term", "tf", "df", "tf_micro", "idf_micro", "weight_micro")
+      .orderBy("doc_id", "term")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
     llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup,
-    llmBloomDecontaminate)
+    llmBloomDecontaminate, llmTfidfVectors)
 }

@@ -281,4 +281,43 @@ class LlmSpec extends SparkSpec {
       .limit(100).collect().toSeq
     assert(top == full)
   }
+
+  test("int8 quantization: codes bounded, scale saturated, reconstruction within 1 step") {
+    val dir = sf("sf0.001")
+    val q = graft.ops.Llm.llmEmbeddingQuantize.build(spark, dir)
+      .withColumn("code_s", explode(split(col("codes"), ",")))
+      .withColumn("code", col("code_s").cast("int"))
+    // every code in the int8 range; floor(x*127/maxabs) ∈ [-127, 127]
+    assert(q.where(col("code") < -127 || col("code") > 127).count() == 0)
+    // the max-|x| element must hit ±127 (scale saturation) per vector
+    val sat = q.groupBy("vec_id").agg(max(abs(col("code"))).as("m"))
+      .where(col("m") =!= 127).count()
+    assert(sat == 0, "a nonzero vector did not saturate its scale")
+    // reconstruction: |x - code*maxabs/127| <= maxabs/127 (floor step)
+    val rec = graft.Tables.embeddings(spark, dir)
+      .join(graft.ops.Llm.llmEmbeddingQuantize.build(spark, dir), "vec_id")
+      .select(col("vec_id"), col("maxabs"),
+        posexplode(col("embedding")).as(Seq("pos", "x")),
+        split(col("codes"), ",").as("cs"))
+      .withColumn("code", expr("cast(cs[pos] as int)"))
+      .where(abs(col("x") - col("code") * col("maxabs") / 127.0) > col("maxabs") / 127.0 + 1e-9)
+      .count()
+    assert(rec == 0, "quantization reconstruction error exceeded one step")
+  }
+
+  test("tfidf vectors: per-doc mass and idf bounds are consistent") {
+    val dir = sf("sf0.001")
+    val v = graft.ops.TextOps.llmTfidfVectors.build(spark, dir)
+    val docs = graft.Tables.documents(spark, dir).count()
+    // sum(tf) per doc == token count of the doc
+    val bad = v.groupBy("doc_id").agg(sum("tf").as("mass"))
+      .join(graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n")), "doc_id")
+      .where(col("mass") =!= col("n")).count()
+    assert(bad == 0, "tf mass does not reassemble doc token counts")
+    // 1 <= df <= N so idf_micro ∈ [1e6, N*1e6]; weight ≤ idf (tf_micro ≤ 1e6)
+    val oob = v.where(col("idf_micro") < 1000000 || col("idf_micro") > docs * 1000000L
+      || col("weight_micro") > col("idf_micro")).count()
+    assert(oob == 0, "idf/weight out of bounds")
+  }
 }
