@@ -75,4 +75,49 @@ object ExpressionProps extends Properties("graft.expressions") {
       val unionOk = mh(a ++ b) == mh(a).zip(mh(b)).map { case (x, y) => math.min(x, y) }
       same && unionOk
     }
+
+  property("bloom: build-then-probe never false-negative; NULL-safe") =
+    Prop.forAll(Gen.listOfN(200, Gen.chooseNum(Long.MinValue, Long.MaxValue))) {
+      (keys: List[Long]) =>
+        val agg = new graft.functions.BloomGramAgg(1 << 12)
+        val bits = keys.foldLeft(agg.zero)(agg.reduce)
+        val arr = Literal.create(bits, ArrayType(LongType))
+        val allIn = keys.forall { k =>
+          graft.functions.BloomContains(arr, Literal.create(k, LongType))
+            .eval(null) == true
+        }
+        val nullSafe = graft.functions.BloomContains(
+          Literal.create(null, ArrayType(LongType)),
+          Literal.create(1L, LongType)).eval(null) == null
+        allIn && nullSafe
+    }
+
+  property("bloom: merge(a,b) covers every key of both parts") =
+    Prop.forAll(Gen.listOfN(100, Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+      Gen.listOfN(100, Gen.chooseNum(Long.MinValue, Long.MaxValue))) {
+      (xs: List[Long], ys: List[Long]) =>
+        val agg = new graft.functions.BloomGramAgg(1 << 12)
+        val merged = agg.merge(
+          xs.foldLeft(agg.zero)(agg.reduce), ys.foldLeft(agg.zero)(agg.reduce))
+        val arr = Literal.create(merged, ArrayType(LongType))
+        (xs ++ ys).forall { k =>
+          graft.functions.BloomContains(arr, Literal.create(k, LongType))
+            .eval(null) == true
+        }
+    }
+
+  property("misra-gries: merge keeps every item with freq > n/k") =
+    Prop.forAll(
+      Gen.listOfN(300, Gen.oneOf("hot1", "hot1", "hot1", "hot2", "hot2", "c1", "c2",
+        "c3", "c4", "c5", "c6", "c7", "c8")),
+      Gen.chooseNum(1, 299)) { (stream: List[String], splitAt: Int) =>
+        val mg = new graft.functions.MisraGries(8)
+        val (l, r) = stream.splitAt(splitAt)
+        val cands = mg.finish(mg.merge(
+          l.foldLeft(mg.zero)(mg.reduce), r.foldLeft(mg.zero)(mg.reduce))).toSet
+        val n = stream.size
+        val heavy = stream.groupBy(identity).view.mapValues(_.size)
+          .filter(_._2 * 8 > n).keySet
+        cands.size <= 7 && heavy.subsetOf(cands)
+    }
 }
