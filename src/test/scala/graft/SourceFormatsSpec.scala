@@ -46,4 +46,47 @@ class SourceFormatsSpec extends SparkSpec {
     assert(scan.contains("PushedFilters") && scan.contains("n_chars"),
       s"expected pushed filters in ORC scan:\n$scan")
   }
+
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    // a 100 TB table accretes columns over its lifetime; readers must
+    // take the union without rewriting old files.
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    docs.write.mode("overwrite").parquet(s"$dir/v=1")
+    docs.withColumn("quality", lit(1L)).write.mode("overwrite").parquet(s"$dir/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars", "quality", "v"))
+    // old files surface the new column as NULL; new files carry it
+    val counts = merged.groupBy("v")
+      .agg(count(lit(1)).as("n"), count(col("quality")).as("nq"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = docs.count()
+    assert(counts(1) == (n, 0L), "v=1 files must read quality as NULL")
+    assert(counts(2) == (n, n), "v=2 files must carry quality")
+  }
+
+  test("json ingest: corrupt lines are quarantined, not fatal (PERMISSIVE)") {
+    // ingest robustness: a bad record in TBs of JSONL must neither kill
+    // the job (FAILFAST) nor silently vanish — PERMISSIVE + a corrupt-
+    // record column routes it to quarantine for audit.
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val lines = Seq(
+      """{"doc_id": 1, "lang": "en", "n_chars": 10}""",
+      """{"doc_id": 2, "lang": "es" """, // truncated json
+      """not json at all""",
+      """{"doc_id": 4, "lang": "de", "n_chars": 40}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      lines.mkString("\n").getBytes)
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType))
+    val read = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache() // corrupt-record column requires a materialized referent
+    val good = read.where(col("_corrupt_record").isNull)
+    val bad = read.where(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2 && bad.count() == 2)
+    assert(good.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    read.unpersist()
+  }
 }
