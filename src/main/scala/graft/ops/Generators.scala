@@ -70,5 +70,40 @@ object Generators {
         |ORDER BY doc_id, pos""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(explodeTokens, udfScalar, udtfGenerator)
+  /** G4 — time-series resampling with gap fill: bucket events per
+    * (event_type, hour), then LEFT-join each type's dense hour grid
+    * (sequence + explode of its own [min, max] span) so silent hours
+    * surface as explicit zeros — the resample-then-model prep step.
+    * The grid generator is per-group and arithmetic (no driver
+    * enumeration); grid and buckets co-partition on the same
+    * (event_type, hour) key, and grid size is span/step per type
+    * regardless of event count — at 100 TB the join is grid-bounded,
+    * not event-bounded. */
+  val generateResample: Q = Q(
+    "generate_resample",
+    """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value_micro
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1),
+      |g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM r)
+      |SELECT g.event_type, g.h, coalesce(b.n, 0) AS n,
+      |  coalesce(b.sum_value_micro, 0) AS sum_value_micro
+      |FROM g LEFT JOIN b USING (event_type, h)
+      |ORDER BY event_type, h""".stripMargin
+  ) { (s, dir) =>
+    val b = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), sum(micro(col("value"))).as("sum_value_micro"))
+    val g = b.groupBy("event_type").agg(min("h").as("mn"), max("h").as("mx"))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+    g.join(b, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value_micro"), lit(0L)).as("sum_value_micro"))
+      .orderBy("event_type", "h")
+  }
+
+  def all: Seq[Q] = Seq(explodeTokens, udfScalar, udtfGenerator, generateResample)
 }

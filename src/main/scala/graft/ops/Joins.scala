@@ -292,7 +292,37 @@ object Joins {
       .orderBy("s_suppkey")
   }
 
+  /** C12 — shipping-priority top-k (TPC-H Q3 shape): segment-filtered
+    * customer ⋈ orders ⋈ lineitem, grouped revenue, global top-10.
+    * The limit sits on the aggregate, so the plan finishes with
+    * TakeOrderedAndProject — per-partition top-10 merged at the driver,
+    * never a full sort of the grouped output. Deterministic tie-break
+    * on o_orderkey keeps the oracle exact. */
+  val joinPriorityTopk: Q = Q(
+    "join_priority_topk",
+    """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))), 6) AS DECIMAL(18,6))
+      |      * 1000000 AS BIGINT)) AS BIGINT) AS revenue_micro
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_micro DESC, o_orderkey LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val rev = d6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - d6(col("l_discount")))
+    customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(micro(rev)).as("revenue_micro"))
+      .orderBy(col("revenue_micro").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   def all: Seq[Q] = Seq(joinBroadcastDims, joinShuffleFact, joinLeftOuter,
     joinSemi, joinAnti, joinCrossTheta, joinRangeInterval, joinAsof,
-    joinAsofNative, joinFullOuter, joinStarSchema, joinSaltedSkew)
+    joinAsofNative, joinFullOuter, joinStarSchema, joinSaltedSkew,
+    joinPriorityTopk)
 }

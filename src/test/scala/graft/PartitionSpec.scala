@@ -38,6 +38,14 @@ class PartitionSpec extends SparkSpec {
       s"o_orderdate filter not pushed to scan:\n${ordersScan.getOrElse("no orders scan")}")
   }
 
+  test("priority top-k: limit-on-aggregate plans as TakeOrderedAndProject") {
+    val df = ops.Joins.joinPriorityTopk.build(spark, sf("sf0.01"))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k merge, not a global sort:\n$plan")
+  }
+
   test("bucketed tables: equi-join on the bucket key plans with NO exchange") {
     // bucketBy + saveAsTable through the in-memory catalog: both sides
     // bucketed 8 ways on the join key — the join must read buckets
