@@ -38,6 +38,34 @@ class PartitionSpec extends SparkSpec {
       s"o_orderdate filter not pushed to scan:\n${ordersScan.getOrElse("no orders scan")}")
   }
 
+  test("layout-managed sink: partitioned, sorted within files, bounded file size") {
+    // the write side of a 100 TB pipeline: hive-partitioned by a low-
+    // cardinality key, rows sorted within each file (enables parquet
+    // min/max row-group skipping on doc_id probes downstream), and
+    // maxRecordsPerFile bounding task outputs.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id", "lang", "n_chars")
+    docs.repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 40)
+      .partitionBy("lang").parquet(dir)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    langs.foreach { l =>
+      val files = new java.io.File(s"$dir/lang=$l").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, s"no files for lang=$l")
+      files.foreach { f =>
+        val rows = spark.read.parquet(f.getPath).select("doc_id")
+          .collect().map(_.getLong(0))
+        assert(rows.length <= 40, s"${f.getName}: ${rows.length} rows > maxRecordsPerFile")
+        assert(rows.sameElements(rows.sorted), s"${f.getName} not sorted on doc_id")
+      }
+    }
+    // round-trip completeness
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
+
   test("priority top-k: limit-on-aggregate plans as TakeOrderedAndProject") {
     val df = ops.Joins.joinPriorityTopk.build(spark, sf("sf0.01"))
     df.count()
