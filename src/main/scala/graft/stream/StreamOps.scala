@@ -166,4 +166,42 @@ object StreamOps {
       .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("delay_us"))
   }
+
+  /** H9 — incremental heavy hitters over an unbounded term stream: each
+    * micro-batch builds a DISTRIBUTED Misra-Gries sketch (the
+    * `MisraGries` udaf — per-partition partials, O(k) merge tree), and
+    * `absorb` folds the batch summary into an O(k) running buffer via
+    * the same mergeable-summaries merge. Driven from `foreachBatch`
+    * (the bloom-build shape): the per-batch heavy lifting stays on
+    * executors and only a ≤(k-1)-entry map crosses to the accumulator.
+    * Retention bound — honestly 2n/k, not n/k: the per-batch sketch
+    * forgets ≤ n_i/k of any term's mass (Σ = n/k) and the accumulator's
+    * own merges decrement at most inserted-mass/k (≤ n/k more), so any
+    * term with total stream frequency > 2n/k is guaranteed in
+    * `candidates` regardless of batching (proven in StreamingSpec H9;
+    * size the budget 2× the batch guarantee you need). Exact counts,
+    * when needed, come from the same candidates-only second pass as
+    * batch agg_heavy_hitters. */
+  class HeavyHitterAccumulator(k: Int) extends Serializable {
+    private val mg = new graft.functions.MisraGries(k)
+    @volatile private var buf: Map[String, Long] = mg.zero
+
+    /** Fold one micro-batch (a frame with a `term` string column). */
+    def absorb(batch: DataFrame): Unit = {
+      val sketch = udaf(mg)
+      val row = batch.agg(sketch(col("term")).as("cands")).head
+      // the udaf surfaces candidate KEYS; re-weigh them with the batch's
+      // exact per-candidate counts so merges keep the MG error bound
+      // (candidate set ⊆ batch terms, so this is a candidates-only agg)
+      val cands = row.getSeq[String](0)
+      if (cands.nonEmpty) {
+        val counts = batch.where(col("term").isin(cands: _*))
+          .groupBy("term").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        buf = mg.merge(buf, counts)
+      }
+    }
+
+    def candidates: Set[String] = buf.keySet
+  }
 }

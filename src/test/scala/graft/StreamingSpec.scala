@@ -177,6 +177,27 @@ class StreamingSpec extends SparkSpec {
     assertSame(streamed, batch, Seq("doc_id"))
   }
 
+  test("H9 incremental heavy hitters: batched absorb retains every term > 2n/k") {
+    import spark.implicits._
+    // skewed synthetic stream (4 hot terms ≈ 10% each, 500 singletons),
+    // deliberately split into uneven micro-batches: the accumulator's
+    // 2n/k retention bound must hold regardless of batching.
+    val rows = (0 until 4).flatMap(i => Seq.fill(400)(s"hot$i")) ++
+      (0 until 500).map(i => s"cold$i")
+    val hh = new StreamOps.HeavyHitterAccumulator(64)
+    val batches = Seq(rows.take(700), rows.slice(700, 800), rows.drop(800))
+    batches.foreach { b =>
+      hh.absorb(spark.createDataset(b).toDF("term").repartition(4))
+    }
+    val n = rows.size
+    val heavy = rows.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 * 32 > n).keySet // f > 2n/64
+    assert(heavy.nonEmpty, "synthetic stream has no heavy terms — vacuous")
+    assert(heavy.subsetOf(hh.candidates),
+      s"incremental MG missed heavy terms: ${heavy -- hh.candidates}")
+    assert(hh.candidates.size <= 63, "accumulator exceeded its O(k) budget")
+  }
+
   test("checkpoint restart: no loss, no duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_out").toString
