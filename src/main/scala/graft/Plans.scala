@@ -22,7 +22,9 @@ object Plans {
       "llm_jaccard_near_dup", "llm_minhash_lsh", "llm_simhash_banded",
       "llm_ann_lsh", "llm_ann_ivf", "llm_decontaminate", "llm_pack_sequences",
       "join_star_schema", "join_salted_skew", "agg_heavy_hitters",
-      "llm_bloom_decontaminate", "llm_chunk_dedup", "llm_pii_redact")
+      "llm_bloom_decontaminate", "llm_chunk_dedup", "llm_pii_redact",
+      "join_priority_topk", "generate_resample", "llm_tfidf_vectors",
+      "agg_histogram", "llm_embedding_quantize")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)
