@@ -413,8 +413,7 @@ object DedupOps {
     // token-set contraction + unordered pair builder (shared with I2's
     // engine) — the oracle-facing I2 query pays an orderBy and the full
     // per-doc pair expansion this consumer doesn't need
-    val pairs = contractedNearDupEdges(documents(s, dir),
-      Llm.jaccardPairs(_).select(col("doc_a"), col("doc_b")))
+    val pairs = contractedNearDupEdges(documents(s, dir), lshVerifiedPairs)
     val labels = connectedComponents(
       documents(s, dir).select(col("doc_id")), pairs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
