@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BloomContains, DotLong, TokenizePos}
+import graft.functions.{BloomContains, CmEstimate, DotLong, TokenizePos}
 
 /** Production wiring for graft's native expressions:
   * `--conf spark.sql.extensions=graft.GraftExtensions` registers them in
@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BloomContains(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cm_estimate"),
+      new ExpressionInfo(classOf[CmEstimate].getName, "cm_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CmEstimate(exprs(0), exprs(1))))
   }
 }

@@ -99,5 +99,7 @@ object GraftFunctions {
       "inter_count_sorted", exprs => InterCountSorted(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_contains", exprs => BloomContains(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cm_estimate", exprs => CmEstimate(exprs(0), exprs(1)), "built-in")
   }
 }

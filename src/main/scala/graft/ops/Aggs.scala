@@ -399,8 +399,33 @@ object Aggs {
       .orderBy("bucket")
   }
 
+  /** D16 — Count-Min frequency table: the mergeable sketch that answers
+    * per-key frequency queries in O(d·w) memory (KMV = how many
+    * distinct, MG = which are top, CM = how often is THIS key). Built
+    * distributed (partial sketches add element-wise), probed with the
+    * native codegen `cm_estimate`. Output lists every vocabulary term
+    * with exact count beside the estimate; deterministic (fixed sha-
+    * derived hashes), but the estimate is sketch-internal → no oracle;
+    * SketchSpec asserts one-sidedness and the collision bound. */
+  val aggCountMin: Q = Q.noOracle("agg_count_min") { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val cm = udaf(new graft.functions.CountMinAgg(
+      graft.functions.CmEstimate.DEPTH, 1024))
+    val terms = documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .withColumn("h",
+        expr("cast(conv(substring(sha2(term, 256), 1, 15), 16, 10) as bigint)"))
+    val sketch = terms.agg(cm(col("h")).as("sketch"))
+    terms.groupBy("term", "h").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("est", expr("cm_estimate(sketch, h)"))
+      .select("term", "exact", "est")
+      .orderBy("term")
+  }
+
   def all: Seq[Q] = Seq(aggPricingSummary, aggDistinctExact, aggDistinctApprox,
     aggRollup, aggCube, aggGroupingSets, aggHaving, aggCollectSorted,
     udafWeightedAvg, aggMedian, aggQuantilesApprox, aggDistinctKmv,
-    aggSaltedHotkey, aggPivot, aggUnpivot, aggHeavyHitters, aggHistogram)
+    aggSaltedHotkey, aggPivot, aggUnpivot, aggHeavyHitters, aggHistogram,
+    aggCountMin)
 }

@@ -86,6 +86,22 @@ class SketchSpec extends SparkSpec {
     assert(fp / 50000.0 < 0.02, s"bloom FP rate too high: ${fp / 50000.0}")
   }
 
+  test("count-min: estimates one-sided and within the collision bound") {
+    val dir = sf("sf0.01")
+    val out = ops.Aggs.aggCountMin.build(spark, dir).collect()
+    assert(out.nonEmpty)
+    val n = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " "))).count()
+    out.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: CM under-estimated ($est < $exact)")
+      // expected overshoot ≈ n/w per row; min over 4 rows stays well
+      // under 5n/w on this fixture (deterministic given fixed hashes)
+      assert(est - exact <= 5 * n / 1024,
+        s"${r.getString(0)}: overshoot ${est - exact} vs bound ${5 * n / 1024}")
+    }
+  }
+
   test("bloom-prefiltered decontamination == exact decontamination") {
     val dir = sf("sf0.001")
     val exact = ops.TextOps.llmDecontaminate.build(spark, dir)
