@@ -106,6 +106,22 @@ object ExpressionProps extends Properties("graft.expressions") {
         }
     }
 
+  property("count-min: estimate >= true count, across merges") =
+    Prop.forAll(Gen.listOfN(300, Gen.chooseNum(0L, 40L)),
+      Gen.chooseNum(1, 299)) { (keys: List[Long], splitAt: Int) =>
+        val agg = new graft.functions.CountMinAgg(
+          graft.functions.CmEstimate.DEPTH, 64)
+        val (l, r) = keys.splitAt(splitAt)
+        val sketch = agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+        val arr = Literal.create(sketch, ArrayType(LongType))
+        keys.distinct.forall { k =>
+          val est = graft.functions.CmEstimate(arr, Literal.create(k, LongType))
+            .eval(null).asInstanceOf[Long]
+          est >= keys.count(_ == k)
+        }
+    }
+
   property("misra-gries: merge keeps every item with freq > n/k") =
     Prop.forAll(
       Gen.listOfN(300, Gen.oneOf("hot1", "hot1", "hot1", "hot2", "hot2", "c1", "c2",
