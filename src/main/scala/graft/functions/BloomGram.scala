@@ -87,10 +87,14 @@ case class BloomContains(left: Expression, right: Expression)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"
 
+  // empty bits array → NULL (not a modulo-zero crash in user SQL)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(bitsAny: Any, hashAny: Any): Any = {
     val bits = bitsAny.asInstanceOf[ArrayData]
     val hash = hashAny.asInstanceOf[Long]
     val m = bits.numElements() * 64
+    if (m == 0) return null
     var i = 0
     while (i < BloomHash.K) {
       val p = BloomHash.pos(hash, i, m)
@@ -110,9 +114,11 @@ case class BloomContains(left: Expression, right: Expression)
       s"""
          |final int $m = $bits.numElements() * 64;
          |boolean $ok = true;
-         |for (int $i = 0; $i < ${BloomHash.K}; $i++) {
-         |  final int $p = $posFn($hash, $i, $m);
-         |  if (($bits.getLong($p >>> 6) & (1L << ($p & 63))) == 0L) { $ok = false; break; }
+         |if ($m == 0) { ${ev.isNull} = true; } else {
+         |  for (int $i = 0; $i < ${BloomHash.K}; $i++) {
+         |    final int $p = $posFn($hash, $i, $m);
+         |    if (($bits.getLong($p >>> 6) & (1L << ($p & 63))) == 0L) { $ok = false; break; }
+         |  }
          |}
          |${ev.value} = $ok;
        """.stripMargin

@@ -23,9 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * over d rows keeps it near that. Probe positions reuse BloomHash.pos
   * (murmur-finalizer mix per row — independent rows, and build/probe
   * cannot drift since both call the same method). */
-class CountMinAgg(depth: Int, width: Int)
+class CountMinAgg(width: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] {
-  require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+  require(width >= 2, "need width >= 2")
+  // depth is NOT a parameter: the probe infers width as
+  // length / CmEstimate.DEPTH, so a builder with any other depth would
+  // silently mix counters across rows and break the one-sided
+  // guarantee (code-review finding). One shared constant, no drift.
+  private val depth = CmEstimate.DEPTH
 
   def zero: Array[Long] = new Array[Long](depth * width)
 
@@ -67,10 +72,14 @@ case class CmEstimate(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "cm_estimate"
 
+  // sketch shorter than DEPTH (width 0) → NULL, not a modulo-zero crash
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(sketchAny: Any, hashAny: Any): Any = {
     val sketch = sketchAny.asInstanceOf[ArrayData]
     val hash = hashAny.asInstanceOf[Long]
     val width = sketch.numElements() / CmEstimate.DEPTH
+    if (width == 0) return null
     var est = Long.MaxValue
     var r = 0
     while (r < CmEstimate.DEPTH) {
@@ -91,9 +100,11 @@ case class CmEstimate(left: Expression, right: Expression)
       s"""
          |final int $w = $sketch.numElements() / ${CmEstimate.DEPTH};
          |long $est = Long.MAX_VALUE;
-         |for (int $r = 0; $r < ${CmEstimate.DEPTH}; $r++) {
-         |  final long $v = $sketch.getLong($r * $w + $posFn($hash, $r, $w));
-         |  if ($v < $est) $est = $v;
+         |if ($w == 0) { ${ev.isNull} = true; $est = -1L; } else {
+         |  for (int $r = 0; $r < ${CmEstimate.DEPTH}; $r++) {
+         |    final long $v = $sketch.getLong($r * $w + $posFn($hash, $r, $w));
+         |    if ($v < $est) $est = $v;
+         |  }
          |}
          |${ev.value} = $est;
        """.stripMargin

@@ -370,12 +370,14 @@ object Aggs {
     val mg = udaf(new graft.functions.MisraGries(64))
     val terms = documents(s, dir)
       .select(explode(split(col("text"), " ")).as("term"))
-    val cands = terms.agg(mg(col("term")).as("cands"))
-      .select(explode(col("cands")).as("term"))
-    val exact = terms.join(broadcast(cands), "term")
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = terms.agg(count(lit(1)).as("n"))
-    exact.crossJoin(broadcast(total))
+    // one pass yields BOTH the sketch and the stream length n — the
+    // third scan the code review flagged (a separate count) is gone,
+    // and no persist is needed: exactly two explode passes total
+    // (sketch+n, then the candidates-only exact re-count).
+    val sketchAndN = terms.agg(mg(col("term")).as("cands"), count(lit(1)).as("n"))
+    val cands = sketchAndN.select(explode(col("cands")).as("term"), col("n"))
+    terms.join(broadcast(cands), "term")
+      .groupBy("term", "n").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * 64 > col("n"))
       .select("term", "cnt")
       .orderBy("term")
@@ -409,8 +411,7 @@ object Aggs {
     * SketchSpec asserts one-sidedness and the collision bound. */
   val aggCountMin: Q = Q.noOracle("agg_count_min") { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    val cm = udaf(new graft.functions.CountMinAgg(
-      graft.functions.CmEstimate.DEPTH, 1024))
+    val cm = udaf(new graft.functions.CountMinAgg(1024))
     val terms = documents(s, dir)
       .select(explode(split(col("text"), " ")).as("term"))
       .withColumn("h",

@@ -12,9 +12,20 @@ import org.apache.spark.sql.functions._
   * apply (it only splits join partitions, not aggregation keys). */
 object Salted {
 
+  /** Deterministic per-row salt: hash of ALL columns, NOT
+    * partition-id/monotonic-id — those change on stage retry, and a
+    * fetch-failure recompute that re-salts rows can double-count or
+    * drop them once some reducers have already committed (the
+    * SPARK-23207 failure class). Hashing the full row keeps hot keys
+    * spread (rows differ in non-key columns) while every recompute
+    * assigns the identical salt. Exact-duplicate rows share a salt —
+    * correctness unaffected, spreading marginally reduced. */
+  private def rowSalt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(buckets))
+
   def sumByKey(df: DataFrame, keyCol: String, valueCol: Column,
       buckets: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    df.withColumn("__salt", rowSalt(df, buckets))
       .groupBy(col(keyCol), col("__salt"))
       .agg(sum(valueCol).as("__partial"), count(lit(1)).as("__pcnt"))
       .groupBy(col(keyCol))
@@ -31,10 +42,9 @@ object Salted {
     * the plain join. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, buckets: Int = 8): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val saltedBig = big.withColumn("__salt", rowSalt(big, buckets))
     val replicated = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
+      explode(sequence(lit(0L), lit(buckets - 1L))))
     saltedBig.join(replicated,
       saltedBig(bigKey) === replicated(smallKey)
         && saltedBig("__salt") === replicated("__salt"))

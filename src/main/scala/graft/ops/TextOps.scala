@@ -398,17 +398,16 @@ object TextOps {
       |      array_to_string(ws[chunk_id*32+1:chunk_id*32+40], ' ')), 1, 15))::BIGINT
       |      AS chunk_hash
       |  FROM c),
-      |s AS (SELECT chunk_hash, min(doc_id * 100000 + chunk_id) AS surv
-      |  FROM h GROUP BY 1)
-      |SELECT h.doc_id,
+      |r AS (SELECT doc_id, chunk_hash,
+      |    row_number() OVER (PARTITION BY chunk_hash
+      |                       ORDER BY doc_id, chunk_id) AS rn
+      |  FROM h)
+      |SELECT doc_id,
       |  CAST(count(*) AS BIGINT) AS n_chunks,
-      |  CAST(sum(CASE WHEN s.surv <> h.doc_id*100000 + h.chunk_id
-      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-      |  CAST(sum(CASE WHEN s.surv <> h.doc_id*100000 + h.chunk_id
-      |                THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
       |    AS dup_ratio_micro
-      |FROM h JOIN s USING (chunk_hash)
-      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+      |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     val h = documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -417,11 +416,12 @@ object TextOps {
         expr("""cast(conv(substring(sha2(
                  concat_ws(' ', slice(toks, cast(chunk_id*32+1 as int), 40)), 256),
                  1, 15), 16, 10) as bigint)""").as("chunk_hash"))
-    h.withColumn("surv",
-        min(col("doc_id") * 100000 + col("chunk_id"))
-          .over(Window.partitionBy("chunk_hash")))
-      .withColumn("is_dup",
-        when(col("surv") =!= col("doc_id") * 100000 + col("chunk_id"), 1L).otherwise(0L))
+    // survivor = first (doc_id, chunk_id) per hash via row_number — NOT
+    // a packed doc_id*K+chunk_id min, whose composite key collides once
+    // a doc exceeds K chunks (the code-review finding at 100 TB sizes)
+    h.withColumn("rn", row_number().over(
+        Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")))
+      .withColumn("is_dup", when(col("rn") > 1, 1L).otherwise(0L))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), sum("is_dup").as("n_dup_chunks"))
       .withColumn("dup_ratio_micro", expr("n_dup_chunks * 1000000 div n_chunks"))
@@ -465,14 +465,20 @@ object TextOps {
         .as("gram"))
       .withColumn("gram_hash",
         expr("cast(conv(substring(sha2(gram, 256), 1, 15), 16, 10) as bigint)"))
-    val benchGrams = raw.where(col("doc_id") % 53 === 0).select("gram", "gram_hash")
-    val bloom = benchGrams.select("gram_hash").distinct()
-      .agg(bloomAgg(col("gram_hash")).as("bits"))
+    // the benchmark side is read twice (bloom build + exact verify) and
+    // is small by construction — persist its distinct grams so the
+    // corpus-wide tokenize/sha2 lineage isn't re-run per consumer; the
+    // corpus side stays single-pass and is never persisted
+    // (released by the harness's per-query clearCache, the repo-wide
+    // cache-lifecycle policy from the r3 verdict)
+    val benchGrams = raw.where(col("doc_id") % 53 === 0)
+      .select("gram", "gram_hash").distinct().persist()
+    val bloom = benchGrams.agg(bloomAgg(col("gram_hash")).as("bits"))
     raw.where(col("doc_id") % 53 =!= 0)
       .crossJoin(broadcast(bloom))
       .where(expr("bloom_contains(bits, gram_hash)"))
       .select("doc_id", "gram").distinct()
-      .join(broadcast(benchGrams.select("gram").distinct()), "gram")
+      .join(broadcast(benchGrams.select("gram")), "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }

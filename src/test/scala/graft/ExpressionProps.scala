@@ -109,8 +109,7 @@ object ExpressionProps extends Properties("graft.expressions") {
   property("count-min: estimate >= true count, across merges") =
     Prop.forAll(Gen.listOfN(300, Gen.chooseNum(0L, 40L)),
       Gen.chooseNum(1, 299)) { (keys: List[Long], splitAt: Int) =>
-        val agg = new graft.functions.CountMinAgg(
-          graft.functions.CmEstimate.DEPTH, 64)
+        val agg = new graft.functions.CountMinAgg(64)
         val (l, r) = keys.splitAt(splitAt)
         val sketch = agg.merge(
           l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))

@@ -43,7 +43,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(fn(reg, "bloom_contains", bitsLit, Literal.create(42L, LongType))
       .eval(null) == true)
     // cm_estimate over a real CountMinAgg build
-    val cm = new functions.CountMinAgg(functions.CmEstimate.DEPTH, 64)
+    val cm = new functions.CountMinAgg(64)
     val sketch = Seq(5L, 5L, 9L).foldLeft(cm.zero)(cm.reduce)
     val est = fn(reg, "cm_estimate",
       Literal.create(sketch, ArrayType(LongType)), Literal.create(5L, LongType))
