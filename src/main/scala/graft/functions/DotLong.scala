@@ -83,23 +83,31 @@ case class DotLong(left: Expression, right: Expression)
 
 object GraftFunctions {
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** The single source of truth for every native function: name →
+    * builder. BOTH registration paths (the per-query self-registration
+    * below and GraftExtensions' spark.sql.extensions injection) iterate
+    * THIS list, so a function added here is automatically available on
+    * both — the two lists drifted once (simhash60/minhash32/
+    * inter_count_sorted missing from the production wiring, caught in
+    * the r4 review) and a shared list makes that class of bug
+    * impossible. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_long" -> (exprs => DotLong(exprs(0), exprs(1))),
+    "tokenize_pos" -> (exprs => TokenizePos(exprs.head)),
+    "simhash60" -> (exprs => SimHash60(exprs.head)),
+    "minhash32" -> (exprs => MinHash32(exprs.head)),
+    "inter_count_sorted" -> (exprs => InterCountSorted(exprs(0), exprs(1))),
+    "bloom_contains" -> (exprs => BloomContains(exprs(0), exprs(1))),
+    "cm_estimate" -> (exprs => CmEstimate(exprs(0), exprs(1))))
+
   /** Register graft's native expressions in a session's function
     * registry (idempotent; called by every query that uses them, and by
     * GraftExtensions for spark.sql.extensions wiring). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_long", exprs => DotLong(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tokenize_pos", exprs => TokenizePos(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash60", exprs => SimHash60(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash32", exprs => MinHash32(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "inter_count_sorted", exprs => InterCountSorted(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_contains", exprs => BloomContains(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cm_estimate", exprs => CmEstimate(exprs(0), exprs(1)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

@@ -16,10 +16,17 @@ object Salted {
     * partition-id/monotonic-id — those change on stage retry, and a
     * fetch-failure recompute that re-salts rows can double-count or
     * drop them once some reducers have already committed (the
-    * SPARK-23207 failure class). Hashing the full row keeps hot keys
-    * spread (rows differ in non-key columns) while every recompute
-    * assigns the identical salt. Exact-duplicate rows share a salt —
-    * correctness unaffected, spreading marginally reduced. */
+    * SPARK-23207 failure class).
+    *
+    * PRECONDITION: rows of a hot key must differ in at least one
+    * column. Byte-identical duplicate rows all hash to ONE salt — for
+    * them the spreading is not "marginally reduced" but zero, because
+    * identical rows carry no bits to disambiguate deterministically
+    * (any disambiguator that splits them is recompute-order-dependent
+    * and reintroduces the retry bug). Fact tables with a line/sequence
+    * number (lineitem's l_linenumber — both current call sites) satisfy
+    * this; a corpus of identical rows should be pre-aggregated to
+    * (row, count) first, which is also the cheaper plan. */
   private def rowSalt(df: DataFrame, buckets: Int): Column =
     pmod(xxhash64(df.columns.map(col): _*), lit(buckets))
 

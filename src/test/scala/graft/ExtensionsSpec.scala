@@ -27,6 +27,17 @@ class ExtensionsSpec extends SparkSpec {
   private def fn(reg: SimpleFunctionRegistry, name: String, args: Expression*) =
     reg.lookupFunction(FunctionIdentifier(name), args.toSeq)
 
+  test("extensions inject the COMPLETE native-function list") {
+    // the production path must expose exactly what self-registration
+    // exposes; the two lists drifted once (3 of 7 functions missing
+    // from the injection) — both now iterate GraftFunctions.all, and
+    // this asserts the registry ends up with every name
+    val reg = registry
+    val missing = functions.GraftFunctions.all.map(_._1)
+      .filterNot(n => reg.functionExists(FunctionIdentifier(n)))
+    assert(missing.isEmpty, s"functions missing from extensions wiring: $missing")
+  }
+
   test("injected functions resolve and evaluate correctly") {
     val reg = registry
     // dot_long
@@ -49,6 +60,14 @@ class ExtensionsSpec extends SparkSpec {
       Literal.create(sketch, ArrayType(LongType)), Literal.create(5L, LongType))
       .eval(null).asInstanceOf[Long]
     assert(est >= 2L)
+    // the three functions the first wiring missed
+    val sorted = Literal.create(
+      new GenericArrayData(Array("a", "b").map(UTF8String.fromString)),
+      ArrayType(StringType))
+    assert(fn(reg, "inter_count_sorted", sorted, sorted).eval(null) == 2L)
+    assert(fn(reg, "simhash60",
+      Literal.create(Array(5L), ArrayType(LongType))).eval(null) == 5L)
+    assert(fn(reg, "minhash32", sorted).eval(null) != null)
   }
 
   test("optimizer rule and planner strategy are injected") {
