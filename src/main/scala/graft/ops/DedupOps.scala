@@ -7,21 +7,19 @@ import graft.functions.GraftFunctions
 /** §2.I extension — the near-duplicate detection family beyond I1/I2:
   * SimHash, word-n-gram Jaccard, embedding-cosine near-dup, and
   * MinHash+LSH (the general-vocabulary scale path, engine-hash-based so
-  * property-tested rather than oracle-checked — DedupSpec proves its
-  * verified output equals the exact I2 pairs on the fixtures).
+  * property-tested rather than oracle-checked — LlmSpec asserts a
+  * recall floor >= 0.95 on the fixtures, where measured recall is 1.0,
+  * and the oracle row is green because verified output matches the
+  * exact I2 pairs there).
   */
 object DedupOps {
 
-  /** SimHash near-dup (oracle-exact): 60-bit sha256-derived token
-    * hashes; bit b of a doc's signature is the sign of Σ_tokens (±1 on
-    * bit b); pairs with Hamming distance ≤ 6 are near-dups. One narrow
-    * pass builds signatures (doc×token×bit rows stay inside codegen);
-    * the 8-byte signatures then do an all-pairs bitwise compare — at
-    * 100 TB you'd band the signature (e.g. 4×16-bit chunks, exact-match
-    * bucket join on any chunk) instead of all-pairs; the bucketing is
-    * the same trick llm_minhash_lsh demonstrates. */
-  val llmSimhashDedup: Q = Q(
-    "llm_simhash_dedup",
+  /** The ONE DuckDB oracle both simhash forms verify against and the
+    * ONE signature expression both build with — the all-pairs baseline
+    * and the banded scale path claim identical output, and sharing the
+    * strings makes that claim structural instead of copy-paste
+    * (r4 review). */
+  private val simhashOracle: String =
     """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
       |             FROM documents),
       |h AS (SELECT doc_id, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS th FROM toks),
@@ -37,14 +35,45 @@ object DedupOps {
       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 6
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val simhashSigExpr: String =
+    "array_distinct(transform(split(text, ' '), " +
+      "t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) as bigint)))"
+
+  /** Shared by llm_cosine_near_dup (all-pairs baseline) and
+    * llm_cosine_lsh (bucketed scale path) — identical output, one
+    * oracle string. */
+  private val cosineOracle: String =
+    """WITH s AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |    CAST(list_sum(list_transform(list_zip(e, e), p -> p[1] * p[2])) AS BIGINT) AS n2
+      |  FROM s)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE CAST(CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+      |   >= 0.95 * sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** SimHash near-dup (oracle-exact): 60-bit sha256-derived token
+    * hashes; bit b of a doc's signature is the sign of Σ_tokens (±1 on
+    * bit b); pairs with Hamming distance ≤ 6 are near-dups. One narrow
+    * pass builds signatures (doc×token×bit rows stay inside codegen);
+    * the 8-byte signatures then do an all-pairs bitwise compare — at
+    * 100 TB you'd band the signature (e.g. 4×16-bit chunks, exact-match
+    * bucket join on any chunk) instead of all-pairs; the bucketing is
+    * the same trick llm_minhash_lsh demonstrates. */
+  val llmSimhashDedup: Q = Q(
+    "llm_simhash_dedup",
+    simhashOracle
   ) { (s, dir) =>
     GraftFunctions.register(s)
     // signature build is one narrow pass: distinct token hashes per doc
     // -> native simhash60 codegen loop (no 60x bit-row explosion)
     val sig = documents(s, dir)
       .select(col("doc_id"),
-        expr("array_distinct(transform(split(text, ' '), " +
-          "t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) as bigint)))").as("ths"))
+        expr(simhashSigExpr).as("ths"))
       .withColumn("simhash", expr("simhash60(ths)"))
     // repartition (pinned count — AQE would coalesce a by-column
     // repartition of this tiny input back to one partition): the small
@@ -72,21 +101,7 @@ object DedupOps {
     * shuffle key, no all-pairs anywhere. */
   val llmSimhashBanded: Q = Q(
     "llm_simhash_banded",
-    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-      |             FROM documents),
-      |h AS (SELECT doc_id, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS th FROM toks),
-      |contrib AS (SELECT doc_id, b,
-      |    SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      |  FROM h CROSS JOIN (SELECT CAST(t AS INTEGER) AS b FROM range(60) r(t)) bits
-      |  GROUP BY doc_id, b),
-      |sig AS (SELECT doc_id,
-      |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
-      |  FROM contrib GROUP BY doc_id)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 6
-      |ORDER BY doc_a, doc_b""".stripMargin
+    simhashOracle
   ) { (s, dir) =>
     GraftFunctions.register(s)
     // token-set contraction (r4): the simhash signature is a pure
@@ -99,8 +114,7 @@ object DedupOps {
     val (tagged, repDocs) = tsContraction(documents(s, dir))
     val sig = repDocs
       .select(col("doc_id"),
-        expr("array_distinct(transform(split(text, ' '), " +
-          "t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) as bigint)))").as("ths"))
+        expr(simhashSigExpr).as("ths"))
       .withColumn("simhash", expr("simhash60(ths)"))
       .persist() // the signature index, probed by both sides of the bucket join
     // bands 0-5: 9 bits each; band 6: the top 6 bits (mask is harmless)
@@ -179,20 +193,13 @@ object DedupOps {
     * the bucketed scale path. */
   val llmCosineNearDup: Q = Q(
     "llm_cosine_near_dup",
-    """WITH s AS (SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS e
-      |  FROM embeddings),
-      |n AS (SELECT vec_id, e,
-      |    CAST(list_sum(list_transform(list_zip(e, e), p -> p[1] * p[2])) AS BIGINT) AS n2
-      |  FROM s)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE CAST(CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
-      |   >= 0.95 * sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))
-      |ORDER BY vec_a, vec_b""".stripMargin
+    cosineOracle
   ) { (s, dir) =>
     GraftFunctions.register(s)
-    cosineAllPairs(Llm.scaledEmb(s, dir)).orderBy("vec_a", "vec_b")
+    // persist: both sides of the all-pairs join reference this frame —
+    // without it the scan+scale lineage runs twice (r4 review; the LSH
+    // sibling already persists for the same reason)
+    cosineAllPairs(Llm.scaledEmb(s, dir).persist()).orderBy("vec_a", "vec_b")
   }
 
   /** Core of llm_cosine_near_dup over any (vec_id, e, n2) frame (see
@@ -226,17 +233,7 @@ object DedupOps {
     * oracle as the all-pairs form. */
   val llmCosineLsh: Q = Q(
     "llm_cosine_lsh",
-    """WITH s AS (SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS e
-      |  FROM embeddings),
-      |n AS (SELECT vec_id, e,
-      |    CAST(list_sum(list_transform(list_zip(e, e), p -> p[1] * p[2])) AS BIGINT) AS n2
-      |  FROM s)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE CAST(CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
-      |   >= 0.95 * sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))
-      |ORDER BY vec_a, vec_b""".stripMargin
+    cosineOracle
   ) { (s, dir) =>
     GraftFunctions.register(s)
     cosineLshPairs(Llm.scaledEmb(s, dir).persist()).orderBy("vec_a", "vec_b")
@@ -253,7 +250,7 @@ object DedupOps {
     GraftFunctions.register(s)
     val hp = s.range(32).select(col("id").cast("int").as("h"))
       .withColumn("w", expr(
-        "transform(sequence(0, 63), d -> cast(xxhash64(h * 64 + d) % 1001 - 500 as bigint))"))
+        "transform(sequence(0, 63), d -> cast(pmod(xxhash64(h * 64 + d), 1001) - 500 as bigint))"))
     val sigs = emb.crossJoin(broadcast(hp))
       .withColumn("bit", (expr("dot_long(w, e)") > 0).cast("bigint"))
       .withColumn("t", expr("h div 4"))
@@ -286,7 +283,8 @@ object DedupOps {
     * moves (band, bucket-hash) keys); candidates are then exact-verified
     * with I2's array_intersect Jaccard (τ = 0.95) so precision is 1 and
     * only recall is probabilistic. On this corpus the verified output
-    * EQUALS the exact pair set (DedupSpec proves recall 1.0 at sf0.001;
+    * EQUALS the exact pair set on the fixtures (LlmSpec asserts the
+    * recall floor >= 0.95; measured 1.0 at sf0.001;
     * re-checked at sf0.01 by the driver), so it carries the same DuckDB
     * oracle as I2 — pairs only, recall stays property-tested. */
   val llmMinhashLsh: Q = Q(
@@ -338,10 +336,15 @@ object DedupOps {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     GraftFunctions.register(s)
-    val bands = docs
-      .select(col("doc_id"),
-        expr("array_distinct(split(text, ' '))").as("dtoks"))
-      .withColumn("mhs", expr("minhash32(dtoks)"))
+    // ONE tokenization serves both stages (r4 review): minhash32 is
+    // order-independent, so the sorted distinct-token array used by the
+    // exact verify is also the signature input — one persisted frame,
+    // half the split/distinct work of the former dtoks+ts pair.
+    val sets = docs
+      .select(col("doc_id"), expr("array_sort(array_distinct(split(text, ' ')))").as("ts"))
+      .persist()
+    val bands = sets
+      .withColumn("mhs", expr("minhash32(ts)"))
       .select(col("doc_id"), posexplode(expr(minhashBandExpr))
         .as(Seq("band", "bh")))
       .persist() // the LSH index: built once, probed by both join sides
@@ -351,18 +354,9 @@ object DedupOps {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sets = docs
-      .select(col("doc_id"), expr("array_sort(array_distinct(split(text, ' ')))").as("ts"))
-      .persist() // broadcast twice (a-side and b-side) — tokenize once
-    cand
+    Llm.verifyJaccardPairs(cand
       .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))), "doc_b")
-      .where(lit(20) * least(size(col("ts_a")), size(col("ts_b"))).cast("bigint")
-        >= lit(19) * greatest(size(col("ts_a")), size(col("ts_b"))).cast("bigint"))
-      .withColumn("n_inter", expr("inter_count_sorted(ts_a, ts_b)"))
-      .withColumn("n_union",
-        (size(col("ts_a")) + size(col("ts_b"))).cast("bigint") - col("n_inter"))
-      .where(lit(20) * col("n_inter") >= lit(19) * col("n_union"))
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))), "doc_b"))
       .select("doc_a", "doc_b")
   }
 
@@ -505,7 +499,11 @@ object DedupOps {
       .join(broadcast(m.select(col("rep").as("doc_b"), col("doc_id").as("db"))), "doc_b")
       .select(least(col("da"), col("db")).as("doc_a")
         +: greatest(col("da"), col("db")).as("doc_b") +: extra: _*)
-    within.union(cross)
+    // unionByName (r4 review): a positional union would silently swap
+    // same-typed extra columns if a caller ordered withinExtra
+    // differently from repPairs; by-name resolution turns that
+    // mistake into an analysis error instead of transposed values
+    within.unionByName(cross)
   }
 
   /** Min-label propagation with pointer jumping (see llmDedupClusters
@@ -594,6 +592,12 @@ object DedupOps {
       rounds += 1
       tick(s"cc: round $rounds (sum $newSum)")
     }
+    // fail LOUD on cap exit (r4 review): mid-propagation labels are
+    // silently wrong cluster ids — at O(log diameter) convergence, 50
+    // rounds covers any graph this engine can build, so hitting the cap
+    // means the loop itself is broken, not the data.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $rounds rounds (label sum $prevSum)")
     labels
   }
 
@@ -655,6 +659,7 @@ object DedupOps {
         "(stop_ratio_micro + 1000000 - short_ratio_micro + least(n_chars, 500) * 2000) div 3"))
       .where(col("quality_micro") >= 500000)
       .select("doc_id", "lang", "n_chars", "quality_micro", "text")
+      .persist() // read by the exact-dedup agg AND the semi-join back
     // stage 2: exact dedup among quality survivors
     val exactKeep = scored
       .groupBy(sha2(col("text"), 256).as("digest"))

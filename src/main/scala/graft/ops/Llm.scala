@@ -96,15 +96,35 @@ object Llm {
     val a = sets.repartition(nPart, col("doc_id"))
       .select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))
-    a.join(broadcast(b), col("doc_a") < col("doc_b")
-        && lit(20) * least(size(col("ts_a")), size(col("ts_b"))).cast("bigint")
-           >= lit(19) * greatest(size(col("ts_a")), size(col("ts_b"))).cast("bigint"))
+    verifyJaccardPairs(a.join(broadcast(b), col("doc_a") < col("doc_b")
+      && lit(TauNum) * least(size(col("ts_a")), size(col("ts_b"))).cast("bigint")
+         >= lit(TauDen) * greatest(size(col("ts_a")), size(col("ts_b"))).cast("bigint")))
+      .select("doc_a", "doc_b", "n_inter", "n_union")
+  }
+
+  /** τ as the exact rational TauDen/TauNum (19/20 = 0.95): the ONE
+    * place the near-dup threshold lives — jaccardPairs, the LSH verify
+    * (DedupOps.lshVerifiedPairs), and the streaming probe all call
+    * verifyJaccardPairs, so the threshold and the verification algebra
+    * cannot drift between the exact baseline and the scale paths (an
+    * r4 review finding: the 20/19 test existed in three copies). */
+  private[graft] val TauNum = 20
+  private[graft] val TauDen = 19
+
+  /** Exact τ-Jaccard verification of candidate rows carrying sorted
+    * distinct-token arrays ts_a/ts_b: size-ratio prefilter (necessary
+    * condition, short-circuits the merge loop), native codegen
+    * inter_count_sorted, integer cross-multiplied threshold. Keeps all
+    * input columns and adds n_inter/n_union. */
+  private[graft] def verifyJaccardPairs(
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cand
+      .where(lit(TauNum) * least(size(col("ts_a")), size(col("ts_b"))).cast("bigint")
+        >= lit(TauDen) * greatest(size(col("ts_a")), size(col("ts_b"))).cast("bigint"))
       .withColumn("n_inter", expr("inter_count_sorted(ts_a, ts_b)"))
       .withColumn("n_union",
         (size(col("ts_a")) + size(col("ts_b"))).cast("bigint") - col("n_inter"))
-      .where(lit(20) * col("n_inter") >= lit(19) * col("n_union"))
-      .select("doc_a", "doc_b", "n_inter", "n_union")
-  }
+      .where(lit(TauNum) * col("n_inter") >= lit(TauDen) * col("n_union"))
 
   /** Scaled-integer embedding table shared by I3/I4: e = round(x·1e7) as
     * BIGINT per element, n2 = exact self-dot. */
@@ -223,7 +243,7 @@ object Llm {
     val emb = scaledEmb(s, dir).persist()
     val hp = s.range(32).select(col("id").cast("int").as("h"))
       .withColumn("w", expr(
-        "transform(sequence(0, 63), d -> cast(xxhash64(h * 64 + d) % 1001 - 500 as bigint))"))
+        "transform(sequence(0, 63), d -> cast(pmod(xxhash64(h * 64 + d), 1001) - 500 as bigint))"))
     val sigs = emb.crossJoin(broadcast(hp))
       .withColumn("bit", (expr("dot_long(w, e)") > 0).cast("bigint"))
       .withColumn("t", expr("h div 4"))

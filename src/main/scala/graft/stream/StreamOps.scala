@@ -136,15 +136,14 @@ object StreamOps {
       .withColumn("mhs", expr("minhash32(dtoks)"))
       .select(col("doc_id"), expr("array_sort(dtoks)").as("toks"),
         posexplode(expr(graft.ops.DedupOps.minhashBandExpr)).as(Seq("band", "bh")))
-    probes
+    // the exact verify is the shared Llm.verifyJaccardPairs — same τ
+    // and algebra as the batch baseline and the LSH verify, one source
+    graft.ops.Llm.verifyJaccardPairs(probes
       .join(idx, Seq("band", "bh"))
       .where(col("ref_id") < col("doc_id"))
       .join(refSets, "ref_id")
-      .where(lit(20) * least(size(col("toks")), size(col("ref_toks"))).cast("bigint")
-        >= lit(19) * greatest(size(col("toks")), size(col("ref_toks"))).cast("bigint"))
-      .where(lit(20) * expr("inter_count_sorted(toks, ref_toks)")
-        >= lit(19) * ((size(col("toks")) + size(col("ref_toks"))).cast("bigint")
-          - expr("inter_count_sorted(toks, ref_toks)")))
+      .withColumnRenamed("toks", "ts_a")
+      .withColumnRenamed("ref_toks", "ts_b"))
       .groupBy(col("doc_id"))
       .agg(min(col("ref_id")).as("dup_of"))
   }
