@@ -87,13 +87,13 @@ object Probe {
           .select(col("doc_a"), col("doc_b"),
             expr("inter_count_sorted(ts_a, ts_b)").as("n_inter"),
             (size(col("ts_a")) + size(col("ts_b"))).cast("bigint").as("sz"))
-          .where(lit(20) * col("n_inter") >= lit(19) * (col("sz") - col("n_inter")))
+          .where(lit(graft.ops.Llm.TauDenom) * col("n_inter") >= lit(graft.ops.Llm.TauNumer) * (col("sz") - col("n_inter")))
           .count())
       t = tick("crossJoin + where", t)
       println("[probe] cond pairs: " +
         aa.join(broadcast(bb), col("doc_a") < col("doc_b")
-          && lit(20) * expr("inter_count_sorted(ts_a, ts_b)")
-             >= lit(19) * ((size(col("ts_a")) + size(col("ts_b"))).cast("bigint")
+          && lit(graft.ops.Llm.TauDenom) * expr("inter_count_sorted(ts_a, ts_b)")
+             >= lit(graft.ops.Llm.TauNumer) * ((size(col("ts_a")) + size(col("ts_b"))).cast("bigint")
                 - expr("inter_count_sorted(ts_a, ts_b)"))).count())
       t = tick("join full-cond", t)
       spark.stop(); return

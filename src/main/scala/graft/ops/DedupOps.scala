@@ -248,15 +248,7 @@ object DedupOps {
       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = emb.sparkSession
     GraftFunctions.register(s)
-    val hp = s.range(32).select(col("id").cast("int").as("h"))
-      .withColumn("w", expr(
-        "transform(sequence(0, 63), d -> cast(pmod(xxhash64(h * 64 + d), 1001) - 500 as bigint))"))
-    val sigs = emb.crossJoin(broadcast(hp))
-      .withColumn("bit", (expr("dot_long(w, e)") > 0).cast("bigint"))
-      .withColumn("t", expr("h div 4"))
-      .groupBy("vec_id", "t")
-      .agg(sum(expr("shiftleft(bit, h % 4)")).as("bucket"))
-      .persist() // the sign-bucket index, probed by both join sides
+    val sigs = Llm.signBuckets(emb)
     val cand = sigs.as("x")
       .join(sigs.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket")
@@ -289,12 +281,12 @@ object DedupOps {
     * oracle as I2 — pairs only, recall stays property-tested. */
   val llmMinhashLsh: Q = Q(
     "llm_minhash_lsh",
-    """WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+    s"""WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
       |           FROM documents)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM m a JOIN m b ON a.doc_id < b.doc_id
-      |WHERE 20 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
-      |   >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |WHERE ${Llm.TauDenom} * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |   >= ${Llm.TauNumer} * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
     // contraction + exact re-expansion (r4): signatures, banding, and
@@ -397,13 +389,13 @@ object DedupOps {
     * all-pairs. */
   val llmDedupClusters: Q = Q(
     "llm_dedup_clusters",
-    """WITH RECURSIVE
+    s"""WITH RECURSIVE
       |m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM m a JOIN m b ON a.doc_id < b.doc_id
-      |  WHERE 20 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
-      |     >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)),
+      |  WHERE ${Llm.TauDenom} * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |     >= ${Llm.TauNumer} * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)),
       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(a, b) AS (
@@ -618,7 +610,7 @@ object DedupOps {
     * same four stages as CTEs over a recursive reach. */
   val llmCorpusClean: Q = Q(
     "llm_corpus_clean",
-    """WITH RECURSIVE
+    s"""WITH RECURSIVE
       |q AS (
       |  SELECT doc_id, lang, n_chars, text,
       |    ((2*n_stop*1000000 + n_tokens) // (2*n_tokens)
@@ -635,8 +627,8 @@ object DedupOps {
       |m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM s2),
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM m a JOIN m b ON a.doc_id < b.doc_id
-      |  WHERE 20 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
-      |     >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)),
+      |  WHERE ${Llm.TauDenom} * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |     >= ${Llm.TauNumer} * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)),
       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(a, b) AS (SELECT doc_id, doc_id FROM s2
       |  UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),

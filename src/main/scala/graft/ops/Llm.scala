@@ -22,6 +22,20 @@ import graft.Tables._
   */
 object Llm {
 
+  /** τ = TauNumer/TauDenom = 19/20 = 0.95, exact rational: the single
+    * authority for the near-dup threshold — jaccardPairs, the LSH
+    * verify (DedupOps.lshVerifiedPairs), and the streaming probe all
+    * call verifyJaccardPairs, and the DuckDB oracle strings interpolate
+    * the same constants, so the threshold and the verification algebra
+    * cannot drift between the exact baseline, the scale paths, and the
+    * oracles (r4 review findings: the 20/19 test existed in three
+    * copies, then in the oracle strings besides). final vals of
+    * literals are compile-time constants, so the EAGER oracle-string
+    * interpolation at object init cannot see an uninitialized 0. */
+  private[graft] final val TauNumer = 19
+  private[graft] final val TauDenom = 20
+
+
   /** I1 — exact dedup on sha256(text): keep min doc_id per digest. At
     * 100 TB this is one shuffle of (digest, doc_id) pairs — no text
     * movement. */
@@ -48,14 +62,14 @@ object Llm {
     * spells the same set algebra via an unnest/intersect CTE. */
   val llmJaccardNearDup: Q = Q(
     "llm_jaccard_near_dup",
-    """WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+    s"""WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
       |           FROM documents)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_inter,
       |  CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_union
       |FROM m a JOIN m b ON a.doc_id < b.doc_id
-      |WHERE 20 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
-      |   >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |WHERE ${TauDenom} * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |   >= ${TauNumer} * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
     // direct all-pairs on the full doc set: contraction + re-expansion
@@ -96,20 +110,14 @@ object Llm {
     val a = sets.repartition(nPart, col("doc_id"))
       .select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))
+    // the size-ratio prefilter ALSO sits in this join condition on
+    // purpose (verifyJaccardPairs re-checks it, one redundant long
+    // compare): here it short-circuits the NLJ before rows materialize
     verifyJaccardPairs(a.join(broadcast(b), col("doc_a") < col("doc_b")
-      && lit(TauNum) * least(size(col("ts_a")), size(col("ts_b"))).cast("bigint")
-         >= lit(TauDen) * greatest(size(col("ts_a")), size(col("ts_b"))).cast("bigint")))
+      && lit(TauDenom) * least(size(col("ts_a")), size(col("ts_b"))).cast("bigint")
+         >= lit(TauNumer) * greatest(size(col("ts_a")), size(col("ts_b"))).cast("bigint")))
       .select("doc_a", "doc_b", "n_inter", "n_union")
   }
-
-  /** τ as the exact rational TauDen/TauNum (19/20 = 0.95): the ONE
-    * place the near-dup threshold lives — jaccardPairs, the LSH verify
-    * (DedupOps.lshVerifiedPairs), and the streaming probe all call
-    * verifyJaccardPairs, so the threshold and the verification algebra
-    * cannot drift between the exact baseline and the scale paths (an
-    * r4 review finding: the 20/19 test existed in three copies). */
-  private[graft] val TauNum = 20
-  private[graft] val TauDen = 19
 
   /** Exact τ-Jaccard verification of candidate rows carrying sorted
     * distinct-token arrays ts_a/ts_b: size-ratio prefilter (necessary
@@ -117,14 +125,37 @@ object Llm {
     * inter_count_sorted, integer cross-multiplied threshold. Keeps all
     * input columns and adds n_inter/n_union. */
   private[graft] def verifyJaccardPairs(
-      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(cand.sparkSession)
     cand
-      .where(lit(TauNum) * least(size(col("ts_a")), size(col("ts_b"))).cast("bigint")
-        >= lit(TauDen) * greatest(size(col("ts_a")), size(col("ts_b"))).cast("bigint"))
+      .where(lit(TauDenom) * least(size(col("ts_a")), size(col("ts_b"))).cast("bigint")
+        >= lit(TauNumer) * greatest(size(col("ts_a")), size(col("ts_b"))).cast("bigint"))
       .withColumn("n_inter", expr("inter_count_sorted(ts_a, ts_b)"))
       .withColumn("n_union",
         (size(col("ts_a")) + size(col("ts_b"))).cast("bigint") - col("n_inter"))
-      .where(lit(TauNum) * col("n_inter") >= lit(TauDen) * col("n_union"))
+      .where(lit(TauDenom) * col("n_inter") >= lit(TauNumer) * col("n_union"))
+  }
+
+  /** Shared sign-LSH signature build over a (vec_id, e) scaled-integer
+    * embedding frame: 32 hyperplanes with symmetric pmod-derived
+    * weights (the r4 bias fix), grouped 4 bits per table into 8
+    * (t, bucket) keys per vector, persisted. ONE implementation for
+    * both llm_ann_lsh (top-k probing) and llm_cosine_lsh (pair
+    * candidates) — the bias fix had to be applied twice because this
+    * block existed in two copies (r4 review). */
+  private[graft] def signBuckets(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    val hp = s.range(32).select(col("id").cast("int").as("h"))
+      .withColumn("w", expr(
+        "transform(sequence(0, 63), d -> cast(pmod(xxhash64(h * 64 + d), 1001) - 500 as bigint))"))
+    emb.crossJoin(broadcast(hp))
+      .withColumn("bit", (expr("dot_long(w, e)") > 0).cast("bigint"))
+      .withColumn("t", expr("h div 4"))
+      .groupBy("vec_id", "t")
+      .agg(sum(expr("shiftleft(bit, h % 4)")).as("bucket"))
+      .persist() // the sign-bucket index, probed by both join sides
+  }
 
   /** Scaled-integer embedding table shared by I3/I4: e = round(x·1e7) as
     * BIGINT per element, n2 = exact self-dot. */
@@ -241,15 +272,7 @@ object Llm {
   val llmAnnLsh: Q = Q.noOracle("llm_ann_lsh") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val emb = scaledEmb(s, dir).persist()
-    val hp = s.range(32).select(col("id").cast("int").as("h"))
-      .withColumn("w", expr(
-        "transform(sequence(0, 63), d -> cast(pmod(xxhash64(h * 64 + d), 1001) - 500 as bigint))"))
-    val sigs = emb.crossJoin(broadcast(hp))
-      .withColumn("bit", (expr("dot_long(w, e)") > 0).cast("bigint"))
-      .withColumn("t", expr("h div 4"))
-      .groupBy("vec_id", "t")
-      .agg(sum(expr("shiftleft(bit, h % 4)")).as("bucket"))
-      .persist()
+    val sigs = signBuckets(emb)
     // multiprobe: the exact bucket + all 4 Hamming-distance-1 buckets
     val qs = sigs.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("t"),

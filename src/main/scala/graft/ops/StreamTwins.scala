@@ -112,12 +112,12 @@ object StreamTwins {
     * Jaccard pair set reduced the same way. */
   val streamNearDup: Q = Q(
     "stream_near_dup",
-    """WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+    s"""WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
       |           FROM documents),
       |p AS (SELECT a.doc_id AS ra, b.doc_id AS rb
       |  FROM m a JOIN m b ON a.doc_id < b.doc_id
-      |  WHERE 20 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
-      |     >= 19 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT))
+      |  WHERE ${Llm.TauDenom} * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |     >= ${Llm.TauNumer} * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT))
       |SELECT rb AS doc_id, MIN(ra) AS dup_of FROM p GROUP BY rb
       |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
