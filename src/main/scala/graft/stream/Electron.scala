@@ -43,15 +43,21 @@ object Electron {
   }
 
   /** Encode typed Electron columns back to the Kafka-wire shape; the
-    * `topic` column routes per-row like catenae's `electron.topic`. */
+    * `topic` column routes per-row like catenae's `electron.topic`.
+    * The payload's previous_topic serializes the electron's
+    * previousTopic — the topic THIS producer consumed from — so
+    * one-hop-back provenance survives the wire for any consumer (the
+    * former code wrote the DESTINATION topic there, which a consumer
+    * already has from the Kafka record itself; encode/decode round
+    * trips lost the real provenance — r4 review). */
   def encode(electrons: DataFrame): DataFrame =
     electrons.select(
       col("key").cast("binary").as("key"),
-      to_json(struct(
-        col("value").as("value"),
-        col("topic").as("previous_topic"))).cast("binary").as("value"),
+      encodeCol(col("value"), col("previousTopic")).cast("binary").as("value"),
       col("topic"))
 
+  /** The payload JSON for one (value, previousTopic) pair — the single
+    * serialization both encode and any custom producer share. */
   def encodeCol(value: Column, previousTopic: Column): Column =
     to_json(struct(value.as("value"), previousTopic.as("previous_topic")))
 }

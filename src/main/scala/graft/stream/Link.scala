@@ -50,11 +50,21 @@ object Link {
     }
 
   /** Chain: decode wire → link → encode wire, ready for a Kafka sink —
-    * the single-process equivalent of one catenae topology edge. */
+    * the single-process equivalent of one catenae topology edge.
+    * Electron.decode applies only to the Kafka wire shape
+    * (key/value binary + topic + timestamp); a FileSource replay of
+    * Electron-columned parquet is ALREADY decoded, and running the wire
+    * decode over it would fail on the missing `timestamp` column or
+    * silently null every payload through from_json (r4 review) — so
+    * the source type picks the path. */
   def pipeline(spark: SparkSession, source: StreamSource, link: Link):
       org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val decoded = Electron.decode(source.load(spark)).as[Electron]
+    val loaded = source.load(spark)
+    val decoded = source match {
+      case _: KafkaSource => Electron.decode(loaded).as[Electron]
+      case _              => loaded.as[Electron]
+    }
     Electron.encode(link.run(decoded).toDF())
   }
 }

@@ -33,10 +33,18 @@ final case class KafkaSource(
 }
 
 /** File-drop source (useful for replay/backfill; same wire schema as a
-  * decoded stream when pointed at parquet of Electron columns). */
-final case class FileSource(path: String, format: String = "parquet") extends StreamSource {
+  * decoded stream when pointed at parquet of Electron columns). The
+  * schema is REQUIRED: streaming file sources reject schema-less loads
+  * for parquet/json unless global schema inference is flipped on —
+  * and inference is a full extra listing pass a 100 TB backfill
+  * shouldn't pay anyway (same explicit-schema rule as the batch
+  * ingest paths in SourceFormatsSpec). */
+final case class FileSource(path: String,
+    schema: org.apache.spark.sql.types.StructType,
+    format: String = "parquet") extends StreamSource {
   def load(spark: SparkSession): DataFrame =
     spark.readStream.format(format)
+      .schema(schema)
       .option("path", path)
       .load()
 }
@@ -52,14 +60,20 @@ final case class RateSource(rowsPerSecond: Int) extends StreamSource {
 object Sinks {
 
   /** Kafka produce (catenae producer thread analog); a per-row `topic`
-    * column routes like `electron.topic`. */
+    * column routes like `electron.topic`, with NULL topics falling back
+    * to the default. The default must be applied via coalesce on the
+    * COLUMN — Spark's Kafka sink treats a `topic` OPTION as an override
+    * of the per-row column, which would silently send every row to the
+    * default and break routing (r4 review). */
   def kafka(df: DataFrame, bootstrap: String, defaultTopic: String,
-      checkpoint: String): DataStreamWriter[Row] =
-    df.writeStream
+      checkpoint: String): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    df.withColumn("topic", coalesce(col("topic"), lit(defaultTopic)))
+      .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", defaultTopic)
       .option("checkpointLocation", checkpoint)
+  }
 
   /** External-KV upsert sink (catenae Aerospike/Mongo connector analog):
     * exactly-once-per-batch via foreachBatch + idempotent upserts keyed

@@ -58,11 +58,26 @@ object StreamOps {
     val base = wm(events, watermark)
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("ts"))
-    val deduped = watermark match {
-      case Some(_) => base.dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
-      case None    => base.dropDuplicates(Seq("user_id", "event_type"))
+    if (events.isStreaming) {
+      // streaming: state-store dedup keeps the first ARRIVAL per key —
+      // equal to first-by-(ts, event_id) when the transport delivers
+      // per-key in event order (Kafka keyed by user does; the
+      // MemoryStream proof feeds in order)
+      val deduped = watermark match {
+        case Some(_) => base.dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+        case None    => base.dropDuplicates(Seq("user_id", "event_type"))
+      }
+      deduped.select("user_id", "event_type", "event_id", "ts_us")
+    } else {
+      // batch: dropDuplicates keeps an ARBITRARY row per key (whatever
+      // the shuffle delivers first), so the documented
+      // first-by-(ts, event_id) winner must be selected explicitly
+      // (r4 review) — same window as the oracle twin
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      base.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts_us")
     }
-    deduped.select("user_id", "event_type", "event_id", "ts_us")
   }
 
   /** H5/H6 input element type for the typed stateful ops. */
@@ -118,23 +133,30 @@ object StreamOps {
     // collapsing equal-ts cliques (sf0.1's 248-doc group: one probe row
     // instead of up to 247 candidate matches per incoming doc).
     val (_, repDocs) = graft.ops.DedupOps.tsContraction(corpus)
-    val idx = repDocs
-      .select(col("doc_id").as("ref_id"),
-        expr("array_distinct(split(text, ' '))").as("dtoks"))
-      .withColumn("mhs", expr("minhash32(dtoks)"))
-      .select(col("ref_id"), posexplode(expr(graft.ops.DedupOps.minhashBandExpr))
-        .as(Seq("band", "bh")))
-      .persist()
+    // ONE tokenization of the static side (r4 review; same shape as
+    // lshVerifiedPairs): minhash32 is order-independent, so the sorted
+    // verify array also feeds the signature — one persisted frame
+    // derives both the band index and the verify sets.
     val refSets = repDocs
       .select(col("doc_id").as("ref_id"),
         expr("array_sort(array_distinct(split(text, ' ')))").as("ref_toks"))
       .persist()
+    val idx = refSets
+      .withColumn("mhs", expr("minhash32(ref_toks)"))
+      .select(col("ref_id"), posexplode(expr(graft.ops.DedupOps.minhashBandExpr))
+        .as(Seq("band", "bh")))
+      .persist()
     // incoming docs: band with the same expressions, carrying the token
-    // array through the explode (no stream-stream join anywhere)
+    // array through the explode (no stream-stream join anywhere). A
+    // probe pair colliding in k bands is verified k≤4 times — the
+    // final min-aggregate collapses them, and a pre-verify distinct
+    // would be a SECOND stateful op in the streaming plan (not worth
+    // the state for a ≤4× bounded re-verify).
     val probes = docs
-      .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("dtoks"))
-      .withColumn("mhs", expr("minhash32(dtoks)"))
-      .select(col("doc_id"), expr("array_sort(dtoks)").as("toks"),
+      .select(col("doc_id"),
+        expr("array_sort(array_distinct(split(text, ' ')))").as("toks"))
+      .withColumn("mhs", expr("minhash32(toks)"))
+      .select(col("doc_id"), col("toks"),
         posexplode(expr(graft.ops.DedupOps.minhashBandExpr)).as(Seq("band", "bh")))
     // the exact verify is the shared Llm.verifyJaccardPairs — same τ
     // and algebra as the batch baseline and the LSH verify, one source
@@ -187,18 +209,24 @@ object StreamOps {
 
     /** Fold one micro-batch (a frame with a `term` string column). */
     def absorb(batch: DataFrame): Unit = {
-      val sketch = udaf(mg)
-      val row = batch.agg(sketch(col("term")).as("cands")).head
-      // the udaf surfaces candidate KEYS; re-weigh them with the batch's
-      // exact per-candidate counts so merges keep the MG error bound
-      // (candidate set ⊆ batch terms, so this is a candidates-only agg)
-      val cands = row.getSeq[String](0)
-      if (cands.nonEmpty) {
-        val counts = batch.where(col("term").isin(cands: _*))
-          .groupBy("term").count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        buf = mg.merge(buf, counts)
-      }
+      // two actions run over the batch (sketch, then candidate
+      // re-count) — persist so the micro-batch source is read once
+      // (the standard foreachBatch multi-action rule; r4 review)
+      batch.persist()
+      try {
+        val sketch = udaf(mg)
+        val row = batch.agg(sketch(col("term")).as("cands")).head
+        // the udaf surfaces candidate KEYS; re-weigh them with the
+        // batch's exact per-candidate counts so merges keep the MG error
+        // bound (candidate set ⊆ batch terms — a candidates-only agg)
+        val cands = row.getSeq[String](0)
+        if (cands.nonEmpty) {
+          val counts = batch.where(col("term").isin(cands: _*))
+            .groupBy("term").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          buf = mg.merge(buf, counts)
+        }
+      } finally batch.unpersist()
     }
 
     def candidates: Set[String] = buf.keySet

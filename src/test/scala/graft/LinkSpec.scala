@@ -32,6 +32,46 @@ class LinkSpec extends SparkSpec {
     assert(back.map(_.value).toSeq == Seq("hello", "world"))
   }
 
+  test("Electron codec: previousTopic provenance survives the wire") {
+    // encode must serialize the electron's previousTopic (the topic the
+    // producer consumed from), not the destination — the destination is
+    // already on the Kafka record (r4 review fix)
+    val es = Seq(
+      Electron(Some("k"), "v", Some("t_out"), Some("t_in"), new Timestamp(1L)))
+      .toDF()
+    val back = Electron.decode(
+      Electron.encode(es).withColumn("timestamp", lit(new Timestamp(1L))))
+      .as[Electron].collect().head
+    assert(back.topic.contains("t_out"), "destination topic rides the record")
+    assert(back.previousTopic.contains("t_in"),
+      s"provenance lost on the wire: ${back.previousTopic}")
+  }
+
+  test("Link.pipeline replays Electron parquet through a FileSource") {
+    // the already-decoded replay path: FileSource (explicit schema —
+    // streaming file sources reject schema-less loads) must NOT go
+    // through the wire decode (r4 review fix)
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    Seq(Electron(Some("a"), "abc", Some("t0"), None, new Timestamp(1L)),
+        Electron(Some("b"), "xyz", Some("t0"), None, new Timestamp(2L)))
+      .toDF().write.mode("overwrite").parquet(dir)
+    val src = graft.stream.FileSource(dir,
+      spark.read.parquet(dir).schema)
+    val link = Link(e => Seq(e.copy(value = e.value.toUpperCase)),
+      outTopic = Some("t_next"))
+    val out = Link.pipeline(spark, src, link)
+    val q = out.writeStream.format("memory").queryName("replay_sink")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("replay_sink")
+      .withColumn("timestamp", lit(new Timestamp(3L)))
+    val back = Electron.decode(rows).as[Electron].collect().sortBy(_.key)
+    assert(back.map(_.value).toSeq == Seq("ABC", "XYZ"))
+    assert(back.forall(_.topic.contains("t_next")))
+    // provenance: the link consumed from t0
+    assert(back.forall(_.previousTopic.contains("t0")))
+  }
+
   test("Link.transform: map, fan-out, and drop semantics over a stream") {
     val link = Link({ e =>
       e.value match {
