@@ -23,8 +23,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * nulls → the product and sum go NULL), or when any element is NULL —
   * so RewriteHofDotProduct is observationally equivalent on ALL inputs,
   * not just well-formed ones. */
-case class DotLong(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class DotLong(left: Expression, right: Expression,
+    ansi: Boolean = false) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -50,7 +50,11 @@ case class DotLong(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getLong(i) * y.getLong(i)
+      // ansi=true: throw on 64-bit overflow like the ANSI-mode HOF this
+      // expression may replace (RewriteHofDotProduct passes the matched
+      // evalMode); default wraps, for the proven-bounded internal uses
+      if (ansi) acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      else acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
     acc
@@ -61,6 +65,11 @@ case class DotLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val step =
+        if (ansi)
+          s"$acc = java.lang.Math.addExact($acc, " +
+            s"java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else s"$acc += $a.getLong($i) * $b.getLong($i);"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -69,7 +78,7 @@ case class DotLong(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |    $step
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}

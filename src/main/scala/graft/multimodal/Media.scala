@@ -30,19 +30,27 @@ trait MediaDecoder extends Serializable {
 }
 
 /** Deterministic stand-in decoder: "dimensions" derived from the first
-  * payload bytes, header hex from the first 8 bytes. Exists so the
-  * pipeline plumbing is fully testable in this container. */
+  * payload CODEPOINTS, header hex from the UTF-8 bytes of the first 8
+  * characters. Exists so the pipeline plumbing is fully testable in
+  * this container. Character-based on purpose: the oracle-checked
+  * llm_media_features query computes the same features in SQL
+  * (substr/ascii are codepoint-based in both engines), and the former
+  * byte-based stub silently diverged from it on any non-ASCII payload
+  * (r4 review) — the fixture is ASCII, so only multibyte inputs saw
+  * the difference. */
 object StubDecoder extends MediaDecoder {
   def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
-      val b0 = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
-      val b1 = if (r.payload.length > 1) r.payload(1) & 0xff else 0
+      val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      val cps = text.codePoints().toArray
+      val first8 = new String(cps, 0, math.min(8, cps.length))
       MediaFeatures(
         id = r.id,
         nBytes = r.payload.length.toLong,
-        headerHex = r.payload.take(8).map("%02x".format(_)).mkString,
-        width = 1L + b0 % 64,
-        height = 1L + b1 % 64)
+        headerHex = first8.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map("%02x".format(_)).mkString,
+        width = 1L + (if (cps.nonEmpty) cps(0) % 64 else 0),
+        height = 1L + (if (cps.length > 1) cps(1) % 64 else 0))
     }
 }
 
@@ -64,7 +72,11 @@ object Media {
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
       .as[(Long, String, String, Long)]
       .map { case (id, text, lang, nChars) =>
-        MediaRecord(id, MediaMeta("text/plain", lang, nChars), text.getBytes("UTF-8"))
+        // text is a nullable column: a NULL decodes to null here, and
+        // an empty payload (not an executor NPE) is the right lift
+        val payload =
+          if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+        MediaRecord(id, MediaMeta("text/plain", lang, nChars), payload)
       }
   }
 

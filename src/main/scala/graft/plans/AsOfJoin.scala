@@ -75,6 +75,13 @@ final case class AsOfJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending),
       SortOrder(leftId, Ascending))
 
+  /** The merge preserves the left side's rows and partitioning exactly —
+    * without this override the planner assumes UnknownPartitioning and
+    * re-shuffles a downstream groupBy/join on the same key (r4 review;
+    * the same passthrough SortMergeJoinExec does). */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lk = BindReferences.bindReference(leftKey, left.output)
     val lt = BindReferences.bindReference(leftTs, left.output)
@@ -93,28 +100,52 @@ final case class AsOfJoinExec(
       var heldKey = 0L
       var held: InternalRow = null // latest right row consumed, key == heldKey
 
-      lIter.map { lRow =>
-        val k = lk.eval(lRow).asInstanceOf[Long]
-        val t = lt.eval(lRow).asInstanceOf[Long]
-        val id = li.eval(lRow).asInstanceOf[Long]
-        // consume right rows strictly before (k, t, id)
-        var advance = true
-        while (advance && rBuf.hasNext) {
+      // NULL semantics (r4 review — `null.asInstanceOf[Long]` silently
+      // unboxes to 0L, which made NULL keys join as key 0): a left row
+      // with any NULL (key, ts, id) matches nothing, and right rows
+      // with NULLs are consumed and discarded. The required Sort puts
+      // NULLs FIRST, so null rows cluster at the head of each partition
+      // and the forward-merge invariant survives the skips.
+      def evalOrNull(e: Expression, row: InternalRow): java.lang.Long =
+        e.eval(row).asInstanceOf[java.lang.Long]
+      def dropNullRightHead(): Unit = {
+        var dropping = true
+        while (dropping && rBuf.hasNext) {
           val head = rBuf.head
-          val hk = rk.eval(head).asInstanceOf[Long]
-          val cmp =
-            if (hk != k) hk < k
-            else {
-              val ht = rt.eval(head).asInstanceOf[Long]
-              ht < t || (ht == t && ri.eval(head).asInstanceOf[Long] < id)
-            }
-          if (cmp) {
-            val consumed = rBuf.next()
-            if (hk == k) { held = consumed.copy(); heldKey = k }
-          } else advance = false
+          if (evalOrNull(rk, head) == null || evalOrNull(rt, head) == null
+            || evalOrNull(ri, head) == null) rBuf.next()
+          else dropping = false
         }
-        val matched = held != null && heldKey == k
-        proj(joined(lRow, if (matched) held else nullRight))
+      }
+      lIter.map { lRow =>
+        dropNullRightHead()
+        val kB = evalOrNull(lk, lRow)
+        val tB = evalOrNull(lt, lRow)
+        val idB = evalOrNull(li, lRow)
+        if (kB == null || tB == null || idB == null) {
+          proj(joined(lRow, nullRight))
+        } else {
+          val k = kB.longValue(); val t = tB.longValue(); val id = idB.longValue()
+          // consume right rows strictly before (k, t, id)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = rk.eval(head).asInstanceOf[Long]
+            val cmp =
+              if (hk != k) hk < k
+              else {
+                val ht = rt.eval(head).asInstanceOf[Long]
+                ht < t || (ht == t && ri.eval(head).asInstanceOf[Long] < id)
+              }
+            if (cmp) {
+              val consumed = rBuf.next()
+              if (hk == k) { held = consumed.copy(); heldKey = k }
+              dropNullRightHead()
+            } else advance = false
+          }
+          val matched = held != null && heldKey == k
+          proj(joined(lRow, if (matched) held else nullRight))
+        }
       }
     }
   }
@@ -139,9 +170,17 @@ object AsOfJoin {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val l = leftDf.queryExecution.analyzed
     val r = rightDf.queryExecution.analyzed
-    def a(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
+    def a(p: LogicalPlan, name: String): Attribute = {
+      val attr = p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
+      // fail fast on the driver: the merge exec evaluates these as
+      // Long, so a non-BIGINT column would otherwise surface as a
+      // ClassCastException deep in executor tasks (r4 review)
+      if (attr.dataType != org.apache.spark.sql.types.LongType)
+        throw new IllegalArgumentException(
+          s"asof column $name must be BIGINT, got ${attr.dataType.simpleString}")
+      attr
+    }
     val plan = AsOfJoinPlan(l, r,
       a(l, leftKey), a(l, leftTs), a(l, leftId),
       a(r, rightKey), a(r, rightTs), a(r, rightId))

@@ -34,16 +34,30 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case ArrayAggregate(
             ZipWith(a, b,
-              LambdaFunction(Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+              LambdaFunction(Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, mulMode),
                 Seq(x2: NamedLambdaVariable, y2: NamedLambdaVariable), _)),
             Literal(0L, LongType),
-            LambdaFunction(Add(accRef: NamedLambdaVariable, vRef: NamedLambdaVariable, _),
+            LambdaFunction(Add(accRef: NamedLambdaVariable, vRef: NamedLambdaVariable, addMode),
               Seq(acc2: NamedLambdaVariable, v2: NamedLambdaVariable), _),
             LambdaFunction(finRef: NamedLambdaVariable, Seq(fin2: NamedLambdaVariable), _))
           if isLongArray(a) && isLongArray(b)
             && x1.exprId == x2.exprId && y1.exprId == y2.exprId
             && accRef.exprId == acc2.exprId && vRef.exprId == v2.exprId
-            && finRef.exprId == fin2.exprId =>
-        graft.functions.DotLong(a, b)
+            && finRef.exprId == fin2.exprId
+            // TRY-mode arithmetic (NULL on overflow) is not reproduced
+            // by DotLong — leave those plans untouched. Spark 4 wraps
+            // the mode in NumericEvalContext(evalMode, ...), so compare
+            // the inner evalMode (comparing the context itself to an
+            // EvalMode is always false — the bug this guard had first).
+            && mulMode.evalMode != EvalMode.TRY
+            && addMode.evalMode != EvalMode.TRY =>
+        // carry the matched arithmetic's eval mode: under Spark 4's
+        // default ANSI the HOF throws on 64-bit overflow, so the
+        // replacement must too — a wrapping DotLong would silently
+        // return a wrong sum exactly where ANSI promises an error
+        // (r4 review)
+        graft.functions.DotLong(a, b,
+          ansi = mulMode.evalMode == EvalMode.ANSI
+            || addMode.evalMode == EvalMode.ANSI)
     }
 }

@@ -27,6 +27,32 @@ class AsOfSpec extends SparkSpec {
       (2L, 50L, -1L, null))) // key 2 has no right rows
   }
 
+  test("NULL keys match nothing (not key 0) on either side") {
+    // r4 review: null.asInstanceOf[Long] unboxes to 0L, which made a
+    // NULL key behave as key 0 in the merge. Left NULLs must emit the
+    // unmatched row; right NULLs must never be held as a match.
+    val l = Seq((Some(0L), Some(100L), 10L), (None, Some(100L), 11L),
+        (Some(1L), None, 12L))
+      .toDF("k", "ts", "id")
+    val r = Seq((Some(0L), Some(50L), 1L, "zero"), (None, Some(40L), 2L, "nullk"),
+        (Some(1L), Some(10L), 3L, "one"))
+      .toDF("rk", "rts", "rid", "payload")
+    val got = AsOfJoin.asof(l, r, "k", "ts", "id", "rk", "rts", "rid")
+      .select("id", "payload").collect()
+      .map(row => row.getLong(0) -> Option(row.getString(1))).toMap
+    assert(got(10L).contains("zero"), "key 0 must still match its own prior row")
+    assert(got(11L).isEmpty, "NULL left key must match nothing")
+    assert(got(12L).isEmpty, "NULL left ts must match nothing")
+  }
+
+  test("non-BIGINT asof columns fail fast on the driver") {
+    val l = Seq((1, 100L, 10L)).toDF("k", "ts", "id") // k is INT
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, rgt, "k", "ts", "id", "rk", "rts", "rid")
+    }
+    assert(e.getMessage.contains("must be BIGINT"))
+  }
+
   test("physical plan is the custom exec with co-partitioned sorted children") {
     val df = AsOfJoin.asof(lft, rgt, "k", "ts", "id", "rk", "rts", "rid")
     // executedPlan is wrapped in AdaptiveSparkPlanExec (whose collect

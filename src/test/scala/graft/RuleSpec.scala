@@ -53,4 +53,29 @@ class RuleSpec extends SparkSpec {
         spark.experimental.extraOptimizations.filterNot(_ == RewriteHofDotProduct)
     }
   }
+
+  test("rewritten dot product preserves ANSI overflow behavior") {
+    // r4 review: under Spark 4's default ANSI mode the HOF throws on
+    // 64-bit overflow; the rewrite must not silently wrap instead. The
+    // rule carries the matched evalMode into DotLong(ansi = true).
+    assume(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+    try {
+      val big = spark.sql(
+        s"SELECT array(${Long.MaxValue}L) AS a, array(2L) AS b")
+      val df = big.select(expr(hof).as("dot"))
+      assert(df.queryExecution.optimizedPlan.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.DotLong])), "rewrite did not fire")
+      val e = intercept[Throwable](df.collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(c => Option(c.getMessage).exists(
+        _.toLowerCase.contains("overflow"))),
+        s"expected long-overflow error, got: $e")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RewriteHofDotProduct)
+    }
+  }
 }
