@@ -25,7 +25,10 @@ case class TokenizePos(child: Expression)
     val v = child.eval(input)
     if (v == null) Nil
     else {
-      val toks = v.asInstanceOf[UTF8String].toString.split(" ")
+      // limit -1: Java's default split DROPS trailing empty tokens,
+    // which Spark's split()/DuckDB's string_split keep — the scaladoc
+    // equivalence claim was false for trailing-space text (r4 review)
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
       toks.iterator.zipWithIndex.map { case (t, i) =>
         InternalRow(UTF8String.fromString(t), i)
       }

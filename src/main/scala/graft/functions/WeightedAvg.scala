@@ -18,7 +18,11 @@ object WeightedAvg extends Aggregator[(Long, Long), (Long, Long), Long] {
   def merge(b1: (Long, Long), b2: (Long, Long)): (Long, Long) =
     (b1._1 + b2._1, b1._2 + b2._2)
   def finish(r: (Long, Long)): Long =
-    if (r._2 == 0L) 0L else (2 * r._1 + r._2) / (2 * r._2)
+    // BigInt: 2*sum halved the documented 9.2e18 headroom and wrapped
+    // where the DuckDB oracle (HUGEINT) kept going (r4 review); the
+    // widening runs once per GROUP, not per row — free
+    if (r._2 == 0L) 0L
+    else ((2 * BigInt(r._1) + r._2) / (2 * BigInt(r._2))).toLong
   def bufferEncoder: Encoder[(Long, Long)] =
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
   def outputEncoder: Encoder[Long] = Encoders.scalaLong

@@ -39,8 +39,12 @@ object Generators {
       |  COUNT(*) AS n
       |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
   ) { (s, dir) =>
-    val priceBand = udf((p: Double) =>
-      if (p < 100000) "low" else if (p < 300000) "mid" else "high")
+    // java.lang.Double, not Double: a primitive-typed udf makes Spark
+    // emit NULL for NULL input, but the oracle's CASE falls through to
+    // ELSE 'high' (NULL < x is NULL, not true) — match that (r4 review)
+    val priceBand = udf((p: java.lang.Double) =>
+      if (p == null) "high"
+      else if (p < 100000) "low" else if (p < 300000) "mid" else "high")
     s.udf.register("price_band", priceBand)
     orders(s, dir)
       .select(call_udf("price_band", col("o_totalprice")).as("band"))
@@ -95,6 +99,7 @@ object Generators {
     val b = events(s, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"), sum(micro(col("value"))).as("sum_value_micro"))
+      .persist() // read twice: grid bounds and the join probe (r4 review)
     val g = b.groupBy("event_type").agg(min("h").as("mn"), max("h").as("mx"))
       .select(col("event_type"),
         explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))

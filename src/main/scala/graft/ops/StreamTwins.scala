@@ -30,7 +30,7 @@ object StreamTwins {
 
   /** H2 — sliding windows: 1 hour long, every 15 minutes. The oracle
     * expands each event into its 4 covering windows explicitly. */
-  val streamSlidingAvg: Q = Q(
+  val streamSlidingCounts: Q = Q(
     "stream_sliding_counts",
     """SELECT ((epoch_us(ts) // 1000000) // 900) * 900 - o AS ws_s,
       |  COUNT(*) AS n
@@ -74,18 +74,16 @@ object StreamTwins {
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
-    events(s, dir)
-      .withColumn("ts_us", unix_micros(col("ts")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("user_id", "event_type", "event_id", "ts_us")
+    // the SAME code path the streaming side runs (dedupFirst's batch
+    // branch is the deterministic first-by-(ts, event_id) window) — a
+    // previous inline copy here let the oracle go stale against the
+    // shared operator (r4 review)
+    graft.stream.StreamOps.dedupFirst(events(s, dir))
       .orderBy("user_id", "event_type")
   }
 
   /** H5 — per-user running event count (the Aerospike-counter analog;
-    * streaming twin: mapGroupsWithState in graft.stream.Stages). */
+    * streaming twin: mapGroupsWithState in graft.stream.StreamOps). */
   val streamStatefulCounter: Q = Q(
     "stream_stateful_counter",
     """SELECT user_id, event_id,
@@ -125,6 +123,6 @@ object StreamTwins {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(streamTumblingCounts, streamSlidingAvg,
+  def all: Seq[Q] = Seq(streamTumblingCounts, streamSlidingCounts,
     streamSessionWindows, streamDedup, streamStatefulCounter, streamNearDup)
 }

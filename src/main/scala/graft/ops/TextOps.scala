@@ -189,6 +189,7 @@ object TextOps {
         "transform(sequence(0, size(toks)-4), i -> concat_ws(' ', slice(toks, i+1, 4)))"))
         .as("gram"))
       .distinct()
+      .persist() // the corpus-wide tokenize+distinct feeds BOTH sides (r4 review)
     val bench = g.where(col("doc_id") % 53 === 0).select("gram").distinct()
     g.where(col("doc_id") % 53 =!= 0)
       .join(broadcast(bench), "gram")

@@ -99,8 +99,13 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
           var k = state.getOption.getOrElse(0L)
+          // order by MICROseconds: getTime truncates to ms, which
+          // diverged from the batch twin's unix_micros ordering for
+          // same-millisecond events (r4 review)
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           val out = evs.toSeq
-            .sortBy(e => (e.ts.getTime, e.event_id))
+            .sortBy(e => (micros(e.ts), e.event_id))
             .map { e => k += 1; Counted(user, e.event_id, k) }
           state.update(k)
           out.iterator

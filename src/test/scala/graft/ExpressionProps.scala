@@ -121,6 +121,23 @@ object ExpressionProps extends Properties("graft.expressions") {
         }
     }
 
+  property("tokenize_pos keeps trailing empty tokens (split limit -1)") =
+    Prop.forAll(Gen.listOf(Gen.identifier.map(_.take(6)))) { (toks: List[String]) =>
+      val text = toks.mkString(" ") + " " // trailing space → trailing empty token
+      val rows = graft.functions.TokenizePos(
+        Literal.create(UTF8String.fromString(text), StringType))
+        .eval(null).asInstanceOf[IterableOnce[org.apache.spark.sql.catalyst.InternalRow]]
+      // split(' ') semantics both engines share: n separators → n+1 tokens
+      rows.iterator.size == text.count(_ == ' ') + 1
+    }
+
+  property("weighted-avg finish: no overflow at the documented headroom") =
+    Prop.forAll(Gen.chooseNum(1L, Long.MaxValue / 2),
+      Gen.chooseNum(1L, 1000000L)) { (sum: Long, n: Long) =>
+        val got = graft.functions.WeightedAvg.finish((sum, n))
+        got == ((2 * BigInt(sum) + n) / (2 * BigInt(n))).toLong && got >= 0
+    }
+
   property("misra-gries: merge keeps every item with freq > n/k") =
     Prop.forAll(
       Gen.listOfN(300, Gen.oneOf("hot1", "hot1", "hot1", "hot2", "hot2", "c1", "c2",
