@@ -551,7 +551,12 @@ object DedupOps {
       val r = df.agg(sum(col("label"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    var prevSum = labelSum(labels)
+    // prevSum starts at an impossible sentinel instead of paying an
+    // upfront labelSum action over the init labels: round 1's sum can
+    // never equal -1, so the only cost is one extra round in the
+    // (never-seen) case of an input that is already converged — and
+    // the saving is one full aggregate per connectedComponents call.
+    var prevSum = -1L
     var rounds = 0
     var done = false
     while (!done && rounds < 50) {
