@@ -35,10 +35,11 @@ object Bench {
     // that only their own action should reuse; release them after each
     // timed run so no query inherits (or re-warns about) another's cache
     // and the suite holds zero net cached entries between queries.
+    val fns = selected.toMap
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir).count()
+        fns(name)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
       finally spark.catalog.clearCache()

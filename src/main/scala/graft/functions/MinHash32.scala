@@ -9,13 +9,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 /** Native Catalyst expression: 32 MinHash values of a token array —
   * element i is min over tokens of XXH64(token bytes, seed = i).
   *
-  * Replaces `transform(sequence(0,31), i -> array_min(transform(toks,
-  * t -> xxhash64(t, i))))`: the interpreted HOF pair costs ~1k boxed
-  * lambda evaluations per document (measured 12-18 s over the bench
-  * corpus); this is one JVM-compiled loop per document hashing each
-  * token's bytes 32 times with zero allocation beyond the result array.
-  * CodegenFallback is fine — the per-document inner loop dominates, not
-  * the single virtual eval call. */
+  * NOT value-equivalent to any xxhash64 SQL spelling (r4 review):
+  * Spark's `xxhash64(t, i)` hashes (t, i) as TWO columns under fixed
+  * seed 42 — it does not use i as the seed — so no SQL twin produces
+  * these values. That is fine for every consumer here (LSH banding is
+  * value-agnostic; batch and stream probe with this same expression),
+  * but do not write a cross-engine oracle from an xxhash64 spelling.
+  * Why native: the interpreted HOF alternative costs ~1k boxed lambda
+  * evaluations per document (measured 12-18 s over the bench corpus);
+  * this is one JVM-compiled loop hashing each token's bytes 32 times
+  * with zero allocation beyond the result array. CodegenFallback is
+  * fine — the per-document inner loop dominates, not the single
+  * virtual eval call. */
 case class MinHash32(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -26,6 +31,9 @@ case class MinHash32(child: Expression)
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash32"
+  // NULL for an array containing a NULL element (r4 review: the
+  // unchecked path NPE'd or silently hashed the null slot)
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
@@ -33,6 +41,7 @@ case class MinHash32(child: Expression)
     val mins = Array.fill(32)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      if (toks.isNullAt(i)) return null
       val t = toks.getUTF8String(i)
       var s = 0
       while (s < 32) {

@@ -22,6 +22,7 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60"
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
@@ -29,6 +30,9 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](60)
     var i = 0
     while (i < n) {
+      // NULL element → NULL signature (r4 review: getLong on a null
+      // slot reads undefined data on the unsafe path)
+      if (xs.isNullAt(i)) return null
       val h = xs.getLong(i)
       var b = 0
       while (b < 60) {

@@ -3,12 +3,11 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** G3 — the true UDTF surface: a Catalyst Generator emitting one
-  * (tok, pos) row per whitespace token of the input string, usable via
+  * (tok, pos) row per single-space token of the input string, usable via
   * `LATERAL VIEW tokenize_pos(text) t AS tok, pos`. Equivalent to
   * posexplode(split(...)) but demonstrates the custom-Generator
   * extension point (custom 1→N operators that explode/inline can't

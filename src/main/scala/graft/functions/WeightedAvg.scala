@@ -17,6 +17,9 @@ object WeightedAvg extends Aggregator[(Long, Long), (Long, Long), Long] {
     (b._1 + a._1, b._2 + a._2)
   def merge(b1: (Long, Long), b2: (Long, Long)): (Long, Long) =
     (b1._1 + b2._1, b1._2 + b2._2)
+  // r._2 == 0 covers the empty-group call Spark can make AND any group
+  // whose weights sum to zero — the latter is undefined (the SQL twin
+  // would divide by zero); callers weight by positive quantities.
   def finish(r: (Long, Long)): Long =
     // BigInt: 2*sum halved the documented 9.2e18 headroom and wrapped
     // where the DuckDB oracle (HUGEINT) kept going (r4 review); the
