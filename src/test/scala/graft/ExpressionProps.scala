@@ -138,6 +138,32 @@ object ExpressionProps extends Properties("graft.expressions") {
         got == ((2 * BigInt(sum) + n) / (2 * BigInt(n))).toLong && got >= 0
     }
 
+  property("minhash32/simhash60: NULL element => NULL signature") =
+    Prop.forAll(Gen.chooseNum(0, 5)) { (at: Int) =>
+      val toks: Array[Any] = Array.fill[Any](6)(UTF8String.fromString("t"))
+      toks(at) = null
+      val mh = MinHash32(Literal.create(
+        new GenericArrayData(toks), ArrayType(StringType))).eval(null)
+      val hs: Array[Any] = Array.fill[Any](6)(7L)
+      hs(at) = null
+      val sh = SimHash60(Literal.create(
+        new GenericArrayData(hs), ArrayType(LongType))).eval(null)
+      mh == null && sh == null
+    }
+
+  property("vector-centroid: ragged input throws, uniform input averages") =
+    Prop.forAll(Gen.chooseNum(2, 8), Gen.chooseNum(1L, 1000L)) { (dims: Int, v: Long) =>
+      val vc = graft.functions.VectorCentroid
+      val ok = vc.finish(vc.reduce(vc.reduce(vc.zero, Array.fill(dims)(v)),
+        Array.fill(dims)(3 * v)))
+      val raggedThrows =
+        try { vc.reduce(vc.reduce(vc.zero, Array.fill(dims)(v)),
+          Array.fill(dims + 1)(v)); false }
+        catch { case _: IllegalArgumentException => true }
+      ok.toSeq == Seq.fill(dims)(2 * v) && raggedThrows &&
+        vc.reduce(vc.zero, null)._2 == 0L // NULL array contributes nothing
+    }
+
   property("misra-gries: merge keeps every item with freq > n/k") =
     Prop.forAll(
       Gen.listOfN(300, Gen.oneOf("hot1", "hot1", "hot1", "hot2", "hot2", "c1", "c2",
