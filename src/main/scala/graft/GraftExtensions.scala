@@ -15,10 +15,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    graft.functions.GraftFunctions.all.foreach { case (name, builder) =>
+    graft.functions.GraftFunctions.all.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        // the expression's own class, not this wiring class — DESCRIBE
+        // FUNCTION metadata regressed when the shared list dropped the
+        // per-expression names (r4 review)
+        new ExpressionInfo(cls.getName, name),
         builder))
     }
   }

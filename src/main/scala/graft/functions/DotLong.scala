@@ -102,20 +102,33 @@ object GraftFunctions {
     * inter_count_sorted missing from the production wiring, caught in
     * the r4 review) and a shared list makes that class of bug
     * impossible. */
-  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_long" -> (exprs => DotLong(exprs(0), exprs(1))),
-    "tokenize_pos" -> (exprs => TokenizePos(exprs.head)),
-    "simhash60" -> (exprs => SimHash60(exprs.head)),
-    "minhash32" -> (exprs => MinHash32(exprs.head)),
-    "inter_count_sorted" -> (exprs => InterCountSorted(exprs(0), exprs(1))),
-    "bloom_contains" -> (exprs => BloomContains(exprs(0), exprs(1))),
-    "cm_estimate" -> (exprs => CmEstimate(exprs(0), exprs(1))))
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    // dot_long honors the session's ANSI mode at build time (r4 review:
+    // a user-facing wrapping dot product next to a throwing HOF spelling
+    // of the same sum is a silent-wrong-answer trap); graft's internal
+    // callers construct DotLong directly with ansi=false for their
+    // proven-bounded scaled integers
+    ("dot_long", classOf[DotLong], (exprs: Seq[Expression]) =>
+      DotLong(exprs(0), exprs(1),
+        ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)),
+    ("tokenize_pos", classOf[TokenizePos],
+      (exprs: Seq[Expression]) => TokenizePos(exprs.head)),
+    ("simhash60", classOf[SimHash60],
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)),
+    ("minhash32", classOf[MinHash32],
+      (exprs: Seq[Expression]) => MinHash32(exprs.head)),
+    ("inter_count_sorted", classOf[InterCountSorted],
+      (exprs: Seq[Expression]) => InterCountSorted(exprs(0), exprs(1))),
+    ("bloom_contains", classOf[BloomContains],
+      (exprs: Seq[Expression]) => BloomContains(exprs(0), exprs(1))),
+    ("cm_estimate", classOf[CmEstimate],
+      (exprs: Seq[Expression]) => CmEstimate(exprs(0), exprs(1))))
 
   /** Register graft's native expressions in a session's function
     * registry (idempotent; called by every query that uses them, and by
     * GraftExtensions for spark.sql.extensions wiring). */
   def register(spark: SparkSession): Unit =
-    all.foreach { case (name, builder) =>
+    all.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }

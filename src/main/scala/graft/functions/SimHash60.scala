@@ -62,16 +62,19 @@ case class SimHash60(child: Expression) extends UnaryExpression {
          |int $n = $xs.numElements();
          |int[] $counts = new int[60];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($xs.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  long $h = $xs.getLong($i);
          |  for (int $b = 0; $b < 60; $b++) {
          |    if ((($h >> $b) & 1L) == 1L) $counts[$b]++;
          |  }
          |}
-         |long $sig = 0L;
-         |for (int $b = 0; $b < 60; $b++) {
-         |  if (2 * $counts[$b] > $n) $sig |= (1L << $b);
+         |if (!${ev.isNull}) {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    if (2 * $counts[$b] > $n) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
          |}
-         |${ev.value} = $sig;
        """.stripMargin
     })
 

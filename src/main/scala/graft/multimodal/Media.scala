@@ -70,13 +70,13 @@ object Media {
     import spark.implicits._
     graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("text").isNotNull)
       .as[(Long, String, String, Long)]
       .map { case (id, text, lang, nChars) =>
-        // text is a nullable column: a NULL decodes to null here, and
-        // an empty payload (not an executor NPE) is the right lift
-        val payload =
-          if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
-        MediaRecord(id, MediaMeta("text/plain", lang, nChars), payload)
+        // NULL text rows are DROPPED, matching llm_media_features'
+        // WHERE text IS NOT NULL — a zero-filled MediaFeatures row
+        // would diverge from the SQL twin's NULL propagation
+        MediaRecord(id, MediaMeta("text/plain", lang, nChars), text.getBytes("UTF-8"))
       }
   }
 

@@ -17,9 +17,13 @@ object MediaOps {
       |  lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
       |  1 + ascii(substr(text, 1, 1)) % 64 AS width,
       |  1 + ascii(substr(text, 2, 1)) % 64 AS height
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
+    // NULL text is excluded on BOTH surfaces: a typed MediaFeatures row
+    // cannot represent NULL features, so the consistent contract is
+    // that null-payload records are dropped, not zero-filled
     documents(s, dir)
+      .where(col("text").isNotNull)
       .select(col("doc_id"), lit("text/plain").as("media_type"),
         octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"),
         lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("header_hex"),

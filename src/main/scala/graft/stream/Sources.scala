@@ -68,8 +68,14 @@ object Sinks {
   def kafka(df: DataFrame, bootstrap: String, defaultTopic: String,
       checkpoint: String): DataStreamWriter[Row] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    df.withColumn("topic", coalesce(col("topic"), lit(defaultTopic)))
-      .writeStream
+    // frames WITHOUT a topic column route wholly to the default — the
+    // per-row coalesce fix must not break the topicless capability the
+    // defaultTopic parameter exists for (second r4 review pass)
+    val routed =
+      if (df.columns.contains("topic"))
+        df.withColumn("topic", coalesce(col("topic"), lit(defaultTopic)))
+      else df.withColumn("topic", lit(defaultTopic))
+    routed.writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("checkpointLocation", checkpoint)
