@@ -31,15 +31,16 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }.toSeq
-    // Cache lifecycle (r3 VERDICT item 3): builds persist() intermediates
-    // that only their own action should reuse; release them after each
-    // timed run so no query inherits (or re-warns about) another's cache
-    // and the suite holds zero net cached entries between queries.
+    // Cache lifecycle: Q.withCached releases each build's own cached
+    // intermediates when its action finishes (the r5 library-level
+    // lifecycle); clearCache stays as belt-and-braces so no query
+    // inherits (or re-warns about) another's cache even if a build
+    // persists outside the Q.cached registry.
     val fns = selected.toMap
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        fns(name)(spark, sfDir).count()
+        graft.ops.Q.withCached(fns(name)(spark, sfDir))(_.count())
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
       finally spark.catalog.clearCache()

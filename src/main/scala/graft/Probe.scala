@@ -98,6 +98,27 @@ object Probe {
       t = tick("join full-cond", t)
       spark.stop(); return
     }
+    if (key == "micro_cc2") {
+      // r5 shape: contraction -> LSH pairs -> CC over paired reps only,
+      // with the per-round tick exposing round count and per-round cost
+      graft.functions.GraftFunctions.register(spark)
+      import org.apache.spark.sql.functions._
+      Tables.documents(spark, sf).count()
+      t = tick("warm docs", t)
+      var tv = System.nanoTime()
+      val (tagged, repDocs) =
+        graft.ops.DedupOps.tsContraction(Tables.documents(spark, sf))
+      val cc = graft.ops.DedupOps.connectedComponentsOfEdges(
+        graft.ops.DedupOps.lshVerifiedPairs(repDocs),
+        tag => { tv = tick(tag, tv) })
+      println("[probe] cc rows (paired reps): " + cc.count())
+      tv = tick("cc count", tv)
+      val labels = graft.ops.DedupOps.componentLabels(
+        tagged, graft.ops.DedupOps.lshVerifiedPairs(repDocs))
+      println("[probe] label rows: " + labels.count())
+      tick("cc total", t)
+      spark.stop(); return
+    }
     if (key == "micro_cc") {
       // per-phase cost of llm_dedup_clusters: pair build, then the real
       // connectedComponents loop with its per-round tick callback

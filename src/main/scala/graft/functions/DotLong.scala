@@ -52,8 +52,14 @@ case class DotLong(left: Expression, right: Expression,
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       // ansi=true: throw on 64-bit overflow like the ANSI-mode HOF this
       // expression may replace (RewriteHofDotProduct passes the matched
-      // evalMode); default wraps, for the proven-bounded internal uses
-      if (ansi) acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      // evalMode); default wraps, for the proven-bounded internal uses.
+      // MathUtils (not java.lang.Math): the replaced HOF raises
+      // SparkArithmeticException with the ARITHMETIC_OVERFLOW error class
+      // — callers matching on Spark error classes must see no difference
+      // (r4 advice).
+      if (ansi) acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(
+        acc, org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact(
+          x.getLong(i), y.getLong(i)))
       else acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -65,10 +71,13 @@ case class DotLong(left: Expression, right: Expression,
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // MathUtils, not java.lang.Math: same ARITHMETIC_OVERFLOW error
+      // class as the ANSI HOF this expression replaces (r4 advice)
+      val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
       val step =
         if (ansi)
-          s"$acc = java.lang.Math.addExact($acc, " +
-            s"java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+          s"$acc = $mu.addExact($acc, " +
+            s"$mu.multiplyExact($a.getLong($i), $b.getLong($i)));"
         else s"$acc += $a.getLong($i) * $b.getLong($i);"
       s"""
          |int $n = $a.numElements();

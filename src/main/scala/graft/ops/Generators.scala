@@ -96,10 +96,10 @@ object Generators {
       |FROM g LEFT JOIN b USING (event_type, h)
       |ORDER BY event_type, h""".stripMargin
   ) { (s, dir) =>
-    val b = events(s, dir)
+    val b = Q.cached(events(s, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"), sum(micro(col("value"))).as("sum_value_micro"))
-      .persist() // read twice: grid bounds and the join probe (r4 review)
+    ) // read twice: grid bounds and the join probe (r4 review)
     val g = b.groupBy("event_type").agg(min("h").as("mn"), max("h").as("mx"))
       .select(col("event_type"),
         explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))

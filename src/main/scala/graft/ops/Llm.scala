@@ -104,9 +104,8 @@ object Llm {
     val s = docs.sparkSession
     graft.functions.GraftFunctions.register(s)
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val sets = docs
-      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("ts"))
-      .persist()
+    val sets = Q.cached(docs
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("ts")))
     val a = sets.repartition(nPart, col("doc_id"))
       .select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))
@@ -149,12 +148,12 @@ object Llm {
     val hp = s.range(32).select(col("id").cast("int").as("h"))
       .withColumn("w", expr(
         "transform(sequence(0, 63), d -> cast(pmod(xxhash64(h * 64 + d), 1001) - 500 as bigint))"))
-    emb.crossJoin(broadcast(hp))
+    Q.cached(emb.crossJoin(broadcast(hp))
       .withColumn("bit", (expr("dot_long(w, e)") > 0).cast("bigint"))
       .withColumn("t", expr("h div 4"))
       .groupBy("vec_id", "t")
       .agg(sum(expr("shiftleft(bit, h % 4)")).as("bucket"))
-      .persist() // the sign-bucket index, probed by both join sides
+    ) // the sign-bucket index, probed by both join sides
   }
 
   /** Scaled-integer embedding table shared by I3/I4: e = round(x·1e7) as
@@ -271,7 +270,7 @@ object Llm {
     * is the same dot_long codegen loop. */
   val llmAnnLsh: Q = Q.noOracle("llm_ann_lsh") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val emb = scaledEmb(s, dir).persist()
+    val emb = Q.cached(scaledEmb(s, dir))
     val sigs = signBuckets(emb)
     // multiprobe: the exact bucket + all 4 Hamming-distance-1 buckets
     val qs = sigs.where(col("vec_id") < 10)
@@ -313,7 +312,7 @@ object Llm {
     * check lives in LlmSpec. */
   val llmAnnIvf: Q = Q.noOracle("llm_ann_ivf") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val emb = scaledEmb(s, dir).persist()
+    val emb = Q.cached(scaledEmb(s, dir))
 
     // nearest-centroid assignment (L2 via exact integer dots), reused by
     // the k-means step, the final assignment, and the query probes
@@ -344,10 +343,9 @@ object Llm {
       .transform(centroidsOf)
     val assign0 = nearest(emb, cents0, 1)
       .select(col("vec_id"), col("c_label").as("list_id"), col("e"))
-    val cents = centroidsOf(assign0).persist()
-    val assigned = nearest(emb, cents, 1)
-      .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2"))
-      .persist()
+    val cents = Q.cached(centroidsOf(assign0))
+    val assigned = Q.cached(nearest(emb, cents, 1)
+      .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2")))
     // queries probe their nprobe=6 nearest lists
     val probes = nearest(emb.where(col("vec_id") < 10), cents, 6)
       .select(col("vec_id").as("query_id"), col("c_label").as("list_id"),
@@ -370,9 +368,13 @@ object Llm {
     * codes = floor(x·127/maxabs). Determinism: both engines widen the
     * parquet float32 to double (exact), multiply and divide in IEEE
     * double in the same order, and floor exactly — no rounding-mode
-    * drift, pinned by explicit CASTs on both surfaces. Codes serialize
-    * to a comma string (the driver checker cannot sort array cells);
-    * zero vectors quantize to all-zero codes. Narrow per-row scan. */
+    * drift, pinned by explicit CASTs on both surfaces. The final
+    * greatest(-127, ·) clamp (same on both surfaces) makes the int8
+    * bound UNCONDITIONAL: at x = -maxabs the rounded product x·127
+    * divided by maxabs can land one ulp below -127 and floor to -128
+    * (r4 advice). Codes serialize to a comma string (the driver checker
+    * cannot sort array cells); zero vectors quantize to all-zero codes.
+    * Narrow per-row scan. */
   val llmEmbeddingQuantize: Q = Q(
     "llm_embedding_quantize",
     """WITH m AS (SELECT vec_id, label, embedding,
@@ -381,7 +383,7 @@ object Llm {
       |SELECT vec_id, label, CAST(maxabs AS DOUBLE) AS maxabs,
       |  array_to_string(list_transform(embedding,
       |    x -> CAST(CASE WHEN maxabs = 0 THEN 0
-      |              ELSE floor(CAST(x AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE)) END AS INT)),
+      |              ELSE greatest(-127.0, floor(CAST(x AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE))) END AS INT)),
       |    ',') AS codes
       |FROM m ORDER BY vec_id""".stripMargin
   ) { (s, dir) =>
@@ -390,7 +392,7 @@ object Llm {
       .select(col("vec_id"), col("label"), col("maxabs").cast("double").as("maxabs"),
         expr("""concat_ws(',', transform(embedding,
                  x -> cast(case when maxabs = 0 then 0
-                           else floor(cast(x as double) * 127.0 / cast(maxabs as double)) end as int)))""")
+                           else greatest(-127.0d, floor(cast(x as double) * 127.0 / cast(maxabs as double))) end as int)))""")
           .as("codes"))
       .orderBy("vec_id")
   }

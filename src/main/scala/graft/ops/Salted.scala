@@ -30,13 +30,23 @@ object Salted {
   private def rowSalt(df: DataFrame, buckets: Int): Column =
     pmod(xxhash64(df.columns.map(col): _*), lit(buckets))
 
+  /** Fail fast instead of silently clobbering a caller's own `__salt`
+    * column (withColumn would replace it and drop would erase it from
+    * the result — data corruption, not an error; r4 advice). */
+  private def requireNoSalt(df: DataFrame, who: String): Unit =
+    require(!df.columns.contains("__salt"),
+      s"$who: input already has a '__salt' column; rename it first " +
+        "(the helper would silently overwrite and then drop it)")
+
   def sumByKey(df: DataFrame, keyCol: String, valueCol: Column,
-      buckets: Int = 16): DataFrame =
+      buckets: Int = 16): DataFrame = {
+    requireNoSalt(df, "Salted.sumByKey")
     df.withColumn("__salt", rowSalt(df, buckets))
       .groupBy(col(keyCol), col("__salt"))
       .agg(sum(valueCol).as("__partial"), count(lit(1)).as("__pcnt"))
       .groupBy(col(keyCol))
       .agg(sum(col("__partial")).as("sum_value"), sum(col("__pcnt")).as("n"))
+  }
 
   /** Skew-mitigation for JOINS: salt the big (skewed) side into
     * `buckets` sub-keys and replicate the small side once per bucket,
@@ -49,6 +59,8 @@ object Salted {
     * the plain join. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, buckets: Int = 8): DataFrame = {
+    requireNoSalt(big, "Salted.saltedEquiJoin(big)")
+    requireNoSalt(small, "Salted.saltedEquiJoin(small)")
     val saltedBig = big.withColumn("__salt", rowSalt(big, buckets))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))

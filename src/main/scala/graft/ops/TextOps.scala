@@ -164,12 +164,20 @@ object TextOps {
   /** Benchmark decontamination — the other half of dedup in a training
     * pipeline: flag corpus docs sharing any word-4-gram with a held-out
     * benchmark set (here the deterministic doc_id%53 slice; a real run
-    * joins against the eval suites). Shape: inverted-index join keyed by
-    * the gram. The benchmark side is small BY CONSTRUCTION (eval suites
-    * are KBs-MBs while the corpus is TBs), so it is distinct-ed and
-    * broadcast; the corpus side streams through map-side — no corpus
-    * shuffle at all. If the benchmark ever outgrew broadcast, drop the
-    * hint and both sides hash-partition on gram. */
+    * joins against the eval suites). Shape: the benchmark side is small
+    * BY CONSTRUCTION (eval suites are KBs-MBs while the corpus is TBs),
+    * so its distinct grams broadcast; corpus grams probe that broadcast
+    * IN THE SCAN STAGE — raw, no per-doc dedup first — and only the
+    * matching (doc_id, gram) rows reach the one distinct exchange the
+    * per-doc n_shared count needs. Until r5 the corpus-wide
+    * (doc_id, gram) distinct ran BEFORE the probe — a full shuffle of
+    * every gram in the corpus, exactly what this scaladoc used to
+    * disclaim (r4 verdict item 3); the bloom twin
+    * (llm_bloom_decontaminate) always had the right order and is the
+    * scale path when even the benchmark's exact gram set outgrows a
+    * broadcast hash join. Duplicate grams within a doc probe the
+    * broadcast more than once — map-side, a hash lookup each — which is
+    * far cheaper than exchanging the corpus to dedup them up front. */
   val llmDecontaminate: Q = Q(
     "llm_decontaminate",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -182,17 +190,24 @@ object TextOps {
       |FROM g JOIN bench USING (gram) WHERE g.doc_id % 53 <> 0
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   ) { (s, dir) =>
-    val g = documents(s, dir)
+    def grams(docs: org.apache.spark.sql.DataFrame) = docs
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 4)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-4), i -> concat_ws(' ', slice(toks, i+1, 4)))"))
         .as("gram"))
-      .distinct()
-      .persist() // the corpus-wide tokenize+distinct feeds BOTH sides (r4 review)
-    val bench = g.where(col("doc_id") % 53 === 0).select("gram").distinct()
-    g.where(col("doc_id") % 53 =!= 0)
+    val docs = documents(s, dir)
+    // benchmark side: distinct over the SLICE only (a shuffle of the
+    // small side, by construction), then broadcast
+    val bench = grams(docs.where(col("doc_id") % 53 === 0))
+      .select("gram").distinct()
+    // corpus side: raw grams probe the broadcast before ANY exchange;
+    // the (doc_id, gram) distinct that n_shared's semantics need runs
+    // over candidates only — the same probe-then-shuffle order as the
+    // bloom twin (r4 verdict item 3)
+    grams(docs.where(col("doc_id") % 53 =!= 0))
       .join(broadcast(bench), "gram")
+      .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
@@ -467,13 +482,13 @@ object TextOps {
       .withColumn("gram_hash",
         expr("cast(conv(substring(sha2(gram, 256), 1, 15), 16, 10) as bigint)"))
     // the benchmark side is read twice (bloom build + exact verify) and
-    // is small by construction — persist its distinct grams so the
+    // is small by construction — cache its distinct grams so the
     // corpus-wide tokenize/sha2 lineage isn't re-run per consumer; the
-    // corpus side stays single-pass and is never persisted
-    // (released by the harness's per-query clearCache, the repo-wide
-    // cache-lifecycle policy from the r3 verdict)
-    val benchGrams = raw.where(col("doc_id") % 53 === 0)
-      .select("gram", "gram_hash").distinct().persist()
+    // corpus side stays single-pass and is never persisted. Q.cached:
+    // released by the enclosing withCached scope (or the harness's
+    // clearCache outside one) — the r5 cache-lifecycle policy.
+    val benchGrams = Q.cached(raw.where(col("doc_id") % 53 === 0)
+      .select("gram", "gram_hash").distinct())
     val bloom = benchGrams.agg(bloomAgg(col("gram_hash")).as("bits"))
     raw.where(col("doc_id") % 53 =!= 0)
       .crossJoin(broadcast(bloom))

@@ -51,9 +51,24 @@ object StreamOps {
         col("n_events"))
 
   /** H4 — streaming dedup: first arrival per (user_id, event_type) wins.
-    * Equals the batch row_number()=1 twin when events arrive in
-    * (ts, event_id) order. With a watermark the state for old keys is
-    * evicted (dropDuplicatesWithinWatermark). */
+    * With a watermark the state for old keys is evicted
+    * (dropDuplicatesWithinWatermark).
+    *
+    * TRANSPORT CONTRACT (r4 advice — this is a requirement, not a
+    * footnote): the streaming branch keeps the first ARRIVAL per key;
+    * it equals the batch twin's first-by-(ts_us, event_id) winner ONLY
+    * when the transport delivers each key's events in event order —
+    * i.e. all events of one (user_id, event_type) flow through one
+    * ordered partition (Kafka keyed by user_id gives exactly this; the
+    * MemoryStream proof in StreamingSpec feeds in order). If a key's
+    * events are spread across partitions, arrival order is not event
+    * order and the streaming winner may differ from the batch/oracle
+    * winner — wire the source keyed-by-user or accept arrival-order
+    * semantics. An order-insensitive exact variant would hold the
+    * min-(ts_us, event_id) row per key in flatMapGroupsWithState and
+    * emit on watermark expiry; that trades the built-in state eviction
+    * and per-event emission for exactness and is deliberately not the
+    * default. */
   def dedupFirst(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val base = wm(events, watermark)
       .select(col("user_id"), col("event_type"), col("event_id"),
@@ -142,15 +157,17 @@ object StreamOps {
     // lshVerifiedPairs): minhash32 is order-independent, so the sorted
     // verify array also feeds the signature — one persisted frame
     // derives both the band index and the verify sets.
-    val refSets = repDocs
+    // Q.cached: inside a withCached scope (the batch twin) these release
+    // with the query; in a long-lived streaming query they are the
+    // static index and SHOULD live as long as the query does — outside
+    // a scope cached() is a plain persist().
+    val refSets = graft.ops.Q.cached(repDocs
       .select(col("doc_id").as("ref_id"),
-        expr("array_sort(array_distinct(split(text, ' ')))").as("ref_toks"))
-      .persist()
-    val idx = refSets
+        expr("array_sort(array_distinct(split(text, ' ')))").as("ref_toks")))
+    val idx = graft.ops.Q.cached(refSets
       .withColumn("mhs", expr("minhash32(ref_toks)"))
       .select(col("ref_id"), posexplode(expr(graft.ops.DedupOps.minhashBandExpr))
-        .as(Seq("band", "bh")))
-      .persist()
+        .as(Seq("band", "bh"))))
     // incoming docs: band with the same expressions, carrying the token
     // array through the explode (no stream-stream join anywhere). A
     // probe pair colliding in k bands is verified k≤4 times — the
@@ -212,8 +229,13 @@ object StreamOps {
     private val mg = new graft.functions.MisraGries(k)
     @volatile private var buf: Map[String, Long] = mg.zero
 
-    /** Fold one micro-batch (a frame with a `term` string column). */
-    def absorb(batch: DataFrame): Unit = {
+    /** Fold one micro-batch (a frame with a `term` string column).
+      * `synchronized`: the read-modify-write of `buf` must be atomic if
+      * two streaming queries ever share one accumulator — foreachBatch
+      * serializes invocations WITHIN a query, not across queries, and a
+      * lost merge is silent under-counting (r4 advice). The merge is
+      * O(k); contention is negligible next to the batch aggregate. */
+    def absorb(batch: DataFrame): Unit = synchronized {
       // two actions run over the batch (sketch, then candidate
       // re-count) — persist so the micro-batch source is read once
       // (the standard foreachBatch multi-action rule; r4 review)

@@ -105,6 +105,14 @@ class LlmSpec extends SparkSpec {
     val lsh = labelsOf(graft.ops.DedupOps.contractedNearDupEdges(
       docs, graft.ops.DedupOps.lshVerifiedPairs))
     assert(lsh == direct)
+    // componentLabels (r5: the CC loop confined to PAIRED REPS, members
+    // and singleton reps derived post-hoc) must reproduce the exact
+    // same (doc_id, label) map as the full-graph loop
+    val (tagged, repDocs) = graft.ops.DedupOps.tsContraction(docs)
+    val confined = graft.ops.DedupOps.componentLabels(
+      tagged, graft.ops.DedupOps.lshVerifiedPairs(repDocs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(confined == direct)
   }
 
   test("component loop: empty pair set -> every doc is its own singleton") {
