@@ -589,28 +589,37 @@ object DedupOps {
     var prevSum = -1L
     var rounds = 0
     var done = false
-    while (!done && rounds < 50) {
-      // min over {self label} ∪ {neighbor labels}: one union + one
-      // hash agg (single shuffle on doc_id) instead of join+agg+join.
-      // No broadcast hints: measured 0.3-0.4 s/round SLOWER with pinned
-      // broadcasts at sf0.1 (the extra broadcast-build jobs cost more
-      // than AQE's shuffle of the few-MB edge list saves at this size);
-      // AQE still picks broadcast when runtime stats justify it, and at
-      // 100 TB a real planner choice is wanted here anyway.
+    // one propagate+jump round, as a PLAN transform: min over {self
+    // label} ∪ {neighbor labels} — one union + one hash agg (single
+    // shuffle on doc_id) instead of join+agg+join — then the pointer
+    // jump l(v) := min(l(v), l(l(v))), which halves chain lengths so
+    // convergence is O(log diameter).
+    // No broadcast hints: measured 0.3-0.4 s/round SLOWER with pinned
+    // broadcasts at sf0.1 (the extra broadcast-build jobs cost more
+    // than AQE's shuffle of the few-MB edge list saves at this size);
+    // AQE still picks broadcast when runtime stats justify it, and at
+    // 100 TB a real planner choice is wanted here anyway.
+    def round(lbl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val l1 = edges
-        .join(labels.select(col("doc_id").as("src"), col("label").as("nl")), "src")
+        .join(lbl.select(col("doc_id").as("src"), col("label").as("nl")), "src")
         .select(col("dst").as("doc_id"), col("nl").as("label"))
-        .union(labels)
+        .union(lbl)
         .groupBy("doc_id")
         .agg(min(col("label")).as("label"))
-      // pointer jump: l(v) := min(l(v), l(l(v))) — halves chain length,
-      // O(log diameter) rounds on the corpus's chain-shaped components
-      // (a double jump per round was tried: one round fewer, but the
-      // extra join per round cancels the saving — net wash, kept simple)
-      val next = cut(l1
-        .join(l1.select(col("doc_id").as("pdoc"), col("label").as("plabel")),
+      l1.join(l1.select(col("doc_id").as("pdoc"), col("label").as("plabel")),
           l1("label") === col("pdoc"))
-        .select(col("doc_id"), least(l1("label"), col("plabel")).as("label")),
+        .select(col("doc_id"), least(l1("label"), col("plabel")).as("label"))
+    }
+    while (!done && rounds < 50) {
+      // ONE round per materialization. Unrolling two rounds into one
+      // lazy checkpoint + one labelSum action was MEASURED SLOWER in r5
+      // (sf0.1: per-action time went 0.4 s → 1.0-2.0 s, net loss): the
+      // composed plan references the inner round's output 4× (twice in
+      // the union+agg, twice in the jump join), and re-deriving it past
+      // exchange reuse plus AQE replanning of the doubled plan costs
+      // more than the saved job/checkpoint overhead — same conclusion
+      // as r4's double-jump experiment, from the other direction.
+      val next = cut(round(labels),
         eager = false) // lazy: the labelSum action materializes it
       val newSum = labelSum(next)
       done = newSum == prevSum
