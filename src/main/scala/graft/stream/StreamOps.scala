@@ -63,12 +63,12 @@ object StreamOps {
     * MemoryStream proof in StreamingSpec feeds in order). If a key's
     * events are spread across partitions, arrival order is not event
     * order and the streaming winner may differ from the batch/oracle
-    * winner — wire the source keyed-by-user or accept arrival-order
-    * semantics. An order-insensitive exact variant would hold the
-    * min-(ts_us, event_id) row per key in flatMapGroupsWithState and
-    * emit on watermark expiry; that trades the built-in state eviction
-    * and per-event emission for exactness and is deliberately not the
-    * default. */
+    * winner — wire the source keyed-by-user, or use `dedupFirstExact`
+    * below, which is order-insensitive: it holds the min-(ts_us,
+    * event_id) row per key in flatMapGroupsWithState and emits on
+    * watermark expiry, trading per-event emission latency for
+    * exactness under arbitrary arrival order (proven against the batch
+    * twin on an out-of-order feed in StreamingSpec H4b). */
   def dedupFirst(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val base = wm(events, watermark)
       .select(col("user_id"), col("event_type"), col("event_id"),
@@ -99,6 +99,70 @@ object StreamOps {
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class Counted(user_id: Long, event_id: Long, k: Long)
+  final case class DedupWinner(user_id: Long, event_type: String,
+      event_id: Long, ts_us: Long)
+
+  /** H4b — ORDER-INSENSITIVE exact streaming dedup: the alternative
+    * branch of dedupFirst's transport contract (r4 advice), for sources
+    * that spread one key's events across partitions. Holds the current
+    * first-by-(ts_us, event_id) row per (user_id, event_type) in state
+    * and emits ONLY when the event-time watermark passes every event
+    * seen for the key — at that point any future admitted row has
+    * ts ≥ watermark > winner.ts_us, so the winner is final and equals
+    * the batch twin's over the admitted rows, for ANY arrival order.
+    * The trade against dedupFirst: emission waits for the watermark
+    * (latency = the allowed disorder) instead of firing per event, and
+    * rows later than the watermark are dropped rather than deduped.
+    * Like dropDuplicatesWithinWatermark, state is removed on emission,
+    * so a key seen again AFTER its watermark expiry starts a fresh
+    * window — "exactly once per key per watermark window", the only
+    * bounded-state semantics an unbounded stream admits. The window is
+    * session-shaped: each new event for a key pushes its timeout
+    * forward, so a key with no inter-event gap ≥ the watermark delay
+    * holds its winner (one state row) until such a gap appears.
+    * Streaming-only by construction (batch flatMapGroupsWithState never
+    * times out, so nothing would ever emit): batch callers use
+    * dedupFirst's window twin. */
+  def dedupFirstExact(events: Dataset[Ev],
+      watermark: String = "10 minutes"): Dataset[DedupWinner] = {
+    require(events.isStreaming,
+      "dedupFirstExact is streaming-only (timeouts never fire in batch); " +
+        "use dedupFirst on a batch frame")
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DedupWinner, DedupWinner](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((user, etype), evs, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed every event seen for this key: final
+            val winner = state.get
+            state.remove()
+            Iterator.single(winner)
+          } else {
+            var best = state.getOption.orNull
+            var maxUs = Long.MinValue
+            evs.foreach { e =>
+              val c = DedupWinner(user, etype, e.event_id, micros(e.ts))
+              if (best == null || c.ts_us < best.ts_us ||
+                  (c.ts_us == best.ts_us && c.event_id < best.event_id))
+                best = c
+              if (c.ts_us > maxUs) maxUs = c.ts_us
+            }
+            state.update(best)
+            // fire once the watermark passes the NEWEST event seen (ms
+            // floor +1 covers the µs truncation); must exceed the
+            // current watermark or Spark rejects the timestamp
+            state.setTimeoutTimestamp(math.max(
+              Math.floorDiv(maxUs, 1000L) + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
 
   /** H5 — per-user running event count via explicit per-key state
     * (the Aerospike-counter analog; state = one Long per user). Works on

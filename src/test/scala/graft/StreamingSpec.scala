@@ -87,6 +87,40 @@ class StreamingSpec extends SparkSpec {
     assertSame(streamed, batch, Seq("user_id", "event_type"))
   }
 
+  test("H4b exact dedup: OUT-OF-ORDER arrival still yields the batch winner") {
+    // key (1, click) receives ids 10/11/12 with event times 20/12/15 min
+    // — the EARLIEST event (ts 12) arrives SECOND, inside the 10-minute
+    // watermark slack. Arrival-order dedup (dedupFirst) would keep id 10;
+    // the exact variant must keep id 11, the batch twin's winner.
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.dedupFirstExact(ms.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sink_h4b")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(Ev(10, ts(20), 1, "click", 0.0)); q.processAllAvailable()
+    ms.addData(Ev(11, ts(12), 1, "click", 0.0)); q.processAllAvailable() // out of order, admitted (wm = 10min)
+    ms.addData(Ev(12, ts(15), 1, "click", 0.0)); q.processAllAvailable()
+    // advance event time so the watermark passes key 1's events...
+    ms.addData(Ev(99, ts(100), 2, "view", 0.0)); q.processAllAvailable()
+    // ...and run further batches so the timeouts actually fire (a
+    // timeout fires in the batch AFTER the watermark advances)
+    ms.addData(Ev(100, ts(300), 3, "error", 0.0)); q.processAllAvailable()
+    ms.addData(Ev(101, ts(500), 3, "error", 0.0)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sink_h4b")
+      .where(col("user_id").isin(1L, 2L))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("ts_us"))).toSet
+    assert(got == Set(
+      (1L, "click", 11L, ts(12).getTime * 1000L),
+      (2L, "view", 99L, ts(100).getTime * 1000L)))
+  }
+
+  test("H4b exact dedup rejects batch frames loudly") {
+    intercept[IllegalArgumentException] {
+      StreamOps.dedupFirstExact(evs.toDS())
+    }
+  }
+
   test("H5 stateful counter: stream == batch running count") {
     val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
     val ms = MemoryStream[Ev]
