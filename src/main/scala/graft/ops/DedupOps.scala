@@ -363,7 +363,10 @@ object DedupOps {
     * components and keep one representative per component. Pairs alone
     * under-delete (A~B, B~C ⇒ drop two of {A,B,C} even when A!~C).
     *
-    * Spark side: min-label propagation WITH POINTER JUMPING — every doc
+    * Spark side: min-label propagation WITH POINTER JUMPING over ONLY
+    * the reps that appear in a verified pair (r5; singleton reps and
+    * equal-ts members never enter the iteration — componentLabels
+    * derives their labels in one join after convergence). Each vertex
     * starts labeled with its own id; each round (a) takes the min of
     * its label and its neighbors' labels (one shuffle: edges ⋈ labels →
     * min per dst), then (b) jumps through the label indirection
@@ -371,7 +374,7 @@ object DedupOps {
     * lengths so convergence is O(log diameter), not O(diameter): this
     * corpus has one giant chain-shaped component (137 of 500 docs at
     * sf0.01), and plain propagation needed ~10 rounds there and would
-    * need hundreds at sf0.1. Labels are re-materialized with an EAGER
+    * need hundreds at sf0.1. Labels are re-materialized with a
     * localCheckpoint each round — caching alone is not enough, because
     * the logical plan references labels twice per round and therefore
     * DOUBLES in size every iteration (optimizer time goes exponential;
@@ -460,6 +463,12 @@ object DedupOps {
     (tagged, repDocs)
   }
 
+  /** The FULL contracted edge list (rep pairs ∪ star edges) — since r5
+    * this is the property-proof surface (LlmSpec asserts components
+    * over it equal components over the direct pair graph, and the
+    * Plans golden shows it NLJ-free); the production component queries
+    * skip materializing the stars and go through componentLabels, which
+    * derives member/singleton labels from `tagged` after the loop. */
   private[graft] def contractedNearDupEdges(
       docs: org.apache.spark.sql.DataFrame,
       pairBuilder: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
