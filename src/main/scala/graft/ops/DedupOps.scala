@@ -574,9 +574,21 @@ object DedupOps {
       p0.select(col("src").as("doc_id"))
         .union(p0.select(col("dst").as("doc_id")))
         .distinct())
-    var labels = cut(nodes
-      .select(col(nodes.columns.head).as("doc_id"))
-      .select(col("doc_id"), col("doc_id").as("label")), eager = true)
+    // init one propagation ahead: label₀(v) = min(v, min neighbor id)
+    // — the first round's "min over self ∪ neighbors" where every
+    // neighbor still carries its own id, computable as one aggregate
+    // over the checkpointed edges during the init materialization. At
+    // sf0.1 this removes one full round (~0.4 s) from each component
+    // query; the loop below is unchanged and still converges to the
+    // same fixpoint (min-propagation is monotone from ANY label state
+    // ≥ the fixpoint, and label₀ ≥ it pointwise by construction).
+    var labels = cut(edges
+      .select(col("dst").as("doc_id"), col("src").as("label"))
+      .union(nodes
+        .select(col(nodes.columns.head).as("doc_id"))
+        .select(col("doc_id"), col("doc_id").as("label")))
+      .groupBy("doc_id")
+      .agg(min(col("label")).as("label")), eager = true)
     tick("cc: edges+labels init")
     // Convergence probe: labels are doc ids and only ever DECREASE
     // (min-propagation), so the label sum strictly decreases until the
