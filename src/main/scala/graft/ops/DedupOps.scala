@@ -249,12 +249,16 @@ object DedupOps {
     val s = emb.sparkSession
     GraftFunctions.register(s)
     val sigs = Llm.signBuckets(emb)
+    // no pre-verify distinct (the lshVerifiedPairs r5 change, same r3
+    // item 7): a pair sharing k ≤ 8 table-buckets is exact-scored k
+    // times through the map-side broadcast joins — one codegen dot each
+    // — instead of exchanging the whole ~N·bucket² candidate set; the
+    // dedup shuffle runs after the τ filter, over true pairs only
     val cand = sigs.as("x")
       .join(sigs.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket")
           && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
     cand
       .join(broadcast(emb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
         col("n2").as("na"))), "vec_a")
@@ -263,6 +267,7 @@ object DedupOps {
       .where(expr("cast(dot_long(ea, eb) as double)")
         >= lit(0.95) * sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
       .select("vec_a", "vec_b")
+      .distinct()
   }
 
   /** MinHash+LSH near-dup — the 100 TB path for I2's semantics on an
