@@ -453,8 +453,13 @@ object DedupOps {
   /** The shared contraction step: one row per doc tagged with its
     * equal-ts group representative (`rep` = min doc_id of the group) and
     * distinct-token count, plus the one-doc-per-group projection the
-    * quadratic stages run on. `tagged` is persisted — every consumer
-    * reads it 2-3×. */
+    * quadratic stages run on. `tagged` is cached — every consumer reads
+    * it 2-3×. 100 TB note: tagged carries `text` because the rep
+    * projection needs it; at cluster scale you would cache only
+    * (doc_id, rep, tsz) — the columns every consumer reads — and
+    * re-derive rep text with a doc_id semi-join against the source scan
+    * (columnar parquet makes the re-read cheap; caching the corpus text
+    * twice is not). At bench SFs the single cache is the faster shape. */
   private[graft] def tsContraction(docs: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val withTs = docs.select(col("doc_id"), col("text"),
