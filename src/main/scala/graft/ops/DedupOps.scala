@@ -329,6 +329,15 @@ object DedupOps {
       "element_at(mhs, b*8+5), element_at(mhs, b*8+6), " +
       "element_at(mhs, b*8+7), element_at(mhs, b*8+8)))"
 
+  /** Broadcast-hint scale note (applies to the two verify joins below
+    * and to expandTsGroups' member joins): the hinted side is a
+    * corpus-derived frame — fine to broadcast at bench SFs (MBs), NOT
+    * at 100 TB. At cluster scale drop the hints and the same plan
+    * becomes a doc_id-keyed shuffle hash join of candidates against
+    * sets, co-partitioned with the candidate exchange; the hint pins
+    * the build side deterministically at bench scale instead of
+    * leaving it to stats near the autoBroadcast threshold. The
+    * CANDIDATE side is never broadcast — it is the unbounded one. */
   private[graft] def lshVerifiedPairs(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
