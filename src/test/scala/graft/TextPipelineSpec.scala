@@ -9,6 +9,26 @@ class TextPipelineSpec extends SparkSpec {
 
   private val dir = sf("sf0.001")
 
+  test("decontaminate probes the broadcast BEFORE any corpus exchange") {
+    // executable golden for the r5 plan fix (r4 verdict item 3): the
+    // corpus side must reach the gram-probe broadcast join straight off
+    // the scan (scan -> generate -> join); the only hash exchanges are
+    // the bench slice's own distinct and the post-probe candidate
+    // distinct / per-doc count. In the plan text, the streamed branch
+    // is exactly the lines between the BroadcastHashJoin and its
+    // BroadcastExchange build side.
+    val df = SparkEntry.queries("llm_decontaminate")(spark, dir)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toVector
+    val bhj = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 0, lines.mkString("\n"))
+    val bcast = lines.indexWhere(_.contains("BroadcastExchange"), bhj)
+    assert(bcast > bhj, lines.mkString("\n"))
+    val corpusBranch = lines.slice(bhj + 1, bcast)
+    assert(corpusBranch.exists(_.contains("Scan parquet")), lines.mkString("\n"))
+    assert(!corpusBranch.exists(_.contains("Exchange")),
+      "corpus side must not exchange before the probe:\n" + lines.mkString("\n"))
+  }
+
   test("doc chunks reassemble to the original document") {
     // stride 32, width 40: dropping the 8-token overlap from every
     // chunk after the first and concatenating must rebuild the doc.
