@@ -115,6 +115,19 @@ class LlmSpec extends SparkSpec {
     assert(confined == direct)
   }
 
+  test("componentLabels: empty pair set -> reps label themselves, members their rep") {
+    // the loop-free derivation path: with no verified pairs the CC loop
+    // runs on zero vertices and every label comes from the coalesce —
+    // equal-ts members must still collapse onto their group rep
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val (tagged, _) = graft.ops.DedupOps.tsContraction(docs)
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val labels = graft.ops.DedupOps.componentLabels(tagged, noPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
+  }
+
   test("component loop: empty pair set -> every doc is its own singleton") {
     // a clean corpus (no near-dups) must not break the checkpointed loop
     // (empty edge materialization, first-round convergence)
