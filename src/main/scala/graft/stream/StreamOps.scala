@@ -122,7 +122,14 @@ object StreamOps {
     * holds its winner (one state row) until such a gap appears.
     * Streaming-only by construction (batch flatMapGroupsWithState never
     * times out, so nothing would ever emit): batch callers use
-    * dedupFirst's window twin. */
+    * dedupFirst's window twin.
+    *
+    * The state carries (winner, all-time max event ts) — NOT just the
+    * winner — so the timeout basis is monotone per key (r5 advice): an
+    * out-of-order OLDER event arriving in a later batch must not move
+    * the timeout backward, or the key could fire before the watermark
+    * passes the newest event previously seen and a subsequent in-window
+    * event would reopen the key and emit a second winner. */
   def dedupFirstExact(events: Dataset[Ev],
       watermark: String = "10 minutes"): Dataset[DedupWinner] = {
     require(events.isStreaming,
@@ -134,17 +141,17 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState[DedupWinner, DedupWinner](
+      .flatMapGroupsWithState[(DedupWinner, Long), DedupWinner](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case ((user, etype), evs, state) =>
           if (state.hasTimedOut) {
             // watermark passed every event seen for this key: final
-            val winner = state.get
+            val winner = state.get._1
             state.remove()
             Iterator.single(winner)
           } else {
-            var best = state.getOption.orNull
-            var maxUs = Long.MinValue
+            var (best, maxUs) = state.getOption.getOrElse(
+              (null: DedupWinner, Long.MinValue))
             evs.foreach { e =>
               val c = DedupWinner(user, etype, e.event_id, micros(e.ts))
               if (best == null || c.ts_us < best.ts_us ||
@@ -152,10 +159,12 @@ object StreamOps {
                 best = c
               if (c.ts_us > maxUs) maxUs = c.ts_us
             }
-            state.update(best)
-            // fire once the watermark passes the NEWEST event seen (ms
-            // floor +1 covers the µs truncation); must exceed the
-            // current watermark or Spark rejects the timestamp
+            state.update((best, maxUs))
+            // fire once the watermark passes the NEWEST event EVER seen
+            // for this key (maxUs is the all-time max, carried in state,
+            // so the basis never regresses); ms floor +1 covers the µs
+            // truncation, and the timestamp must exceed the current
+            // watermark or Spark rejects it
             state.setTimeoutTimestamp(math.max(
               Math.floorDiv(maxUs, 1000L) + 1L,
               state.getCurrentWatermarkMs() + 1L))

@@ -115,6 +115,35 @@ class StreamingSpec extends SparkSpec {
       (2L, "view", 99L, ts(100).getTime * 1000L)))
   }
 
+  test("H4c exact dedup: an out-of-order OLDER event must not move the " +
+      "timeout backward (one winner per key, monotone timeout basis)") {
+    // Regression for the r5 advice: with the timeout basis computed from
+    // only the CURRENT batch's max event ts, the sequence below made the
+    // key fire early (timeout 52min < watermark 55min while the newest
+    // event seen was 60min) and a later in-window event (57min) reopened
+    // the key — TWO winners for (1, click). With the all-time max carried
+    // in state the timeout stays at 60min and exactly one row emits.
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.dedupFirstExact(ms.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sink_h4c")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(Ev(10, ts(60), 1, "click", 0.0)); q.processAllAvailable() // wm -> 50
+    ms.addData(Ev(11, ts(52), 1, "click", 0.0)); q.processAllAvailable() // older, admitted; buggy timeout basis drops to 52
+    ms.addData(Ev(90, ts(65), 2, "view", 0.0));  q.processAllAvailable() // wm -> 55 (> buggy timeout)
+    ms.addData(Ev(91, ts(66), 3, "signup", 0.0)); q.processAllAvailable() // buggy code fires key 1 here
+    ms.addData(Ev(12, ts(57), 1, "click", 0.0)); q.processAllAvailable() // in-window; buggy code reopens the key
+    ms.addData(Ev(92, ts(200), 2, "view", 0.0)); q.processAllAvailable() // wm -> 190, passes everything
+    ms.addData(Ev(93, ts(500), 3, "error", 0.0)); q.processAllAvailable() // fire remaining timeouts
+    ms.addData(Ev(94, ts(900), 3, "error", 0.0)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sink_h4c")
+      .where(col("user_id") === 1L)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("ts_us"))).toSeq
+    assert(got == Seq((1L, "click", 11L, ts(52).getTime * 1000L)),
+      s"expected exactly one winner (id 11); got $got")
+  }
+
   test("H4b exact dedup rejects batch frames loudly") {
     intercept[IllegalArgumentException] {
       StreamOps.dedupFirstExact(evs.toDS())
