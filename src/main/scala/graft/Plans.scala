@@ -47,6 +47,23 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode))
       sb.append("\n")
     }
+    // Both shapes of the verify-join scale switch (r6): the SAME
+    // lshVerifiedPairs plan with the build side broadcast (bench scale)
+    // and with spark.graft.dedup.broadcastVerify=off (the 100 TB shape:
+    // co-partitioned shuffle hash join, no corpus-derived broadcast).
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      Seq("on", "off").foreach { mode =>
+        spark.conf.set("spark.graft.dedup.broadcastVerify", mode)
+        val df = graft.ops.DedupOps.lshVerifiedPairs(docs)
+        sb.append(s"==== lsh_verified_pairs (broadcastVerify=$mode) ====\n")
+        sb.append(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        sb.append("\n")
+      }
+      spark.conf.unset("spark.graft.dedup.broadcastVerify")
+    }
     Files.writeString(Paths.get(outFile), sb.toString)
     spark.stop()
   }

@@ -251,7 +251,7 @@ object DedupOps {
     val sigs = Llm.signBuckets(emb)
     // no pre-verify distinct (the lshVerifiedPairs r5 change, same r3
     // item 7): a pair sharing k ≤ 8 table-buckets is exact-scored k
-    // times through the map-side broadcast joins — one codegen dot each
+    // times through the verifySide-hinted joins — one codegen dot each
     // — instead of exchanging the whole ~N·bucket² candidate set; the
     // dedup shuffle runs after the τ filter, over true pairs only
     val cand = sigs.as("x")
@@ -260,9 +260,9 @@ object DedupOps {
           && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
     cand
-      .join(broadcast(emb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+      .join(verifySide(emb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
         col("n2").as("na"))), "vec_a")
-      .join(broadcast(emb.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      .join(verifySide(emb.select(col("vec_id").as("vec_b"), col("e").as("eb"),
         col("n2").as("nb"))), "vec_b")
       .where(expr("cast(dot_long(ea, eb) as double)")
         >= lit(0.95) * sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
@@ -329,15 +329,42 @@ object DedupOps {
       "element_at(mhs, b*8+5), element_at(mhs, b*8+6), " +
       "element_at(mhs, b*8+7), element_at(mhs, b*8+8)))"
 
-  /** Broadcast-hint scale note (applies to the two verify joins below
-    * and to expandTsGroups' member joins): the hinted side is a
-    * corpus-derived frame — fine to broadcast at bench SFs (MBs), NOT
-    * at 100 TB. At cluster scale drop the hints and the same plan
-    * becomes a doc_id-keyed shuffle hash join of candidates against
-    * sets, co-partitioned with the candidate exchange; the hint pins
-    * the build side deterministically at bench scale instead of
-    * leaving it to stats near the autoBroadcast threshold. The
-    * CANDIDATE side is never broadcast — it is the unbounded one. */
+  /** Build-side hint for the LSH verify joins and expandTsGroups'
+    * member joins — the scale switch the r5 verdict asked to be CODE,
+    * not a scaladoc contract. The hinted side is corpus-derived: an
+    * easy broadcast at bench SFs (MBs), a driver/executor OOM at
+    * 100 TB. `spark.graft.dedup.broadcastVerify` gates it:
+    *   - "on"   — always `broadcast()` (pins the bench-scale plan
+    *     deterministically, independent of stats);
+    *   - "off"  — never broadcast; hint SHUFFLE_HASH instead, so the
+    *     same join becomes the documented scale shape: a key-
+    *     partitioned shuffle hash join (build side = this frame,
+    *     no sort) co-partitioned with the candidate exchange;
+    *   - "auto" (default) — broadcast iff Catalyst's size estimate
+    *     for the frame fits the session's autoBroadcastJoinThreshold;
+    *     otherwise the shuffle-hash shape. A disabled threshold
+    *     (<= 0) means never broadcast.
+    * In every mode the CANDIDATE side is never the build side — it is
+    * the unbounded one. Both shapes are plan-goldened in PLANS.md and
+    * result-equivalence is asserted in LlmSpec (the hint changes only
+    * the exchange strategy, never the rows). */
+  private[graft] def verifySide(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mode = df.sparkSession.conf
+      .get("spark.graft.dedup.broadcastVerify", "auto")
+    mode match {
+      case "on"  => broadcast(df)
+      case "off" => df.hint("shuffle_hash")
+      case "auto" =>
+        val thr = org.apache.spark.sql.internal.SQLConf.get
+          .autoBroadcastJoinThreshold
+        if (thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= thr)
+          broadcast(df)
+        else df.hint("shuffle_hash")
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.dedup.broadcastVerify must be on|off|auto, got '$other'")
+    }
+  }
   private[graft] def lshVerifiedPairs(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
@@ -355,8 +382,9 @@ object DedupOps {
     // NO pre-verify distinct on the candidate pairs (r3 verdict item 7,
     // closed in r5): the (band, bucket) self-join emits a pair once per
     // shared band (≤ 4), and deduping those globally was a full shuffle
-    // of the ENTIRE candidate set. The verify joins are broadcast
-    // (map-side) and the merge-loop Jaccard test is a few ns per pair,
+    // of the ENTIRE candidate set. The verify joins build on the sets
+    // side (broadcast at bench scale, shuffle-hash at scale — see
+    // verifySide) and the merge-loop Jaccard test is a few ns per pair,
     // so re-verifying a pair up to 3 extra times is far cheaper than
     // exchanging every candidate; the distinct now runs AFTER the τ
     // filter, over just the true near-dup pairs.
@@ -366,8 +394,8 @@ object DedupOps {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     Llm.verifyJaccardPairs(cand
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))), "doc_b"))
+      .join(verifySide(sets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))), "doc_a")
+      .join(verifySide(sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))), "doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
   }
@@ -521,8 +549,8 @@ object DedupOps {
       .select(col("ida").as("doc_a") +: col("idb").as("doc_b") +: withinExtra: _*)
     val extra = repPairs.columns.filterNot(Set("doc_a", "doc_b")).map(col).toSeq
     val cross = repPairs
-      .join(broadcast(m.select(col("rep").as("doc_a"), col("doc_id").as("da"))), "doc_a")
-      .join(broadcast(m.select(col("rep").as("doc_b"), col("doc_id").as("db"))), "doc_b")
+      .join(verifySide(m.select(col("rep").as("doc_a"), col("doc_id").as("da"))), "doc_a")
+      .join(verifySide(m.select(col("rep").as("doc_b"), col("doc_id").as("db"))), "doc_b")
       .select(least(col("da"), col("db")).as("doc_a")
         +: greatest(col("da"), col("db")).as("doc_b") +: extra: _*)
     // unionByName (r4 review): a positional union would silently swap

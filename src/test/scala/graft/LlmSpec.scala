@@ -184,6 +184,47 @@ class LlmSpec extends SparkSpec {
       s"all-pairs join leaked back into the corpus-clean pair stage:\n$plan")
   }
 
+  test("verify-join build side is conf-gated: identical pairs in every " +
+      "mode, shuffle-hash plan when broadcast is off") {
+    // r5 verdict item 1: the broadcast hints on the LSH verify joins
+    // were an unconditional bench-scale choice with the 100 TB shape
+    // living only in scaladoc. verifySide now gates them on
+    // spark.graft.dedup.broadcastVerify — this test is the executable
+    // half of the contract: the hint changes ONLY the exchange
+    // strategy (broadcast vs co-partitioned shuffle hash), never rows.
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def key(r: Row) = (r.getLong(0), r.getLong(1))
+    def withMode[A](m: Option[String])(f: => A): A = {
+      m.foreach(spark.conf.set("spark.graft.dedup.broadcastVerify", _))
+      try f finally spark.conf.unset("spark.graft.dedup.broadcastVerify")
+    }
+    val on = withMode(Some("on"))(
+      graft.ops.DedupOps.lshVerifiedPairs(docs))
+    val onRows = on.collect().map(key).toSet
+    assert(on.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val off = withMode(Some("off"))(
+      graft.ops.DedupOps.lshVerifiedPairs(docs))
+    val offPlan = off.queryExecution.executedPlan.toString
+    assert(offPlan.contains("ShuffledHashJoin"),
+      s"broadcastVerify=off must plan the verify joins as shuffle hash:\n$offPlan")
+    assert(off.collect().map(key).toSet == onRows)
+    // auto with the session's broadcast threshold disabled = the scale
+    // shape, same rows again
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val auto = withMode(None)(graft.ops.DedupOps.lshVerifiedPairs(docs))
+      assert(auto.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+      assert(auto.collect().map(key).toSet == onRows)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    withMode(Some("bogus")) {
+      intercept[IllegalArgumentException] {
+        graft.ops.DedupOps.lshVerifiedPairs(docs)
+      }
+    }
+    assert(onRows.nonEmpty)
+  }
+
   test("ts-group expansion == direct pair set on a doc_id-remapped corpus") {
     // re-key the fixture corpus (doc_id * 7 + 3) so group minima, pair
     // ordering, and rep selection all shift — the expansion must still
