@@ -98,6 +98,31 @@ object Probe {
       t = tick("join full-cond", t)
       spark.stop(); return
     }
+    if (key == "micro_overhead") {
+      // decompose the ~0.15-0.3 s floor that 24 cheap bench queries pay:
+      // base job dispatch, plan build/analysis, execution, clearCache
+      import org.apache.spark.sql.functions.col
+      Tables.lineitem(spark, sf).count()
+      t = tick("warm lineitem", t)
+      (1 to 3).foreach { _ => spark.range(32).repartition(32).count() }
+      t = tick("3x empty 32-part job (dispatch floor)", t)
+      (1 to 5).foreach { i =>
+        var tq = System.nanoTime()
+        val df = SparkEntry.queries("scan_filter_pushdown")(spark, sf)
+        tq = tick(s"[$i] build", tq)
+        graft.ops.Q.withCached(df)(_.count())
+        tq = tick(s"[$i] execute", tq)
+        spark.catalog.clearCache()
+        tq = tick(s"[$i] clearCache", tq)
+      }
+      (1 to 5).foreach { i =>
+        var tq = System.nanoTime()
+        graft.ops.Q.withCached(
+          SparkEntry.queries("agg_histogram")(spark, sf))(_.count())
+        tq = tick(s"[$i] agg_histogram e2e", tq)
+      }
+      spark.stop(); return
+    }
     if (key == "micro_cc2") {
       // r5 shape: contraction -> LSH pairs -> CC over paired reps only,
       // with the per-round tick exposing round count and per-round cost
@@ -108,13 +133,19 @@ object Probe {
       var tv = System.nanoTime()
       val (tagged, repDocs) =
         graft.ops.DedupOps.tsContraction(Tables.documents(spark, sf))
+      // materialize the LSH pair plan ONCE and feed the same frame to
+      // both the CC loop and componentLabels — evaluating
+      // lshVerifiedPairs twice made the "cc total" tick include a
+      // second candidate+verify pass and misattributed per-phase cost
+      // (r5 advice; the very double-evaluation
+      // connectedComponentsOfEdges' scaladoc warns about)
+      val repPairs = graft.ops.DedupOps.lshVerifiedPairs(repDocs).localCheckpoint()
+      tv = tick("lsh pairs (materialized once)", tv)
       val cc = graft.ops.DedupOps.connectedComponentsOfEdges(
-        graft.ops.DedupOps.lshVerifiedPairs(repDocs),
-        tag => { tv = tick(tag, tv) })
+        repPairs, tag => { tv = tick(tag, tv) })
       println("[probe] cc rows (paired reps): " + cc.count())
       tv = tick("cc count", tv)
-      val labels = graft.ops.DedupOps.componentLabels(
-        tagged, graft.ops.DedupOps.lshVerifiedPairs(repDocs))
+      val labels = graft.ops.DedupOps.componentLabels(tagged, repPairs)
       println("[probe] label rows: " + labels.count())
       tick("cc total", t)
       spark.stop(); return

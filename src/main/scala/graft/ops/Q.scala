@@ -53,7 +53,17 @@ object Q {
 
   /** Run `action` over `build`'s result, then release every intermediate
     * the build `cached` — the library-user entry point for leak-free
-    * one-shot queries: `Q.withCached(q.build(spark, dir))(_.count())`. */
+    * one-shot queries: `Q.withCached(q.build(spark, dir))(_.count())`.
+    *
+    * `action` MUST fully consume the frame — run the terminal action
+    * (count/collect/write) — INSIDE the scope. Returning a lazy
+    * DataFrame (or starting a streaming query) and consuming it after
+    * the scope exits silently unpersists the build's indexes first, and
+    * every later action re-derives them from scratch — a perf footgun,
+    * not a correctness one (r5 advice). Long-lived consumers (streaming
+    * probes holding a static index across micro-batches) should build
+    * OUTSIDE any scope, where `cached` degrades to a plain persist()
+    * they manage themselves. */
   def withCached[T](build: => DataFrame)(action: DataFrame => T): T = {
     val buf = new scala.collection.mutable.ArrayBuffer[DataFrame]
     scopes.set(buf :: scopes.get())

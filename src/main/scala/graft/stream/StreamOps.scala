@@ -63,12 +63,20 @@ object StreamOps {
     * MemoryStream proof in StreamingSpec feeds in order). If a key's
     * events are spread across partitions, arrival order is not event
     * order and the streaming winner may differ from the batch/oracle
-    * winner — wire the source keyed-by-user, or use `dedupFirstExact`
-    * below, which is order-insensitive: it holds the min-(ts_us,
-    * event_id) row per key in flatMapGroupsWithState and emits on
-    * watermark expiry, trading per-event emission latency for
-    * exactness under arbitrary arrival order (proven against the batch
-    * twin on an out-of-order feed in StreamingSpec H4b). */
+    * winner.
+    *
+    * RECOMMENDED DEFAULT (r5 verdict item 5): unless your source is
+    * provably keyed by the dedup key — most real Kafka deployments
+    * guarantee ordering only within a partition — use
+    * `dedupFirstExact` below. It is order-insensitive: it holds the
+    * min-(ts_us, event_id) row per key in flatMapGroupsWithState and
+    * emits on watermark expiry with a monotone timeout basis, trading
+    * (a) per-event emission latency for watermark-delayed emission and
+    * (b) one full winner row of state per in-flight key (vs. this
+    * variant's key-presence marker) for exactness under arbitrary
+    * arrival order (proven against the batch twin on out-of-order
+    * feeds in StreamingSpec H4b/H4c). Keep `dedupFirst` when the
+    * transport IS keyed and you want minimum-latency emission. */
   def dedupFirst(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val base = wm(events, watermark)
       .select(col("user_id"), col("event_type"), col("event_id"),

@@ -115,6 +115,98 @@ class LlmSpec extends SparkSpec {
     assert(confined == direct)
   }
 
+  test("componentLabels == full-graph loop on a seeded 5k-doc corpus " +
+      "with skewed groups and tau-boundary pairs") {
+    // r5 verdict item 6: the contraction-preservation property above
+    // runs on the sf0.001 fixture (500 docs); this one generates a
+    // 5000-doc corpus at realistic group-size skew with the edge cases
+    // that could break a future componentLabels change:
+    //  - a 300-member equal-token-set group (one rep + 299 stars),
+    //  - long near-dup CHAINS (A0~A1~...~A9, each one token apart at
+    //    J = 39/41 ≈ 0.951, just ABOVE τ = 0.95),
+    //  - boundary NON-pairs (two tokens apart, J = 38/42 ≈ 0.905,
+    //    BELOW τ) leaving singleton reps whose candidate pair is
+    //    dropped by the verify — the exact case the post-convergence
+    //    label join must coalesce to self-labels.
+    // The property is confinement-equivalence GIVEN one pair builder
+    // (exact jaccardPairs, deterministic — LSH recall is property-
+    // tested separately), so the assertion is exact, not probabilistic.
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def draw(n: Int): Vector[String] = {
+      val s = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (s.size < n) s += vocab(rnd.nextInt(vocab.size))
+      s.toVector
+    }
+    val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    def add(toks: Seq[String]): Long = {
+      val d = id; id += 1
+      docs += d -> rnd.shuffle(toks.toVector).mkString(" "); d
+    }
+    // one giant equal-ts group (the fixture's 248-doc group, scaled)
+    locally { val g = draw(45); (0 until 300).foreach(_ => add(g)) }
+    // 60 chains of 10: consecutive docs one token apart (J just above τ)
+    (0 until 60).foreach { _ =>
+      var toks = draw(40)
+      add(toks)
+      (0 until 9).foreach { _ =>
+        val out = rnd.nextInt(toks.size)
+        var t = vocab(rnd.nextInt(vocab.size))
+        while (toks.contains(t)) t = vocab(rnd.nextInt(vocab.size))
+        toks = toks.updated(out, t)
+        add(toks)
+      }
+    }
+    // 200 boundary non-pairs: two tokens apart (J below τ) — candidates
+    // that the exact verify drops, leaving both reps singleton
+    (0 until 200).foreach { _ =>
+      var toks = draw(40)
+      add(toks)
+      (0 until 2).foreach { _ =>
+        val out = rnd.nextInt(toks.size)
+        var t = vocab(rnd.nextInt(vocab.size))
+        while (toks.contains(t)) t = vocab(rnd.nextInt(vocab.size))
+        toks = toks.updated(out, t)
+      }
+      add(toks)
+    }
+    // skewed dup groups + singletons up to 5000 docs
+    while (id < 5000L) {
+      val g = draw(20 + rnd.nextInt(40))
+      val size = math.min(5000L - id, 1L + (if (rnd.nextInt(10) == 0) rnd.nextInt(20) else rnd.nextInt(2))).toInt
+      (0 until size).foreach(_ => add(g))
+    }
+    import spark.implicits._
+    // round-trip through parquet: the component machinery references
+    // the corpus several times (stars ∪ pairs, tagged ⋈ labels), and a
+    // LocalRelation/LogicalRDD-backed frame shared across union
+    // branches trips Catalyst's union constraint rewrite on the reused
+    // expr-ids (key not found: src#N). A file scan — how this library
+    // is fed in production and by every fixture — gets fresh
+    // attributes per reference and is immune.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_seed5k").toString
+    docs.toSeq.toDF("doc_id", "text").repartition(8)
+      .write.mode("overwrite").parquet(s"$tmp/docs.parquet")
+    val corpus = spark.read.parquet(s"$tmp/docs.parquet")
+    assert(corpus.count() == 5000)
+    val pairB = (d: org.apache.spark.sql.DataFrame) =>
+      graft.ops.Llm.jaccardPairs(d).select(col("doc_a"), col("doc_b"))
+    val truth = graft.ops.DedupOps.connectedComponents(
+      corpus.select(col("doc_id")),
+      graft.ops.DedupOps.contractedNearDupEdges(corpus, pairB))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (tagged, repDocs) = graft.ops.DedupOps.tsContraction(corpus)
+    val confined = graft.ops.DedupOps.componentLabels(tagged, pairB(repDocs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(confined.size == 5000)
+    assert(confined == truth)
+    // the generator really produced the skew it claims: a 300-member
+    // group and singleton components both exist
+    val sizes = truth.groupBy(_._2).map(_._2.size)
+    assert(sizes.max >= 300 && sizes.min == 1)
+  }
+
   test("componentLabels: empty pair set -> reps label themselves, members their rep") {
     // the loop-free derivation path: with no verified pairs the CC loop
     // runs on zero vertices and every label comes from the coalesce —
