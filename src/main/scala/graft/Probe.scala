@@ -121,6 +121,16 @@ object Probe {
           SparkEntry.queries("agg_histogram")(spark, sf))(_.count())
         tq = tick(s"[$i] agg_histogram e2e", tq)
       }
+      locally {
+        var tq = System.nanoTime()
+        (1 to 10).foreach(_ => spark.read.parquet(s"$sf/lineitem.parquet"))
+        tq = tick("10x spark.read.parquet(lineitem) plan-only", tq)
+        (1 to 10).foreach(_ => Tables.lineitem(spark, sf).where(col("l_orderkey") < 0).count())
+        tq = tick("10x fresh-read trivial count", tq)
+        val memo = Tables.lineitem(spark, sf)
+        (1 to 10).foreach(_ => memo.where(col("l_orderkey") < 0).count())
+        tq = tick("10x memoized-frame trivial count", tq)
+      }
       spark.stop(); return
     }
     if (key == "micro_cc2") {

@@ -29,8 +29,23 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Memoized per (session, dir, name): `spark.read.parquet` pays
+    * ~75 ms of file listing + footer/schema resolution PER CALL
+    * (measured, Probe micro_overhead r6) — with ~2 table references
+    * per registry query that was ~30% of every sub-0.3 s query's
+    * driver-measured cost, pure fixed overhead at any data scale.
+    * Reusing the resolved frame is safe: DataFrames are immutable,
+    * self-references (df ⋈ df, df ∪ df) go through Spark's normal
+    * DeduplicateRelations path — the same shape every query that
+    * passes one `documents` frame around already exercises — and the
+    * underlying file index is immutable fixture data. The cache holds
+    * one entry per (session, sfDir, table): bounded by the handful of
+    * fixture dirs a process ever touches. */
+  private val readCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    readCache.computeIfAbsent((spark, sfDir, name),
+      k => k._1.read.parquet(s"${k._2}/${k._3}.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
