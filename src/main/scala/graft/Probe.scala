@@ -133,6 +133,24 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (key == "micro_shape") {
+      // which build-side shape does broadcastVerify=auto pick for the
+      // verify joins at this corpus size? (sf arg = fixture dir)
+      import org.apache.spark.sql.functions.{col, expr}
+      graft.functions.GraftFunctions.register(spark)
+      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val sets = docs.select(col("doc_id"),
+        expr("array_sort(array_distinct(split(text, ' ')))").as("ts"))
+      val est = sets.queryExecution.optimizedPlan.stats.sizeInBytes
+      val plan = graft.ops.DedupOps.lshVerifiedPairs(docs)
+        .queryExecution.executedPlan.toString
+      val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+      val shj = plan.split("\n").count(_.contains("ShuffledHashJoin"))
+      println(s"[probe] $sf sets-estimate=$est bytes threshold=" +
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold") +
+        s" BroadcastHashJoin=$bhj ShuffledHashJoin=$shj")
+      spark.stop(); return
+    }
     if (key == "micro_cc2") {
       // r5 shape: contraction -> LSH pairs -> CC over paired reps only,
       // with the per-round tick exposing round count and per-round cost

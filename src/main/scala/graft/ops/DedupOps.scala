@@ -343,7 +343,12 @@ object DedupOps {
     *   - "auto" (default) — broadcast iff Catalyst's size estimate
     *     for the frame fits the session's autoBroadcastJoinThreshold;
     *     otherwise the shuffle-hash shape. A disabled threshold
-    *     (<= 0) means never broadcast.
+    *     (<= 0) means never broadcast. The estimate is derived from
+    *     the COMPRESSED parquet footprint (measured ~2.6 MB for a
+    *     50k-doc corpus whose in-memory token arrays are ~10× that),
+    *     so at cluster scale either lower the threshold accordingly
+    *     or set "off" explicitly — the same conservatism Spark's own
+    *     auto-broadcast carries.
     * In every mode the CANDIDATE side is never the build side — it is
     * the unbounded one. Both shapes are plan-goldened in PLANS.md and
     * result-equivalence is asserted in LlmSpec (the hint changes only
