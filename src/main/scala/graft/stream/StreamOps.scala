@@ -137,7 +137,10 @@ object StreamOps {
     * out-of-order OLDER event arriving in a later batch must not move
     * the timeout backward, or the key could fire before the watermark
     * passes the newest event previously seen and a subsequent in-window
-    * event would reopen the key and emit a second winner. */
+    * event would reopen the key and emit a second winner.
+    * NOTE: widening the state changed its schema; a streaming query
+    * restored from a checkpoint written by the previous (winner-only)
+    * version must restart from a fresh checkpoint directory. */
   def dedupFirstExact(events: Dataset[Ev],
       watermark: String = "10 minutes"): Dataset[DedupWinner] = {
     require(events.isStreaming,

@@ -220,6 +220,31 @@ class LlmSpec extends SparkSpec {
     assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
   }
 
+  test("local union-find escape hatch == distributed component loop " +
+      "(opt-in via spark.graft.cc.localEdgeThreshold)") {
+    // the r6 small-graph path: a driver union-find over one collect of
+    // the checkpointed edges, gated on edge count and OFF by default —
+    // same (doc_id, label) map as the loop, for both the explicit-nodes
+    // and the edges-only entry points, including singleton handling
+    val docs = Tables.documents(spark, dir)
+    val nodes = docs.select(col("doc_id"))
+    val pairs = graft.ops.Llm.jaccardPairs(docs).select(col("doc_a"), col("doc_b"))
+    def run() = (
+      graft.ops.DedupOps.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      graft.ops.DedupOps.connectedComponentsOfEdges(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val (loopNodes, loopEdges) = run()
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "1000000")
+    val (localNodes, localEdges) =
+      try run() finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+    assert(localNodes == loopNodes)
+    assert(localEdges == loopEdges)
+    // singletons really exercised: docs with no near-dup pair label self
+    assert(loopNodes.exists { case (d, l) => d == l &&
+      !loopEdges.contains(d) })
+  }
+
   test("component loop: empty pair set -> every doc is its own singleton") {
     // a clean corpus (no near-dups) must not break the checkpointed loop
     // (empty edge materialization, first-round convergence)
