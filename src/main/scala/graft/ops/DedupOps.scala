@@ -829,16 +829,7 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     // stage 1: quality gate (exact integer score, same as llm_quality_score)
-    val scored = documents(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
-      .withColumn("n_stop",
-        expr("size(filter(toks, x -> x in ('the','a','of','to','and')))").cast("bigint"))
-      .withColumn("n_short", expr("size(filter(toks, x -> length(x) <= 2))").cast("bigint"))
-      .withColumn("stop_ratio_micro", expr("(2*n_stop*1000000 + n_tokens) div (2*n_tokens)"))
-      .withColumn("short_ratio_micro", expr("(2*n_short*1000000 + n_tokens) div (2*n_tokens)"))
-      .withColumn("quality_micro", expr(
-        "(stop_ratio_micro + 1000000 - short_ratio_micro + least(n_chars, 500) * 2000) div 3"))
+    val scored = withQualityMicro(documents(s, dir))
       .where(col("quality_micro") >= 500000)
       .select("doc_id", "lang", "n_chars", "quality_micro", "text")
     // stage 2: exact dedup among quality survivors — ONE digest-keyed
@@ -870,6 +861,158 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** llm_quality_score's exact integer formula as ONE reusable
+    * projection: adds `quality_micro` to `docs` (which must carry
+    * `text` and `n_chars`) and drops the intermediates. Shared by
+    * llm_corpus_clean's gate and llm_cluster_best's survivor policy,
+    * so "same formula as llm_quality_score" is structural rather than
+    * copy-paste (the r4 review's signBuckets lesson). */
+  private[graft] def withQualityMicro(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn("n_stop",
+        expr("size(filter(toks, x -> x in ('the','a','of','to','and')))").cast("bigint"))
+      .withColumn("n_short", expr("size(filter(toks, x -> length(x) <= 2))").cast("bigint"))
+      .withColumn("quality_micro", expr(
+        "((2*n_stop*1000000 + n_tokens) div (2*n_tokens)" +
+          " + 1000000 - (2*n_short*1000000 + n_tokens) div (2*n_tokens)" +
+          " + least(n_chars, 500) * 2000) div 3"))
+      .drop("toks", "n_tokens", "n_stop", "n_short")
+
+  /** Quality-aware survivor selection — the keep policy a production
+    * curation pipeline actually ships: within each near-dup cluster
+    * keep the HIGHEST-quality member (doc_id only as the tie-break),
+    * not the smallest id. min-id survivors (llm_dedup_clusters,
+    * llm_corpus_clean) are the right oracle anchor but throw away the
+    * best copy whenever a cleaner rewrite of a page arrives later with
+    * a larger id. Component machinery is identical to
+    * llm_dedup_clusters (contraction → LSH-verified rep pairs →
+    * CC confined to paired reps → componentLabels); the policy itself
+    * is one row_number window over the label partition, with
+    * n_members riding the SAME exchange as an unordered count window
+    * — the survivor choice never shuffles text, only
+    * (doc_id, label, quality_micro) triples. 100 TB note: the added
+    * cost over llm_dedup_clusters is one 24-byte-row exchange keyed by
+    * label — same key cardinality as the labels frame itself. */
+  val llmClusterBest: Q = Q(
+    "llm_cluster_best",
+    s"""WITH RECURSIVE
+      |m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+      |  WHERE ${Llm.TauDenom} * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |     >= ${Llm.TauNumer} * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_members FROM reach GROUP BY a),
+      |q AS (SELECT doc_id,
+      |  ((2*n_stop*1000000 + n_tokens) // (2*n_tokens)
+      |    + 1000000 - (2*n_short*1000000 + n_tokens) // (2*n_tokens)
+      |    + least(n_chars, 500) * 2000) // 3 AS quality_micro
+      |  FROM (SELECT doc_id, n_chars,
+      |      CAST(len(toks) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and'))) AS BIGINT) AS n_stop,
+      |      CAST(len(list_filter(toks, x -> length(x) <= 2)) AS BIGINT) AS n_short
+      |    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents))),
+      |ranked AS (SELECT comp.doc_id, comp.cluster_id, comp.n_members, q.quality_micro,
+      |    ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+      |      ORDER BY q.quality_micro DESC, comp.doc_id) AS rn
+      |  FROM comp JOIN q USING (doc_id))
+      |SELECT doc_id, cluster_id, n_members, quality_micro
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, dir)
+    val (tagged, repDocs) = tsContraction(docs)
+    val labels = componentLabels(tagged, lshVerifiedPairs(repDocs))
+    val scored = withQualityMicro(docs).select(col("doc_id"), col("quality_micro"))
+    val byLabel = Window.partitionBy(col("label"))
+    labels.join(scored, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(byLabel))
+      .withColumn("__rn", row_number().over(
+        byLabel.orderBy(col("quality_micro").desc, col("doc_id"))))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("n_members"), col("quality_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental shard-vs-corpus dedup — the batch form of the ingest
+    * question "which of these NEW documents are genuinely new?". The
+    * shard (doc_id % 10 = 0, a deterministic 10% "new batch" on the
+    * fixture) probes the LSH band index built over the EXISTING corpus
+    * (the other 90%); candidates are exact-verified at τ and matched
+    * shard ids anti-joined away. Unlike stream_near_dup/nearDupAgainst
+    * there is deliberately NO ref < probe ordering: a shard doc is a
+    * duplicate if ANY corpus doc passes τ, in either id direction.
+    *
+    * Shapes: the corpus contracts to equal-ts reps first —
+    * J(probe, member) = J(probe, rep), so match-EXISTENCE against reps
+    * is exactly match-existence against the corpus — and the probe
+    * side carries its sorted token set through the band explode, so
+    * the plan's only joins are the (band, bh) equi-probe (Catalyst
+    * broadcasts the index at bench scale by stats; at 100 TB it is a
+    * key-partitioned shuffle, which is the right shape) and the
+    * verifySide-gated ref-set lookup. 100 TB: the index build is one
+    * linear pass over the corpus amortized across every shard ingested
+    * against it, and per-shard cost scales with the SHARD — the
+    * whole point of incremental dedup. Recall caveat shared with every
+    * LSH-path oracle row (llm_minhash_lsh scaladoc): banding misses a
+    * true pair at exactly τ with p ≈ 1.3%; on the deterministic
+    * fixtures recall is 1.0 and the row is green. */
+  val llmDedupIncremental: Q = Q(
+    "llm_dedup_incremental",
+    s"""WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
+      |shard AS (SELECT * FROM m WHERE doc_id % 10 = 0),
+      |corpus AS (SELECT * FROM m WHERE doc_id % 10 <> 0),
+      |matched AS (SELECT DISTINCT s.doc_id FROM shard s JOIN corpus c
+      |  ON ${Llm.TauDenom} * CAST(len(list_intersect(s.ts, c.ts)) AS BIGINT)
+      |   >= ${Llm.TauNumer} * CAST(len(s.ts) + len(c.ts) - len(list_intersect(s.ts, c.ts)) AS BIGINT))
+      |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+      |JOIN shard s ON d.doc_id = s.doc_id
+      |WHERE NOT EXISTS (SELECT 1 FROM matched x WHERE x.doc_id = d.doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, dir) =>
+    GraftFunctions.register(s)
+    val docs = documents(s, dir)
+    val shard = docs.where(col("doc_id") % 10 === 0)
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val (_, corpusReps) = tsContraction(corpus)
+    // same one-tokenization index shape as nearDupAgainst: the sorted
+    // verify array feeds the signature, one persisted frame derives
+    // both the band index and the ref sets
+    val refSets = Q.cached(corpusReps
+      .select(col("doc_id").as("ref_id"),
+        expr("array_sort(array_distinct(split(text, ' ')))").as("ts_b")))
+    val idx = Q.cached(refSets
+      .withColumn("mhs", expr("minhash32(ts_b)"))
+      .select(col("ref_id"), posexplode(expr(minhashBandExpr)).as(Seq("band", "bh"))))
+    val probes = shard
+      .select(col("doc_id"), expr("array_sort(array_distinct(split(text, ' ')))").as("ts_a"))
+      .withColumn("mhs", expr("minhash32(ts_a)"))
+      .select(col("doc_id"), col("ts_a"),
+        posexplode(expr(minhashBandExpr)).as(Seq("band", "bh")))
+    // no pre-verify distinct (r3 item 7 shape): a probe pair colliding
+    // in k ≤ 4 bands is re-verified k times for a few ns each; the
+    // distinct runs over matched SHARD IDS only — bounded by the shard
+    val matchedIds = Llm.verifyJaccardPairs(probes
+        .join(idx, Seq("band", "bh"))
+        .join(verifySide(refSets), "ref_id"))
+      .select(col("doc_id")).distinct()
+    shard.join(matchedIds, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(llmSimhashDedup, llmSimhashBanded, llmNgramJaccard,
-    llmCosineNearDup, llmCosineLsh, llmMinhashLsh, llmDedupClusters, llmCorpusClean)
+    llmCosineNearDup, llmCosineLsh, llmMinhashLsh, llmDedupClusters, llmCorpusClean,
+    llmClusterBest, llmDedupIncremental)
 }

@@ -86,6 +86,52 @@ class LlmSpec extends SparkSpec {
     assert(rows.length == cluster.size)
   }
 
+  test("cluster_best: one survivor per cluster, argmax quality, min-id tie-break") {
+    // the r6 keep policy: same components as llm_dedup_clusters, but the
+    // survivor is the highest-quality member (doc_id breaks ties) — and
+    // the fixture must actually EXERCISE the divergence from min-id
+    val clusters = SparkEntry.queries("llm_dedup_clusters")(spark, dir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = SparkEntry.queries("llm_quality_score")(spark, dir)
+      .select("doc_id", "quality_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("llm_cluster_best")(spark, dir).collect()
+    val members = clusters.groupBy(_._2).view.mapValues(_.keys.toVector).toMap
+    assert(rows.map(_.getAs[Long]("cluster_id")).toSet == members.keySet)
+    assert(rows.length == members.size)
+    rows.foreach { r =>
+      val (d, c) = (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))
+      assert(clusters(d) == c, s"survivor $d is not a member of its cluster $c")
+      val best = members(c).minBy(m => (-quality(m), m))
+      assert(d == best, s"cluster $c kept $d, expected argmax-quality $best")
+      assert(r.getAs[Long]("n_members") == members(c).size.toLong)
+      assert(r.getAs[Long]("quality_micro") == quality(d))
+    }
+    val divergent = rows.count(r =>
+      r.getAs[Long]("doc_id") != r.getAs[Long]("cluster_id"))
+    assert(divergent > 0, "fixture never separates best-quality from min-id")
+    info(s"survivor != min-id in $divergent of ${rows.length} clusters")
+  }
+
+  test("incremental dedup: kept = shard minus docs with an exact corpus near-dup") {
+    // reference computed from the EXACT all-pairs Jaccard query, keeping
+    // only shard<->corpus pairs in either id direction (the op must not
+    // inherit nearDupAgainst's ref < probe session ordering)
+    val docs = Tables.documents(spark, dir)
+    val shardIds = docs.where(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dup = graft.ops.Llm.jaccardPairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .collect { case (s2, c) if shardIds(s2) && !shardIds(c) => s2 }.toSet
+    val kept = SparkEntry.queries("llm_dedup_incremental")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (shardIds -- dup))
+    assert(dup.nonEmpty, "fixture must exercise the drop path")
+    info(s"shard ${shardIds.size}: kept ${kept.size}, dropped ${dup.size}")
+  }
+
   test("token-set contraction preserves connected components exactly") {
     // the r4 contraction (equal-ts groups -> rep + star edges) must yield
     // the SAME (doc_id, label) map as components over the direct pair
