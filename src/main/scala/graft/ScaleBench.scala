@@ -35,7 +35,10 @@ object ScaleBench {
     "llm_minhash_lsh",      // banded scale path
     "llm_simhash_banded",   // banded scale path
     "llm_dedup_clusters",   // contraction + confined CC loop
-    "llm_corpus_clean")     // composed pipeline
+    "llm_corpus_clean",     // composed pipeline
+    "llm_cluster_best",     // components + quality-argmax keep policy (r6)
+    "llm_dedup_incremental") // LSH shard-ingest path (r6; shard AND corpus
+                             // both grow n× here — near-linear is the claim)
 
   def synthesize(spark: SparkSession, baseDir: String, mult: Int,
       outDir: String): Unit = {
@@ -50,6 +53,55 @@ object ScaleBench {
     replicas.reduce(_.unionByName(_))
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** Fixed-shard ingest probe (r6): the amortization claim behind
+    * `buildNearDupIndex`/`novelAgainst` is "per-shard cost scales with
+    * the SHARD, not the corpus" — so measure a FIXED shard (the base
+    * fixture's doc_id % 10 slice, tokens suffixed `_0` so it matches
+    * replica 0 of the synthesized corpora) probing corpora of growing
+    * size, timing index build (one-time, amortized) and probe
+    * (per-shard, the recurring cost) separately. Writes
+    * INGEST_r06.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
+    * INSTEAD of the query curve). */
+  private def ingestCurve(spark: SparkSession, dirs: Seq[(Int, String)],
+      passes: Int): Unit = {
+    import graft.ops.DedupOps
+    val shard = spark.read.parquet(s"${dirs.head._2}/documents.parquet")
+      .where(col("doc_id") % 10 === 0 && col("doc_id") < 1000000L)
+    val nShard = shard.count()
+    val out = dirs.map { case (m, d) =>
+      val corpus = spark.read.parquet(s"$d/documents.parquet")
+        .where(col("doc_id") % 10 =!= 0)
+      var buildMin = Double.MaxValue
+      var probeMin = Double.MaxValue
+      var novel = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val idx = DedupOps.buildNearDupIndex(corpus)
+        // force BOTH persisted frames — the one-time cost a real
+        // pipeline pays once per corpus version
+        idx.refSets.count(); idx.bands.count()
+        val t1 = System.nanoTime()
+        novel = DedupOps.novelAgainst(shard, idx).count()
+        val t2 = System.nanoTime()
+        buildMin = math.min(buildMin, (t1 - t0) / 1e9)
+        probeMin = math.min(probeMin, (t2 - t1) / 1e9)
+        idx.refSets.unpersist(); idx.bands.unpersist()
+      }
+      System.err.println(f"ingest x$m: build $buildMin%.2f s, probe $probeMin%.2f s, novel $novel")
+      (m, buildMin, probeMin, novel)
+    }
+    def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, b, p, n) =>
+      s""""x$m":{"build_sec":${f(b)},"probe_sec":${f(p)},"novel_rows":$n}"""
+    }.mkString(",")
+    val s =
+      s"""{"shard_docs":$nShard,"passes":$passes,"note":"fixed shard vs growing corpus; build is the amortized one-time cost, probe the per-shard cost","corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("INGEST_r06.json"), s.getBytes)
+    println(s)
   }
 
   def main(args: Array[String]): Unit = {
@@ -71,6 +123,10 @@ object ScaleBench {
       val d = s"/tmp/graft_scale_x$m"
       synthesize(spark, baseDir, m, d)
       m -> d
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")) {
+      ingestCurve(spark, dirs, passes)
+      spark.stop(); return
     }
     val docCounts = dirs.map { case (m, d) =>
       m -> spark.read.parquet(s"$d/documents.parquet").count() // also warms FS cache

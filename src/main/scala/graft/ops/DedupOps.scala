@@ -981,20 +981,53 @@ object DedupOps {
       |WHERE NOT EXISTS (SELECT 1 FROM matched x WHERE x.doc_id = d.doc_id)
       |ORDER BY d.doc_id""".stripMargin
   ) { (s, dir) =>
-    GraftFunctions.register(s)
     val docs = documents(s, dir)
     val shard = docs.where(col("doc_id") % 10 === 0)
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    novelAgainst(shard, buildNearDupIndex(corpus))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** A persisted near-dup ingest index over a corpus — the library
+    * surface behind llm_dedup_incremental, factored out because a REAL
+    * ingest pipeline builds this ONCE and probes it with every arriving
+    * shard; an API that rebuilt the index per shard would throw the
+    * amortization away. `refSets` is the contracted corpus's sorted
+    * token sets (one row per equal-ts rep — J(probe, member) =
+    * J(probe, rep), so match-existence against reps ⟺ against the
+    * corpus); `bands` is its MinHash (band, bh) index, ~4 longs per
+    * rep. Both frames are `Q.cached`: inside a withCached scope (the
+    * registered query) they release with the query; in a long-lived
+    * session they are plain persist()s the caller owns — exactly the
+    * StreamOps static-index contract, and this index IS valid as the
+    * static side of stream ingest too. */
+  final case class NearDupIndex private[graft] (
+      refSets: org.apache.spark.sql.DataFrame,
+      bands: org.apache.spark.sql.DataFrame)
+
+  def buildNearDupIndex(
+      corpus: org.apache.spark.sql.DataFrame): NearDupIndex = {
+    GraftFunctions.register(corpus.sparkSession)
     val (_, corpusReps) = tsContraction(corpus)
-    // same one-tokenization index shape as nearDupAgainst: the sorted
-    // verify array feeds the signature, one persisted frame derives
-    // both the band index and the ref sets
+    // same one-tokenization shape as nearDupAgainst: the sorted verify
+    // array feeds the signature, one persisted frame derives both the
+    // band index and the ref sets
     val refSets = Q.cached(corpusReps
       .select(col("doc_id").as("ref_id"),
         expr("array_sort(array_distinct(split(text, ' ')))").as("ts_b")))
-    val idx = Q.cached(refSets
+    val bands = Q.cached(refSets
       .withColumn("mhs", expr("minhash32(ts_b)"))
       .select(col("ref_id"), posexplode(expr(minhashBandExpr)).as(Seq("band", "bh"))))
+    NearDupIndex(refSets, bands)
+  }
+
+  /** Distinct ids of `shard` docs (a frame with doc_id + text) that
+    * have at least one verified τ near-dup in the indexed corpus —
+    * in EITHER id direction (no ref < probe session ordering). */
+  def matchedAgainstIndex(shard: org.apache.spark.sql.DataFrame,
+      index: NearDupIndex): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(shard.sparkSession)
     val probes = shard
       .select(col("doc_id"), expr("array_sort(array_distinct(split(text, ' ')))").as("ts_a"))
       .withColumn("mhs", expr("minhash32(ts_a)"))
@@ -1003,14 +1036,17 @@ object DedupOps {
     // no pre-verify distinct (r3 item 7 shape): a probe pair colliding
     // in k ≤ 4 bands is re-verified k times for a few ns each; the
     // distinct runs over matched SHARD IDS only — bounded by the shard
-    val matchedIds = Llm.verifyJaccardPairs(probes
-        .join(idx, Seq("band", "bh"))
-        .join(verifySide(refSets), "ref_id"))
+    Llm.verifyJaccardPairs(probes
+        .join(index.bands, Seq("band", "bh"))
+        .join(verifySide(index.refSets), "ref_id"))
       .select(col("doc_id")).distinct()
-    shard.join(matchedIds, Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang", "n_chars")
-      .orderBy("doc_id")
   }
+
+  /** `shard` rows (all columns) with NO verified τ near-dup in the
+    * indexed corpus — the novelty filter of an ingest pipeline. */
+  def novelAgainst(shard: org.apache.spark.sql.DataFrame,
+      index: NearDupIndex): org.apache.spark.sql.DataFrame =
+    shard.join(matchedAgainstIndex(shard, index), Seq("doc_id"), "left_anti")
 
   def all: Seq[Q] = Seq(llmSimhashDedup, llmSimhashBanded, llmNgramJaccard,
     llmCosineNearDup, llmCosineLsh, llmMinhashLsh, llmDedupClusters, llmCorpusClean,
