@@ -132,6 +132,60 @@ class LlmSpec extends SparkSpec {
     info(s"shard ${shardIds.size}: kept ${kept.size}, dropped ${dup.size}")
   }
 
+  test("ingest index: boundary shard semantics and index reuse") {
+    // buildNearDupIndex/novelAgainst off-fixture, with the cases the
+    // oracle can't isolate: an exact dup, a pair just ABOVE tau
+    // (J = 39/41) where the SHARD id is smaller than its corpus match
+    // (the direction nearDupAgainst's ref < probe ordering would
+    // miss), a pair just BELOW tau (J = 38/42), a fresh doc, and two
+    // shard docs near-dup of EACH OTHER but of nothing in the corpus
+    // (intra-shard dups must NOT count). Then a SECOND shard probes
+    // the SAME index — the reuse shape the API exists for.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 300).map(i => s"v$i")
+    def draw(n: Int): Vector[String] = {
+      val s = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (s.size < n) s += vocab(rnd.nextInt(vocab.size))
+      s.toVector
+    }
+    def swap(toks: Vector[String], k: Int): Vector[String] = {
+      var out = toks
+      (0 until k).foreach { i =>
+        var t = vocab(rnd.nextInt(vocab.size))
+        while (out.contains(t)) t = vocab(rnd.nextInt(vocab.size))
+        out = out.updated(i, t)
+      }
+      out
+    }
+    val c1 = draw(40); val c2 = draw(40); val c3 = draw(40)
+    val corpus = Seq(1001L -> c1, 1002L -> c2, 1003L -> c3)
+    val sPair = draw(40)
+    val shard = Seq(
+      1L -> c1,          // exact dup of corpus 1001 -> dropped
+      2L -> swap(c2, 1), // J = 39/41 > tau, shard id < corpus id -> dropped
+      3L -> swap(c3, 2), // J = 38/42 < tau -> kept
+      4L -> draw(40),    // fresh -> kept
+      5L -> sPair,       // near-dup of shard doc 6 only -> kept
+      6L -> swap(sPair, 1))
+    def df(rows: Seq[(Long, Vector[String])]) =
+      rows.map { case (id, ts) => (id, rnd.shuffle(ts).mkString(" ")) }
+        .toDF("doc_id", "text")
+    val idx = graft.ops.DedupOps.buildNearDupIndex(df(corpus))
+    val kept = graft.ops.DedupOps.novelAgainst(df(shard), idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L, 6L))
+    val matched = graft.ops.DedupOps.matchedAgainstIndex(df(shard), idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(matched == Set(1L, 2L))
+    // second shard against the SAME index frames
+    val shard2 = Seq(11L -> swap(c1, 1), 12L -> draw(40))
+    val kept2 = graft.ops.DedupOps.novelAgainst(df(shard2), idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(12L))
+    idx.refSets.unpersist(); idx.bands.unpersist()
+  }
+
   test("token-set contraction preserves connected components exactly") {
     // the r4 contraction (equal-ts groups -> rep + star edges) must yield
     // the SAME (doc_id, label) map as components over the direct pair
