@@ -440,6 +440,14 @@ class LlmSpec extends SparkSpec {
       }
     }
     assert(onRows.nonEmpty)
+    // the r6 ingest path routes its ref-set lookup through the same
+    // verifySide gate — identical novel set in the forced-scale shape
+    val inc = SparkEntry.queries("llm_dedup_incremental")
+    val incOn = withMode(Some("on"))(inc(spark, dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val incOff = withMode(Some("off"))(inc(spark, dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incOff == incOn && incOn.nonEmpty)
   }
 
   test("ts-group expansion == direct pair set on a doc_id-remapped corpus") {
