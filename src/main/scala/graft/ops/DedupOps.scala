@@ -665,13 +665,61 @@ object DedupOps {
             .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("label"))
       }
     }
-    val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
-    // nodes: explicit, or — connectedComponentsOfEdges — every vertex of
-    // the checkpointed edge list (NOT of `pairs`: that plan already ran)
-    val nodes = nodesOpt.getOrElse(
-      p0.select(col("src").as("doc_id"))
-        .union(p0.select(col("dst").as("doc_id")))
-        .distinct())
+    // Partition-local contraction (r6): each partition of the
+    // checkpointed edge list runs an in-memory union-find over ITS OWN
+    // edges (mapPartitions — fully distributed, no driver involvement;
+    // memory is bounded by the partition's edge share, which the
+    // repartition above sizes), emitting a (vertex -> local set root)
+    // map whose roots are each local set's MIN id (union attaches the
+    // larger root under the smaller). Intra-partition connectivity is
+    // absorbed BEFORE any iteration: the min-label loop below runs on
+    // the QUOTIENT graph over local roots, stitched by linking every
+    // root of a vertex that appears in several partitions to that
+    // vertex's min root. Correctness: an original edge's endpoints
+    // share a root, and any two roots of one component are linked
+    // through the stitch chain of their shared vertices, so quotient
+    // components = original components restricted to roots; the global
+    // component min m is itself a local root (roots are local minima),
+    // hence the quotient fixpoint label IS m and every vertex inherits
+    // it through any of its roots. At sf0.1 this cuts the loop from 5
+    // rounds over the ~8k-edge rep graph to ~2 over a few hundred
+    // stitch edges; at cluster scale it is the standard first move of
+    // distributed CC — absorb locally, iterate on the contracted graph
+    // (the loop's O(log diameter) bound now applies to the quotient's
+    // diameter, which collapses toward the partition count).
+    import s.implicits._
+    val localMap = cut(p0.as[(Long, Long)].mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      import scala.jdk.CollectionConverters._
+      parent.keySet().asScala.iterator.map(v => (v, find(v)))
+    }.toDF("doc_id", "root").repartition(4), eager = true)
+    val q = cut(localMap
+      .groupBy(col("doc_id"))
+      .agg(min(col("root")).as("mr"), collect_set(col("root")).as("rs"))
+      .select(explode(col("rs")).as("src"), col("mr").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .repartition(4), eager = true)
+    // a quotient with no stitch edges (every component lives inside one
+    // partition) needs no iteration at all — labels stay empty and the
+    // expansion below coalesces every root to itself
+    val stitched = !q.isEmpty
+    val edges = q.union(q.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = q.select(col("src").as("doc_id"))
+      .union(q.select(col("dst").as("doc_id")))
+      .distinct()
     // init one propagation ahead: label₀(v) = min(v, min neighbor id)
     // — the first round's "min over self ∪ neighbors" where every
     // neighbor still carries its own id, computable as one aggregate
@@ -680,14 +728,15 @@ object DedupOps {
     // query; the loop below is unchanged and still converges to the
     // same fixpoint (min-propagation is monotone from ANY label state
     // ≥ the fixpoint, and label₀ ≥ it pointwise by construction).
-    var labels = cut(edges
-      .select(col("dst").as("doc_id"), col("src").as("label"))
-      .union(nodes
-        .select(col(nodes.columns.head).as("doc_id"))
-        .select(col("doc_id"), col("doc_id").as("label")))
-      .groupBy("doc_id")
-      .agg(min(col("label")).as("label")), eager = true)
-    tick("cc: edges+labels init")
+    var labels =
+      if (!stitched) q.select(col("src").as("doc_id"), col("src").as("label"))
+      else cut(edges
+        .select(col("dst").as("doc_id"), col("src").as("label"))
+        .union(nodes
+          .select(col("doc_id"), col("doc_id").as("label")))
+        .groupBy("doc_id")
+        .agg(min(col("label")).as("label")), eager = true)
+    tick("cc: contraction+labels init")
     // Convergence probe: labels are doc ids and only ever DECREASE
     // (min-propagation), so the label sum strictly decreases until the
     // fixpoint. The probe is folded into the round's ONE action: `next`
@@ -707,7 +756,7 @@ object DedupOps {
     // the saving is one full aggregate per connectedComponents call.
     var prevSum = -1L
     var rounds = 0
-    var done = false
+    var done = !stitched
     // one propagate+jump round, as a PLAN transform: min over {self
     // label} ∪ {neighbor labels} — one union + one hash agg (single
     // shuffle on doc_id) instead of join+agg+join — then the pointer
@@ -753,7 +802,27 @@ object DedupOps {
     // means the loop itself is broken, not the data.
     if (!done) throw new IllegalStateException(
       s"connectedComponents did not converge in $rounds rounds (label sum $prevSum)")
-    labels
+    // expand the quotient fixpoint back to every original paired vertex
+    // through its local-root map; a root outside the stitch graph is its
+    // own (intra-partition) component's min and coalesces to itself. The
+    // groupBy-min collapses a vertex's multiple (partition, root) rows —
+    // all carrying the component label at the fixpoint.
+    val pairedLabels = localMap
+      .join(labels.select(col("doc_id").as("root"), col("label")),
+        Seq("root"), "left_outer")
+      .select(col("doc_id"), coalesce(col("label"), col("root")).as("label"))
+      .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+    nodesOpt match {
+      case None => pairedLabels
+      case Some(n) =>
+        // explicit nodes no longer ride through the loop as self-labeled
+        // singletons (they used to widen every round): one
+        // post-convergence coalesce join, same as componentLabels
+        n.select(col(n.columns.head).as("doc_id"))
+          .join(pairedLabels.select(col("doc_id"), col("label").as("__cl")),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("__cl"), col("doc_id")).as("label"))
+    }
   }
 
   /** Component labels for EVERY doc of a contracted corpus, with the
