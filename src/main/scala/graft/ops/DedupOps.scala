@@ -410,24 +410,25 @@ object DedupOps {
     * components and keep one representative per component. Pairs alone
     * under-delete (A~B, B~C ⇒ drop two of {A,B,C} even when A!~C).
     *
-    * Spark side: min-label propagation WITH POINTER JUMPING over ONLY
-    * the reps that appear in a verified pair (r5; singleton reps and
-    * equal-ts members never enter the iteration — componentLabels
-    * derives their labels in one join after convergence). Each vertex
-    * starts labeled with its own id; each round (a) takes the min of
-    * its label and its neighbors' labels (one shuffle: edges ⋈ labels →
-    * min per dst), then (b) jumps through the label indirection
-    * (l(v) := min(l(v), l(l(v))), one more join) — (b) halves chain
-    * lengths so convergence is O(log diameter), not O(diameter): this
-    * corpus has one giant chain-shaped component (137 of 500 docs at
-    * sf0.01), and plain propagation needed ~10 rounds there and would
-    * need hundreds at sf0.1. Labels are re-materialized with a
-    * localCheckpoint each round — caching alone is not enough, because
-    * the logical plan references labels twice per round and therefore
-    * DOUBLES in size every iteration (optimizer time goes exponential;
-    * measured: rounds 1-4 went from ~1 s to ~60 s before the lineage
-    * cut). At 100 TB: same loop with reliable checkpoint() to the
-    * cluster FS, and the large-star/small-star variant to bound skew.
+    * Spark side: RECURSIVE PARTITION CONTRACTION over ONLY the reps
+    * that appear in a verified pair (r5; singleton reps and equal-ts
+    * members never enter the recursion — componentLabels derives their
+    * labels in one join afterwards). Each level union-finds every edge
+    * partition in memory (mapPartitions), then emits only the stitch
+    * quotient — each multi-partition vertex's roots linked to its min
+    * root — as the next level's edge list at a quarter the partitions.
+    * At one partition the quotient is empty by construction, so the
+    * level count is ceil(log4 edgeParts)+1 for ANY graph shape. This
+    * replaced the r5 min-label/pointer-jump loop, whose convergence
+    * was O(diameter) in the worst case: a 400-vertex near-dup chain
+    * (templated docs drifting one token per doc) blew its 50-round cap
+    * — pinned by the chain spec in LlmSpec — while contraction closes
+    * it in 2 levels. Every level's frames are re-materialized with a
+    * localCheckpoint (lineage cut; the descent references each level
+    * twice). At 100 TB: reliable checkpoint() to the cluster FS kicks
+    * in automatically when a checkpoint dir is set, and
+    * spark.graft.cc.edgeParts scales the per-task union-find memory
+    * bound (levels grow only as log4 of it).
     *
     * Oracle: DuckDB recursive CTE computes each doc's reachable set;
     * MIN(reachable) is the same component representative and COUNT is
@@ -565,10 +566,11 @@ object DedupOps {
     within.unionByName(cross)
   }
 
-  /** Min-label propagation with pointer jumping (see llmDedupClusters
-    * scaladoc for the algorithm and lineage notes). `nodes` = one
-    * doc_id per vertex; `pairs` = undirected edges (doc_a, doc_b).
-    * Returns (doc_id, label) with label = min doc_id of the component. */
+  /** Connected components by recursive partition contraction (see
+    * llmDedupClusters scaladoc for the algorithm and lineage notes).
+    * `nodes` = one doc_id per vertex; `pairs` = undirected edges
+    * (doc_a, doc_b). Returns (doc_id, label) with label = min doc_id
+    * of the component. */
   private[graft] def connectedComponents(
       nodes: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame,
@@ -615,10 +617,17 @@ object DedupOps {
     // boundary to reuse under a broadcast NLJ: measured 2× the all-pairs
     // verify cost at sf0.1 in round 3)
     // repartition (not coalesce — coalesce would throttle the upstream
-    // pair computation itself) the checkpointed edge halves down to a few
-    // partitions: the loop re-scans them every round, and 64 ~3k-row scan
-    // tasks per round is pure scheduler overhead
-    val p0 = cut(pairs.select(ca.as("src"), cb.as("dst")).repartition(4), eager = true)
+    // pair computation itself) the checkpointed edge list down to
+    // `spark.graft.cc.edgeParts` partitions (default 4). This count is
+    // the contraction's parallelism AND its per-task memory bound: each
+    // level-1 task union-finds one partition's edges (~16 bytes per
+    // resident vertex). Locally 4 keeps scheduler overhead nil; on a
+    // cluster set it near total cores — the level count only grows as
+    // log4(parts), so 4096 parts is still just 6 levels.
+    val edgeParts = s.conf.get("spark.graft.cc.edgeParts", "4").toInt
+    val p0 = cut(
+      pairs.select(ca.as("src"), cb.as("dst")).repartition(edgeParts),
+      eager = true)
     // OPT-IN small-graph escape hatch: when the materialized edge list
     // is at most `spark.graft.cc.localEdgeThreshold` rows (default 0 =
     // disabled), solve components with a driver-side union-find over
@@ -665,153 +674,98 @@ object DedupOps {
             .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("label"))
       }
     }
-    // Partition-local contraction (r6): each partition of the
-    // checkpointed edge list runs an in-memory union-find over ITS OWN
-    // edges (mapPartitions — fully distributed, no driver involvement;
-    // memory is bounded by the partition's edge share, which the
-    // repartition above sizes), emitting a (vertex -> local set root)
-    // map whose roots are each local set's MIN id (union attaches the
-    // larger root under the smaller). Intra-partition connectivity is
-    // absorbed BEFORE any iteration: the min-label loop below runs on
-    // the QUOTIENT graph over local roots, stitched by linking every
-    // root of a vertex that appears in several partitions to that
-    // vertex's min root. Correctness: an original edge's endpoints
-    // share a root, and any two roots of one component are linked
-    // through the stitch chain of their shared vertices, so quotient
-    // components = original components restricted to roots; the global
-    // component min m is itself a local root (roots are local minima),
-    // hence the quotient fixpoint label IS m and every vertex inherits
-    // it through any of its roots. At sf0.1 this cuts the loop from 5
-    // rounds over the ~8k-edge rep graph to ~2 over a few hundred
-    // stitch edges; at cluster scale it is the standard first move of
-    // distributed CC — absorb locally, iterate on the contracted graph
-    // (the loop's O(log diameter) bound now applies to the quotient's
-    // diameter, which collapses toward the partition count).
+    // Recursive partition contraction (r6). Each LEVEL runs an
+    // in-memory union-find inside every partition of its edge list
+    // (mapPartitions — fully distributed, no driver involvement; memory
+    // per task is ~16 bytes per vertex resident in that partition),
+    // emitting a (vertex -> local set root) map whose roots are each
+    // local set's MIN id (union attaches the larger root under the
+    // smaller). The level's residual connectivity is the STITCH
+    // QUOTIENT: for every vertex seen by several partitions, link each
+    // of its roots to its min root. That quotient — repartitioned to a
+    // QUARTER of the level's partitions — is the next level's edge
+    // list. Termination is structural, not convergence-tested: once
+    // the quotient reaches one partition, every vertex there has
+    // exactly one root, so the next quotient is EMPTY — the level
+    // count is ceil(log4 edgeParts)+1 REGARDLESS of graph shape. The
+    // r5 min-label/pointer-jump loop this replaces was O(diameter) in
+    // the worst case (a 400-vertex near-dup CHAIN — templated docs
+    // drifting one token at a time — blew its 50-round cap; pinned by
+    // the chain spec in LlmSpec); contraction levels don't see
+    // diameter at all.
+    // Correctness: an original edge's endpoints share a level-1 root,
+    // and any two roots of one component are linked through the stitch
+    // chain of their shared vertices, so each level's quotient
+    // components are the original components restricted to that
+    // level's roots. The global component min m is its own root at
+    // every level (roots are set minima, and m is the min of any set
+    // containing it), so the final level labels m's component with m,
+    // and the descent below hands every vertex that label through its
+    // root chain.
     import s.implicits._
-    val localMap = cut(p0.as[(Long, Long)].mapPartitions { it =>
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.get(r) != r) r = parent.get(r)
-        var c = x
-        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
-        r
-      }
-      it.foreach { case (a, b) =>
-        if (!parent.containsKey(a)) parent.put(a, a)
-        if (!parent.containsKey(b)) parent.put(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-      }
-      import scala.jdk.CollectionConverters._
-      parent.keySet().asScala.iterator.map(v => (v, find(v)))
-    }.toDF("doc_id", "root").repartition(4), eager = true)
-    val q = cut(localMap
-      .groupBy(col("doc_id"))
-      .agg(min(col("root")).as("mr"), collect_set(col("root")).as("rs"))
-      .select(explode(col("rs")).as("src"), col("mr").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .repartition(4), eager = true)
-    // a quotient with no stitch edges (every component lives inside one
-    // partition) needs no iteration at all — labels stay empty and the
-    // expansion below coalesces every root to itself
-    val stitched = !q.isEmpty
-    val edges = q.union(q.select(col("dst").as("src"), col("src").as("dst")))
-    val nodes = q.select(col("src").as("doc_id"))
-      .union(q.select(col("dst").as("doc_id")))
-      .distinct()
-    // init one propagation ahead: label₀(v) = min(v, min neighbor id)
-    // — the first round's "min over self ∪ neighbors" where every
-    // neighbor still carries its own id, computable as one aggregate
-    // over the checkpointed edges during the init materialization. At
-    // sf0.1 this removes one full round (~0.4 s) from each component
-    // query; the loop below is unchanged and still converges to the
-    // same fixpoint (min-propagation is monotone from ANY label state
-    // ≥ the fixpoint, and label₀ ≥ it pointwise by construction).
-    var labels =
-      if (!stitched) q.select(col("src").as("doc_id"), col("src").as("label"))
-      else cut(edges
-        .select(col("dst").as("doc_id"), col("src").as("label"))
-        .union(nodes
-          .select(col("doc_id"), col("doc_id").as("label")))
-        .groupBy("doc_id")
-        .agg(min(col("label")).as("label")), eager = true)
-    tick("cc: contraction+labels init")
-    // Convergence probe: labels are doc ids and only ever DECREASE
-    // (min-propagation), so the label sum strictly decreases until the
-    // fixpoint. The probe is folded into the round's ONE action: `next`
-    // is LAZILY localCheckpoint-ed, and the labelSum aggregate both
-    // materializes the checkpoint (lineage cut — the logical plan
-    // references labels twice per round and would double every
-    // iteration) and returns the convergence signal. Round 3 paid two
-    // actions per round (eager checkpoint + separate agg); this is one.
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
-      val r = df.agg(sum(col("label"))).head
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    def localRoots(edges: org.apache.spark.sql.DataFrame) =
+      edges.as[(Long, Long)].mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        import scala.jdk.CollectionConverters._
+        parent.keySet().asScala.iterator.map(v => (v, find(v)))
+      }.toDF("doc_id", "root")
+    val rootMaps = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    var cur = p0
+    var parts = edgeParts
+    var ccDone = false
+    while (!ccDone) {
+      // defensive only: parts strictly quarters to 1, where the next
+      // quotient is empty by construction — 40 levels can't be reached
+      if (rootMaps.size >= 40) throw new IllegalStateException(
+        s"cc contraction did not close in ${rootMaps.size} levels")
+      val rm = cut(localRoots(cur), eager = true)
+      rootMaps += rm
+      parts = math.max(1, parts / 4)
+      val q = cut(rm
+        .groupBy(col("doc_id"))
+        .agg(min(col("root")).as("mr"), collect_set(col("root")).as("rs"))
+        .select(explode(col("rs")).as("src"), col("mr").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .repartition(parts), eager = true)
+      // isEmpty on the just-materialized checkpoint is a limit-1 scan
+      if (q.isEmpty) ccDone = true else cur = q
+      tick(s"cc: level ${rootMaps.size} (next parts $parts, " +
+        s"${if (ccDone) "closed" else "stitching"})")
     }
-    // prevSum starts at an impossible sentinel instead of paying an
-    // upfront labelSum action over the init labels: round 1's sum can
-    // never equal -1, so the only cost is one extra round in the
-    // (never-seen) case of an input that is already converged — and
-    // the saving is one full aggregate per connectedComponents call.
-    var prevSum = -1L
-    var rounds = 0
-    var done = !stitched
-    // one propagate+jump round, as a PLAN transform: min over {self
-    // label} ∪ {neighbor labels} — one union + one hash agg (single
-    // shuffle on doc_id) instead of join+agg+join — then the pointer
-    // jump l(v) := min(l(v), l(l(v))), which halves chain lengths so
-    // convergence is O(log diameter).
-    // No broadcast hints: measured 0.3-0.4 s/round SLOWER with pinned
-    // broadcasts at sf0.1 (the extra broadcast-build jobs cost more
-    // than AQE's shuffle of the few-MB edge list saves at this size);
-    // AQE still picks broadcast when runtime stats justify it, and at
-    // 100 TB a real planner choice is wanted here anyway.
-    def round(lbl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val l1 = edges
-        .join(lbl.select(col("doc_id").as("src"), col("label").as("nl")), "src")
-        .select(col("dst").as("doc_id"), col("nl").as("label"))
-        .union(lbl)
-        .groupBy("doc_id")
-        .agg(min(col("label")).as("label"))
-      l1.join(l1.select(col("doc_id").as("pdoc"), col("label").as("plabel")),
-          l1("label") === col("pdoc"))
-        .select(col("doc_id"), least(l1("label"), col("plabel")).as("label"))
+    // Descend the root chains back to the original vertices. At the
+    // final level the quotient was empty, so every vertex there has one
+    // root (its component's min over that level — and, by the argument
+    // above, the ORIGINAL component's min): label = root. Each step
+    // down maps a level's vertices through (root -> label); a root
+    // absent from the upper labels never appeared in that level's
+    // stitch quotient, which means its local set was a whole component
+    // and it is that component's min — coalesce to itself. A vertex
+    // seen by several partitions carries one row per root; all resolve
+    // to the same component label, and the groupBy-min collapses them.
+    // The descent is LAZY plan composition over the per-level
+    // checkpoints — levels are few (log4), so the plan stays shallow.
+    val pairedLabels = rootMaps.init.foldRight(
+      rootMaps.last.groupBy(col("doc_id")).agg(min(col("root")).as("label"))
+    ) { (rm, upper) =>
+      rm.join(upper.select(col("doc_id").as("root"), col("label")),
+          Seq("root"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("root")).as("label"))
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
     }
-    while (!done && rounds < 50) {
-      // ONE round per materialization. Unrolling two rounds into one
-      // lazy checkpoint + one labelSum action was MEASURED SLOWER in r5
-      // (sf0.1: per-action time went 0.4 s → 1.0-2.0 s, net loss): the
-      // composed plan references the inner round's output 4× (twice in
-      // the union+agg, twice in the jump join), and re-deriving it past
-      // exchange reuse plus AQE replanning of the doubled plan costs
-      // more than the saved job/checkpoint overhead — same conclusion
-      // as r4's double-jump experiment, from the other direction.
-      val next = cut(round(labels),
-        eager = false) // lazy: the labelSum action materializes it
-      val newSum = labelSum(next)
-      done = newSum == prevSum
-      prevSum = newSum
-      labels = next
-      rounds += 1
-      tick(s"cc: round $rounds (sum $newSum)")
-    }
-    // fail LOUD on cap exit (r4 review): mid-propagation labels are
-    // silently wrong cluster ids — at O(log diameter) convergence, 50
-    // rounds covers any graph this engine can build, so hitting the cap
-    // means the loop itself is broken, not the data.
-    if (!done) throw new IllegalStateException(
-      s"connectedComponents did not converge in $rounds rounds (label sum $prevSum)")
-    // expand the quotient fixpoint back to every original paired vertex
-    // through its local-root map; a root outside the stitch graph is its
-    // own (intra-partition) component's min and coalesces to itself. The
-    // groupBy-min collapses a vertex's multiple (partition, root) rows —
-    // all carrying the component label at the fixpoint.
-    val pairedLabels = localMap
-      .join(labels.select(col("doc_id").as("root"), col("label")),
-        Seq("root"), "left_outer")
-      .select(col("doc_id"), coalesce(col("label"), col("root")).as("label"))
-      .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
     nodesOpt match {
       case None => pairedLabels
       case Some(n) =>
