@@ -152,8 +152,8 @@ object Probe {
       spark.stop(); return
     }
     if (key == "micro_cc2") {
-      // r5 shape: contraction -> LSH pairs -> CC over paired reps only,
-      // with the per-round tick exposing round count and per-round cost
+      // r6 shape: contraction -> LSH pairs -> CC over paired reps only,
+      // with the tick exposing per-contraction-level cost
       graft.functions.GraftFunctions.register(spark)
       import org.apache.spark.sql.functions._
       Tables.documents(spark, sf).count()
@@ -180,7 +180,7 @@ object Probe {
     }
     if (key == "micro_cc") {
       // per-phase cost of llm_dedup_clusters: pair build, then the real
-      // connectedComponents loop with its per-round tick callback
+      // connectedComponents contraction with its per-level tick callback
       graft.functions.GraftFunctions.register(spark)
       import org.apache.spark.sql.functions._
       Tables.documents(spark, sf).count()
