@@ -643,7 +643,7 @@ object DedupOps {
     // themselves. Equality with the loop is pinned in LlmSpec.
     val localThr = s.conf.get("spark.graft.cc.localEdgeThreshold", "0").toLong
     if (localThr > 0 && p0.count() <= localThr) {
-      val parent = new java.util.HashMap[Long, Long]()
+      val parent = new LongLongMap()
       def find(x: Long): Long = {
         var r = x
         while (parent.get(r) != r) r = parent.get(r)
@@ -653,18 +653,17 @@ object DedupOps {
       }
       p0.collect().foreach { row =>
         val a = row.getLong(0); val b = row.getLong(1)
-        if (!parent.containsKey(a)) parent.put(a, a)
-        if (!parent.containsKey(b)) parent.put(b, b)
+        if (!parent.contains(a)) parent.put(a, a)
+        if (!parent.contains(b)) parent.put(b, b)
         val ra = find(a); val rb = find(b)
         // attach the larger root under the smaller: the root of every
-        // tree is then the component's min id (the loop's label too)
+        // tree is then the component's min id (the label contract)
         if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
       }
-      import scala.jdk.CollectionConverters._
       import s.implicits._
-      val local = parent.keySet().asScala.toSeq.map(v => (v, find(v)))
+      val local = parent.keysIterator.toSeq.map(v => (v, find(v)))
         .toDF("doc_id", "label")
-      tick(s"cc: local union-find (${parent.size()} paired vertices)")
+      tick(s"cc: local union-find (${parent.size} paired vertices)")
       return nodesOpt match {
         case None => local
         case Some(n) =>
@@ -705,7 +704,11 @@ object DedupOps {
     import s.implicits._
     def localRoots(edges: org.apache.spark.sql.DataFrame) =
       edges.as[(Long, Long)].mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
+        // LongLongMap, not java.util.HashMap: the partition's resident
+        // vertex set IS this task's memory bound, and flat long arrays
+        // hold it at ~16 bytes/slot with no boxing or GC churn (a
+        // boxed HashMap is ~5x that and allocates per insert)
+        val parent = new LongLongMap()
         def find(x: Long): Long = {
           var r = x
           while (parent.get(r) != r) r = parent.get(r)
@@ -714,13 +717,12 @@ object DedupOps {
           r
         }
         it.foreach { case (a, b) =>
-          if (!parent.containsKey(a)) parent.put(a, a)
-          if (!parent.containsKey(b)) parent.put(b, b)
+          if (!parent.contains(a)) parent.put(a, a)
+          if (!parent.contains(b)) parent.put(b, b)
           val ra = find(a); val rb = find(b)
           if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
         }
-        import scala.jdk.CollectionConverters._
-        parent.keySet().asScala.iterator.map(v => (v, find(v)))
+        parent.keysIterator.map(v => (v, find(v)))
       }.toDF("doc_id", "root")
     val rootMaps = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.DataFrame]
