@@ -624,7 +624,8 @@ object DedupOps {
     // resident vertex). Locally 4 keeps scheduler overhead nil; on a
     // cluster set it near total cores — the level count only grows as
     // log4(parts), so 4096 parts is still just 6 levels.
-    val edgeParts = s.conf.get("spark.graft.cc.edgeParts", "4").toInt
+    val edgeParts =
+      math.max(1, s.conf.get("spark.graft.cc.edgeParts", "4").toInt)
     val p0 = cut(
       pairs.select(ca.as("src"), cb.as("dst")).repartition(edgeParts),
       eager = true)
