@@ -228,10 +228,22 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
-  /** D10 — exact lower median per group, spelled as the engine-neutral
-    * row_number construction (percentile/quantile builtins differ in
-    * interpolation across engines; element-at-position does not). At
-    * 100 TB prefer approx_percentile — same trade as D2 vs D3. */
+  /** D10 — exact lower median per group via a VALUE HISTOGRAM: count
+    * rows per (group, value) with a fully-parallel partial aggregate
+    * (map-side combine; ~150 rows out here), then one cumulative-sum
+    * window over that tiny frame picks the smallest value whose
+    * cumulative count reaches (n+1)/2. The naive spelling — row_number
+    * over a per-group total sort — caps parallelism at the GROUP count
+    * (3 tasks sorting 200k rows each at sf0.1; 3 tasks sorting
+    * terabytes at 100 TB); the histogram shape instead scales with the
+    * input partition count and shuffles only distinct values. Valid
+    * whenever per-group distinct values fit an aggregate (discrete /
+    * low-cardinality measures like quantities, scores, ratings); for
+    * continuous high-cardinality measures use the GK sketch (D10b) —
+    * same trade as D2 vs D3. The DuckDB oracle keeps the independent
+    * engine-neutral row_number construction, so the two engines must
+    * agree across DIFFERENT algorithms (percentile/quantile builtins
+    * were avoided in both: they differ in interpolation). */
   val aggMedian: Q = Q(
     "agg_median",
     """WITH r AS (SELECT l_returnflag, l_quantity,
@@ -244,13 +256,14 @@ object Aggs {
       |ORDER BY l_returnflag""".stripMargin
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy("l_returnflag")
-      .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     val wAll = Window.partitionBy("l_returnflag")
     lineitem(s, dir)
-      .withColumn("rn", row_number().over(wOrd).cast("bigint"))
-      .withColumn("n_rows", count(lit(1)).over(wAll))
-      .where(expr("rn = (n_rows + 1) div 2"))
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n_rows", sum("cnt").over(wAll))
+      .where(expr("cum >= (n_rows + 1) div 2 AND cum - cnt < (n_rows + 1) div 2"))
       .select(col("l_returnflag"), col("l_quantity").as("median_qty"), col("n_rows"))
       .orderBy("l_returnflag")
   }
