@@ -538,8 +538,41 @@ object TextOps {
       .orderBy("doc_id", "term")
   }
 
+  /** Deterministic global corpus shuffle + shard assignment — the
+    * "shuffle before sharding" step of training-data prep: every doc
+    * gets a seeded pseudo-random rank, a shard (rank mod n_shards), and
+    * a position within its shard, so a re-run (or a resumed job)
+    * reproduces the identical training order. A sequential Fisher-Yates
+    * cannot distribute; the standard at scale is exactly this hash-rank
+    * permutation. The scramble is a multiplicative LCG mod 1e9+7 in
+    * plain int64 arithmetic (doc_id < ~3.4e9 keeps the product inside
+    * int64; never engine-specific hash builtins), so the DuckDB oracle
+    * reproduces it bit-for-bit. Scale shape: the position window
+    * partitions by shard and carries only (doc_id, h) pairs — with
+    * n_shards sized >= cluster cores (thousands at 100 TB) it is
+    * physically repartition-by-shard + sort-within-partition, i.e. the
+    * shard write layout itself; nothing else shuffles and text never
+    * moves until the final shard write. */
+  val llmCorpusShuffle: Q = Q(
+    "llm_corpus_shuffle",
+    """WITH h AS (SELECT doc_id,
+      |    (doc_id * 2654435761 + 987654321) % 1000000007 AS h FROM documents)
+      |SELECT doc_id, h % 8 AS shard,
+      |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+      |FROM h ORDER BY shard, pos""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    documents(s, dir)
+      .select(col("doc_id"),
+        expr("(doc_id * 2654435761 + 987654321) % 1000000007").as("h"))
+      .withColumn("shard", col("h") % 8)
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
     llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup,
-    llmBloomDecontaminate, llmTfidfVectors)
+    llmBloomDecontaminate, llmTfidfVectors, llmCorpusShuffle)
 }

@@ -150,4 +150,30 @@ class TextPipelineSpec extends SparkSpec {
       .distinct().count()
     assert(tot.getLong(0) - tot.getLong(1) == distinctHashes)
   }
+
+  test("corpus shuffle is a deterministic bijective resharding") {
+    val out = ops.TextOps.llmCorpusShuffle.build(spark, dir)
+    val nDocs = Tables.documents(spark, dir).count()
+    // bijection: every doc exactly once, shards cover 0..7, positions
+    // within a shard are contiguous 1..count(shard).
+    assert(out.count() == nDocs)
+    assert(out.select("doc_id").distinct().count() == nDocs)
+    val badShard = out.where(col("shard") < 0 || col("shard") >= 8).count()
+    assert(badShard == 0)
+    val badPos = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("dp"))
+      .where(col("mn") =!= 1L || col("mx") =!= col("n") || col("dp") =!= col("n"))
+      .count()
+    assert(badPos == 0, "positions must be contiguous 1..n per shard")
+    // determinism: an independent rebuild yields the identical assignment
+    val again = ops.TextOps.llmCorpusShuffle.build(spark, dir)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    // it IS a shuffle: assignment order must not be doc_id order (the
+    // LCG scatters any contiguous id range across shards)
+    val inOrder = out.orderBy("shard", "pos").select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(!(inOrder.sliding(2).forall(p => p(0) < p(1))),
+      "shuffled order degenerated to doc_id order")
+  }
 }
