@@ -24,7 +24,8 @@ object Plans {
       "join_star_schema", "join_salted_skew", "agg_heavy_hitters",
       "llm_bloom_decontaminate", "llm_chunk_dedup", "llm_pii_redact",
       "join_priority_topk", "generate_resample", "llm_tfidf_vectors",
-      "agg_histogram", "llm_embedding_quantize", "llm_dedup_incremental")
+      "agg_histogram", "llm_embedding_quantize", "llm_dedup_incremental",
+      "agg_median", "llm_corpus_shuffle")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)
