@@ -1074,7 +1074,82 @@ object DedupOps {
       index: NearDupIndex): org.apache.spark.sql.DataFrame =
     shard.join(matchedAgainstIndex(shard, index), Seq("doc_id"), "left_anti")
 
+  /** SemDeDup-style semantic dedup core over a (vec_id, e, n2)
+    * scaled-embedding frame: cluster-confine the candidate pairs to
+    * k-means lists, exact-verify cosine ≥ τ inside each list, drop the
+    * higher id of every verified pair. Clustering = deterministic seed
+    * (vec_id mod nlist) + two k-means refinements (each is one
+    * broadcast-assign + one (list, pos) aggregate — llm_ann_ivf's
+    * machinery, shared via Llm.nearestLists/listCentroids); every
+    * vector is assigned to its TWO nearest lists, the multiprobe
+    * analog that recovers pairs straddling a list boundary. Candidate
+    * cost is Σ c_i² over list sizes instead of N² — the lists are the
+    * shuffle key at 100 TB, exactly like the IVF index. A pair
+    * co-resident in both shared lists is exact-scored ≤ 4× map-side;
+    * the dedup exchange (distinct) runs over true pairs only — the
+    * same no-pre-verify-distinct contract as every LSH path here.
+    * Returns (vec_id, kept). Precision is 1 by construction (every
+    * drop is exact-verified); recall vs the all-pairs exact drop set
+    * is the property LlmSpec asserts on a synthetic clustered corpus
+    * (the fixture has zero cosine ≥ 0.95 pairs at every SF, so there
+    * the output is trivially all-kept and the registered query's
+    * oracle — the exact NOT-EXISTS spelling — is exact). */
+  private[graft] def semanticDedupFlags(
+      emb: org.apache.spark.sql.DataFrame,
+      nlist: Int = 10): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    GraftFunctions.register(s)
+    val embC = Q.cached(emb.select(col("vec_id"), col("e"), col("n2")))
+    val seed = embC.select((col("vec_id") % nlist).as("list_id"), col("e"))
+    val cents0 = Llm.listCentroids(seed)
+    val assign1 = Llm.nearestLists(embC, cents0, 1)
+      .select(col("vec_id"), col("c_label").as("list_id"), col("e"))
+    val cents = Llm.listCentroids(assign1)
+    val assigned = Q.cached(Llm.nearestLists(embC, cents, 2)
+      .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2")))
+    val dropped = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.list_id") === col("y.list_id") && col("x.vec_id") < col("y.vec_id"))
+      .where(expr("cast(dot_long(x.e, y.e) as double)")
+        >= lit(0.95) * sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
+      .select(col("y.vec_id").as("vec_id"))
+      .distinct()
+    embC.select("vec_id")
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), (!coalesce(col("hit"), lit(false))).as("kept"))
+  }
+
+  /** Semantic dedup over the fixture embeddings — the third rung of the
+    * curation ladder (exact → fuzzy → semantic): keep each vector with
+    * no cluster-confined cosine-0.95 duplicate of lower id. Oracle is
+    * the exact all-pairs NOT-EXISTS spelling — on data where cluster
+    * confinement loses a pair the two could diverge, which is exactly
+    * the recall property LlmSpec pins on a synthetic clustered corpus
+    * (fixture recall is trivially 1: zero τ-pairs at every SF). */
+  val llmSemanticDedup: Q = Q(
+    "llm_semantic_dedup",
+    """WITH s AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, e,
+      |    CAST(list_sum(list_transform(list_zip(e, e), p -> p[1] * p[2])) AS BIGINT) AS n2
+      |  FROM s),
+      |d AS (SELECT DISTINCT b.vec_id
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE CAST(CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+      |     >= 0.95 * sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+      |SELECT n.vec_id, n.label, (d.vec_id IS NULL) AS kept
+      |FROM n LEFT JOIN d ON n.vec_id = d.vec_id
+      |ORDER BY n.vec_id""".stripMargin
+  ) { (s, dir) =>
+    GraftFunctions.register(s)
+    semanticDedupFlags(Llm.scaledEmb(s, dir))
+      .join(embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+      .select("vec_id", "label", "kept")
+      .orderBy("vec_id")
+  }
+
   def all: Seq[Q] = Seq(llmSimhashDedup, llmSimhashBanded, llmNgramJaccard,
     llmCosineNearDup, llmCosineLsh, llmMinhashLsh, llmDedupClusters, llmCorpusClean,
-    llmClusterBest, llmDedupIncremental)
+    llmClusterBest, llmDedupIncremental, llmSemanticDedup)
 }

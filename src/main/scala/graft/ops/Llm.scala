@@ -310,27 +310,40 @@ object Llm {
     * nprobe=4, 0.92 at nprobe=6 (of 10 lists; LlmSpec asserts the
     * floor). No oracle (the nested argmin is engine-awkward); the recall
     * check lives in LlmSpec. */
+  /** Nearest-centroid assignment (L2 via exact integer dots): each
+    * vector of `vecs` joined to its k nearest of the broadcast centroid
+    * frame `cs` (`(c_label, ce)`), deterministic c_label tie-break.
+    * Shared by llm_ann_ivf (k-means step, final assignment, query
+    * probes) and llm_semantic_dedup (cluster confinement). The centroid
+    * set is nlist rows — broadcast by construction at any corpus size
+    * (nlist grows ~√N, the vectors stay partitioned). */
+  private[graft] def nearestLists(vecs: org.apache.spark.sql.DataFrame,
+      cs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_label"))
+    vecs.crossJoin(broadcast(cs))
+      .withColumn("d2", expr("dot_long(e, e) - 2 * dot_long(e, ce) + dot_long(ce, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+  }
+
+  /** Element-wise integer-mean centroid per assigned list (exactly I4's
+    * aggregate shape: posexplode → (list, pos) two-phase agg). */
+  private[graft] def listCentroids(
+      assign: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = assign
+    .select(col("list_id"), posexplode(col("e")).as(Seq("pos", "v")))
+    .groupBy("list_id", "pos")
+    .agg(expr("(2*sum(v) + count(1)) div (2*count(1))").as("cv"))
+    .groupBy("list_id")
+    .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
+    .select(col("list_id").as("c_label"), col("ce"))
+
   val llmAnnIvf: Q = Q.noOracle("llm_ann_ivf") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val emb = Q.cached(scaledEmb(s, dir))
-
-    // nearest-centroid assignment (L2 via exact integer dots), reused by
-    // the k-means step, the final assignment, and the query probes
     def nearest(vecs: org.apache.spark.sql.DataFrame,
-        cs: org.apache.spark.sql.DataFrame, k: Int) = {
-      val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_label"))
-      vecs.crossJoin(broadcast(cs))
-        .withColumn("d2", expr("dot_long(e, e) - 2 * dot_long(e, ce) + dot_long(ce, ce)"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= k)
-    }
-    def centroidsOf(assign: org.apache.spark.sql.DataFrame) = assign
-      .select(col("list_id"), posexplode(col("e")).as(Seq("pos", "v")))
-      .groupBy("list_id", "pos")
-      .agg(expr("(2*sum(v) + count(1)) div (2*count(1))").as("cv"))
-      .groupBy("list_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
-      .select(col("list_id").as("c_label"), col("ce"))
+        cs: org.apache.spark.sql.DataFrame, k: Int) = nearestLists(vecs, cs, k)
+    def centroidsOf(assign: org.apache.spark.sql.DataFrame) = listCentroids(assign)
 
     // seed centroids: element-wise mean per label; then ONE k-means
     // refinement (reassign → recompute) — the label partition is a

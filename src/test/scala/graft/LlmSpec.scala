@@ -523,6 +523,38 @@ class LlmSpec extends SparkSpec {
     assert(lsh == exact, s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
   }
 
+  test("semantic dedup: precision 1 vs exact drops, recall on synthetic twins") {
+    // same constructed corpus as the sign-LSH test (fixture has zero
+    // cosine >= 0.95 pairs): 40 base vectors + 40 perturbed twins.
+    // Exact drop set = vectors with ANY lower-id pair at tau; semantic
+    // dedup must never drop outside it (every drop is exact-verified)
+    // and should recover it through cluster confinement (twins are
+    // near-identical, so they co-cluster under 2-nearest assignment).
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 64).map(d => ((i * 64 + d) * 2654435761L % 2001 - 1000)).toArray)
+    }
+    val twins = base.map { case (id, v) =>
+      (id + 1000, v.zipWithIndex.map { case (x, d) => if (d == (id % 64)) x + 40 else x })
+    }
+    val emb = (base ++ twins).toDF("vec_id", "e0")
+      .select(col("vec_id"), expr("transform(e0, x -> cast(x as bigint))").as("e"))
+      .withColumn("n2", expr("dot_long(e, e)"))
+    val exactDrops = graft.ops.DedupOps.cosineAllPairs(emb)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flags = graft.ops.DedupOps.semanticDedupFlags(emb)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags.size == 80 && exactDrops.nonEmpty)
+    val semDrops = flags.filter(!_._2).keySet
+    assert((semDrops -- exactDrops).isEmpty,
+      s"dropped outside the exact pair set: ${semDrops -- exactDrops}")
+    val recall = (semDrops intersect exactDrops).size.toDouble / exactDrops.size
+    info(s"semantic dedup drop recall = $recall (${exactDrops.size} exact drops)")
+    assert(recall >= 0.9, s"recall $recall below floor")
+  }
+
   test("banded simhash == all-pairs simhash (pigeonhole recall is exact)") {
     val allPairs = SparkEntry.queries("llm_simhash_dedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
