@@ -62,6 +62,40 @@ object RealImageDecoder extends MediaDecoder {
     ??? // image libs absent in this environment; see StubDecoder for the contract
 }
 
+trait MediaResizer extends Serializable {
+  /** Downscale each payload so it fits `maxDim`×`maxDim` — batched for
+    * the same native-codec amortization reason as decodeBatch. */
+  def resizeBatch(batch: Seq[MediaRecord], maxDim: Int): Seq[MediaRecord]
+}
+
+/** Deterministic stand-in resizer: "downscaling" truncates the payload
+  * to maxDim² CODEPOINTS (codepoint-based like StubDecoder, same r4
+  * lesson — byte truncation would split multibyte characters and
+  * diverge from the SQL twin's substr). The real slot decodes, scales,
+  * re-encodes. */
+object StubResizer extends MediaResizer {
+  def resizeBatch(batch: Seq[MediaRecord], maxDim: Int): Seq[MediaRecord] =
+    batch.map { r =>
+      val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      val cps = text.codePoints().toArray
+      val keep = math.min(maxDim * maxDim, cps.length)
+      val out = new String(cps, 0, keep)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      r.copy(payload = out)
+    }
+}
+
+/** Real resize slot (javax.imageio / libvips on a real cluster). */
+object RealImageResizer extends MediaResizer {
+  def resizeBatch(batch: Seq[MediaRecord], maxDim: Int): Seq[MediaRecord] =
+    ??? // image libs absent in this environment; see StubResizer for the contract
+}
+
+/** One sampled frame of a media payload: `frameNo` is the 0-based frame
+  * index in the ORIGINAL frame sequence (so stride gaps are visible to
+  * the consumer), payload the frame's bytes. */
+final case class FrameRecord(id: Long, frameNo: Long, payload: Array[Byte])
+
 object Media {
 
   /** Lift the documents fixture into media records (utf-8 payload +
@@ -87,6 +121,41 @@ object Media {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap(decoder.decodeBatch)
+    }
+  }
+
+  /** Executor-side batched resize — same narrow mapPartitions shape as
+    * extractFeatures: payloads transform in place on their partition,
+    * nothing shuffles. */
+  def resize(ds: Dataset[MediaRecord], resizer: MediaResizer,
+      maxDim: Int, batchSize: Int = 64): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(resizer.resizeBatch(_, maxDim))
+    }
+  }
+
+  /** Frame sampling — the video analog of doc chunking: carve each
+    * payload into `frameChars`-codepoint frames and keep every
+    * `stride`-th (frame 0, stride, 2·stride…), a 1→N flatMap with no
+    * shuffle. Frame boundaries here are fixed-size codepoint windows
+    * (the deterministic stand-in for real codec keyframe boundaries —
+    * a real video pipeline decodes first, then samples; the Spark
+    * plumbing is identical). Dropped frames never materialize. */
+  def frameSample(ds: Dataset[MediaRecord], frameChars: Int,
+      stride: Int): Dataset[FrameRecord] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      val cps = text.codePoints().toArray
+      if (cps.isEmpty) Iterator.empty
+      else (0 to (cps.length - 1) / frameChars by stride).iterator.map { k =>
+        val start = k * frameChars
+        val len = math.min(frameChars, cps.length - start)
+        FrameRecord(r.id, k.toLong,
+          new String(cps, start, len)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
   }
 }

@@ -32,5 +32,51 @@ object MediaOps {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(llmMediaFeatures)
+  /** Media resize accounting (the SQL-expressible twin of
+    * Media.resize + StubResizer at maxDim=16: payload truncated to 256
+    * codepoints; MediaSpec proves the typed stage computes the same).
+    * Narrow per-row scan, payloads never shuffle. */
+  val llmMediaResize: Q = Q(
+    "llm_media_resize",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(encode(substr(text, 1, 256))) AS BIGINT) AS resized_bytes
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"),
+        octet_length(encode(substring(col("text"), 1, 256), "UTF-8"))
+          .cast("bigint").as("resized_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling (the SQL twin of Media.frameSample at
+    * frameChars=16, stride=4: keep frames 0, 4, 8, … of 16 codepoints
+    * each; MediaSpec proves the typed flatMap emits the same frames).
+    * Pure generator — 1→N explode per row, no shuffle; dropped frames
+    * never materialize. frame_no keeps the ORIGINAL index so stride
+    * gaps stay visible. */
+  val llmMediaFrames: Q = Q(
+    "llm_media_frames",
+    """WITH t AS (SELECT doc_id, text,
+      |    CAST(length(text) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT doc_id, text,
+      |    unnest(generate_series(0, (n-1) // 16, 4)) AS k FROM t)
+      |SELECT doc_id, CAST(k AS BIGINT) AS frame_no,
+      |  substr(text, CAST(k*16+1 AS INT), 16) AS frame
+      |FROM c ORDER BY doc_id, frame_no""".stripMargin
+  ) { (s, dir) =>
+    documents(s, dir)
+      .where(col("text").isNotNull)
+      .withColumn("n", length(col("text")).cast("bigint"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0L, (n-1) div 16, 4L)")).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        expr("substring(text, cast(frame_no*16+1 as int), 16)").as("frame"))
+      .orderBy("doc_id", "frame_no")
+  }
+
+  def all: Seq[Q] = Seq(llmMediaFeatures, llmMediaResize, llmMediaFrames)
 }

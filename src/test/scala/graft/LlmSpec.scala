@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, VectorCentroid}
-import graft.multimodal.{Media, StubDecoder}
+import graft.multimodal.{Media, StubDecoder, StubResizer}
 
 /** Properties of the non-oracle LLM ops (engine-specific hashing or
   * approximation) against their exact oracle-checked twins, plus the
@@ -607,6 +607,32 @@ class LlmSpec extends SparkSpec {
           r.getAs[Int]("width").toLong, r.getAs[Int]("height").toLong))
       }.toMap
     assert(typed == sql)
+  }
+
+  test("media pipeline: typed resize stage == SQL resize query") {
+    val typed = Media.resize(Media.fromDocuments(spark, dir), StubResizer, maxDim = 16)
+      .collect().map(r => r.id -> r.payload.length.toLong).toMap
+    val sql = SparkEntry.queries("llm_media_resize")(spark, dir)
+      .collect().map { r: Row =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("resized_bytes")
+      }.toMap
+    assert(typed == sql)
+  }
+
+  test("media pipeline: typed frame sampling == SQL frames query") {
+    val typed = Media.frameSample(Media.fromDocuments(spark, dir),
+        frameChars = 16, stride = 4)
+      .collect()
+      .map(f => (f.id, f.frameNo) -> new String(f.payload, "UTF-8")).toMap
+    val sql = SparkEntry.queries("llm_media_frames")(spark, dir)
+      .collect().map { r: Row =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_no")) -> r.getAs[String]("frame")
+      }.toMap
+    assert(typed == sql)
+    // stride really drops frames: no kept frame_no is non-multiple of 4,
+    // and some doc is long enough to have a dropped frame between keeps
+    assert(typed.keySet.forall(_._2 % 4 == 0))
+    assert(typed.keySet.exists(_._2 >= 4), "no doc long enough to prove the stride")
   }
 
   test("session windows: no intra-session gap >= 30min, inter-session gap >= 30min") {
