@@ -571,8 +571,48 @@ object TextOps {
       .orderBy("shard", "pos")
   }
 
+  /** Source-mixture reweighting — the data-mixing step of training
+    * prep: per source, token mass, its actual fraction of the corpus,
+    * and the sampling weight that would bring the mixture to the
+    * UNIFORM target (weight = target_frac / actual_frac; >1e6 micro
+    * means upsample, <1e6 downsample). All integer micro-unit
+    * arithmetic (floor division both engines), with a greatest(1,·)
+    * guard so a vanishingly small source gets a large finite weight
+    * rather than a division by zero. Scale shape: one (source) count
+    * aggregate over per-doc token counts — fully parallel partial agg,
+    * source cardinality rows out — plus a broadcast of the one-row
+    * corpus total; nothing else moves. A non-uniform target is the
+    * same arithmetic with a target-fraction column joined in. */
+  val llmSourceMix: Q = Q(
+    "llm_source_mix",
+    """WITH t AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+      |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS n_sources FROM p)
+      |SELECT source, n_docs, n_tokens,
+      |  greatest(1, n_tokens * 1000000 // total) AS actual_frac_micro,
+      |  (1000000 // n_sources) * 1000000
+      |    // greatest(1, n_tokens * 1000000 // total) AS weight_micro
+      |FROM p CROSS JOIN g ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val per = documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("total"), count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("actual_frac_micro",
+        expr("greatest(1L, n_tokens * 1000000 div total)"))
+      .withColumn("weight_micro",
+        expr("(1000000 div n_sources) * 1000000 div actual_frac_micro"))
+      .select("source", "n_docs", "n_tokens", "actual_frac_micro", "weight_micro")
+      .orderBy("source")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
     llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup,
-    llmBloomDecontaminate, llmTfidfVectors, llmCorpusShuffle)
+    llmBloomDecontaminate, llmTfidfVectors, llmCorpusShuffle, llmSourceMix)
 }

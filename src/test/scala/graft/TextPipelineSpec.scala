@@ -151,6 +151,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(tot.getLong(0) - tot.getLong(1) == distinctHashes)
   }
 
+  test("source mix weights equalize the mixture") {
+    // applying each source's weight to its token mass must land every
+    // source within 2% of the uniform target share (floor rounding at
+    // micro granularity is far inside that margin on this fixture)
+    val rows = ops.TextOps.llmSourceMix.build(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val target = total.toDouble / rows.length
+    rows.foreach { r =>
+      val reweighted =
+        r.getAs[Long]("n_tokens").toDouble * r.getAs[Long]("weight_micro") / 1e6
+      assert(math.abs(reweighted - target) <= 0.02 * target,
+        s"${r.getAs[String]("source")}: $reweighted vs target $target")
+    }
+    val fracSum = rows.map(_.getAs[Long]("actual_frac_micro")).sum
+    assert(math.abs(fracSum - 1000000L) <= rows.length,
+      s"fractions sum to $fracSum")
+  }
+
   test("corpus shuffle is a deterministic bijective resharding") {
     val out = ops.TextOps.llmCorpusShuffle.build(spark, dir)
     val nDocs = Tables.documents(spark, dir).count()
