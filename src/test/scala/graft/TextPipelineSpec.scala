@@ -169,6 +169,31 @@ class TextPipelineSpec extends SparkSpec {
       s"fractions sum to $fracSum")
   }
 
+  test("split assignment is subset-invariant and near the 98/1/1 target") {
+    val full = ops.TextOps.llmSplitAssign.build(spark, dir)
+    val rows = full.collect()
+    val byId = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // subset/growth invariance holds iff the assignment is a pure
+    // function of doc_id (no dependence on position, row order, or the
+    // rest of the corpus) — verify against an independent scalar
+    // recomputation of the LCG bucket for every doc
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val h = (id * 1103515245L + 12345L) % 1000000007L
+      val expect = (h * h + id) % 1000000007L % 1000L
+      assert(r.getAs[Long]("bucket") == expect, s"doc $id bucket drift")
+    }
+    // ratio sanity: 500 docs at 98/1/1 — binomial 3-sigma margins
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    val n = byId.size.toDouble
+    assert(math.abs(counts.getOrElse("train", 0) / n - 0.98) < 0.02)
+    assert(counts.getOrElse("valid", 0) + counts.getOrElse("test", 0) > 0)
+    // buckets must actually spread (LCG sanity, not all-one-bucket)
+    val buckets = full.select(countDistinct(col("bucket"))).head().getLong(0)
+    assert(buckets > 200, s"only $buckets distinct buckets")
+  }
+
   test("corpus shuffle is a deterministic bijective resharding") {
     val out = ops.TextOps.llmCorpusShuffle.build(spark, dir)
     val nDocs = Tables.documents(spark, dir).count()
