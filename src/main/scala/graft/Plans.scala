@@ -25,7 +25,7 @@ object Plans {
       "llm_bloom_decontaminate", "llm_chunk_dedup", "llm_pii_redact",
       "join_priority_topk", "generate_resample", "llm_tfidf_vectors",
       "agg_histogram", "llm_embedding_quantize", "llm_dedup_incremental",
-      "agg_median", "llm_corpus_shuffle")
+      "agg_median", "llm_corpus_shuffle", "llm_source_mix", "llm_split_assign")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

@@ -578,11 +578,14 @@ object TextOps {
     * means upsample, <1e6 downsample). All integer micro-unit
     * arithmetic (floor division both engines), with a greatest(1,·)
     * guard so a vanishingly small source gets a large finite weight
-    * rather than a division by zero. Scale shape: one (source) count
-    * aggregate over per-doc token counts — fully parallel partial agg,
-    * source cardinality rows out — plus a broadcast of the one-row
-    * corpus total; nothing else moves. A non-uniform target is the
-    * same arithmetic with a target-fraction column joined in. */
+    * rather than a division by zero. Scale shape: ONE corpus scan into
+    * a (source) aggregate — fully parallel partial agg, source
+    * cardinality rows out — then the corpus total/source count come
+    * from an unpartitioned window over just those |sources| rows (a
+    * deliberate single-partition exchange of ~dozens of rows, never the
+    * corpus; a cross-joined separate total aggregate would re-derive
+    * the scan lineage and read the table twice). A non-uniform target
+    * is the same arithmetic with a target-fraction column joined in. */
   val llmSourceMix: Q = Q(
     "llm_source_mix",
     """WITH t AS (SELECT source,
@@ -601,8 +604,10 @@ object TextOps {
       .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("n_tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-    val tot = per.agg(sum("n_tokens").as("total"), count(lit(1)).as("n_sources"))
-    per.crossJoin(broadcast(tot))
+    val w = Window.partitionBy()  // |sources| rows — single partition by design
+    per
+      .withColumn("total", sum("n_tokens").over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
       .withColumn("actual_frac_micro",
         expr("greatest(1L, n_tokens * 1000000 div total)"))
       .withColumn("weight_micro",
