@@ -545,9 +545,11 @@ object TextOps {
     * reproduces the identical training order. A sequential Fisher-Yates
     * cannot distribute; the standard at scale is exactly this hash-rank
     * permutation. The scramble is a multiplicative LCG mod 1e9+7 in
-    * plain int64 arithmetic (doc_id < ~3.4e9 keeps the product inside
-    * int64; never engine-specific hash builtins), so the DuckDB oracle
-    * reproduces it bit-for-bit. Scale shape: the position window
+    * plain int64 arithmetic (never engine-specific hash builtins), so
+    * the DuckDB oracle reproduces it bit-for-bit; the id is pre-reduced
+    * mod 1e9+7 so the product stays under 2.7e18 for ANY int64 doc_id
+    * (without it the multiply overflows past ~3.4e9 docs — a 100 TB
+    * corpus is ~1e10). Scale shape: the position window
     * partitions by shard and carries only (doc_id, h) pairs — with
     * n_shards sized >= cluster cores (thousands at 100 TB) it is
     * physically repartition-by-shard + sort-within-partition, i.e. the
@@ -556,7 +558,8 @@ object TextOps {
   val llmCorpusShuffle: Q = Q(
     "llm_corpus_shuffle",
     """WITH h AS (SELECT doc_id,
-      |    (doc_id * 2654435761 + 987654321) % 1000000007 AS h FROM documents)
+      |    (doc_id % 1000000007 * 2654435761 + 987654321) % 1000000007 AS h
+      |  FROM documents)
       |SELECT doc_id, h % 8 AS shard,
       |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
       |FROM h ORDER BY shard, pos""".stripMargin
@@ -564,7 +567,7 @@ object TextOps {
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
     documents(s, dir)
       .select(col("doc_id"),
-        expr("(doc_id * 2654435761 + 987654321) % 1000000007").as("h"))
+        expr("(doc_id % 1000000007 * 2654435761 + 987654321) % 1000000007").as("h"))
       .withColumn("shard", col("h") % 8)
       .withColumn("pos", row_number().over(w).cast("bigint"))
       .select("doc_id", "shard", "pos")
@@ -628,16 +631,18 @@ object TextOps {
     * sequential ids on a coarse lattice after the mod-1000 reduction
     * (measured: 104 distinct buckets over 500 sequential ids); the
     * squaring step is the cheapest nonlinearity both engines compute
-    * bit-for-bit in plain int64 ((P-1)^2 < 2^63). Scale shape: pure map
+    * bit-for-bit in plain int64 ((P-1)^2 < 2^63, and the id is
+    * pre-reduced mod P so no term overflows for ANY int64 doc_id). Scale shape: pure map
     * over (doc_id), no shuffle, no text read — at 100 TB this is a
     * scan-stage projection fused into whatever writes the split
     * manifests. */
   val llmSplitAssign: Q = Q(
     "llm_split_assign",
     """WITH h0 AS (SELECT doc_id,
-      |    (doc_id * 1103515245 + 12345) % 1000000007 AS h FROM documents),
+      |    (doc_id % 1000000007 * 1103515245 + 12345) % 1000000007 AS h
+      |  FROM documents),
       |h AS (SELECT doc_id,
-      |    (h * h + doc_id) % 1000000007 % 1000 AS bucket FROM h0)
+      |    (h * h + doc_id % 1000000007) % 1000000007 % 1000 AS bucket FROM h0)
       |SELECT doc_id, bucket,
       |  CASE WHEN bucket < 980 THEN 'train'
       |       WHEN bucket < 990 THEN 'valid' ELSE 'test' END AS split
@@ -645,9 +650,9 @@ object TextOps {
   ) { (s, dir) =>
     documents(s, dir)
       .select(col("doc_id"),
-        expr("(doc_id * 1103515245 + 12345) % 1000000007").as("h"))
+        expr("(doc_id % 1000000007 * 1103515245 + 12345) % 1000000007").as("h"))
       .select(col("doc_id"),
-        expr("(h * h + doc_id) % 1000000007 % 1000").as("bucket"))
+        expr("(h * h + doc_id % 1000000007) % 1000000007 % 1000").as("bucket"))
       .withColumn("split",
         expr("CASE WHEN bucket < 980 THEN 'train' " +
           "WHEN bucket < 990 THEN 'valid' ELSE 'test' END"))

@@ -180,8 +180,8 @@ class TextPipelineSpec extends SparkSpec {
     // recomputation of the LCG bucket for every doc
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      val h = (id * 1103515245L + 12345L) % 1000000007L
-      val expect = (h * h + id) % 1000000007L % 1000L
+      val h = (id % 1000000007L * 1103515245L + 12345L) % 1000000007L
+      val expect = (h * h + id % 1000000007L) % 1000000007L % 1000L
       assert(r.getAs[Long]("bucket") == expect, s"doc $id bucket drift")
     }
     // ratio sanity: 500 docs at 98/1/1 — binomial 3-sigma margins
