@@ -508,7 +508,12 @@ object TextOps {
     * once, joined back on term (co-partitioned with the df shuffle);
     * emitted as exploded (doc_id, term, weight) rows — the sparse
     * vector representation that feeds similarity joins without ever
-    * materializing dense vectors. */
+    * materializing dense vectors. Int64 bound: tf_micro·idf_micro must
+    * stay under 2^63 — idf_micro ≤ n_docs·1e6, so hapax terms in a
+    * corpus past ~1e7 docs need the [[llmSourceMix]]-style scale shift
+    * (divide idf's numerator and the final product's operands by the
+    * same sc) or a log-idf float column; at bench scale every product
+    * is ≤ ~5e14. */
   val llmTfidfVectors: Q = Q(
     "llm_tfidf_vectors",
     """WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -581,7 +586,11 @@ object TextOps {
     * means upsample, <1e6 downsample). All integer micro-unit
     * arithmetic (floor division both engines), with a greatest(1,·)
     * guard so a vanishingly small source gets a large finite weight
-    * rather than a division by zero. Scale shape: ONE corpus scan into
+    * rather than a division by zero, and a scale shift (sc = total div
+    * 9e12, floored at 1) dividing both fraction terms so no product
+    * exceeds 2^63 at ANY corpus size — sc stays 1 (bit-identical
+    * arithmetic) below 9e12 total tokens, and the shift's rounding
+    * error above that is ≤2 micro units on a sampling weight. Scale shape: ONE corpus scan into
     * a (source) aggregate — fully parallel partial agg, source
     * cardinality rows out — then the corpus total/source count come
     * from an unpartitioned window over just those |sources| rows (a
@@ -596,12 +605,16 @@ object TextOps {
       |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY source),
       |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
-      |    CAST(count(*) AS BIGINT) AS n_sources FROM p)
+      |    CAST(count(*) AS BIGINT) AS n_sources FROM p),
+      |q AS (SELECT p.*, g.n_sources,
+      |    greatest(1, g.total // 9000000000000) AS sc, g.total FROM p, g)
       |SELECT source, n_docs, n_tokens,
-      |  greatest(1, n_tokens * 1000000 // total) AS actual_frac_micro,
+      |  greatest(1, (n_tokens // sc) * 1000000 // greatest(1, total // sc))
+      |    AS actual_frac_micro,
       |  (1000000 // n_sources) * 1000000
-      |    // greatest(1, n_tokens * 1000000 // total) AS weight_micro
-      |FROM p CROSS JOIN g ORDER BY source""".stripMargin
+      |    // greatest(1, (n_tokens // sc) * 1000000 // greatest(1, total // sc))
+      |    AS weight_micro
+      |FROM q ORDER BY source""".stripMargin
   ) { (s, dir) =>
     val per = documents(s, dir)
       .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("n_tok"))
@@ -611,8 +624,13 @@ object TextOps {
     per
       .withColumn("total", sum("n_tokens").over(w))
       .withColumn("n_sources", count(lit(1)).over(w))
+      // scale shift: n_tokens * 1e6 overflows int64 past ~9.2e12 tokens
+      // in one source (a dominant crawl source at 100 TB is bigger);
+      // dividing both terms by sc keeps every product < 2^63 at ANY
+      // corpus size, and sc = 1 (bit-identical arithmetic) below 9e12
+      .withColumn("sc", expr("greatest(1L, total div 9000000000000)"))
       .withColumn("actual_frac_micro",
-        expr("greatest(1L, n_tokens * 1000000 div total)"))
+        expr("greatest(1L, (n_tokens div sc) * 1000000 div greatest(1L, total div sc))"))
       .withColumn("weight_micro",
         expr("(1000000 div n_sources) * 1000000 div actual_frac_micro"))
       .select("source", "n_docs", "n_tokens", "actual_frac_micro", "weight_micro")
