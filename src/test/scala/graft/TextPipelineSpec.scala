@@ -194,6 +194,43 @@ class TextPipelineSpec extends SparkSpec {
     assert(buckets > 200, s"only $buckets distinct buckets")
   }
 
+  test("hash and mixture arithmetic stays exact in int64 at 100 TB inputs") {
+    import spark.implicits._
+    val P = BigInt(1000000007)
+    // split/shuffle hash at extreme ids (an unreduced doc_id * A
+    // overflows past ~8.4e9): every bucket must equal the BigInt-exact
+    // value and land in [0, 1000)
+    val ids = Seq(0L, 1L, 999999999999L, 4611686018427387904L,
+      Long.MaxValue - 1, Long.MaxValue).toDF("doc_id")
+    ids
+      .select(col("doc_id"),
+        expr("(doc_id % 1000000007 * 1103515245 + 12345) % 1000000007").as("h"))
+      .select(col("doc_id"),
+        expr("(h * h + doc_id % 1000000007) % 1000000007 % 1000").as("bucket"))
+      .collect().foreach { r =>
+        val id = BigInt(r.getLong(0))
+        val h = (id % P * 1103515245 + 12345) % P
+        val expect = (h * h + id % P) % P % 1000
+        assert(BigInt(r.getLong(1)) == expect && r.getLong(1) >= 0,
+          s"doc ${r.getLong(0)}")
+      }
+    // mixture fraction at a 25e12-token corpus (≈100 TB of text): the
+    // unshifted n_tokens * 1e6 would overflow; the sc-shifted value
+    // must stay within 2 micro units of the BigInt-exact fraction
+    val per = Seq(("web", 15000000000000L), ("code", 7000000000000L),
+      ("books", 3000000000000L)).toDF("source", "n_tokens")
+    val total = 25000000000000L
+    per.withColumn("total", lit(total))
+      .withColumn("sc", expr("greatest(1L, total div 9000000000000)"))
+      .withColumn("frac", expr(
+        "greatest(1L, (n_tokens div sc) * 1000000 div greatest(1L, total div sc))"))
+      .collect().foreach { r =>
+        val exact = BigInt(r.getAs[Long]("n_tokens")) * 1000000 / BigInt(total)
+        val got = BigInt(r.getAs[Long]("frac"))
+        assert((got - exact).abs <= 2, s"${r.getAs[String]("source")}: $got vs $exact")
+      }
+  }
+
   test("corpus shuffle is a deterministic bijective resharding") {
     val out = ops.TextOps.llmCorpusShuffle.build(spark, dir)
     val nDocs = Tables.documents(spark, dir).count()
