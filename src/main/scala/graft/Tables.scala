@@ -23,8 +23,9 @@ import org.apache.spark.sql.types._
   *   - Division: DuckDB promotes any decimal division to DOUBLE → never
   *     divide decimals. Averages are emitted as micro-unit BIGINTs using
   *     exact integer arithmetic: (2*sum_micro + cnt) DIV (2*cnt) (half-up).
-  *   - events.ts is ns in parquet; both engines read it truncated to µs
-  *     (verify: ParquetProbeSpec); still prefer second-truncated or epoch
+  *   - events.ts arrives as ns-or-µs parquet timestamps depending on
+  *     fixture generation (see `events` below); both engines normalize
+  *     to identical µs values; still prefer second-truncated or epoch
   *     outputs in grouped results.
   */
 object Tables {
@@ -54,16 +55,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). We read it as raw ns
-    * BIGINT (legacy conf) and truncate to µs — exactly what DuckDB's
-    * reader does — so `ts` is a µs TimestampType identical in both
-    * engines, with the raw ns kept as `ts_ns`. */
+  /** events.ts normalization — the fixture generator has shipped two
+    * shapes across rounds, and this loader accepts both so a fixture
+    * regeneration never breaks the registry:
+    *   - TIMESTAMP(NANOS) (rounds ≤5): Spark 4 refuses to read it as a
+    *     timestamp ([PARQUET_TYPE_ILLEGAL]), so we read raw ns BIGINT
+    *     (legacy conf) and truncate to µs — exactly what DuckDB's
+    *     reader does.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 6+): Spark 4
+    *     infers TIMESTAMP_NTZ; we cast to the session-zone TimestampType
+    *     (sessions here pin UTC), which preserves the face value DuckDB
+    *     reads as naive TIMESTAMP — both engines see identical µs.
+    * Either way the output frame has µs TimestampType `ts` plus the raw
+    * epoch ns as `ts_ns`, in a pinned column order. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val raw = table(s, d, "events")
+    val shaped = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case TimestampType =>
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported fixture type $other")
+    }
+    shaped.select("event_id", "ts_ns", "user_id", "event_type", "value",
+      "props", "ts")
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
