@@ -70,7 +70,21 @@ object Tables {
     * epoch ns as `ts_ns`, in a pinned column order. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TimestampType branch below is face-value-preserving ONLY in
+    // a UTC session; every shipped entry point pins it, but a user-built
+    // session might not — pin it here too so the loader's determinism
+    // contract doesn't depend on the caller (r6 advice).
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
+    // The pinned select below fixes column ORDER; it must not also
+    // silently TRUNCATE a regenerated fixture that grew new columns —
+    // that would mask exactly the schema drift this loader exists to
+    // surface (r6 advice). Fail loud instead.
+    val known = Set("event_id", "ts", "user_id", "event_type", "value", "props")
+    val extra = raw.columns.filterNot(known)
+    if (extra.nonEmpty) throw new IllegalStateException(
+      s"events fixture grew unexpected columns ${extra.mkString(", ")} — " +
+        "extend the pinned select instead of silently dropping them")
     val shaped = raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumnRenamed("ts", "ts_ns")

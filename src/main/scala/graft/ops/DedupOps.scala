@@ -14,14 +14,16 @@ import graft.functions.GraftFunctions
   */
 object DedupOps {
 
-  /** The ONE DuckDB oracle both simhash forms verify against and the
-    * ONE signature expression both build with — the all-pairs baseline
-    * and the banded scale path claim identical output, and sharing the
-    * strings makes that claim structural instead of copy-paste
-    * (r4 review). */
-  private val simhashOracle: String =
-    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-      |             FROM documents),
+  /** The ONE DuckDB oracle template both simhash forms verify against
+    * and the ONE signature expression both build with — the all-pairs
+    * baseline and the banded scale path claim identical semantics, and
+    * sharing the strings makes that claim structural instead of
+    * copy-paste (r4 review). `where` scopes the input (r6 verdict item
+    * 2: the registered all-pairs baseline runs on the deterministic
+    * doc_id % 5 = 0 sample; the banded scale path stays full-corpus). */
+  private def simhashOracle(where: String): String =
+    s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents$where),
       |h AS (SELECT doc_id, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS th FROM toks),
       |contrib AS (SELECT doc_id, b,
       |    SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -40,13 +42,28 @@ object DedupOps {
     "array_distinct(transform(split(text, ' '), " +
       "t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) as bigint)))"
 
-  /** Shared by llm_cosine_near_dup (all-pairs baseline) and
-    * llm_cosine_lsh (bucketed scale path) — identical output, one
-    * oracle string. */
-  private val cosineOracle: String =
-    """WITH s AS (SELECT vec_id,
+  /** Shared oracle template for llm_cosine_near_dup (all-pairs
+    * baseline, sampled input) and llm_cosine_lsh (bucketed scale path,
+    * full input) — one string, so the pair semantics cannot drift.
+    *
+    * SYNTHETIC TWIN SLICE (r6 verdict item 1): the fixture corpus has
+    * ZERO cosine ≥ 0.95 pairs at every SF, so without augmentation both
+    * driver rows are green on an empty output — the gate proved only
+    * the trivial path. Each in-scope vec_id < 50 therefore contributes
+    * a deterministic near-twin (id + 1000000, first scaled element + 1
+    * — relative perturbation ~1e-7, cosine ≈ 1 − 1e-14 ≥ τ), built with
+    * identical integer arithmetic on both surfaces, so the oracle hash
+    * now covers real detected pairs (50 full / 10 sampled at any SF).
+    * The twins also exercise the LSH recall path on the driver fixture:
+    * a missed twin pair fails the row. */
+  private def cosineOracle(where: String): String =
+    s"""WITH s0 AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS e
-      |  FROM embeddings),
+      |  FROM embeddings$where),
+      |s AS (SELECT vec_id, e FROM s0
+      |      UNION ALL
+      |      SELECT vec_id + 1000000, list_concat([e[1] + 1], e[2:len(e)])
+      |      FROM s0 WHERE vec_id < 50),
       |n AS (SELECT vec_id, e,
       |    CAST(list_sum(list_transform(list_zip(e, e), p -> p[1] * p[2])) AS BIGINT) AS n2
       |  FROM s)
@@ -56,28 +73,43 @@ object DedupOps {
       |   >= 0.95 * sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))
       |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** SimHash near-dup (oracle-exact): 60-bit sha256-derived token
-    * hashes; bit b of a doc's signature is the sign of Σ_tokens (±1 on
-    * bit b); pairs with Hamming distance ≤ 6 are near-dups. One narrow
-    * pass builds signatures (doc×token×bit rows stay inside codegen);
-    * the 8-byte signatures then do an all-pairs bitwise compare — at
-    * 100 TB you'd band the signature (e.g. 4×16-bit chunks, exact-match
-    * bucket join on any chunk) instead of all-pairs; the bucketing is
-    * the same trick llm_minhash_lsh demonstrates. */
-  val llmSimhashDedup: Q = Q(
-    "llm_simhash_dedup",
-    simhashOracle
-  ) { (s, dir) =>
+  /** The Spark twin of cosineOracle's augmented input: scaled fixture
+    * embeddings (optionally pre-filtered) ∪ deterministic near-twins of
+    * the in-scope vec_id < 50 rows, with exact n2 recomputed after the
+    * perturbation. Twin ids are +1000000 (mod-5-stable, so the sampled
+    * baseline's twins are exactly the twins of its sampled base).
+    * Carries `label` so llm_semantic_dedup's output can cover the twin
+    * rows too. */
+  private[graft] def embWithTwins(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      where: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
     GraftFunctions.register(s)
-    // signature build is one narrow pass: distinct token hashes per doc
-    // -> native simhash60 codegen loop (no 60x bit-row explosion)
-    val sig = documents(s, dir)
+    val base0 = Llm.scaledEmb(s, dir).select(col("vec_id"), col("label"), col("e"))
+    val base = where.map(base0.where).getOrElse(base0)
+    val twins = base.where(col("vec_id") < 50)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("label"),
+        concat(array(element_at(col("e"), 1) + lit(1L)),
+          expr("slice(e, 2, size(e) - 1)")).as("e"))
+    base.unionByName(twins).withColumn("n2", expr("dot_long(e, e)"))
+  }
+
+  /** All-pairs SimHash pair engine over any documents frame — shared by
+    * the registered (sampled) baseline and LlmSpec's full-corpus
+    * banded ≡ all-pairs equality proof. One narrow pass builds
+    * signatures (distinct token hashes per doc → native simhash60
+    * codegen loop, no 60×-bit-row explosion); the 8-byte signatures
+    * then do an all-pairs bitwise compare. */
+  private[graft] def simhashAllPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    GraftFunctions.register(s)
+    val sig = docs
       .select(col("doc_id"),
         expr(simhashSigExpr).as("ths"))
       .withColumn("simhash", expr("simhash60(ths)"))
     // repartition (pinned count — AQE would coalesce a by-column
     // repartition of this tiny input back to one partition): the small
-    // documents file otherwise serializes the 25M-pair compare on one task
+    // documents file otherwise serializes the pair compare on one task
     val a = sig.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
@@ -85,6 +117,22 @@ object DedupOps {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
       .where(col("hamming") <= 6)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** SimHash near-dup (oracle-exact): 60-bit sha256-derived token
+    * hashes; bit b of a doc's signature is the sign of Σ_tokens (±1 on
+    * bit b); pairs with Hamming distance ≤ 6 are near-dups.
+    *
+    * REGISTRY SCOPE (r6 verdict item 2): the registered all-pairs
+    * baseline runs over the deterministic doc_id % 5 = 0 sample
+    * (identically sampled oracle) — llm_simhash_banded is the
+    * full-corpus scale path, and banded ≡ all-pairs over the FULL
+    * corpus stays pinned in LlmSpec via [[simhashAllPairs]]. */
+  val llmSimhashDedup: Q = Q(
+    "llm_simhash_dedup",
+    simhashOracle(" WHERE doc_id % 5 = 0")
+  ) { (s, dir) =>
+    simhashAllPairs(documents(s, dir).where(col("doc_id") % 5 === 0))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -101,7 +149,7 @@ object DedupOps {
     * shuffle key, no all-pairs anywhere. */
   val llmSimhashBanded: Q = Q(
     "llm_simhash_banded",
-    simhashOracle
+    simhashOracle("")
   ) { (s, dir) =>
     GraftFunctions.register(s)
     // token-set contraction (r4): the simhash signature is a pure
@@ -144,8 +192,10 @@ object DedupOps {
     * n-gram flavor of I2. Bigram vocabulary is quadratic so no bitmask;
     * this is the classic inverted-index (token → doc) join with the
     * pair-count aggregation; the sample bound keeps all-SF bench cost
-    * flat. Scale path: prefix filtering or MinHash over the n-gram sets
-    * — same llm_minhash_lsh machinery. */
+    * flat — and since r7 every registered quadratic baseline follows
+    * this query's %-sample pattern (r6 verdict item 2). Scale path:
+    * prefix filtering or MinHash over the n-gram sets — same
+    * llm_minhash_lsh machinery. */
   val llmNgramJaccard: Q = Q(
     "llm_ngram_jaccard",
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -189,17 +239,24 @@ object DedupOps {
   /** Embedding-cosine near-dup (τ = 0.95): all vector pairs whose
     * cosine similarity (exact scaled-integer dots via the native
     * dot_long expression → IEEE-deterministic score) exceeds the
-    * threshold. All-pairs is the correctness baseline; llm_ann_lsh is
-    * the bucketed scale path. */
+    * threshold. All-pairs is the correctness baseline; llm_cosine_lsh
+    * is the bucketed scale path.
+    *
+    * REGISTRY SCOPE (r6 verdict item 2): the registered baseline runs
+    * over the deterministic vec_id % 5 = 0 sample + its synthetic
+    * twins (10 true pairs at any SF — see cosineOracle; the oracle
+    * samples identically). Full-corpus all-pairs ≡ LSH equality stays
+    * pinned in LlmSpec via [[cosineAllPairs]]. */
   val llmCosineNearDup: Q = Q(
     "llm_cosine_near_dup",
-    cosineOracle
+    cosineOracle(" WHERE vec_id % 5 = 0")
   ) { (s, dir) =>
     GraftFunctions.register(s)
     // persist: both sides of the all-pairs join reference this frame —
     // without it the scan+scale lineage runs twice (r4 review; the LSH
     // sibling already persists for the same reason)
-    cosineAllPairs(Q.cached(Llm.scaledEmb(s, dir))).orderBy("vec_a", "vec_b")
+    cosineAllPairs(Q.cached(embWithTwins(s, dir, Some(col("vec_id") % 5 === 0))))
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Core of llm_cosine_near_dup over any (vec_id, e, n2) frame (see
@@ -230,13 +287,16 @@ object DedupOps {
     * probability ≤ (1-0.656)^8 ≈ 2e-4 — on the fixtures the verified
     * output EQUALS the exact pair set (checked at sf0.001/0.01 by
     * LlmSpec with an asserted floor), so it carries the same DuckDB
-    * oracle as the all-pairs form. */
+    * oracle as the all-pairs form. Since r7 the input carries the
+    * synthetic twin slice (cosineOracle scaladoc): the driver row now
+    * hash-covers 50 real detected pairs — including the LSH recall
+    * path — instead of an empty output. */
   val llmCosineLsh: Q = Q(
     "llm_cosine_lsh",
-    cosineOracle
+    cosineOracle("")
   ) { (s, dir) =>
     GraftFunctions.register(s)
-    cosineLshPairs(Q.cached(Llm.scaledEmb(s, dir))).orderBy("vec_a", "vec_b")
+    cosineLshPairs(Q.cached(embWithTwins(s, dir, None))).orderBy("vec_a", "vec_b")
   }
 
   /** Core of llm_cosine_lsh over any (vec_id, e, n2) scaled-embedding
@@ -1090,10 +1150,9 @@ object DedupOps {
     * same no-pre-verify-distinct contract as every LSH path here.
     * Returns (vec_id, kept). Precision is 1 by construction (every
     * drop is exact-verified); recall vs the all-pairs exact drop set
-    * is the property LlmSpec asserts on a synthetic clustered corpus
-    * (the fixture has zero cosine ≥ 0.95 pairs at every SF, so there
-    * the output is trivially all-kept and the registered query's
-    * oracle — the exact NOT-EXISTS spelling — is exact). */
+    * is the property LlmSpec asserts on a synthetic clustered corpus,
+    * and — since r7 — the property the driver row itself exercises
+    * through the synthetic twin slice (llmSemanticDedup scaladoc). */
   private[graft] def semanticDedupFlags(
       emb: org.apache.spark.sql.DataFrame,
       nlist: Int = 10): org.apache.spark.sql.DataFrame = {
@@ -1123,14 +1182,26 @@ object DedupOps {
     * curation ladder (exact → fuzzy → semantic): keep each vector with
     * no cluster-confined cosine-0.95 duplicate of lower id. Oracle is
     * the exact all-pairs NOT-EXISTS spelling — on data where cluster
-    * confinement loses a pair the two could diverge, which is exactly
-    * the recall property LlmSpec pins on a synthetic clustered corpus
-    * (fixture recall is trivially 1: zero τ-pairs at every SF). */
+    * confinement loses a pair the two would diverge, so confinement
+    * recall is genuinely gated, not assumed.
+    *
+    * Since r7 the input carries the synthetic twin slice (cosineOracle
+    * scaladoc; twins inherit their base's label): the driver row now
+    * hash-covers 50 real drops — each twin must be found through
+    * k-means confinement (twin ≈ base ⇒ identical 2-nearest lists;
+    * twin seed list (v+1000000) % nlist = v % nlist, so they even seed
+    * together), exact-verified, and flagged kept=false — where the raw
+    * fixture exercised only the all-kept path (r6 verdict item 1).
+    * Deeper recall/precision properties stay in LlmSpec synthetics. */
   val llmSemanticDedup: Q = Q(
     "llm_semantic_dedup",
-    """WITH s AS (SELECT vec_id, label,
+    """WITH s0 AS (SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS e
       |  FROM embeddings),
+      |s AS (SELECT vec_id, label, e FROM s0
+      |      UNION ALL
+      |      SELECT vec_id + 1000000, label, list_concat([e[1] + 1], e[2:len(e)])
+      |      FROM s0 WHERE vec_id < 50),
       |n AS (SELECT vec_id, label, e,
       |    CAST(list_sum(list_transform(list_zip(e, e), p -> p[1] * p[2])) AS BIGINT) AS n2
       |  FROM s),
@@ -1143,8 +1214,9 @@ object DedupOps {
       |ORDER BY n.vec_id""".stripMargin
   ) { (s, dir) =>
     GraftFunctions.register(s)
-    semanticDedupFlags(Llm.scaledEmb(s, dir))
-      .join(embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+    val emb = Q.cached(embWithTwins(s, dir, None))
+    semanticDedupFlags(emb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
       .select("vec_id", "label", "kept")
       .orderBy("vec_id")
   }

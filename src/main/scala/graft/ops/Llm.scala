@@ -55,15 +55,23 @@ object Llm {
     * cross-multiplied: 20·|A∩B| ≥ 19·|A∪B|). Pair test = array_intersect
     * on each doc's distinct-token array: no vocabulary structure at all —
     * no global window, no vocab-size bound (round 1's 64-bit bitmask
-    * silently aliased past 64 tokens). All-pairs is the declared
-    * correctness baseline (the token arrays broadcast is MBs); the
-    * general scale path is llm_minhash_lsh, which verifies its candidate
-    * pairs with this very same array_intersect test. The DuckDB oracle
-    * spells the same set algebra via an unnest/intersect CTE. */
+    * silently aliased past 64 tokens). The general scale path is
+    * llm_minhash_lsh, which verifies its candidate pairs with this very
+    * same array_intersect test. The DuckDB oracle spells the same set
+    * algebra via an unnest/intersect CTE.
+    *
+    * REGISTRY SCOPE (r6 verdict item 2): the registered query runs the
+    * all-pairs baseline over the deterministic doc_id % 5 = 0 sample
+    * (the llm_ngram_jaccard pattern, identically sampled in the oracle;
+    * 35 true pairs at sf0.01 so the row is non-vacuous) — an unbounded
+    * all-pairs plan must not ride the bench registry, where it is the
+    * one shape that cannot run at 100 TB. Full-corpus exact ≡ LSH
+    * equality stays pinned in LlmSpec via [[jaccardPairs]], which is
+    * deliberately unsampled. */
   val llmJaccardNearDup: Q = Q(
     "llm_jaccard_near_dup",
     s"""WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
-      |           FROM documents)
+      |           FROM documents WHERE doc_id % 5 = 0)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_inter,
       |  CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_union
@@ -72,12 +80,13 @@ object Llm {
       |   >= ${TauNumer} * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
-    // direct all-pairs on the full doc set: contraction + re-expansion
+    // direct all-pairs on the sampled doc set: contraction + re-expansion
     // (the llm_minhash_lsh r4 path) was measured HERE at 3.7 s vs 2.5 s
     // direct — the size-ratio prefilter already makes the NLJ cheap, so
     // the extra contraction/expansion joins don't pay for themselves on
     // this query's shape
-    jaccardPairs(documents(s, dir)).orderBy("doc_a", "doc_b")
+    jaccardPairs(documents(s, dir).where(col("doc_id") % 5 === 0))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact τ=0.95 token-set Jaccard pairs (doc_a, doc_b, n_inter,
@@ -166,10 +175,41 @@ object Llm {
       .withColumn("n2", expr("dot_long(e, e)"))
   }
 
-  /** I3 — brute-force cosine top-5 neighbors for vec_id < 10. Exact
-    * integer dots; the cosine double is formed by IEEE-deterministic ops
-    * so ranking ties are impossible to get wrong across engines; output
-    * is ids+ranks only. Scale path: llm_ann_lsh (bucketed candidates). */
+  /** Brute-force cosine top-5 neighbors for vec_id < 10 over an
+    * arbitrary candidate pool — the shared engine behind the registered
+    * I3 row (sampled pool) and LlmSpec's unsampled ground truth for the
+    * ANN recall floors. Exact integer dots; the cosine double is formed
+    * by IEEE-deterministic ops so ranking ties are impossible to get
+    * wrong across engines; output is ids+ranks only. */
+  private[graft] def bruteForceTopk(
+      emb: org.apache.spark.sql.DataFrame,
+      candPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("n2").as("qn2"))
+    val c = emb.where(candPred)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("n2").as("cn2"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", expr("dot_long(qe, ce)"))
+      .withColumn("score",
+        col("dot").cast("double") / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** I3 — brute-force cosine top-5 neighbors for vec_id < 10. Scale
+    * path: llm_ann_lsh / llm_ann_ivf (bucketed candidates).
+    *
+    * REGISTRY SCOPE (r6 verdict item 2): the registered baseline scans
+    * the deterministic vec_id % 2 = 0 candidate pool (identically
+    * sampled in the oracle) — the brute-force scan is linear per query,
+    * but it is still a full-corpus probe per query and must not be the
+    * registry's unbounded shape. LlmSpec measures the ANN paths' recall
+    * against the UNSAMPLED [[bruteForceTopk]] ground truth. */
   val llmSimilarityTopk: Q = Q(
     "llm_similarity_topk",
     """WITH s AS (SELECT vec_id,
@@ -181,7 +221,7 @@ object Llm {
       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    CAST(list_sum(list_transform(list_zip(q.e, c.e), p2 -> p2[1] * p2[2])) AS BIGINT) AS dot,
       |    q.n2 AS qn2, c.n2 AS cn2
-      |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.vec_id % 2 = 0),
       |r AS (SELECT query_id, neighbor_id,
       |    CAST(row_number() OVER (PARTITION BY query_id
       |      ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC,
@@ -190,21 +230,7 @@ object Llm {
       |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(s)
-    val emb = scaledEmb(s, dir)
-    val q = emb.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("n2").as("qn2"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("n2").as("cn2"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("dot", expr("dot_long(qe, ce)"))
-      .withColumn("score",
-        col("dot").cast("double") / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .where(col("rank") <= 5)
-      .select("query_id", "neighbor_id", "rank")
-      .orderBy("query_id", "rank")
+    bruteForceTopk(scaledEmb(s, dir), col("vec_id") % 2 === 0)
   }
 
   /** I4 — per-label element-wise centroid in scaled units (exact integer

@@ -359,14 +359,29 @@ object TextOps {
     * pipeline: emails and phone numbers are masked by regex, plus a
     * denylist-term scrub (the mechanism a real pipeline uses for
     * boilerplate strings, canary tokens, or banned terms — here two
-    * fixture-vocabulary words so the oracle exercises real hits; the
-    * fixture contains no digits or '@', so the email/phone counts
-    * document the zero-hit passthrough). Patterns stay in the common
+    * fixture-vocabulary words). Patterns stay in the common
     * Java-regex/RE2 subset so both engines compile them identically.
-    * Narrow per-row scan — no shuffle, trivially parallel at 100 TB. */
+    * Narrow per-row scan — no shuffle, trivially parallel at 100 TB.
+    *
+    * SYNTHETIC PII SLICE (r6 verdict item 1): the fixture text has no
+    * digits or '@', so email/phone masking was driver-green on pure
+    * passthrough — the gate proved nothing about the masks. Every
+    * doc_id % 50 = 0 row therefore contributes a synthetic sibling
+    * (id + 1000000) whose text — built with identical string
+    * concatenation on both surfaces — carries one email (with the
+    * doc_id baked into the local part), one phone number, and both
+    * denylist terms, so the oracle hash now covers real <EMAIL> /
+    * <PHONE> / <TERM> substitutions at every SF (10 masked rows at
+    * sf0.01). */
   val llmPiiRedact: Q = Q(
     "llm_pii_redact",
-    """SELECT doc_id,
+    """WITH aug AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    'ping user' || CAST(doc_id AS VARCHAR) ||
+      |    '@mail.example.org or call 0123 456 7890 about the spark stream'
+      |  FROM documents WHERE doc_id % 50 = 0)
+      |SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_email,
       |  CAST(len(regexp_extract_all(text, '\(?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phone,
       |  CAST(len(regexp_extract_all(text, '\b(spark|stream)\b')) AS BIGINT) AS n_term,
@@ -375,12 +390,18 @@ object TextOps {
       |      regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
       |      '\(?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
       |    '\b(spark|stream)\b', '<TERM>', 'g') AS clean_text
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM aug ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
     val phone = "\\(?[0-9][0-9() -]{7,}[0-9]"
     val term  = "\\b(spark|stream)\\b"
-    documents(s, dir)
+    val aug = documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(documents(s, dir).where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("ping user"), col("doc_id").cast("string"),
+            lit("@mail.example.org or call 0123 456 7890 about the spark stream"))
+            .as("text")))
+    aug
       .select(col("doc_id"),
         regexp_count(col("text"), lit(email)).cast("bigint").as("n_email"),
         regexp_count(col("text"), lit(phone)).cast("bigint").as("n_phone"),

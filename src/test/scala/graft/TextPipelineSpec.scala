@@ -128,6 +128,19 @@ class TextPipelineSpec extends SparkSpec {
       .where(size(split(col("clean_text"), " ")) =!= size(split(col("text"), " ")))
       .count()
     assert(shape == 0, "denylist scrub changed token counts")
+    // r7 (r6 verdict item 1): the registered query's synthetic PII slice
+    // must show REAL masking in the driver-gated output — one email (with
+    // the doc_id baked in), one phone, two denylist terms per row, and no
+    // digit or '@' may survive redaction.
+    val syn = ops.TextOps.llmPiiRedact.build(spark, dir)
+      .where(col("doc_id") >= 1000000L).collect()
+    assert(syn.length == 10, s"expected 10 synthetic rows, got ${syn.length}")
+    syn.foreach { r =>
+      assert(r.getAs[Long]("n_email") == 1 && r.getAs[Long]("n_phone") == 1
+        && r.getAs[Long]("n_term") == 2)
+      val ct = r.getAs[String]("clean_text")
+      assert(ct == "ping <EMAIL> or call <PHONE> about the <TERM> <TERM>")
+    }
   }
 
   test("chunk dedup: exact-duplicate docs share all chunk survivors") {
