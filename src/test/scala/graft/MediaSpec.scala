@@ -1,0 +1,87 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.multimodal._
+
+/** Real-codec media pipeline: RealImageDecoder/RealImageResizer over
+  * genuine PNGs generated in-test, driven through the same Spark
+  * mapPartitions plumbing the driver-gated stub queries use (the SQL
+  * twins keep the deterministic stubs — a SQL engine can't decode PNG,
+  * so the real codec is pinned here instead; r6 verdict item 3). */
+class MediaSpec extends SparkSpec {
+
+  /** Deterministic PNG: w×h, pixel (x, y) = a pure function of (id, x, y)
+    * so every byte of the fixture is reproducible. */
+  private def png(id: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (id * 2654435761L + x * 7919 + y * 104729).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def records = Seq(
+    MediaRecord(1L, MediaMeta("image/png", "", 0L), png(1, 64, 48)),
+    MediaRecord(2L, MediaMeta("image/png", "", 0L), png(2, 7, 130)),
+    MediaRecord(3L, MediaMeta("image/png", "", 0L), png(3, 16, 16)),
+    // undecodable payload: the one-bad-file-per-row policy, not an abort
+    MediaRecord(4L, MediaMeta("application/octet-stream", "", 0L),
+      Array.tabulate[Byte](32)(i => (i * 37).toByte)))
+
+  test("real decoder extracts true dimensions through the Spark pipeline") {
+    import spark.implicits._
+    val ds = spark.createDataset(records)
+    val feats = Media.extractFeatures(ds, RealImageDecoder, batchSize = 2)
+      .collect().map(f => f.id -> f).toMap
+    assert(feats(1L).width == 64 && feats(1L).height == 48)
+    assert(feats(2L).width == 7 && feats(2L).height == 130)
+    assert(feats(3L).width == 16 && feats(3L).height == 16)
+    assert(feats(4L).width == -1 && feats(4L).height == -1)
+    // headerHex is the PNG magic for real images, raw bytes otherwise
+    assert(feats(1L).headerHex == "89504e470d0a1a0a")
+    feats.values.foreach(f => assert(f.nBytes == records(f.id.toInt - 1).payload.length))
+  }
+
+  test("real resizer fits maxDim, preserves aspect, never upscales, round-trips") {
+    import spark.implicits._
+    val ds = spark.createDataset(records)
+    val out = Media.resize(ds, RealImageResizer, maxDim = 32, batchSize = 2)
+      .collect().map(r => r.id -> r).toMap
+    // 64x48 -> scale 1/2 -> 32x24; 7x130 -> fit height -> 1x32; 16x16 untouched
+    def dims(p: Array[Byte]) = {
+      val i = ImageIO.read(new java.io.ByteArrayInputStream(p))
+      (i.getWidth, i.getHeight)
+    }
+    assert(dims(out(1L).payload) == ((32, 24)))
+    assert(dims(out(2L).payload) == ((1, 32)))
+    // already-fitting and undecodable payloads pass through byte-identical
+    assert(out(3L).payload.sameElements(records(2).payload))
+    assert(out(4L).payload.sameElements(records(3).payload))
+    // metadata rides along unchanged
+    assert(out(1L).meta == records.head.meta)
+  }
+
+  test("resize then decode composes: features of the resized corpus") {
+    import spark.implicits._
+    val ds = spark.createDataset(records)
+    val feats = Media.extractFeatures(
+        Media.resize(ds, RealImageResizer, maxDim = 10), RealImageDecoder)
+      .collect().map(f => f.id -> f).toMap
+    assert(feats(1L).width == 10 && feats(1L).height == 7)
+    assert(Seq(feats(1L), feats(2L), feats(3L)).forall(f =>
+      f.width <= 10 && f.height <= 10 && f.width >= 1 && f.height >= 1))
+    assert(feats(4L).width == -1)
+  }
+}
