@@ -188,6 +188,40 @@ class LlmSpec extends SparkSpec {
     idx.refSets.unpersist(); idx.bands.unpersist()
   }
 
+  test("ingest index: probe-after-reload == probe-in-session (r7 persistence)") {
+    // NearDupIndex.write/load — a real ingest pipeline builds the index
+    // once per corpus version and reloads it per shard job; the reloaded
+    // index must be semantically IDENTICAL to the in-session one.
+    val docs = graft.Tables.documents(spark, dir)
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val shard = docs.where(col("doc_id") % 10 === 0)
+    val built = graft.ops.DedupOps.buildNearDupIndex(corpus)
+    val inSession = graft.ops.DedupOps.novelAgainst(shard, built)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_idx_").toString
+    try {
+      built.write(tmp)
+      val loaded = graft.ops.DedupOps.NearDupIndex.load(spark, tmp)
+      // the reloaded frames must carry the full index content, not a
+      // lineage back to the corpus: same rows in both physical frames
+      assert(loaded.refSets.count() == built.refSets.count())
+      assert(loaded.bands.count() == built.bands.count())
+      val reloaded = graft.ops.DedupOps.novelAgainst(shard, loaded)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(reloaded == inSession)
+      val matchedReloaded = graft.ops.DedupOps.matchedAgainstIndex(shard, loaded)
+        .collect().map(_.getLong(0)).toSet
+      val matchedBuilt = graft.ops.DedupOps.matchedAgainstIndex(shard, built)
+        .collect().map(_.getLong(0)).toSet
+      assert(matchedReloaded == matchedBuilt && matchedBuilt.nonEmpty,
+        "fixture must exercise the matched path")
+      loaded.refSets.unpersist(); loaded.bands.unpersist()
+    } finally {
+      built.refSets.unpersist(); built.bands.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("token-set contraction preserves connected components exactly") {
     // the r4 contraction (equal-ts groups -> rep + star edges) must yield
     // the SAME (doc_id, label) map as components over the direct pair
