@@ -16,6 +16,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * eviction at 100 TB: the watermark bounds every stateful op's store
   * (windows, sessions, dedup keys) — without it state grows with key
   * cardinality forever.
+  *
+  * Checkpoint recovery: every stateful op restores its state store from
+  * `checkpointLocation` on restart — StreamingSpec pins it for both the
+  * built-in dedup state and an explicit flatMapGroupsWithState store
+  * (kill mid-stream, restart, final output ≡ batch twin). Cluster
+  * deployments with large state should swap the default HDFS-backed
+  * in-heap provider for RocksDB (state spills to local disk instead of
+  * executor heap, incremental snapshots to the checkpoint FS):
+  * {{{
+  * spark.sql.streaming.stateStore.providerClass=
+  *   org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+  * spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled=true
+  * }}}
+  * (changelog checkpointing uploads per-batch deltas rather than full
+  * snapshots — the knob that keeps commit latency flat as state grows).
+  * The provider changes only WHERE state lives; these operators and
+  * their checkpoints are provider-agnostic.
   */
 object StreamOps {
 
