@@ -276,7 +276,16 @@ object Joins {
     * The big side is salted into 8 sub-keys and the small side
     * replicated per salt, so one hot key spreads over 8 reducers.
     * Salting must not change the result — the oracle is the unsalted
-    * join — and the aggregate on top makes the check exact. */
+    * join — and the aggregate on top makes the check exact.
+    *
+    * vs AQE (r7, PLANS.md §C11-AQE): at scale reach for
+    * `spark.sql.adaptive.skewJoin` FIRST — it splits oversized shuffle
+    * partitions at runtime with no query rewrite, and PartitionSpec
+    * pins that it engages on this build. Manual salting remains the
+    * right tool exactly when AQE's split can't apply: the skewed join
+    * never shuffles its small side (broadcast / stream-static),
+    * the skew is on an AGGREGATION key (D13 — AQE splits join
+    * partitions only), or a deterministic plan-time layout is required. */
   val joinSaltedSkew: Q = Q(
     "join_salted_skew",
     """SELECT s_suppkey, s_name,

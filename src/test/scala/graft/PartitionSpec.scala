@@ -111,4 +111,38 @@ class PartitionSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected exactly the repartition exchange, got $exchanges:\n$plan")
   }
+
+  test("AQE skew-join splits the hot partition of a shuffle join (C11-AQE)") {
+    // r6 verdict item 6: manual salting (C11/D13) is proven, but at
+    // 100x a user reaches for spark.sql.adaptive.skewJoin FIRST — this
+    // pins that it actually engages on this build, and PLANS.md
+    // §C11-AQE + the Joins.scala note record when salting still wins
+    // (broadcast-ineligible small sides that never shuffle, skew known
+    // ahead of time, deterministic plans, aggregation keys).
+    val conf = spark.conf
+    val touched = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = touched.map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      // force a shuffle join (AQE's OptimizeSkewedJoin only applies to
+      // shuffle joins) and scale the detection thresholds down to the
+      // test's data size — the same knobs, just MBs instead of the
+      // 256 MB cluster default
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // one hot key carries 100k of 101k big-side rows
+      val big = spark.range(100000).select(lit(0L).as("k"), col("id").as("v"))
+        .union(spark.range(1000).select((col("id") % 100 + 1).as("k"), col("id").as("v")))
+      val small = spark.range(101).select(col("id").as("k2"), (col("id") * 7).as("w"))
+      val joined = big.join(small, col("k") === col("k2"))
+      assert(joined.count() == 101000L) // skew split must not change results
+      joined.collect() // finalize THIS df's adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally touched.foreach(k => saved(k).fold(conf.unset(k))(conf.set(k, _)))
+  }
 }
