@@ -581,6 +581,37 @@ object TextOps {
     * physically repartition-by-shard + sort-within-partition, i.e. the
     * shard write layout itself; nothing else shuffles and text never
     * moves until the final shard write. */
+  /** The parameterized engine behind llm_corpus_shuffle (r6 verdict
+    * item 7): shard count as an argument — a real prep job sizes
+    * n_shards to the cluster (thousands at 100 TB), the registry pins 8
+    * for the oracle. Output (doc_id, shard, pos) is the shard manifest;
+    * writeSharded materializes it as the physical layout. */
+  def corpusShuffle(docs: org.apache.spark.sql.DataFrame,
+      nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    docs
+      .select(col("doc_id"),
+        expr("(doc_id % 1000000007 * 2654435761 + 987654321) % 1000000007").as("h"))
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  /** Materialize the shuffled corpus as its physical training layout:
+    * one hive partition directory per shard (`shard=K/`), rows of shard
+    * K and only shard K inside it (layout == assignment is pinned in
+    * TextPipelineSpec). The shard-partitioned window in corpusShuffle
+    * already clusters rows by shard, so partitionBy adds no extra
+    * exchange — the position sort IS the write layout. A training
+    * reader consumes shard directories independently and orders by pos
+    * within each. */
+  def writeSharded(docs: org.apache.spark.sql.DataFrame, nShards: Int,
+      path: String): Unit =
+    corpusShuffle(docs, nShards)
+      .join(docs, "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   val llmCorpusShuffle: Q = Q(
     "llm_corpus_shuffle",
     """WITH h AS (SELECT doc_id,
@@ -590,14 +621,7 @@ object TextOps {
       |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
       |FROM h ORDER BY shard, pos""".stripMargin
   ) { (s, dir) =>
-    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    documents(s, dir)
-      .select(col("doc_id"),
-        expr("(doc_id % 1000000007 * 2654435761 + 987654321) % 1000000007").as("h"))
-      .withColumn("shard", col("h") % 8)
-      .withColumn("pos", row_number().over(w).cast("bigint"))
-      .select("doc_id", "shard", "pos")
-      .orderBy("shard", "pos")
+    corpusShuffle(documents(s, dir), nShards = 8).orderBy("shard", "pos")
   }
 
   /** Source-mixture reweighting — the data-mixing step of training

@@ -269,4 +269,40 @@ class TextPipelineSpec extends SparkSpec {
     assert(!(inOrder.sliding(2).forall(p => p(0) < p(1))),
       "shuffled order degenerated to doc_id order")
   }
+
+  test("corpus shuffle: parameterized shard count + physical write layout " +
+      "== shard assignment (r7)") {
+    // r6 verdict item 7: n_shards is an argument (the registry pins 8;
+    // a real prep job sizes it to the cluster), and the partitionBy
+    // write must land every row in its assigned shard=K directory —
+    // layout IS the assignment, per-directory and per-row.
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "source")
+    val assign = ops.TextOps.corpusShuffle(docs, nShards = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.values.toSet == (0L until 5L).toSet, "all 5 shards populated")
+    // a different shard count is a different (complete) partition
+    val assign3 = ops.TextOps.corpusShuffle(docs, nShards = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign3.values.toSet == (0L until 3L).toSet)
+    assert(assign.keySet == assign3.keySet)
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      ops.TextOps.writeSharded(docs, nShards = 5, out)
+      // directory layout: exactly shard=0..4
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).toSet
+      assert(dirs == (0 until 5).map(k => s"shard=$k").toSet, s"got $dirs")
+      // per-directory content: every row of shard K and only shard K
+      (0 until 5).foreach { k =>
+        val ids = spark.read.parquet(s"$out/shard=$k")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(ids == assign.filter(_._2 == k).keySet, s"shard $k layout drift")
+      }
+      // full round-trip: nothing lost, partition column readable
+      val back = spark.read.parquet(out)
+      assert(back.count() == docs.count())
+      assert(back.select("doc_id", "shard").collect()
+        .forall(r => assign(r.getLong(0)) == r.getAs[Number]("shard").longValue()))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
 }
