@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Env knobs: SPARK_GRAFT_SCALE_MULTS (default "1,10"),
   * SPARK_GRAFT_SCALE_PASSES (default 2, min-of-passes like Bench),
   * SPARK_GRAFT_SCALE_ONLY (comma-filter on query keys).
-  * Writes SCALING_r06.json (per-query seconds and output rows per
+  * Writes SCALING_r07.json (per-query seconds and output rows per
   * multiplier, plus the x10/x1 ratio).
   */
 object ScaleBench {
@@ -65,14 +65,17 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
-  /** Fixed-shard ingest probe (r6): the amortization claim behind
-    * `buildNearDupIndex`/`novelAgainst` is "per-shard cost scales with
-    * the SHARD, not the corpus" — so measure a FIXED shard (the base
-    * fixture's doc_id % 10 slice, tokens suffixed `_0` so it matches
-    * replica 0 of the synthesized corpora) probing corpora of growing
-    * size, timing index build (one-time, amortized) and probe
-    * (per-shard, the recurring cost) separately. Writes
-    * INGEST_r06.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
+  /** Fixed-shard ingest probe (r6; r7 adds the persistence leg): the
+    * amortization claim behind `buildNearDupIndex`/`novelAgainst` is
+    * "per-shard cost scales with the SHARD, not the corpus" — so
+    * measure a FIXED shard (the base fixture's doc_id % 10 slice,
+    * tokens suffixed `_0` so it matches replica 0 of the synthesized
+    * corpora) probing corpora of growing size. Since r7 the curve runs
+    * the real cross-job shape end-to-end: build the index, WRITE it to
+    * parquet, RELOAD it, and probe from the RELOADED index — build and
+    * write are the amortized once-per-corpus-version costs, probe (from
+    * the reloaded frames) is the recurring per-shard cost. Writes
+    * INGEST_r07.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
     * INSTEAD of the query curve). */
   private def ingestCurve(spark: SparkSession, dirs: Seq[(Int, String)],
       passes: Int): Unit = {
@@ -84,6 +87,7 @@ object ScaleBench {
       val corpus = spark.read.parquet(s"$d/documents.parquet")
         .where(col("doc_id") % 10 =!= 0)
       var buildMin = Double.MaxValue
+      var writeMin = Double.MaxValue
       var probeMin = Double.MaxValue
       var novel = -1L
       (1 to passes).foreach { _ =>
@@ -94,23 +98,30 @@ object ScaleBench {
         // pipeline pays once per corpus version
         idx.refSets.count(); idx.bands.count()
         val t1 = System.nanoTime()
-        novel = DedupOps.novelAgainst(shard, idx).count()
+        val ipath = s"$d/neardup_index"
+        idx.write(ipath)
         val t2 = System.nanoTime()
+        val loaded = DedupOps.NearDupIndex.load(spark, ipath)
+        novel = DedupOps.novelAgainst(shard, loaded).count()
+        val t3 = System.nanoTime()
         buildMin = math.min(buildMin, (t1 - t0) / 1e9)
-        probeMin = math.min(probeMin, (t2 - t1) / 1e9)
+        writeMin = math.min(writeMin, (t2 - t1) / 1e9)
+        probeMin = math.min(probeMin, (t3 - t2) / 1e9)
         idx.refSets.unpersist(); idx.bands.unpersist()
+        loaded.refSets.unpersist(); loaded.bands.unpersist()
       }
-      System.err.println(f"ingest x$m: build $buildMin%.2f s, probe $probeMin%.2f s, novel $novel")
-      (m, buildMin, probeMin, novel)
+      System.err.println(f"ingest x$m: build $buildMin%.2f s, write $writeMin%.2f s, " +
+        f"probe-after-reload $probeMin%.2f s, novel $novel")
+      (m, buildMin, writeMin, probeMin, novel)
     }
     def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val json = out.map { case (m, b, p, n) =>
-      s""""x$m":{"build_sec":${f(b)},"probe_sec":${f(p)},"novel_rows":$n}"""
+    val json = out.map { case (m, b, w, p, n) =>
+      s""""x$m":{"build_sec":${f(b)},"write_sec":${f(w)},"probe_sec":${f(p)},"novel_rows":$n}"""
     }.mkString(",")
     val s =
-      s"""{"shard_docs":$nShard,"passes":$passes,"note":"fixed shard vs growing corpus; build is the amortized one-time cost, probe the per-shard cost","corpora":{$json}}"""
+      s"""{"shard_docs":$nShard,"passes":$passes,"note":"fixed shard vs growing corpus; build+write are the amortized once-per-corpus-version costs, probe runs against the RELOADED parquet index (r7 persistence leg)","corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("INGEST_r06.json"), s.getBytes)
+      java.nio.file.Paths.get("INGEST_r07.json"), s.getBytes)
     println(s)
   }
 
@@ -186,7 +197,7 @@ object ScaleBench {
     val out =
       s"""{"base":"$baseDir","multipliers":[${mults.mkString(",")}],"passes":$passes,"docs":$docsJson,"queries":$qJson}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALING_r06.json"), out.getBytes)
+      java.nio.file.Paths.get("SCALING_r07.json"), out.getBytes)
     println(out)
     spark.stop()
   }
