@@ -188,18 +188,22 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Word-bigram Jaccard (τ = 0.5) over the doc_id%10==0 sample — the
+  /** Word-bigram Jaccard (τ = 0.5) over the doc_id%3==0 sample — the
     * n-gram flavor of I2. Bigram vocabulary is quadratic so no bitmask;
     * this is the classic inverted-index (token → doc) join with the
     * pair-count aggregation; the sample bound keeps all-SF bench cost
     * flat — and since r7 every registered quadratic baseline follows
-    * this query's %-sample pattern (r6 verdict item 2). Scale path:
+    * this query's %-sample pattern (r6 verdict item 2). The sample
+    * was %10 through r6, which left ZERO qualifying pairs at sf0.01 —
+    * a vacuous oracle row of exactly the kind the r6 verdict flagged;
+    * %3 keeps 3 true pairs at sf0.01 (26 at sf0.1) so the τ-accept
+    * branch is hash-gated, at ~0.2 s oracle cost. Scale path:
     * prefix filtering or MinHash over the n-gram sets — same
     * llm_minhash_lsh machinery. */
   val llmNgramJaccard: Q = Q(
     "llm_ngram_jaccard",
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      |           WHERE doc_id % 10 = 0),
+      |           WHERE doc_id % 3 = 0),
       |bg AS (SELECT DISTINCT doc_id,
       |    unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
       |      p -> p[1] || ' ' || p[2])) AS gram
@@ -216,7 +220,7 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
     val d = documents(s, dir)
-      .where(col("doc_id") % 10 === 0)
+      .where(col("doc_id") % 3 === 0)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 2)
     val bg = d.select(col("doc_id"), explode(expr(
