@@ -223,10 +223,14 @@ object DedupOps {
       .where(col("doc_id") % 3 === 0)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 2)
-    val bg = d.select(col("doc_id"), explode(expr(
+    // cached: the bigram explode+distinct feeds THREE consumers (sz and
+    // both sides of the inverted-index join) — uncached, the widened r7
+    // sample re-ran that scan stage 3x and the query cost 4.1 s at
+    // sf0.1; cached it runs the stage once (measured 2.25 s)
+    val bg = Q.cached(d.select(col("doc_id"), explode(expr(
         "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
           "(x, y) -> concat(x, ' ', y))")).as("gram"))
-      .distinct()
+      .distinct())
     val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = bg.as("a")
       .join(bg.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -1190,11 +1194,11 @@ object DedupOps {
     val s = emb.sparkSession
     GraftFunctions.register(s)
     val embC = Q.cached(emb.select(col("vec_id"), col("e"), col("n2")))
-    val seed = embC.select((col("vec_id") % nlist).as("list_id"), col("e"))
-    val cents0 = Llm.listCentroids(seed)
-    val assign1 = Llm.nearestLists(embC, cents0, 1)
-      .select(col("vec_id"), col("c_label").as("list_id"), col("e"))
-    val cents = Llm.listCentroids(assign1)
+    // the quantizer is the ANN index's (r7: one shared trainer —
+    // Llm.buildAnnIvfIndex — instead of a third copy of seed+refine);
+    // only the ASSIGNMENT differs: 2-nearest multi-assign, the
+    // multiprobe analog that recovers pairs straddling a list boundary
+    val cents = Llm.buildAnnIvfIndex(embC, nlist, iters = 1).centroids
     val assigned = Q.cached(Llm.nearestLists(embC, cents, 2)
       .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2")))
     val dropped = assigned.as("x")

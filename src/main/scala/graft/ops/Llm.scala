@@ -364,41 +364,99 @@ object Llm {
     .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
     .select(col("list_id").as("c_label"), col("ce"))
 
-  val llmAnnIvf: Q = Q.noOracle("llm_ann_ivf") { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val emb = Q.cached(scaledEmb(s, dir))
-    def nearest(vecs: org.apache.spark.sql.DataFrame,
-        cs: org.apache.spark.sql.DataFrame, k: Int) = nearestLists(vecs, cs, k)
-    def centroidsOf(assign: org.apache.spark.sql.DataFrame) = listCentroids(assign)
+  /** A persisted IVF (inverted-file) ANN index — the library surface
+    * behind llm_ann_ivf, factored out (r7) because a real embedding
+    * pipeline treats the index as an ARTIFACT: trained once per corpus
+    * version, persisted, reloaded by query jobs, and APPENDED to as new
+    * vectors arrive (coarse quantization is assignment-only — no
+    * retrain per shard; periodic retrain as drift accumulates is a new
+    * buildAnnIvfIndex call). `centroids` = (c_label, ce), nlist rows,
+    * broadcast at any corpus size; `assigned` = (vec_id, list_id, e,
+    * n2), partitioned by list at scale — the lists are the shuffle key
+    * and each query touches nprobe of them. Both frames are `Q.cached`
+    * with the NearDupIndex lifecycle contract. */
+  final case class AnnIvfIndex private[graft] (
+      centroids: org.apache.spark.sql.DataFrame,
+      assigned: org.apache.spark.sql.DataFrame) {
+    def write(path: String): Unit = {
+      centroids.write.mode("overwrite").parquet(s"$path/centroids.parquet")
+      assigned.write.mode("overwrite").parquet(s"$path/assigned.parquet")
+    }
+  }
 
-    // seed centroids: element-wise mean per label; then ONE k-means
-    // refinement (reassign → recompute) — the label partition is a
-    // convenient seed but a poor quantizer of the actual geometry
-    // (recall@5 was 0.6 with raw label centroids, nprobe=4). At 100 TB
-    // this trains on a sample; each iteration is one broadcast-assign +
-    // one (list, pos) aggregate — no new shuffle shapes.
-    val cents0 = emb
-      .select(col("label").as("list_id"), col("e"))
-      .transform(centroidsOf)
-    val assign0 = nearest(emb, cents0, 1)
-      .select(col("vec_id"), col("c_label").as("list_id"), col("e"))
-    val cents = Q.cached(centroidsOf(assign0))
-    val assigned = Q.cached(nearest(emb, cents, 1)
+  object AnnIvfIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): AnnIvfIndex =
+      AnnIvfIndex(
+        Q.cached(spark.read.parquet(s"$path/centroids.parquet")),
+        Q.cached(spark.read.parquet(s"$path/assigned.parquet")))
+  }
+
+  /** Train an IVF index over a (vec_id, e, n2) scaled-embedding frame:
+    * deterministic vec_id-mod seed, `iters` k-means refinements (each
+    * is one broadcast-assign + one (list, pos) aggregate — I4's
+    * centroid shape, no new shuffles), final 1-nearest assignment. At
+    * 100 TB the refinements train on a sample; assignment is the only
+    * full pass. */
+  def buildAnnIvfIndex(emb: org.apache.spark.sql.DataFrame,
+      nlist: Int = 10, iters: Int = 2): AnnIvfIndex = {
+    val embC = Q.cached(emb.select(col("vec_id"), col("e"), col("n2")))
+    var cents = listCentroids(
+      embC.select((col("vec_id") % nlist).as("list_id"), col("e")))
+    (1 to iters).foreach { _ =>
+      cents = listCentroids(nearestLists(embC, cents, 1)
+        .select(col("vec_id"), col("c_label").as("list_id"), col("e")))
+    }
+    val centsC = Q.cached(cents)
+    val assigned = Q.cached(nearestLists(embC, centsC, 1)
       .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2")))
-    // queries probe their nprobe=6 nearest lists
-    val probes = nearest(emb.where(col("vec_id") < 10), cents, 6)
+    AnnIvfIndex(centsC, assigned)
+  }
+
+  /** Incremental index update: assign NEW vectors to the EXISTING
+    * centroids and extend the inverted lists — the per-shard ingest
+    * step. Cost scales with the shard (one broadcast-assign over the
+    * new vectors); the trained quantizer is untouched, so existing
+    * assignments and any persisted copy of `centroids` stay valid. */
+  def appendToAnnIndex(index: AnnIvfIndex,
+      newVecs: org.apache.spark.sql.DataFrame): AnnIvfIndex =
+    AnnIvfIndex(index.centroids,
+      index.assigned.unionByName(
+        nearestLists(newVecs.select(col("vec_id"), col("e"), col("n2")),
+          index.centroids, 1)
+          .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2"))))
+
+  /** Top-k cosine search against an IVF index: each query probes its
+    * `nprobe` nearest lists and exact-scores only those lists' members
+    * (dot_long codegen loop, IEEE-deterministic ranking, neighbor_id
+    * tie-break). Self-matches are excluded by vec_id. */
+  def annQueryTopk(index: AnnIvfIndex,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int = 5, nprobe: Int = 6): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = nearestLists(queries.select(col("vec_id"), col("e"), col("n2")),
+        index.centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("c_label").as("list_id"),
         col("e").as("qe"), col("n2").as("qn2"))
-    // exact-score candidates within the probed lists only
     val rankW = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    probes.join(assigned.select(col("list_id"), col("vec_id").as("neighbor_id"),
+    probes.join(index.assigned.select(col("list_id"), col("vec_id").as("neighbor_id"),
         col("e").as("ce2"), col("n2").as("cn2")), "list_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", expr("cast(dot_long(qe, ce2) as double)")
         / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
       .withColumn("rank", row_number().over(rankW).cast("bigint"))
-      .where(col("rank") <= 5)
+      .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  val llmAnnIvf: Q = Q.noOracle("llm_ann_ivf") { (s, dir) =>
+    // the registered query IS the index API end-to-end: train (vec_id
+    // mod seed + 2 refinements — r7; the r2 label-seed + 1 refinement
+    // measured the same 0.92 recall@5 floor, and the API must not
+    // depend on a label column existing), then probe. LlmSpec asserts
+    // the recall floor vs unsampled brute force, plus
+    // reload/append-probe equivalences.
+    val index = buildAnnIvfIndex(Q.cached(scaledEmb(s, dir)))
+    annQueryTopk(index, scaledEmb(s, dir).where(col("vec_id") < 10))
       .orderBy("query_id", "rank")
   }
 

@@ -650,6 +650,48 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall unexpectedly low")
   }
 
+  test("ann IVF index API: reload == in-session, append extends without retrain (r7)") {
+    // the index-as-artifact contract: train on 90% of the corpus,
+    // persist, reload (identical answers), then APPEND the remaining
+    // 10% — assignment-only, centroids untouched — and the appended
+    // index must still clear the recall floor against unsampled brute
+    // force over the FULL corpus.
+    val emb = graft.ops.Llm.scaledEmb(spark, dir)
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val incoming = emb.where(col("vec_id") % 10 === 0)
+    val queries = emb.where(col("vec_id") < 10)
+    def res(ix: graft.ops.Llm.AnnIvfIndex) =
+      graft.ops.Llm.annQueryTopk(ix, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idx = graft.ops.Llm.buildAnnIvfIndex(base)
+    val inSession = res(idx)
+    val tmp = java.nio.file.Files.createTempDirectory("ann_idx_").toString
+    try {
+      idx.write(tmp)
+      val loaded = graft.ops.Llm.AnnIvfIndex.load(spark, tmp)
+      assert(res(loaded) == inSession)
+      val appended = graft.ops.Llm.appendToAnnIndex(loaded, incoming)
+      assert(appended.assigned.count() == emb.count())
+      // quantizer untouched by append
+      val centsOf = (ix: graft.ops.Llm.AnnIvfIndex) => ix.centroids.collect()
+        .map(r => r.getAs[Long]("c_label") -> r.getSeq[Long](1)).toMap
+      assert(centsOf(appended) == centsOf(idx))
+      // appended vectors are genuinely searchable: recall vs unsampled
+      // brute force over the FULL corpus (which includes them)
+      val exact = graft.ops.Llm.bruteForceTopk(emb, lit(true))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ann = graft.ops.Llm.annQueryTopk(appended, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (ann intersect exact).size.toDouble / exact.size
+      info(s"appended-index recall@5 = $recall")
+      assert(recall >= 0.85, s"recall $recall below floor after append")
+      loaded.centroids.unpersist(); loaded.assigned.unpersist()
+    } finally {
+      idx.centroids.unpersist(); idx.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("VectorCentroid Aggregator == oracle-checked posexplode centroid") {
     val typed = {
       import spark.implicits._
