@@ -298,6 +298,44 @@ class StreamingSpec extends SparkSpec {
     assertSame(got, batch, Seq("user_id", "event_id"))
   }
 
+  test("checkpoint recovery: event-time-timeout dedup state survives a restart (r7)") {
+    // the OTHER stateful-recovery surface: dedupFirstExact's state is
+    // (winner, all-time max ts) plus a REGISTERED EVENT-TIME TIMEOUT —
+    // kill the query while every key is in-flight (nothing emitted
+    // yet), restart, and the restored state must (a) keep the
+    // pre-restart out-of-order winner against a post-restart
+    // challenger and (b) still fire its timeout once the watermark
+    // passes. If state were lost the sink would show (1,click,12)
+    // — the post-restart arrival, since committed offsets are not
+    // replayed — and key 2 would never emit at all.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_h4").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out_h4").toString
+    val ms = MemoryStream[Ev]
+    def start() = StreamOps.dedupFirstExact(ms.toDS(), watermark = "10 minutes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    ms.addData(Ev(10, ts(20), 1, "click", 0.0)); q1.processAllAvailable()
+    ms.addData(Ev(11, ts(12), 1, "click", 0.0)); q1.processAllAvailable() // out-of-order, becomes winner
+    ms.addData(Ev(20, ts(18), 2, "view", 0.0)); q1.processAllAvailable()
+    q1.stop() // watermark = 10 min: every key still in-flight in the store
+    val q2 = start()
+    ms.addData(Ev(12, ts(15), 1, "click", 0.0)); q2.processAllAvailable() // loses to RESTORED winner ts=12
+    ms.addData(Ev(90, ts(100), 3, "view", 0.0)); q2.processAllAvailable() // wm -> 90 min
+    ms.addData(Ev(91, ts(300), 4, "error", 0.0)); q2.processAllAvailable() // keys 1,2 fire
+    ms.addData(Ev(92, ts(500), 4, "error", 0.0)); q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .where(col("user_id").isin(1L, 2L))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("ts_us"))).toSet
+    assert(got == Set(
+      (1L, "click", 11L, ts(12).getTime * 1000L),
+      (2L, "view", 20L, ts(18).getTime * 1000L)),
+      s"restored state did not survive the restart: $got")
+  }
+
   test("checkpoint restart: no loss, no duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_out").toString
