@@ -70,11 +70,6 @@ object Tables {
     * epoch ns as `ts_ns`, in a pinned column order. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ→TimestampType branch below is face-value-preserving ONLY in
-    // a UTC session; every shipped entry point pins it, but a user-built
-    // session might not — pin it here too so the loader's determinism
-    // contract doesn't depend on the caller (r6 advice).
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     // The pinned select below fixes column ORDER; it must not also
     // silently TRUNCATE a regenerated fixture that grew new columns —
@@ -90,6 +85,19 @@ object Tables {
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
       case TimestampNTZType =>
+        // This cast is face-value-preserving ONLY in a UTC session
+        // (every shipped entry point pins one). Fail loud rather than
+        // silently shifting epochs in a user session — and rather than
+        // silently REWRITING the caller's session timezone, a global
+        // side effect that would flip every other query in the session
+        // to UTC semantics (r6 advice + r7 review). The check runs at
+        // plan-build time; the conf is not re-read at execution, so a
+        // caller cannot invalidate it between build and materialize
+        // without rebuilding the frame.
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events requires spark.sql.session.timeZone=UTC: the fixture's " +
+            "TIMESTAMP_NTZ ts is normalized through a session-zone cast, and any " +
+            "other zone silently shifts unix_micros/window boundaries")
         raw.withColumn("ts", col("ts").cast(TimestampType))
           .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
       case TimestampType =>

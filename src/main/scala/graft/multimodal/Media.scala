@@ -72,9 +72,7 @@ object StubDecoder extends MediaDecoder {
 object RealImageDecoder extends MediaDecoder {
   def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+      val img = Media.readImage(r.payload)
       MediaFeatures(
         id = r.id,
         nBytes = r.payload.length.toLong,
@@ -116,9 +114,7 @@ object StubResizer extends MediaResizer {
 object RealImageResizer extends MediaResizer {
   def resizeBatch(batch: Seq[MediaRecord], maxDim: Int): Seq[MediaRecord] =
     batch.map { r =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+      val img = Media.readImage(r.payload)
       if (img == null || (img.getWidth <= maxDim && img.getHeight <= maxDim)) r
       else {
         val scale = math.min(
@@ -135,7 +131,10 @@ object RealImageResizer extends MediaResizer {
         } finally g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, "png", bos)
-        r.copy(payload = bos.toByteArray)
+        // the payload is PNG now regardless of the input container —
+        // metadata must not lie about the bytes (r7 review)
+        r.copy(meta = r.meta.copy(mediaType = "image/png"),
+          payload = bos.toByteArray)
       }
     }
 }
@@ -146,6 +145,28 @@ object RealImageResizer extends MediaResizer {
 final case class FrameRecord(id: Long, frameNo: Long, payload: Array[Byte])
 
 object Media {
+
+  /** Decode an image payload, totally: null for anything ImageIO can't
+    * handle. Two deliberate choices (r7 review): catch NonFatal, not
+    * just IOException — the JDK's BMP/GIF/PNG readers throw unchecked
+    * exceptions (IllegalArgument/ArrayIndexOutOfBounds/NegativeArray
+    * Size) on crafted headers, and at 100 TB one such payload must
+    * cost one flagged row, not a 4-retry stage abort; and read via a
+    * MemoryCacheImageInputStream — the default ImageIO.read(stream)
+    * path wraps the ALREADY-IN-MEMORY payload in a disk-backed
+    * FileCacheImageInputStream (one temp-file create/write/delete per
+    * record on the executor hot path, pure wasted I/O), without
+    * touching the global ImageIO.setUseCache flag. */
+  private[multimodal] def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      // ImageIO.read(ImageInputStream) closes the stream itself on a
+      // successful read; the quiet re-close only matters on the no-
+      // reader-found path (read returns null, stream left open)
+      try javax.imageio.ImageIO.read(in)
+      finally { try in.close() catch { case _: java.io.IOException => () } }
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   /** Lift the documents fixture into media records (utf-8 payload +
     * typed metadata) — the fixture stand-in for a binary media table. */

@@ -1173,9 +1173,9 @@ object DedupOps {
     * scaled-embedding frame: cluster-confine the candidate pairs to
     * k-means lists, exact-verify cosine ≥ τ inside each list, drop the
     * higher id of every verified pair. Clustering = deterministic seed
-    * (vec_id mod nlist) + two k-means refinements (each is one
-    * broadcast-assign + one (list, pos) aggregate — llm_ann_ivf's
-    * machinery, shared via Llm.nearestLists/listCentroids); every
+    * (vec_id mod nlist) + ONE k-means refinement (one broadcast-assign
+    * + one (list, pos) aggregate — llm_ann_ivf's machinery, shared via
+    * Llm.trainIvfCentroids/nearestLists); every
     * vector is assigned to its TWO nearest lists, the multiprobe
     * analog that recovers pairs straddling a list boundary. Candidate
     * cost is Σ c_i² over list sizes instead of N² — the lists are the
@@ -1194,11 +1194,13 @@ object DedupOps {
     val s = emb.sparkSession
     GraftFunctions.register(s)
     val embC = Q.cached(emb.select(col("vec_id"), col("e"), col("n2")))
-    // the quantizer is the ANN index's (r7: one shared trainer —
-    // Llm.buildAnnIvfIndex — instead of a third copy of seed+refine);
-    // only the ASSIGNMENT differs: 2-nearest multi-assign, the
-    // multiprobe analog that recovers pairs straddling a list boundary
-    val cents = Llm.buildAnnIvfIndex(embC, nlist, iters = 1).centroids
+    // the quantizer is the ANN index's (r7: the shared trainer
+    // Llm.trainIvfCentroids over the already-cached frame — not
+    // buildAnnIvfIndex, which would re-cache the embeddings and
+    // register a discarded 1-nearest assignment; r7 review); only the
+    // ASSIGNMENT differs: 2-nearest multi-assign, the multiprobe
+    // analog that recovers pairs straddling a list boundary
+    val cents = Llm.trainIvfCentroids(embC, nlist, iters = 1)
     val assigned = Q.cached(Llm.nearestLists(embC, cents, 2)
       .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2")))
     val dropped = assigned.as("x")

@@ -385,10 +385,34 @@ object Llm {
   }
 
   object AnnIvfIndex {
-    def load(spark: org.apache.spark.sql.SparkSession, path: String): AnnIvfIndex =
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): AnnIvfIndex = {
+      // register here too: a fresh query job's FIRST calls are load +
+      // annQueryTopk, with none of the fixture entry points (which
+      // register as a side effect) in between — without this the
+      // advertised cross-job flow died on 'Undefined function:
+      // dot_long' (r7 review)
+      graft.functions.GraftFunctions.register(spark)
       AnnIvfIndex(
         Q.cached(spark.read.parquet(s"$path/centroids.parquet")),
         Q.cached(spark.read.parquet(s"$path/assigned.parquet")))
+    }
+  }
+
+  /** Train the IVF coarse quantizer over an ALREADY-CACHED (vec_id, e)
+    * frame: deterministic vec_id-mod seed + `iters` k-means
+    * refinements. Shared by buildAnnIvfIndex and semanticDedupFlags so
+    * the quantizer exists once and neither caller double-caches its
+    * embedding frame (r7 review). */
+  private[graft] def trainIvfCentroids(embC: org.apache.spark.sql.DataFrame,
+      nlist: Int, iters: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(embC.sparkSession)
+    var cents = listCentroids(
+      embC.select((col("vec_id") % nlist).as("list_id"), col("e")))
+    (1 to iters).foreach { _ =>
+      cents = listCentroids(nearestLists(embC, cents, 1)
+        .select(col("vec_id"), col("c_label").as("list_id"), col("e")))
+    }
+    cents
   }
 
   /** Train an IVF index over a (vec_id, e, n2) scaled-embedding frame:
@@ -399,14 +423,9 @@ object Llm {
     * full pass. */
   def buildAnnIvfIndex(emb: org.apache.spark.sql.DataFrame,
       nlist: Int = 10, iters: Int = 2): AnnIvfIndex = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val embC = Q.cached(emb.select(col("vec_id"), col("e"), col("n2")))
-    var cents = listCentroids(
-      embC.select((col("vec_id") % nlist).as("list_id"), col("e")))
-    (1 to iters).foreach { _ =>
-      cents = listCentroids(nearestLists(embC, cents, 1)
-        .select(col("vec_id"), col("c_label").as("list_id"), col("e")))
-    }
-    val centsC = Q.cached(cents)
+    val centsC = Q.cached(trainIvfCentroids(embC, nlist, iters))
     val assigned = Q.cached(nearestLists(embC, centsC, 1)
       .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2")))
     AnnIvfIndex(centsC, assigned)
@@ -418,12 +437,14 @@ object Llm {
     * new vectors); the trained quantizer is untouched, so existing
     * assignments and any persisted copy of `centroids` stay valid. */
   def appendToAnnIndex(index: AnnIvfIndex,
-      newVecs: org.apache.spark.sql.DataFrame): AnnIvfIndex =
+      newVecs: org.apache.spark.sql.DataFrame): AnnIvfIndex = {
+    graft.functions.GraftFunctions.register(newVecs.sparkSession)
     AnnIvfIndex(index.centroids,
       index.assigned.unionByName(
         nearestLists(newVecs.select(col("vec_id"), col("e"), col("n2")),
           index.centroids, 1)
           .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2"))))
+  }
 
   /** Top-k cosine search against an IVF index: each query probes its
     * `nprobe` nearest lists and exact-scores only those lists' members
@@ -433,6 +454,7 @@ object Llm {
       queries: org.apache.spark.sql.DataFrame,
       k: Int = 5, nprobe: Int = 6): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val probes = nearestLists(queries.select(col("vec_id"), col("e"), col("n2")),
         index.centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("c_label").as("list_id"),

@@ -600,16 +600,21 @@ object TextOps {
 
   /** Materialize the shuffled corpus as its physical training layout:
     * one hive partition directory per shard (`shard=K/`), rows of shard
-    * K and only shard K inside it (layout == assignment is pinned in
-    * TextPipelineSpec). The shard-partitioned window in corpusShuffle
-    * already clusters rows by shard, so partitionBy adds no extra
-    * exchange — the position sort IS the write layout. A training
-    * reader consumes shard directories independently and orders by pos
-    * within each. */
+    * K and only shard K inside it, position-ordered within each file
+    * (layout == assignment is pinned in TextPipelineSpec). The manifest
+    * join on doc_id redistributes rows by the JOIN key, so the write
+    * re-clusters explicitly — repartition on shard + sort within
+    * partitions — or dynamic partitioning would emit up to nShards
+    * small files from EVERY task and lose the pos order (r7 review;
+    * corpusShuffle's own window clustering does not survive the join).
+    * A training reader consumes shard directories independently and
+    * rows arrive already in pos order. */
   def writeSharded(docs: org.apache.spark.sql.DataFrame, nShards: Int,
       path: String): Unit =
     corpusShuffle(docs, nShards)
       .join(docs, "doc_id")
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   val llmCorpusShuffle: Q = Q(

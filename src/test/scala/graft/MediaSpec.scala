@@ -69,8 +69,10 @@ class MediaSpec extends SparkSpec {
     // already-fitting and undecodable payloads pass through byte-identical
     assert(out(3L).payload.sameElements(records(2).payload))
     assert(out(4L).payload.sameElements(records(3).payload))
-    // metadata rides along unchanged
-    assert(out(1L).meta == records.head.meta)
+    // re-encoded records declare the PNG container; pass-throughs keep
+    // their original metadata untouched (r7 review: meta must not lie)
+    assert(out(1L).meta == records.head.meta.copy(mediaType = "image/png"))
+    assert(out(3L).meta == records(2).meta && out(4L).meta == records(3).meta)
   }
 
   test("resize then decode composes: features of the resized corpus") {

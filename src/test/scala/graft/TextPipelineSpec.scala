@@ -292,11 +292,17 @@ class TextPipelineSpec extends SparkSpec {
       val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
         .map(_.getName).toSet
       assert(dirs == (0 until 5).map(k => s"shard=$k").toSet, s"got $dirs")
-      // per-directory content: every row of shard K and only shard K
+      // per-directory content: every row of shard K and only shard K,
+      // written as ONE file (the pre-write repartition clusters each
+      // shard into a single task — no dynamic-partition small-files
+      // spray; r7 review)
       (0 until 5).foreach { k =>
         val ids = spark.read.parquet(s"$out/shard=$k")
           .select("doc_id").collect().map(_.getLong(0)).toSet
         assert(ids == assign.filter(_._2 == k).keySet, s"shard $k layout drift")
+        val files = new java.io.File(s"$out/shard=$k").listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        assert(files.length == 1, s"shard $k written as ${files.length} files")
       }
       // full round-trip: nothing lost, partition column readable
       val back = spark.read.parquet(out)
