@@ -294,30 +294,90 @@ object Llm {
     * At 100 TB: buckets are the shuffle key, each query probes a few
     * buckets instead of the full corpus, and the per-bucket brute force
     * is the same dot_long codegen loop. */
-  val llmAnnLsh: Q = Q.noOracle("llm_ann_lsh") { (s, dir) =>
+  /** A persisted sign-LSH ANN index — the bucketed-candidates sibling
+    * of [[AnnIvfIndex]] (r7): `buckets` = (vec_id, t, bucket), 8 rows
+    * per vector; `vecs` = (vec_id, e, n2) for exact scoring. The
+    * hyperplanes are a PURE FUNCTION of (table, dim) via xxhash64 —
+    * there is no trained state at all, so an APPEND is exactly "sign
+    * the new vectors and union": append-time signatures are consistent
+    * with build-time ones by construction, the LSH family's ingest
+    * advantage over IVF (whose quantizer drifts and needs periodic
+    * retrain). Same Q.cached lifecycle contract as the other indexes. */
+  final case class AnnLshIndex private[graft] (
+      buckets: org.apache.spark.sql.DataFrame,
+      vecs: org.apache.spark.sql.DataFrame) {
+    def write(path: String): Unit = {
+      buckets.write.mode("overwrite").parquet(s"$path/buckets.parquet")
+      vecs.write.mode("overwrite").parquet(s"$path/vecs.parquet")
+    }
+  }
+
+  object AnnLshIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): AnnLshIndex = {
+      graft.functions.GraftFunctions.register(spark)
+      AnnLshIndex(
+        Q.cached(spark.read.parquet(s"$path/buckets.parquet")),
+        Q.cached(spark.read.parquet(s"$path/vecs.parquet")))
+    }
+  }
+
+  def buildAnnLshIndex(emb: org.apache.spark.sql.DataFrame): AnnLshIndex = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val vecs = Q.cached(emb.select(col("vec_id"), col("e"), col("n2")))
+    AnnLshIndex(signBuckets(vecs), vecs)
+  }
+
+  def appendToLshIndex(index: AnnLshIndex,
+      newVecs: org.apache.spark.sql.DataFrame): AnnLshIndex = {
+    graft.functions.GraftFunctions.register(newVecs.sparkSession)
+    val nv = newVecs.select(col("vec_id"), col("e"), col("n2"))
+    AnnLshIndex(index.buckets.unionByName(signBuckets(nv)),
+      index.vecs.unionByName(nv))
+  }
+
+  /** Top-k cosine search against a sign-LSH index with MULTIPROBE:
+    * each query probes its own bucket plus the 4 single-bit-flip
+    * neighbors per table, candidates are exact-scored with the codegen
+    * dot product, self-matches excluded by vec_id. */
+  def lshQueryTopk(index: AnnLshIndex,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = Q.cached(scaledEmb(s, dir))
-    val sigs = signBuckets(emb)
-    // multiprobe: the exact bucket + all 4 Hamming-distance-1 buckets
-    val qs = sigs.where(col("vec_id") < 10)
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    // query signatures recomputed from the same deterministic
+    // hyperplanes — bit-identical to the index's build-time buckets
+    val qs = signBuckets(queries.select(col("vec_id"), col("e")))
       .select(col("vec_id").as("query_id"), col("t"),
         explode(expr("array(bucket, bucket ^ 1L, bucket ^ 2L, bucket ^ 4L, bucket ^ 8L)"))
           .as("bucket"))
     val cand = qs
-      .join(sigs.select(col("vec_id").as("neighbor_id"), col("t"), col("bucket")),
+      .join(index.buckets.select(col("vec_id").as("neighbor_id"), col("t"), col("bucket")),
         Seq("t", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val qe = emb.select(col("vec_id").as("query_id"), col("e").as("qe"), col("n2").as("qn2"))
-    val ce = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("n2").as("cn2"))
+    val qe = queries.select(col("vec_id").as("query_id"), col("e").as("qe"),
+      col("n2").as("qn2"))
+    val ce = index.vecs.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+      col("n2").as("cn2"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     cand.join(broadcast(qe), "query_id").join(ce, "neighbor_id")
       .withColumn("score", expr("cast(dot_long(qe, ce) as double)")
         / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
       .withColumn("rank", row_number().over(w).cast("bigint"))
-      .where(col("rank") <= 5)
+      .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  val llmAnnLsh: Q = Q.noOracle("llm_ann_lsh") { (s, dir) =>
+    // the registered query IS the index API end-to-end (r7), exactly
+    // like llm_ann_ivf: build the sign-bucket index over the corpus,
+    // probe with the vec_id < 10 queries. Candidates and output are
+    // identical to the pre-API inline form — the query signatures are
+    // the same deterministic hyperplane function.
+    val emb = Q.cached(scaledEmb(s, dir))
+    val index = buildAnnLshIndex(emb)
+    lshQueryTopk(index, emb.where(col("vec_id") < 10))
       .orderBy("query_id", "rank")
   }
 

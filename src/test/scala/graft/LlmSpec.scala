@@ -692,6 +692,44 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("ann LSH index API: reload == in-session, trainless append (r7)") {
+    // the sign-LSH sibling of the IVF artifact test: hyperplanes are a
+    // pure function of (table, dim), so an appended shard's buckets are
+    // consistent with the persisted ones by construction — no retrain
+    // concept at all. Build on 90%, persist, reload (identical
+    // answers), append the rest, recall floor vs unsampled brute force
+    // over the full corpus.
+    val emb = graft.ops.Llm.scaledEmb(spark, dir)
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val incoming = emb.where(col("vec_id") % 10 === 0)
+    val queries = emb.where(col("vec_id") < 10)
+    def res(ix: graft.ops.Llm.AnnLshIndex) =
+      graft.ops.Llm.lshQueryTopk(ix, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idx = graft.ops.Llm.buildAnnLshIndex(base)
+    val inSession = res(idx)
+    val tmp = java.nio.file.Files.createTempDirectory("lsh_idx_").toString
+    try {
+      idx.write(tmp)
+      val loaded = graft.ops.Llm.AnnLshIndex.load(spark, tmp)
+      assert(res(loaded) == inSession)
+      val appended = graft.ops.Llm.appendToLshIndex(loaded, incoming)
+      assert(appended.vecs.count() == emb.count())
+      assert(appended.buckets.count() == emb.count() * 8) // 8 tables per vector
+      val exact = graft.ops.Llm.bruteForceTopk(emb, lit(true))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ann = graft.ops.Llm.lshQueryTopk(appended, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (ann intersect exact).size.toDouble / exact.size
+      info(s"appended-LSH-index recall@5 = $recall")
+      assert(recall >= 0.9, s"recall $recall below floor after append")
+      loaded.buckets.unpersist(); loaded.vecs.unpersist()
+    } finally {
+      idx.buckets.unpersist(); idx.vecs.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("VectorCentroid Aggregator == oracle-checked posexplode centroid") {
     val typed = {
       import spark.implicits._
