@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables.events fails loud on any non-UTC session (its
+      // TIMESTAMP_NTZ normalization is zone-sensitive); pin it here like
+      // every other shipped entry point so the bench doesn't depend on
+      // the host JVM's default zone (r7 advice)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

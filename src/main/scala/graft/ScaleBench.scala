@@ -24,24 +24,39 @@ import org.apache.spark.sql.functions._
   * Env knobs: SPARK_GRAFT_SCALE_MULTS (default "1,10"),
   * SPARK_GRAFT_SCALE_PASSES (default 2, min-of-passes like Bench),
   * SPARK_GRAFT_SCALE_ONLY (comma-filter on query keys).
-  * Writes SCALING_r07.json (per-query seconds and output rows per
+  * Writes SCALING_r08.json (per-query seconds and output rows per
   * multiplier, plus the x10/x1 ratio).
   */
 object ScaleBench {
 
-  /** The two all-pairs baselines run UNSAMPLED here (the r7 registry
-    * scopes them to %5 samples — r6 verdict item 2 — but the scaling
-    * curve's whole point is the unsampled quadratic-vs-linear contrast,
-    * so the curve calls the full-corpus engines directly). */
+  /** The two all-pairs baselines run UNSAMPLED here (the registry
+    * scopes them to fixed-count prefixes — r7 verdict item 1 — but the
+    * scaling curve's whole point is the unsampled quadratic-vs-linear
+    * contrast, so the curve calls the full-corpus engines directly). */
   private val unsampledBaselines: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_jaccard_near_dup" -> ((s, d) =>
       graft.ops.Llm.jaccardPairs(Tables.documents(s, d))),
     "llm_simhash_dedup" -> ((s, d) =>
       graft.ops.DedupOps.simhashAllPairs(Tables.documents(s, d))))
 
+  /** The REGISTERED (fixed-count-bounded) baseline forms, measured on
+    * the same growing corpora (r7 verdict item 1's done-condition): the
+    * doc_id/vec_id < SampleBound scan predicate pushes down, so their
+    * cost must stay FLAT — O(bound²) work over a bound-size input — as
+    * the corpus grows, where the r7 %-sampled forms were still
+    * quadratic in corpus size (46× at 10× in SCALING_r07). The `@bound`
+    * suffix keeps them from shadowing the unsampled engines above. */
+  private val registeredForms: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_jaccard_near_dup@bound" -> SparkEntry.queries("llm_jaccard_near_dup"),
+    "llm_simhash_dedup@bound" -> SparkEntry.queries("llm_simhash_dedup"),
+    "llm_cosine_near_dup@bound" -> SparkEntry.queries("llm_cosine_near_dup"))
+
   private val queryKeys = Seq(
     "llm_jaccard_near_dup", // all-pairs baseline (quadratic by design)
     "llm_simhash_dedup",    // all-pairs simhash baseline (quadratic)
+    "llm_jaccard_near_dup@bound", // registered fixed-count forms (r8):
+    "llm_simhash_dedup@bound",    //   must be FLAT as the corpus grows
+    "llm_cosine_near_dup@bound",  //   (pushed-down prefix bound)
     "llm_minhash_lsh",      // banded scale path
     "llm_simhash_banded",   // banded scale path
     "llm_dedup_clusters",   // contraction + confined CC loop
@@ -51,8 +66,16 @@ object ScaleBench {
                              // both grow n× here — near-linear is the claim)
 
   def synthesize(spark: SparkSession, baseDir: String, mult: Int,
-      outDir: String): Unit = {
-    val docs = Tables.documents(spark, baseDir)
+      outDir: String, stopGram: Boolean = false): Unit = {
+    val docs0 = Tables.documents(spark, baseDir)
+    // stop-gram mode (r7 verdict item 2's done-condition): plant one
+    // bigram shared by EVERY doc before the per-replica token suffixing,
+    // so each replica carries an every-doc gram — f ≈ corpus/3 docs per
+    // hot key after llm_ngram_jaccard's %3 sample, the single-key f²
+    // shuffle bomb the NgramDfCap ceiling exists to drop
+    val docs = if (stopGram)
+      docs0.withColumn("text", concat(col("text"), lit(" zzof zzthe")))
+    else docs0
     val replicas = (0 until mult).map { k =>
       docs.select(
         (col("doc_id") + lit(k * 1000000L)).as("doc_id"),
@@ -65,6 +88,26 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
+  /** n× the fixture embeddings for the registered cosine baseline's
+    * flatness point: replica k offsets vec_id by k·100000 — STRICTLY
+    * below the +1000000 synthetic-twin offset, so embWithTwins' id
+    * guard holds (and the bounded query's twins still come only from
+    * the replica-0 prefix it scans). Values are unchanged: the
+    * registered form reads only the pushed-down vec_id < SampleBound
+    * prefix + its twins, so replica content is inert by construction —
+    * the point of the measurement is that corpus GROWTH stays outside
+    * the plan. */
+  def synthesizeEmb(spark: SparkSession, baseDir: String, mult: Int,
+      outDir: String): Unit = {
+    require(mult <= 10, s"vec_id offset k*100000 needs mult <= 10, got $mult")
+    val emb = Tables.embeddings(spark, baseDir)
+    (0 until mult).map { k =>
+      emb.withColumn("vec_id", col("vec_id") + lit(k * 100000L))
+    }.reduce(_.unionByName(_))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
   /** Fixed-shard ingest probe (r6; r7 adds the persistence leg): the
     * amortization claim behind `buildNearDupIndex`/`novelAgainst` is
     * "per-shard cost scales with the SHARD, not the corpus" — so
@@ -75,7 +118,7 @@ object ScaleBench {
     * parquet, RELOAD it, and probe from the RELOADED index — build and
     * write are the amortized once-per-corpus-version costs, probe (from
     * the reloaded frames) is the recurring per-shard cost. Writes
-    * INGEST_r07.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
+    * INGEST_r08.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
     * INSTEAD of the query curve). */
   private def ingestCurve(spark: SparkSession, dirs: Seq[(Int, String)],
       passes: Int): Unit = {
@@ -121,7 +164,62 @@ object ScaleBench {
     val s =
       s"""{"shard_docs":$nShard,"passes":$passes,"note":"fixed shard vs growing corpus; build+write are the amortized once-per-corpus-version costs, probe runs against the RELOADED parquet index (r7 persistence leg)","corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("INGEST_r07.json"), s.getBytes)
+      java.nio.file.Paths.get("INGEST_r08.json"), s.getBytes)
+    println(s)
+  }
+
+  /** Stop-gram bound point (r7 verdict item 2's done-condition): run
+    * the REGISTERED llm_ngram_jaccard on corpora where every doc shares
+    * a planted bigram (per replica — token suffixing keeps replicas
+    * disjoint), at 1× and the max multiplier. Without the NgramDfCap
+    * ceiling the planted gram alone contributes f(f-1)/2 candidate
+    * pairs ON ONE JOIN KEY (f ≈ corpus/3 after the %3 sample); with it
+    * the gram is dropped before the join. The artifact records both the
+    * measured capped runtime AND the analytic uncapped single-key pair
+    * count it avoided — the bomb is reported, not detonated. */
+  private def stopGramCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.DedupOps
+    val out = mults.map { m =>
+      val d = s"/tmp/graft_scale_sg_x$m"
+      synthesize(spark, baseDir, m, d, stopGram = true)
+      // gram df census over the SAME %3-sampled distinct gram sets the
+      // query builds — uncapped candidate pairs = Σ f(f-1)/2
+      val bg = Tables.documents(spark, d)
+        .where(col("doc_id") % 3 === 0)
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+            "(x, y) -> concat(x, ' ', y))")).as("gram"))
+        .distinct()
+        .groupBy("gram").agg(count(lit(1)).as("f"))
+      val Seq(maxDf, uncappedPairs, cappedPairs) = bg.agg(
+          max(col("f")),
+          sum(expr("f * (f - 1) div 2")),
+          sum(expr(s"if(f <= ${DedupOps.NgramDfCap}, f * (f - 1) div 2, 0L)")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
+      var secMin = Double.MaxValue
+      var nRows = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        nRows = graft.ops.Q.withCached(
+          SparkEntry.queries("llm_ngram_jaccard")(spark, d))(_.count())
+        secMin = math.min(secMin, (System.nanoTime() - t0) / 1e9)
+      }
+      System.err.println(f"stopgram x$m: $secMin%.2f s, $nRows rows, " +
+        f"max df $maxDf, uncapped candidate pairs $uncappedPairs -> capped $cappedPairs")
+      (m, secMin, nRows, maxDf, uncappedPairs, cappedPairs)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, s, n, df, u, c) =>
+      s""""x$m":{"sec":${f2(s)},"rows":$n,"max_gram_df":$df,"uncapped_cand_pairs":$u,"capped_cand_pairs":$c}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"every doc carries a planted stop-bigram; registered llm_ngram_jaccard timed WITH the df cap ${graft.ops.DedupOps.NgramDfCap}; uncapped_cand_pairs is the analytic single-key bomb the cap removed","passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("STOPGRAM_r08.json"), s.getBytes)
     println(s)
   }
 
@@ -136,13 +234,21 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same UTC pin as every shipped entry point (r7 advice):
+      // Tables.events fails loud in a non-UTC session
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (sys.env.get("SPARK_GRAFT_SCALE_STOPGRAM").contains("1")) {
+      stopGramCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
     val dirs = mults.map { m =>
       val d = s"/tmp/graft_scale_x$m"
       synthesize(spark, baseDir, m, d)
+      synthesizeEmb(spark, baseDir, m, d) // for the cosine @bound form
       m -> d
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")) {
@@ -156,7 +262,8 @@ object ScaleBench {
     def once(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       try {
-        val build = unsampledBaselines.getOrElse(name, SparkEntry.queries(name))
+        val build = unsampledBaselines.getOrElse(name,
+          registeredForms.getOrElse(name, SparkEntry.queries(name)))
         val n = graft.ops.Q.withCached(build(spark, dir))(_.count())
         ((System.nanoTime() - t0) / 1e9, n)
       } catch { case e: Throwable =>
@@ -197,7 +304,7 @@ object ScaleBench {
     val out =
       s"""{"base":"$baseDir","multipliers":[${mults.mkString(",")}],"passes":$passes,"docs":$docsJson,"queries":$qJson}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALING_r07.json"), out.getBytes)
+      java.nio.file.Paths.get("SCALING_r08.json"), out.getBytes)
     println(out)
     spark.stop()
   }

@@ -19,8 +19,9 @@ object DedupOps {
     * baseline and the banded scale path claim identical semantics, and
     * sharing the strings makes that claim structural instead of
     * copy-paste (r4 review). `where` scopes the input (r6 verdict item
-    * 2: the registered all-pairs baseline runs on the deterministic
-    * doc_id % 5 = 0 sample; the banded scale path stays full-corpus). */
+    * 2 / r7 item 1: the registered all-pairs baseline runs on the
+    * fixed-count doc_id < Llm.SampleBound prefix — O(bound²) at any
+    * corpus size; the banded scale path stays full-corpus). */
   private def simhashOracle(where: String): String =
     s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
       |             FROM documents$where),
@@ -76,15 +77,34 @@ object DedupOps {
   /** The Spark twin of cosineOracle's augmented input: scaled fixture
     * embeddings (optionally pre-filtered) ∪ deterministic near-twins of
     * the in-scope vec_id < 50 rows, with exact n2 recomputed after the
-    * perturbation. Twin ids are +1000000 (mod-5-stable, so the sampled
-    * baseline's twins are exactly the twins of its sampled base).
+    * perturbation. Twin ids are +1000000; the bounded baseline's twins
+    * are exactly the twins of its bounded base (the vec_id <
+    * Llm.SampleBound pre-filter runs BEFORE twin construction, and
+    * every twin base id is < 50 ≤ the bound).
     * Carries `label` so llm_semantic_dedup's output can cover the twin
     * rows too. */
+  /** Runtime guard for the +1000000 synthetic-id offset (r7 advice):
+    * the twin/PII slices assume fixture ids stay below 1,000,000 — on a
+    * larger corpus the generated ids would collide with real rows
+    * IDENTICALLY on both surfaces, so the oracle compare would stay
+    * green while outputs silently carried duplicate ids. The guard is a
+    * per-row codegen branch on the id expression itself (no extra
+    * driver action, survives column pruning because the id column is
+    * always consumed): any id at or above the offset fails the Spark
+    * side loud, which the driver surfaces as a row error. */
+  private[ops] def idBelowOffset(id: org.apache.spark.sql.Column,
+      what: String): org.apache.spark.sql.Column =
+    when(id < lit(1000000L), id).otherwise(raise_error(concat(
+      lit(s"$what: fixture id "), id.cast("string"),
+      lit(" >= 1000000 collides with the synthetic +1000000 id slice"))))
+
   private[graft] def embWithTwins(
       s: org.apache.spark.sql.SparkSession, dir: String,
       where: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
     GraftFunctions.register(s)
-    val base0 = Llm.scaledEmb(s, dir).select(col("vec_id"), col("label"), col("e"))
+    val base0 = Llm.scaledEmb(s, dir)
+      .select(idBelowOffset(col("vec_id"), "embWithTwins").as("vec_id"),
+        col("label"), col("e"))
     val base = where.map(base0.where).getOrElse(base0)
     val twins = base.where(col("vec_id") < 50)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("label"),
@@ -123,16 +143,19 @@ object DedupOps {
     * hashes; bit b of a doc's signature is the sign of Σ_tokens (±1 on
     * bit b); pairs with Hamming distance ≤ 6 are near-dups.
     *
-    * REGISTRY SCOPE (r6 verdict item 2): the registered all-pairs
-    * baseline runs over the deterministic doc_id % 5 = 0 sample
-    * (identically sampled oracle) — llm_simhash_banded is the
-    * full-corpus scale path, and banded ≡ all-pairs over the FULL
-    * corpus stays pinned in LlmSpec via [[simhashAllPairs]]. */
+    * REGISTRY SCOPE (r6 verdict item 2; r7 item 1): the registered
+    * all-pairs baseline runs over the FIXED-COUNT doc_id <
+    * Llm.SampleBound prefix (identically bounded oracle; 304 true pairs
+    * at sf0.01) — a fixed count, not a % sample, so the registered cost
+    * is O(bound²) at any corpus size (Llm.SampleBound scaladoc).
+    * llm_simhash_banded is the full-corpus scale path, and banded ≡
+    * all-pairs over the FULL corpus stays pinned in LlmSpec via
+    * [[simhashAllPairs]]. */
   val llmSimhashDedup: Q = Q(
     "llm_simhash_dedup",
-    simhashOracle(" WHERE doc_id % 5 = 0")
+    simhashOracle(s" WHERE doc_id < ${Llm.SampleBound}")
   ) { (s, dir) =>
-    simhashAllPairs(documents(s, dir).where(col("doc_id") % 5 === 0))
+    simhashAllPairs(documents(s, dir).where(col("doc_id") < Llm.SampleBound))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -188,26 +211,46 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Document-frequency ceiling for llm_ngram_jaccard's inverted-index
+    * join (r7 verdict item 2): a gram appearing in f docs produces f²
+    * candidate pairs ON ONE JOIN KEY — a stop-bigram ("of the") at
+    * corpus scale is a single-key shuffle bomb no partitioning can
+    * spread. Grams with df > cap are dropped from the gram sets on BOTH
+    * surfaces (so sizes, intersections, and the τ test all see the
+    * capped sets — semantics shift identically and the oracle still
+    * hashes), which bounds the join at cap · Σf = cap · total-gram-
+    * occurrences: LINEAR in the corpus, with no per-key term above
+    * cap². The information argument is the classic prefix-filter one:
+    * a gram half the corpus shares carries ~no signal about any
+    * specific pair. 20 is ACTIVE on the fixture (max df 22 at sf0.01,
+    * 129 at sf0.1) and keeps the 3 true sf0.01 pairs; ScaleBench's
+    * stop-gram corpus pins the bound (a planted every-doc gram is
+    * dropped instead of exploding). */
+  private[graft] final val NgramDfCap = 20
+
   /** Word-bigram Jaccard (τ = 0.5) over the doc_id%3==0 sample — the
     * n-gram flavor of I2. Bigram vocabulary is quadratic so no bitmask;
     * this is the classic inverted-index (token → doc) join with the
     * pair-count aggregation; the sample bound keeps all-SF bench cost
-    * flat — and since r7 every registered quadratic baseline follows
-    * this query's %-sample pattern (r6 verdict item 2). The sample
-    * was %10 through r6, which left ZERO qualifying pairs at sf0.01 —
-    * a vacuous oracle row of exactly the kind the r6 verdict flagged;
-    * %3 keeps 3 true pairs at sf0.01 (26 at sf0.1) so the τ-accept
-    * branch is hash-gated, at ~0.2 s oracle cost. Scale path:
-    * prefix filtering or MinHash over the n-gram sets — same
-    * llm_minhash_lsh machinery. */
+    * flat. The sample was %10 through r6, which left ZERO qualifying
+    * pairs at sf0.01 — a vacuous oracle row of exactly the kind the r6
+    * verdict flagged; %3 keeps 3 true pairs at sf0.01 so the τ-accept
+    * branch is hash-gated. Since r8 the gram sets carry the
+    * [[NgramDfCap]] df ceiling on both surfaces — the inverted-index
+    * join is thereby LINEAR-bounded (cap · occurrences) instead of
+    * Σf² with an unbounded hottest key. Scale path for full recall on
+    * rare grams: prefix filtering or MinHash over the n-gram sets —
+    * same llm_minhash_lsh machinery. */
   val llmNgramJaccard: Q = Q(
     "llm_ngram_jaccard",
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |           WHERE doc_id % 3 = 0),
-      |bg AS (SELECT DISTINCT doc_id,
+      |bg0 AS (SELECT DISTINCT doc_id,
       |    unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
       |      p -> p[1] || ' ' || p[2])) AS gram
       |  FROM d WHERE len(toks) >= 2),
+      |bg AS (SELECT doc_id, gram FROM bg0
+      |       QUALIFY COUNT(*) OVER (PARTITION BY gram) <= ${NgramDfCap}),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
       |  FROM bg a JOIN bg b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -223,14 +266,23 @@ object DedupOps {
       .where(col("doc_id") % 3 === 0)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 2)
+    import org.apache.spark.sql.expressions.Window
     // cached: the bigram explode+distinct feeds THREE consumers (sz and
     // both sides of the inverted-index join) — uncached, the widened r7
     // sample re-ran that scan stage 3x and the query cost 4.1 s at
-    // sf0.1; cached it runs the stage once (measured 2.25 s)
+    // sf0.1; cached it runs the stage once (measured 2.25 s).
+    // The df ceiling (NgramDfCap scaladoc) is a count window over the
+    // gram partition: one gram-keyed exchange with f rows per gram (not
+    // f²), and the distinct just before it already shuffles on
+    // (doc_id, gram) — the hottest gram's partition is f rows, bounded
+    // work even for a planted every-doc stop-gram.
     val bg = Q.cached(d.select(col("doc_id"), explode(expr(
         "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
           "(x, y) -> concat(x, ' ', y))")).as("gram"))
-      .distinct())
+      .distinct()
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("gram")))
+      .where(col("__df") <= NgramDfCap)
+      .drop("__df"))
     val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = bg.as("a")
       .join(bg.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -250,20 +302,23 @@ object DedupOps {
     * threshold. All-pairs is the correctness baseline; llm_cosine_lsh
     * is the bucketed scale path.
     *
-    * REGISTRY SCOPE (r6 verdict item 2): the registered baseline runs
-    * over the deterministic vec_id % 5 = 0 sample + its synthetic
-    * twins (10 true pairs at any SF — see cosineOracle; the oracle
-    * samples identically). Full-corpus all-pairs ≡ LSH equality stays
-    * pinned in LlmSpec via [[cosineAllPairs]]. */
+    * REGISTRY SCOPE (r6 verdict item 2; r7 item 1): the registered
+    * baseline runs over the FIXED-COUNT vec_id < Llm.SampleBound prefix
+    * + its synthetic twins (50 true pairs at any SF — every twin base
+    * id is < 50 < bound; see cosineOracle; the oracle bounds
+    * identically). A fixed count, not a % sample, so the registered
+    * cost is O(bound²) at any corpus size (Llm.SampleBound scaladoc).
+    * Full-corpus all-pairs ≡ LSH equality stays pinned in LlmSpec via
+    * [[cosineAllPairs]]. */
   val llmCosineNearDup: Q = Q(
     "llm_cosine_near_dup",
-    cosineOracle(" WHERE vec_id % 5 = 0")
+    cosineOracle(s" WHERE vec_id < ${Llm.SampleBound}")
   ) { (s, dir) =>
     GraftFunctions.register(s)
     // persist: both sides of the all-pairs join reference this frame —
     // without it the scan+scale lineage runs twice (r4 review; the LSH
     // sibling already persists for the same reason)
-    cosineAllPairs(Q.cached(embWithTwins(s, dir, Some(col("vec_id") % 5 === 0))))
+    cosineAllPairs(Q.cached(embWithTwins(s, dir, Some(col("vec_id") < Llm.SampleBound))))
       .orderBy("vec_a", "vec_b")
   }
 

@@ -395,7 +395,11 @@ object TextOps {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
     val phone = "\\(?[0-9][0-9() -]{7,}[0-9]"
     val term  = "\\b(spark|stream)\\b"
-    val aug = documents(s, dir).select(col("doc_id"), col("text"))
+    // doc_id guard (r7 advice): fail loud if a fixture id ever reaches
+    // the +1000000 synthetic-sibling range — see DedupOps.idBelowOffset
+    val aug = documents(s, dir)
+      .select(DedupOps.idBelowOffset(col("doc_id"), "llm_pii_redact").as("doc_id"),
+        col("text"))
       .unionByName(documents(s, dir).where(col("doc_id") % 50 === 0)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           concat(lit("ping user"), col("doc_id").cast("string"),

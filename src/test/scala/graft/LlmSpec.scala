@@ -58,7 +58,7 @@ class LlmSpec extends SparkSpec {
 
   test("minhash LSH: precision 1 vs exact Jaccard pairs, recall reported") {
     // FULL-corpus exact pairs via the unsampled engine — the registered
-    // llm_jaccard_near_dup is scoped to the %5 sample since r7
+    // llm_jaccard_near_dup is scoped to the doc_id < SampleBound prefix since r8
     val exact = graft.ops.Llm.jaccardPairs(Tables.documents(spark, dir))
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = SparkEntry.queries("llm_minhash_lsh")(spark, dir)
@@ -563,15 +563,16 @@ class LlmSpec extends SparkSpec {
     // r6 verdict item 1: the raw fixture has zero cosine >= 0.95 pairs,
     // so the driver rows were green on empty output. The r7 twin slice
     // must make BOTH registered queries emit exactly the twin pairs —
-    // full corpus for the LSH path, the %5 sample for the baseline.
+    // full corpus for the LSH path, the fixed-count vec_id < SampleBound
+    // prefix for the baseline (r8; every twin base id is < 50 < bound,
+    // so both forms must emit all 50 twin pairs).
     val lsh = SparkEntry.queries("llm_cosine_lsh")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val expectedFull = (0L until 50L).map(v => (v, v + 1000000L)).toSet
     assert(lsh == expectedFull, s"missed=${(expectedFull -- lsh).size} extra=${(lsh -- expectedFull).size}")
     val base = SparkEntry.queries("llm_cosine_near_dup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val expectedSampled = (0L until 50L by 5L).map(v => (v, v + 1000000L)).toSet
-    assert(base == expectedSampled)
+    assert(base == expectedFull)
   }
 
   test("registered semantic dedup drops exactly the synthetic twins (non-vacuous rows)") {
@@ -617,7 +618,7 @@ class LlmSpec extends SparkSpec {
 
   test("banded simhash == all-pairs simhash (pigeonhole recall is exact)") {
     // FULL-corpus all-pairs via the unsampled engine — the registered
-    // llm_simhash_dedup is scoped to the %5 sample since r7, while the
+    // llm_simhash_dedup is scoped to the doc_id < SampleBound prefix since r8, while the
     // banded scale path stays full-corpus
     val allPairs = graft.ops.DedupOps.simhashAllPairs(Tables.documents(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

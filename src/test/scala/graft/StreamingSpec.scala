@@ -261,8 +261,27 @@ class StreamingSpec extends SparkSpec {
     assert(hh.candidates.size <= 63, "accumulator exceeded its O(k) budget")
   }
 
-  test("checkpoint recovery: flatMapGroupsWithState counter restores per-key " +
-      "state across a mid-stream restart (r7)") {
+  /** Shared body of the H5 recovery proof, parameterized over the state
+    * store provider (r7 verdict item 3): the RocksDB variant must
+    * exercise the SAME kill/restart contract — the provider changes
+    * only where state lives, and that claim was scaladoc-only until a
+    * test ran it. `providerClass=None` keeps the session default (the
+    * HDFS-backed in-heap provider). */
+  private def counterRecoveryRoundTrip(tag: String,
+      providerClass: Option[String]): Unit = {
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    providerClass.foreach(spark.conf.set(confKey, _))
+    try counterRecoveryBody(tag)
+    finally providerClass.foreach { _ =>
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+  }
+
+  private def counterRecoveryBody(tag: String): Unit = {
     // r6 verdict item 5: the stream==batch proofs all ran within ONE
     // query lifetime — this pins the recovery contract for an EXPLICIT
     // user state store (H5's per-user Long), not just source offsets:
@@ -270,8 +289,8 @@ class StreamingSpec extends SparkSpec {
     // from the same checkpoint, feed the rest, and the final output must
     // equal the batch running count — which can only happen if every
     // user's counter resumed from its pre-restart value rather than 0.
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_h5").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_out_h5").toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_h5$tag").toString
+    val out = java.nio.file.Files.createTempDirectory(s"graft_out_h5$tag").toString
     val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
     val ms = MemoryStream[Ev]
     def start() = StreamOps.statefulCounter(ms.toDS()).writeStream
@@ -296,6 +315,21 @@ class StreamingSpec extends SparkSpec {
       .withColumn("k", row_number().over(w).cast("bigint"))
       .select("user_id", "event_id", "k")
     assertSame(got, batch, Seq("user_id", "event_id"))
+  }
+
+  test("checkpoint recovery: flatMapGroupsWithState counter restores per-key " +
+      "state across a mid-stream restart (r7)") {
+    counterRecoveryRoundTrip("dflt", None)
+  }
+
+  test("checkpoint recovery on ROCKSDB state store: same kill/restart contract (r8)") {
+    // r7 verdict item 3: StreamOps documents the RocksDB provider confs
+    // but both recovery tests ran the default provider — run one of
+    // them against RocksDB (jar ships with Spark), proving the
+    // checkpoint layout and the restore path are provider-portable,
+    // not just claimed to be.
+    counterRecoveryRoundTrip("rdb", Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
   }
 
   test("checkpoint recovery: event-time-timeout dedup state survives a restart (r7)") {
