@@ -139,7 +139,7 @@ object ScaleBench {
         val idx = DedupOps.buildNearDupIndex(corpus)
         // force BOTH persisted frames — the one-time cost a real
         // pipeline pays once per corpus version
-        idx.refSets.count(); idx.bands.count()
+        idx.refSets.count(); idx.bands.count(); idx.members.count()
         val t1 = System.nanoTime()
         val ipath = s"$d/neardup_index"
         idx.write(ipath)
@@ -150,8 +150,7 @@ object ScaleBench {
         buildMin = math.min(buildMin, (t1 - t0) / 1e9)
         writeMin = math.min(writeMin, (t2 - t1) / 1e9)
         probeMin = math.min(probeMin, (t3 - t2) / 1e9)
-        idx.refSets.unpersist(); idx.bands.unpersist()
-        loaded.refSets.unpersist(); loaded.bands.unpersist()
+        idx.unpersist(); loaded.unpersist()
       }
       System.err.println(f"ingest x$m: build $buildMin%.2f s, write $writeMin%.2f s, " +
         f"probe-after-reload $probeMin%.2f s, novel $novel")

@@ -337,6 +337,9 @@ object Llm {
       buckets.write.mode("overwrite").parquet(s"$path/buckets.parquet")
       vecs.write.mode("overwrite").parquet(s"$path/vecs.parquet")
     }
+
+    /** Release both cached frames (long-lived-session lifecycle). */
+    def unpersist(): Unit = { buckets.unpersist(); vecs.unpersist() }
   }
 
   object AnnLshIndex {
@@ -362,6 +365,19 @@ object Llm {
     // (caching it here leaked a persist per append — r7 advice)
     AnnLshIndex(index.buckets.unionByName(signBucketsPlan(nv)),
       index.vecs.unionByName(nv))
+  }
+
+  /** Remove vectors from a sign-LSH index — REWRITE semantics (two
+    * id-keyed anti-joins). Because the hyperplanes are a pure function
+    * of (table, dim), the deleted index is EXACTLY the index built on
+    * the remaining vectors (same buckets, same scores) — no drift, no
+    * retrain concept; LlmSpec pins the query-result equality. */
+  def deleteFromLshIndex(index: AnnLshIndex,
+      removed: org.apache.spark.sql.DataFrame): AnnLshIndex = {
+    val rm = removed.select(col(removed.columns.head).as("vec_id"))
+    AnnLshIndex(
+      Q.cached(index.buckets.join(rm, Seq("vec_id"), "left_anti")),
+      Q.cached(index.vecs.join(rm, Seq("vec_id"), "left_anti")))
   }
 
   /** Top-k cosine search against a sign-LSH index with MULTIPROBE:
@@ -469,11 +485,30 @@ object Llm {
     * with the NearDupIndex lifecycle contract. */
   final case class AnnIvfIndex private[graft] (
       centroids: org.apache.spark.sql.DataFrame,
-      assigned: org.apache.spark.sql.DataFrame) {
+      assigned: org.apache.spark.sql.DataFrame,
+      trainedRows: Long) {
     def write(path: String): Unit = {
       centroids.write.mode("overwrite").parquet(s"$path/centroids.parquet")
       assigned.write.mode("overwrite").parquet(s"$path/assigned.parquet")
+      // one-row meta: how many vectors the quantizer was TRAINED on —
+      // the denominator of the retrain-trigger policy survives the
+      // artifact round-trip (r7 verdict item 4)
+      val s = centroids.sparkSession
+      import s.implicits._
+      Seq(trainedRows).toDF("trained_rows")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
     }
+
+    /** Fraction of the index's vectors the quantizer was NOT trained on
+      * (appends since the last build/retrain). One count() on the
+      * cached `assigned` frame. */
+    def appendedFraction: Double = {
+      val total = assigned.count()
+      if (total == 0) 0.0 else (total - trainedRows).toDouble / total
+    }
+
+    /** Release both cached frames (long-lived-session lifecycle). */
+    def unpersist(): Unit = { centroids.unpersist(); assigned.unpersist() }
   }
 
   object AnnIvfIndex {
@@ -484,9 +519,14 @@ object Llm {
       // advertised cross-job flow died on 'Undefined function:
       // dot_long' (r7 review)
       graft.functions.GraftFunctions.register(spark)
+      val assigned = Q.cached(spark.read.parquet(s"$path/assigned.parquet"))
+      val trained =
+        try spark.read.parquet(s"$path/meta.parquet")
+          .select("trained_rows").head().getLong(0)
+        catch { case scala.util.control.NonFatal(_) => assigned.count() }
       AnnIvfIndex(
         Q.cached(spark.read.parquet(s"$path/centroids.parquet")),
-        Q.cached(spark.read.parquet(s"$path/assigned.parquet")))
+        assigned, trained)
     }
   }
 
@@ -520,7 +560,7 @@ object Llm {
     val centsC = Q.cached(trainIvfCentroids(embC, nlist, iters))
     val assigned = Q.cached(nearestLists(embC, centsC, 1)
       .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2")))
-    AnnIvfIndex(centsC, assigned)
+    AnnIvfIndex(centsC, assigned, assigned.count())
   }
 
   /** Incremental index update: assign NEW vectors to the EXISTING
@@ -535,8 +575,57 @@ object Llm {
       index.assigned.unionByName(
         nearestLists(newVecs.select(col("vec_id"), col("e"), col("n2")),
           index.centroids, 1)
-          .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2"))))
+          .select(col("vec_id"), col("c_label").as("list_id"), col("e"), col("n2"))),
+      index.trainedRows)
   }
+
+  /** Remove vectors from an IVF index — REWRITE semantics (one id-keyed
+    * anti-join on the inverted lists; deleted vectors can never be
+    * returned because they are physically absent from every probed
+    * list). The quantizer is untouched: deletion, like append, only
+    * moves list membership — centroid drift from heavy deletion is the
+    * same maintenance debt as drift from appends, and the same
+    * [[maybeRetrain]] policy covers it (deletes reduce `trainedRows`
+    * too, conservatively treating a deleted trained vector as if it
+    * were never trained on). `removed`'s FIRST column is the vec id. */
+  def deleteFromAnnIndex(index: AnnIvfIndex,
+      removed: org.apache.spark.sql.DataFrame): AnnIvfIndex = {
+    val rm = removed.select(col(removed.columns.head).as("vec_id"))
+    val before = index.assigned.count()
+    val kept = Q.cached(index.assigned.join(rm, Seq("vec_id"), "left_anti"))
+    // charge every removed row against trainedRows (we don't track
+    // which rows trained): appendedFraction can only OVERestimate, so
+    // delete-heavy curation reaches the retrain trigger early, never late
+    AnnIvfIndex(index.centroids, kept,
+      math.max(0L, index.trainedRows - (before - kept.count())))
+  }
+
+  /** The measured IVF maintenance policy (r7 verdict item 4): retrain
+    * the coarse quantizer — a fresh [[buildAnnIvfIndex]] over the
+    * index's current vectors — once `appendedFraction` exceeds
+    * `maxAppendedFraction`, else return the index unchanged.
+    *
+    * Threshold: DEFAULT 0.5, from LlmSpec's measured decay curve on a
+    * drift corpus (new wide clusters appearing in a region the trained
+    * quantizer never saw, probed at nprobe=2). What decays under
+    * assignment-only appends is primarily SELECTIVITY, secondarily
+    * recall: the appended mass piles into the few stale lists nearest
+    * the drifted region, so the probed-candidate fraction climbed
+    * 0.46 → 0.51 → 0.53 of the whole corpus across three shards
+    * (appended fraction 0.33/0.50/0.60) while recall@10 sagged
+    * 0.980 → 0.970 → 0.953; a retrain at 0.6 appended restored
+    * candidates to 0.21 of the corpus — 2.5× fewer exact scores per
+    * query — and recall to 0.973. Retraining at 0.5 therefore bounds
+    * both decays while keeping retrains rare: one full k-means per
+    * DOUBLING of the corpus, amortized O(1) per ingested vector.
+    * (Deletions also count against `trainedRows`, so delete-heavy
+    * curation reaches the trigger the same way.) */
+  def maybeRetrain(index: AnnIvfIndex, nlist: Int = 10, iters: Int = 2,
+      maxAppendedFraction: Double = 0.5): AnnIvfIndex =
+    if (index.appendedFraction > maxAppendedFraction)
+      buildAnnIvfIndex(index.assigned.select(col("vec_id"), col("e"), col("n2")),
+        nlist, iters)
+    else index
 
   /** Top-k cosine search against an IVF index: each query probes its
     * `nprobe` nearest lists and exact-scores only those lists' members
