@@ -205,12 +205,68 @@ object Media {
     }
   }
 
+  /** Decode a MULTI-FRAME image container (animated GIF with the stock
+    * JDK SPI registry; TIFF etc. where a reader is installed) into its
+    * sampled frames: every `stride`-th frame, re-encoded as PNG bytes,
+    * tagged with its ORIGINAL frame index. This is the real-codec slot
+    * behind [[frameSampleReal]] (r7 verdict item 5): ImageIO's
+    * `ImageReader.getNumImages(true)` / `read(i)` API, not the
+    * codepoint stand-in. Same totality policy as [[readImage]]
+    * (NonFatal caught — one corrupt container yields zero frames, not
+    * a stage abort; memory-backed streams, no temp-file churn), plus
+    * `reader.dispose()` so native reader resources never outlive the
+    * call. `getNumImages(true)` forces a full scan of the container —
+    * the price of knowing the frame count up front; for huge
+    * containers a streaming variant would read until
+    * IndexOutOfBounds instead. */
+  private[multimodal] def readFrames(payload: Array[Byte],
+      stride: Int): Seq[(Long, Array[Byte])] =
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) Seq.empty
+        else {
+          val reader = readers.next()
+          reader.setInput(in, false, true)
+          try {
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { i =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(reader.read(i), "png", bos)
+              (i.toLong, bos.toByteArray)
+            }
+          } finally reader.dispose()
+        }
+      } finally { try in.close() catch { case _: java.io.IOException => () } }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** Real frame sampling over multi-frame image payloads — the same
+    * 1→N no-shuffle flatMap shape as [[frameSample]], with the frame
+    * boundaries coming from the CONTAINER (ImageIO multi-frame reader)
+    * instead of fixed codepoint windows. Sampled frames re-encode as
+    * PNG (`frameNo` keeps the original index so stride gaps stay
+    * visible); undecodable payloads contribute zero frames. The
+    * registered llm_media_frames row keeps the codepoint stand-in —
+    * a SQL oracle can't decode GIFs — while MediaSpec pins this path
+    * round-trip on an animated GIF built in-test. */
+  def frameSampleReal(ds: Dataset[MediaRecord],
+      stride: Int): Dataset[FrameRecord] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      readFrames(r.payload, stride).iterator
+        .map { case (i, bytes) => FrameRecord(r.id, i, bytes) }
+    }
+  }
+
   /** Frame sampling — the video analog of doc chunking: carve each
     * payload into `frameChars`-codepoint frames and keep every
     * `stride`-th (frame 0, stride, 2·stride…), a 1→N flatMap with no
     * shuffle. Frame boundaries here are fixed-size codepoint windows
-    * (the deterministic stand-in for real codec keyframe boundaries —
-    * a real video pipeline decodes first, then samples; the Spark
+    * (the deterministic SQL-twin stand-in for real codec keyframe
+    * boundaries — [[frameSampleReal]] is the real-container path; a
+    * real video pipeline decodes first, then samples; the Spark
     * plumbing is identical). Dropped frames never materialize. */
   def frameSample(ds: Dataset[MediaRecord], frameChars: Int,
       stride: Int): Dataset[FrameRecord] = {

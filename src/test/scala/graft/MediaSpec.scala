@@ -75,6 +75,59 @@ class MediaSpec extends SparkSpec {
     assert(out(3L).meta == records(2).meta && out(4L).meta == records(3).meta)
   }
 
+  /** Deterministic animated GIF: `n` solid-gray frames (frame i is gray
+    * level i·36), written through ImageIO's sequence-writer API. Solid
+    * single-color frames survive GIF palette quantization exactly, so
+    * each decoded frame identifies itself by its (0,0) pixel. */
+  private def animatedGif(n: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    try {
+      writer.prepareWriteSequence(null)
+      (0 until n).foreach { i =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(i * 36, i * 36, i * 36)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("real multi-frame decode: animated GIF frames round-trip with stride (r8)") {
+    // r7 verdict item 5: frame sampling operated only on synthetic
+    // codepoint frames — this drives frameSampleReal (ImageReader
+    // getNumImages/read(i)) over a real 6-frame animated GIF through
+    // the Spark flatMap plumbing. Stride 2 keeps original indices 0/2/4;
+    // each sampled frame re-encodes as PNG whose pixels identify the
+    // SOURCE frame; the corrupt payload contributes zero frames.
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, MediaMeta("image/gif", "", 0L), animatedGif(6, 9, 5)),
+      MediaRecord(2L, MediaMeta("application/octet-stream", "", 0L),
+        Array.tabulate[Byte](32)(i => (i * 37).toByte))))
+    val frames = Media.frameSampleReal(ds, stride = 2).collect()
+    assert(frames.forall(_.id == 1L), "corrupt payload must yield zero frames")
+    assert(frames.map(_.frameNo).sorted.toSeq == Seq(0L, 2L, 4L),
+      s"stride-2 sampling of 6 frames must keep original indices 0/2/4")
+    frames.foreach { f =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(f.payload))
+      assert(img != null, s"frame ${f.frameNo} did not re-encode as a decodable PNG")
+      assert(img.getWidth == 9 && img.getHeight == 5)
+      val gray = f.frameNo.toInt * 36
+      val expected = (0xff << 24) | (gray << 16) | (gray << 8) | gray
+      assert(img.getRGB(0, 0) == expected,
+        s"frame ${f.frameNo}: pixel ${Integer.toHexString(img.getRGB(0, 0))} " +
+          s"is not the source frame's gray ${Integer.toHexString(expected)}")
+    }
+    // stride 1 recovers every frame — getNumImages sees the whole container
+    assert(Media.frameSampleReal(ds, stride = 1).collect().length == 6)
+  }
+
   test("resize then decode composes: features of the resized corpus") {
     import spark.implicits._
     val ds = spark.createDataset(records)
