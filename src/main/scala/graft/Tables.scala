@@ -94,8 +94,16 @@ object Tables {
         // plan-build time; the conf is not re-read at execution, so a
         // caller cannot invalidate it between build and materialize
         // without rebuilding the frame.
-        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
-          "Tables.events requires spark.sql.session.timeZone=UTC: the fixture's " +
+        // equivalence via ZoneId.normalized(), not string compare (r7
+        // advice): "Etc/UTC"/"Z"/"+00:00" are the same instant rules as
+        // "UTC" and must not be rejected — while a genuinely shifted
+        // zone still fails loud
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        val isUtc =
+          try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+          catch { case scala.util.control.NonFatal(_) => false }
+        require(isUtc,
+          s"Tables.events requires a UTC session timeZone (got '$tz'): the fixture's " +
             "TIMESTAMP_NTZ ts is normalized through a session-zone cast, and any " +
             "other zone silently shifts unix_micros/window boundaries")
         raw.withColumn("ts", col("ts").cast(TimestampType))

@@ -144,6 +144,55 @@ object RealImageResizer extends MediaResizer {
   * the consumer), payload the frame's bytes. */
 final case class FrameRecord(id: Long, frameNo: Long, payload: Array[Byte])
 
+/** Decoded audio features: container header facts plus one real signal
+  * statistic (RMS amplitude in milli-units of full scale — the level
+  * check an audio curation pipeline gates silence/clipping on).
+  * Undecodable payloads flag -1 across the board (one bad file = one
+  * flagged row, never a stage abort). */
+final case class AudioFeatures(id: Long, nBytes: Long, sampleRateHz: Long,
+    channels: Long, nFrames: Long, rmsMilli: Long)
+
+/** Real audio decoder on javax.sound.sampled (WAV/AIFF/AU with the
+  * stock JDK SPI registry — no external codec libs): header features
+  * from `AudioFormat`, RMS from the decoded 16-bit PCM samples
+  * (endianness per the container). Same totality policy as the image
+  * codec: NonFatal caught, memory-backed streams. Non-16-bit or
+  * compressed encodings keep their header features and flag rmsMilli
+  * = -1 rather than guessing a sample layout. */
+object RealAudioDecoder extends Serializable {
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[AudioFeatures] =
+    batch.map { r =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = ais.getFormat
+          val pcm = ais.readAllBytes()
+          val rms =
+            if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                && fmt.getSampleSizeInBits == 16 && pcm.length >= 2) {
+              val n = pcm.length / 2
+              var sum = 0.0
+              var i = 0
+              while (i < n) {
+                val lo = pcm(2 * i) & 0xff; val hi = pcm(2 * i + 1) & 0xff
+                val s = (if (fmt.isBigEndian) (pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)
+                         else (pcm(2 * i + 1) << 8) | lo).toShort.toDouble
+                sum += s * s
+                i += 1
+              }
+              math.round(1000.0 * math.sqrt(sum / n) / 32768.0)
+            } else -1L
+          AudioFeatures(r.id, r.payload.length.toLong,
+            math.round(fmt.getSampleRate.toDouble), fmt.getChannels.toLong,
+            ais.getFrameLength, rms)
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) =>
+        AudioFeatures(r.id, r.payload.length.toLong, -1L, -1L, -1L, -1L)
+      }
+    }
+}
+
 object Media {
 
   /** Decode an image payload, totally: null for anything ImageIO can't
@@ -257,6 +306,60 @@ object Media {
     ds.flatMap { r =>
       readFrames(r.payload, stride).iterator
         .map { case (i, bytes) => FrameRecord(r.id, i, bytes) }
+    }
+  }
+
+  /** Executor-side batched audio feature extraction — the audio sibling
+    * of [[extractFeatures]], same narrow mapPartitions shape (payloads
+    * never shuffle; only the small feature rows leave the scan
+    * partition). */
+  def extractAudioFeatures(ds: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(RealAudioDecoder.decodeBatch))
+  }
+
+  /** Real audio frame sampling: carve a PCM container into fixed-
+    * duration windows of `frameMillis` and keep every `stride`-th,
+    * each re-encoded as a STANDALONE WAV payload (so downstream stages
+    * — feature extraction, ASR batching — treat a window exactly like
+    * a whole file). `frameNo` keeps the original window index, the
+    * same contract as [[frameSampleReal]]; undecodable or non-PCM
+    * payloads contribute zero frames. Window boundaries are sample-
+    * frame-aligned (never split a multi-byte sample), and a short
+    * final window is kept — dropping the tail would silently lose up
+    * to frameMillis of audio per file. */
+  def audioFrameSample(ds: Dataset[MediaRecord], frameMillis: Int,
+      stride: Int): Dataset[FrameRecord] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = ais.getFormat
+          val frameBytes = fmt.getFrameSize
+          if (frameBytes <= 0) Iterator.empty
+          else {
+            val pcm = ais.readAllBytes()
+            val framesPerWin =
+              math.max(1, math.round(fmt.getSampleRate.toDouble * frameMillis / 1000.0).toInt)
+            val winBytes = framesPerWin * frameBytes
+            val nWin = (pcm.length + winBytes - 1) / winBytes
+            (0 until nWin by stride).iterator.map { k =>
+              val start = k * winBytes
+              val len = math.min(winBytes, pcm.length - start)
+              val slice = java.util.Arrays.copyOfRange(pcm, start, start + len)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(
+                new javax.sound.sampled.AudioInputStream(
+                  new java.io.ByteArrayInputStream(slice), fmt, len / frameBytes),
+                javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+              FrameRecord(r.id, k.toLong, bos.toByteArray)
+            }
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
     }
   }
 

@@ -128,6 +128,63 @@ class MediaSpec extends SparkSpec {
     assert(Media.frameSampleReal(ds, stride = 1).collect().length == 6)
   }
 
+  /** Deterministic 16-bit PCM mono WAV at 8000 Hz: square wave of
+    * amplitude `amp` flipping every 10 samples — RMS is exactly `amp`,
+    * so the decoder's signal statistic is checkable to the digit. */
+  private def wav(nFrames: Int, amp: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val s = (if ((i / 10) % 2 == 0) amp else -amp).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode: WAV header facts + exact RMS through the Spark pipeline (r8)") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, MediaMeta("audio/wav", "", 0L), wav(8500, 12000)),
+      MediaRecord(2L, MediaMeta("application/octet-stream", "", 0L),
+        Array.tabulate[Byte](64)(i => (i * 31).toByte))))
+    val f = Media.extractAudioFeatures(ds, batchSize = 2)
+      .collect().map(a => a.id -> a).toMap
+    assert(f(1L).sampleRateHz == 8000 && f(1L).channels == 1 && f(1L).nFrames == 8500)
+    // square wave of amplitude 12000: RMS = 12000 exactly ->
+    // round(1000 * 12000 / 32768) = 366 milli of full scale
+    assert(f(1L).rmsMilli == 366, s"rms ${f(1L).rmsMilli}")
+    assert(f(2L).sampleRateHz == -1 && f(2L).rmsMilli == -1,
+      "corrupt payload must flag, not throw")
+  }
+
+  test("real audio frame sampling: stride windows re-encode as standalone WAVs (r8)") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, MediaMeta("audio/wav", "", 0L), wav(8500, 12000)),
+      MediaRecord(2L, MediaMeta("application/octet-stream", "", 0L),
+        Array.tabulate[Byte](64)(i => (i * 31).toByte))))
+    // 250 ms windows at 8000 Hz = 2000 frames/window over 8500 frames:
+    // windows 0..4 (last one short, 500 frames); stride 2 keeps 0, 2, 4
+    val frames = Media.audioFrameSample(ds, frameMillis = 250, stride = 2).collect()
+    assert(frames.forall(_.id == 1L), "corrupt payload must yield zero windows")
+    assert(frames.map(_.frameNo).sorted.toSeq == Seq(0L, 2L, 4L))
+    frames.foreach { fr =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(fr.payload))
+      try {
+        assert(ais.getFormat.getSampleRate == 8000f && ais.getFormat.getChannels == 1)
+        assert(ais.getFrameLength == (if (fr.frameNo == 4L) 500L else 2000L),
+          s"window ${fr.frameNo}: ${ais.getFrameLength} frames")
+      } finally ais.close()
+    }
+  }
+
   test("resize then decode composes: features of the resized corpus") {
     import spark.implicits._
     val ds = spark.createDataset(records)
