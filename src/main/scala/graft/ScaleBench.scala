@@ -244,13 +244,17 @@ object ScaleBench {
       stopGramCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
+    val ingest = sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")
     val dirs = mults.map { m =>
       val d = s"/tmp/graft_scale_x$m"
       synthesize(spark, baseDir, m, d)
-      synthesizeEmb(spark, baseDir, m, d) // for the cosine @bound form
+      // embeddings only feed the cosine @bound key of the query curve;
+      // the ingest mode (which goes to 100x, past synthesizeEmb's
+      // vec_id-offset headroom) never reads them
+      if (!ingest && m <= 10) synthesizeEmb(spark, baseDir, m, d)
       m -> d
     }
-    if (sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")) {
+    if (ingest) {
       ingestCurve(spark, dirs, passes)
       spark.stop(); return
     }

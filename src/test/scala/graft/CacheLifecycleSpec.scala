@@ -49,6 +49,32 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(cacheIsEmpty, "a failed action must still release the build's caches")
   }
 
+  test("index query/append paths cache nothing of their own outside a scope (r8)") {
+    // r7 advice: lshQueryTopk cached its one-shot query signatures, so
+    // the advertised cross-job pattern — load a persisted index, query
+    // it repeatedly in a long-lived session, no withCached scope —
+    // leaked one unreleasable persist PER CALL. The fix computes
+    // one-shot signatures uncached; after releasing the index's own
+    // frames the cache must be empty again, however many queries and
+    // appends ran.
+    spark.catalog.clearCache()
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.ops.Llm.scaledEmb(spark, dir)
+    val idx = graft.ops.Llm.buildAnnLshIndex(emb.where(col("vec_id") % 10 =!= 0))
+    var appended = idx
+    (1 to 3).foreach { _ =>
+      graft.ops.Llm.lshQueryTopk(appended, emb.where(col("vec_id") < 5)).count()
+      appended = graft.ops.Llm.appendToLshIndex(appended,
+        emb.where(col("vec_id") % 10 === 0).limit(10))
+    }
+    // release the caller-owned index persists (build + the appends all
+    // share/union the same two cached frames lineage-wise: only the
+    // build's two and nothing else should be cached)
+    idx.unpersist()
+    assert(cacheIsEmpty,
+      "query/append calls must not accrete their own cached frames")
+  }
+
   test("cached() outside any scope degrades to a plain persist") {
     spark.catalog.clearCache()
     // builds run WITHOUT withCached keep their pre-r5 behavior: the
