@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 
 /** Continuous partition-count invariance guard (r8): the full 104-query
   * sweep lives in `graft.Invariance` (INVARIANCE_r08.json, 104/104 at
-  * 32 vs 7 partitions); this spec keeps the property under `sbt test`
+  * 32 vs 7 partitions); this spec keeps the property under `sbt test` (suite session: 4 partitions vs 7)
   * for the queries whose shapes are most tempted to depend on layout —
   * iterative contraction, window tie-breaks, the LCG corpus shuffle,
   * mergeable sketches, salting — so a regression fails CI, not a
@@ -35,7 +35,7 @@ class InvarianceSpec extends SparkSpec {
     (if (r.isNullAt(0)) "0" else r.getDecimal(0).toPlainString, r.getLong(1))
   }
 
-  test("layout-tempted queries are partition-count invariant (32 vs 7)") {
+  test("layout-tempted queries are partition-count invariant (session default vs 7)") {
     val confKey = "spark.sql.shuffle.partitions"
     val orig = spark.conf.get(confKey)
     def at(parts: String, fn: (org.apache.spark.sql.SparkSession, String) => DataFrame) = {
