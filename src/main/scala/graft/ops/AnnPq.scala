@@ -1,0 +1,256 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN — the memory-bounded third member of the
+  * index family (sign-LSH = trainless buckets, IVF = inverted lists,
+  * PQ = compressed codes + asymmetric-distance pre-rank).
+  *
+  * Why it exists at 100 TB: the other two families bound WHICH vectors
+  * a query exact-scores, but every candidate still costs a full d-dim
+  * vector fetch (d×8 bytes here, d×4 in float form). PQ bounds the
+  * BYTES: each vector is encoded as `m` one-byte codes (one per
+  * subspace, codebooks of ksub ≤ 256 centroids each), so the sweep
+  * phase reads m+8 bytes per vector instead of 512 — a ~20×
+  * compression that turns the candidate scan into a cache-resident
+  * table-lookup loop (ADC: per query, dot(q_sub, centroid) is
+  * precomputed for all m×ksub codebook entries, then each candidate
+  * scores as m lookups + adds). Full vectors are touched only by the
+  * final exact rerank of the top `rerankDepth` pre-ranked candidates
+  * per query — the standard two-phase PQ search. Composition with the
+  * coarse quantizer (true IVFADC: probe nprobe lists, ADC within them)
+  * is a WHERE on `list_id` before the sweep; the standalone form here
+  * is the "flat PQ" layout that already removes the memory wall.
+  *
+  * Determinism: codebooks train like the IVF quantizer (vec_id-mod
+  * seed, half-up integer-mean refinements, code-id tie-breaks on
+  * assignment), ADC dots are exact integer `dot_long` sums, and every
+  * window carries a total order — the partition-invariance sweep
+  * covers the registered row like any other. All arithmetic stays in
+  * the ×1e7 scaled-bigint domain: a subspace dot is ≤ dsub·(1e7)² ≈
+  * 1e15·dsub, and the ADC total is the same magnitude as the full
+  * dot_long — no overflow beyond what I3 already bounds. */
+object AnnPq {
+
+  /** (vec_id, sub_id, sv) sub-vector view: `m` slices per vector,
+    * dsub = d/m derived per-row (fails loud on a non-divisible dim
+    * via the slice length check below). */
+  private def subVectors(vecs: DataFrame, m: Int): DataFrame =
+    vecs.select(col("vec_id"), col("e"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
+      .withColumn("dsub", expr(s"size(e) div $m"))
+      .withColumn("sv", expr(s"slice(e, sub_id * dsub + 1, dsub)"))
+      .select("vec_id", "sub_id", "sv")
+
+  /** Nearest-code assignment within each subspace: every (vec, sub)
+    * row joined to its subspace's broadcast codebook, L2 via exact
+    * integer dots, code tie-break. The codebook is m×ksub rows —
+    * broadcast at any corpus size, exactly like the IVF centroids. */
+  private def assignCodes(subs: DataFrame, codebooks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub_id")
+      .orderBy(col("d2").asc, col("code"))
+    subs.join(broadcast(codebooks), "sub_id")
+      .withColumn("d2",
+        expr("dot_long(sv, sv) - 2 * dot_long(sv, ce) + dot_long(ce, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("vec_id", "sub_id", "sv", "code")
+  }
+
+  /** Element-wise half-up integer mean per (subspace, code) — the
+    * codebook refinement step, same aggregate shape as the IVF
+    * listCentroids. */
+  private def codeCentroids(assigned: DataFrame): DataFrame = assigned
+    .select(col("sub_id"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+    .groupBy("sub_id", "code", "pos")
+    .agg(expr("(2*sum(v) + count(1)) div (2*count(1))").as("cv"))
+    .groupBy("sub_id", "code")
+    .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
+
+  /** A persisted PQ index. `codebooks` = (sub_id, code, ce), m×ksub
+    * rows, broadcast everywhere; `codes` = (vec_id, codes, n2) — the
+    * compact sweep table (m small ints + one norm per vector);
+    * `vecs` = (vec_id, e, n2) — the rerank source, which at scale is
+    * the base embedding table itself, range-fetched by candidate id.
+    * Same Q.cached lifecycle and artifact contract as AnnIvfIndex /
+    * AnnLshIndex; `trainedRows` feeds the same drift policy as IVF
+    * (appends encode against frozen codebooks; [[maybeRetrainPq]]
+    * re-trains past the measured 0.5 appended-fraction threshold). */
+  final case class AnnPqIndex private[graft] (
+      codebooks: DataFrame,
+      codes: DataFrame,
+      vecs: DataFrame,
+      trainedRows: Long) {
+    def write(path: String): Unit = {
+      codebooks.write.mode("overwrite").parquet(s"$path/codebooks.parquet")
+      codes.write.mode("overwrite").parquet(s"$path/codes.parquet")
+      vecs.write.mode("overwrite").parquet(s"$path/vecs.parquet")
+      val s = codebooks.sparkSession
+      import s.implicits._
+      Seq(trainedRows).toDF("trained_rows")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
+    }
+    def appendedFraction: Double = {
+      val total = codes.count()
+      if (total == 0) 0.0 else (total - trainedRows).toDouble / total
+    }
+    def unpersist(): Unit = {
+      codebooks.unpersist(); codes.unpersist(); vecs.unpersist()
+    }
+  }
+
+  object AnnPqIndex {
+    def load(spark: SparkSession, path: String): AnnPqIndex = {
+      graft.functions.GraftFunctions.register(spark)
+      val codes = Q.cached(spark.read.parquet(s"$path/codes.parquet"))
+      val trained =
+        try spark.read.parquet(s"$path/meta.parquet")
+          .select("trained_rows").head().getLong(0)
+        catch { case scala.util.control.NonFatal(_) => codes.count() }
+      AnnPqIndex(
+        Q.cached(spark.read.parquet(s"$path/codebooks.parquet")),
+        codes,
+        Q.cached(spark.read.parquet(s"$path/vecs.parquet")),
+        trained)
+    }
+  }
+
+  /** Train codebooks and encode a (vec_id, e, n2) scaled-embedding
+    * frame. Seed = (vec_id+sub_id) mod ksub so sibling subspaces start
+    * from different partitions of the same ids; `iters` assign+mean
+    * refinements per subspace (all m subspaces train in the SAME two
+    * shuffles per iteration — sub_id is just another group key). At
+    * 100 TB the refinements run on a sample; encoding is the only full
+    * pass, and it is one broadcast join + one window per vector. */
+  def buildAnnPqIndex(emb: DataFrame, m: Int = 8, ksub: Int = 32,
+      iters: Int = 2): AnnPqIndex = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val embC = Q.cached(emb.select(col("vec_id"), col("e"), col("n2")))
+    val subs = Q.cached(subVectors(embC, m))
+    var cb = codeCentroids(subs
+      .withColumn("code", ((col("vec_id") + col("sub_id")) % ksub).cast("int"))
+      .select("sub_id", "code", "sv"))
+    (1 to iters).foreach { _ => cb = codeCentroids(assignCodes(subs, cb)) }
+    val cbC = Q.cached(cb)
+    val codes = Q.cached(encode(subs, cbC)
+      .join(embC.select("vec_id", "n2"), "vec_id"))
+    AnnPqIndex(cbC, codes, embC, codes.count())
+  }
+
+  /** (vec_id, codes) — final per-vector code arrays, sub_id-ordered. */
+  private def encode(subs: DataFrame, codebooks: DataFrame): DataFrame =
+    assignCodes(subs, codebooks)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub_id, code))), x -> x.code)")
+        .as("codes"))
+
+  /** Encode-only ingest against the frozen codebooks — the per-shard
+    * append, one broadcast join over the new vectors. Drift policy:
+    * identical to IVF (frozen codebooks mis-encode a drifted region the
+    * way frozen centroids mis-assign one), so appends don't bump
+    * `trainedRows` and [[maybeRetrainPq]] picks up the debt. */
+  def appendToPqIndex(index: AnnPqIndex, newVecs: DataFrame): AnnPqIndex = {
+    graft.functions.GraftFunctions.register(newVecs.sparkSession)
+    val nv = newVecs.select(col("vec_id"), col("e"), col("n2"))
+    val m = index.codebooks.select(max(col("sub_id"))).head().getInt(0) + 1
+    AnnPqIndex(
+      index.codebooks,
+      index.codes.unionByName(encode(subVectors(nv, m), index.codebooks)
+        .join(nv.select("vec_id", "n2"), "vec_id")),
+      index.vecs.unionByName(nv),
+      index.trainedRows)
+  }
+
+  /** Rewrite-semantics deletion (same contract as the other two
+    * families): one id-keyed anti-join on the compact codes AND the
+    * rerank source, so a deleted vector can neither pre-rank nor
+    * rerank. Removed rows charge against `trainedRows` conservatively,
+    * exactly like deleteFromAnnIndex. */
+  def deleteFromPqIndex(index: AnnPqIndex, removed: DataFrame): AnnPqIndex = {
+    val rm = removed.select(col(removed.columns.head).as("vec_id"))
+    val before = index.codes.count()
+    val codes = Q.cached(index.codes.join(rm, Seq("vec_id"), "left_anti"))
+    AnnPqIndex(index.codebooks, codes,
+      Q.cached(index.vecs.join(rm, Seq("vec_id"), "left_anti")),
+      math.max(0L, index.trainedRows - (before - codes.count())))
+  }
+
+  /** Retrain-on-drift policy, shared rationale with [[Llm.maybeRetrain]]
+    * (the measured IVF decay curve): past `maxAppendedFraction` the
+    * frozen codebooks have mis-encoded enough of the index that a fresh
+    * build is the amortized-O(1) fix. */
+  def maybeRetrainPq(index: AnnPqIndex, m: Int = 8, ksub: Int = 32,
+      iters: Int = 2, maxAppendedFraction: Double = 0.5): AnnPqIndex =
+    if (index.appendedFraction > maxAppendedFraction)
+      buildAnnPqIndex(index.vecs.select(col("vec_id"), col("e"), col("n2")),
+        m, ksub, iters)
+    else index
+
+  /** Two-phase PQ search: ADC pre-rank over the compact codes, exact
+    * rerank of the survivors.
+    *
+    * Phase 1 (sweep): the per-query lookup table — dot(q_sub, ce) for
+    * every (sub, code) — is nq×m×ksub rows, built by one broadcast
+    * join and itself broadcast to the candidate scan; each candidate's
+    * approximate dot is the sum of its m LUT hits (posexplode + joined
+    * lookup + partial-aggregated sum — the distributed spelling of the
+    * ADC loop). Approximate cosine divides by the EXACT stored norm, so
+    * only the numerator is approximated. Top `rerankDepth` per query
+    * survive.
+    *
+    * Phase 2 (rerank): survivors join the full vectors by id (the only
+    * full-width fetch — rerankDepth×nq rows) and re-score with the
+    * exact dot_long cosine, neighbor_id tie-break, top k. */
+  def pqQueryTopk(index: AnnPqIndex, queries: DataFrame, k: Int = 5,
+      rerankDepth: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val m = index.codebooks.select(max(col("sub_id"))).head().getInt(0) + 1
+    val q = queries.select(col("vec_id").as("query_id"), col("e").as("qe"),
+      col("n2").as("qn2"))
+    val lut = subVectors(
+        q.select(col("query_id").as("vec_id"), col("qe").as("e")), m)
+      .join(broadcast(index.codebooks), "sub_id")
+      .select(col("vec_id").as("query_id"), col("sub_id"), col("code"),
+        expr("dot_long(sv, ce)").as("pdot"))
+    val preW = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val pre = index.codes
+      .select(col("vec_id").as("neighbor_id"), col("n2").as("cn2"),
+        posexplode(col("codes")).as(Seq("sub_id", "code")))
+      .join(broadcast(lut), Seq("sub_id", "code"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id", "cn2")
+      .agg(sum(col("pdot")).as("adc_dot"))
+      .withColumn("adc", col("adc_dot").cast("double")
+        / sqrt(col("cn2").cast("double")))
+      .withColumn("prn", row_number().over(preW))
+      .where(col("prn") <= rerankDepth)
+      .select("query_id", "neighbor_id")
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pre
+      .join(index.vecs.select(col("vec_id").as("neighbor_id"),
+        col("e").as("ce2"), col("n2").as("cn2")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score", expr("cast(dot_long(qe, ce2) as double)")
+        / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+      .withColumn("rank", row_number().over(rankW).cast("bigint"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Registered row: the artifact API end-to-end (train, encode, ADC
+    * sweep, exact rerank) for the standard vec_id < 10 query set. No
+    * oracle (nested argmins over trained state are engine-awkward, same
+    * as the other ANN rows); LlmSpec pins the recall floor vs unsampled
+    * brute force plus the reload/append/delete equivalences. */
+  val llmAnnPq: Q = Q.noOracle("llm_ann_pq") { (s, dir) =>
+    val index = buildAnnPqIndex(Q.cached(Llm.scaledEmb(s, dir)))
+    pqQueryTopk(index, Llm.scaledEmb(s, dir).where(col("vec_id") < 10))
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Seq[Q] = Seq(llmAnnPq)
+}
