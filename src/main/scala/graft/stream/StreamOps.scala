@@ -1,8 +1,9 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The H-operators (SURVEY §2.H), written once over an events DataFrame
   * with columns (event_id long, ts timestamp, user_id long,
@@ -226,6 +227,43 @@ object StreamOps {
           state.update(k)
           out.iterator
       }
+  }
+
+  /** H5-TWS — the same per-user running counter on Spark 4's
+    * `transformWithState` API (the successor to flatMapGroupsWithState:
+    * named state variables with per-variable Encoders and TTL, timers,
+    * and in-place state-schema evolution — the capabilities a long-lived
+    * production counter eventually needs that GroupState cannot grow).
+    * Semantics are IDENTICAL to [[statefulCounter]] (StreamingSpec pins
+    * stream ≡ fMGWS ≡ batch window twin on the same feed), so the two
+    * are drop-in interchangeable; this variant REQUIRES the RocksDB
+    * state-store provider (a transformWithState constraint — the same
+    * provider the checkpoint-recovery tests already exercise), which is
+    * also the right provider at 100 TB: per-key state lives on executor
+    * local disk with changelog checkpointing, not in heap. */
+  final class CounterProcessor extends StatefulProcessor[Long, Ev, Counted] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, evs: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Counted] = {
+      def micros(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      var k = if (count.exists()) count.get() else 0L
+      val out = evs.toSeq
+        .sortBy(e => (micros(e.ts), e.event_id))
+        .map { e => k += 1; Counted(user, e.event_id, k) }
+      count.update(k)
+      out.iterator
+    }
+  }
+
+  def statefulCounterTws(events: Dataset[Ev]): Dataset[Counted] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new CounterProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** H8 / I-ext — streaming near-dup against a STATIC reference corpus:

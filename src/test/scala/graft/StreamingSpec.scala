@@ -168,6 +168,38 @@ class StreamingSpec extends SparkSpec {
     assertSame(streamed, batch, Seq("user_id", "event_id"))
   }
 
+  test("H5-TWS transformWithState counter == batch (RocksDB provider)") {
+    // the Spark-4 state API sibling of H5: identical semantics through
+    // transformWithState's named ValueState — same feed, same batch
+    // window twin, so the two implementations are proven drop-in
+    // interchangeable. TWS requires the RocksDB provider; set it for
+    // this query and restore the session default after.
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val ms = MemoryStream[Ev]
+      val name = "sink_h5_tws"
+      val q = StreamOps.statefulCounterTws(ms.toDS()).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      ordered.grouped(50).foreach { c => ms.addData(c); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table(name)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val batch = batchDf
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("k", row_number().over(w).cast("bigint"))
+        .select("user_id", "event_id", "k")
+      assertSame(streamed, batch, Seq("user_id", "event_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
+  }
+
   test("H6 watermark: late rows beyond the watermark are dropped") {
     val ms = MemoryStream[Ev]
     val q = StreamOps.tumblingCounts(ms.toDF(), watermark = Some("10 minutes"))
