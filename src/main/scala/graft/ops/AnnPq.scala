@@ -209,17 +209,29 @@ object AnnPq {
     val m = index.codebooks.select(max(col("sub_id"))).head().getInt(0) + 1
     val q = queries.select(col("vec_id").as("query_id"), col("e").as("qe"),
       col("n2").as("qn2"))
-    val lut = subVectors(
-        q.select(col("query_id").as("vec_id"), col("qe").as("e")), m)
-      .join(broadcast(index.codebooks), "sub_id")
-      .select(col("vec_id").as("query_id"), col("sub_id"), col("code"),
-        expr("dot_long(sv, ce)").as("pdot"))
-    val preW = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val pre = index.codes
+    val cands = index.codes
       .select(col("vec_id").as("neighbor_id"), col("n2").as("cn2"),
         posexplode(col("codes")).as(Seq("sub_id", "code")))
-      .join(broadcast(lut), Seq("sub_id", "code"))
+      .join(broadcast(adcLut(q, index.codebooks, m)), Seq("sub_id", "code"))
+    exactRerank(adcPreRank(cands, rerankDepth), index.vecs, q, k)
+  }
+
+  /** Per-query ADC lookup table — dot(q_sub, ce) for every (sub, code):
+    * nq×m×ksub rows, one broadcast join, itself broadcast downstream. */
+  private def adcLut(q: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
+    subVectors(q.select(col("query_id").as("vec_id"), col("qe").as("e")), m)
+      .join(broadcast(codebooks), "sub_id")
+      .select(col("vec_id").as("query_id"), col("sub_id"), col("code"),
+        expr("dot_long(sv, ce)").as("pdot"))
+
+  /** ADC pre-rank: sum each candidate's m LUT hits (partial-aggregated),
+    * approximate-cosine by the EXACT stored norm (only the numerator is
+    * approximated), keep the top `rerankDepth` per query. Input rows:
+    * (query_id, neighbor_id, cn2, pdot) — one per LUT hit. */
+  private def adcPreRank(cands: DataFrame, rerankDepth: Int): DataFrame = {
+    val preW = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    cands
       .where(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id", "cn2")
       .agg(sum(col("pdot")).as("adc_dot"))
@@ -228,10 +240,17 @@ object AnnPq {
       .withColumn("prn", row_number().over(preW))
       .where(col("prn") <= rerankDepth)
       .select("query_id", "neighbor_id")
+  }
+
+  /** Exact rerank: survivors join the full vectors by id (the only
+    * full-width fetch — rerankDepth×nq rows) and re-score with the
+    * exact dot_long cosine, neighbor_id tie-break, top k. */
+  private def exactRerank(pre: DataFrame, vecs: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     pre
-      .join(index.vecs.select(col("vec_id").as("neighbor_id"),
+      .join(vecs.select(col("vec_id").as("neighbor_id"),
         col("e").as("ce2"), col("n2").as("cn2")), "neighbor_id")
       .join(broadcast(q), "query_id")
       .withColumn("score", expr("cast(dot_long(qe, ce2) as double)")
@@ -239,6 +258,144 @@ object AnnPq {
       .withColumn("rank", row_number().over(rankW).cast("bigint"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** The full IVFADC composition — coarse quantizer + PQ codes in ONE
+    * index, the production 100 TB ANN shape: a query (1) probes its
+    * `nprobe` nearest coarse lists (broadcast centroid assign, same as
+    * IVF), (2) ADC-sweeps ONLY those lists' compact codes — so the
+    * sweep is bounded in CANDIDATES by the coarse quantizer and in
+    * BYTES by PQ simultaneously — and (3) exact-reranks the top
+    * survivors from the full vectors. `codes` carries `list_id`, making
+    * the lists the shuffle/storage key exactly like AnnIvfIndex; the
+    * LUT join adds query_id to its keys because candidates arrive
+    * already per-query from the probe join. Codebooks quantize RAW
+    * vectors (not per-list residuals): the rerank phase re-scores
+    * exactly, so the residual refinement buys little here while
+    * keeping one LUT per query instead of nprobe. */
+  final case class AnnIvfPqIndex private[graft] (
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      codes: DataFrame,
+      vecs: DataFrame,
+      trainedRows: Long) {
+    def write(path: String): Unit = {
+      centroids.write.mode("overwrite").parquet(s"$path/centroids.parquet")
+      codebooks.write.mode("overwrite").parquet(s"$path/codebooks.parquet")
+      codes.write.mode("overwrite").parquet(s"$path/codes.parquet")
+      vecs.write.mode("overwrite").parquet(s"$path/vecs.parquet")
+      val s = centroids.sparkSession
+      import s.implicits._
+      Seq(trainedRows).toDF("trained_rows")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
+    }
+    def appendedFraction: Double = {
+      val total = codes.count()
+      if (total == 0) 0.0 else (total - trainedRows).toDouble / total
+    }
+    def unpersist(): Unit = {
+      centroids.unpersist(); codebooks.unpersist()
+      codes.unpersist(); vecs.unpersist()
+    }
+  }
+
+  object AnnIvfPqIndex {
+    def load(spark: SparkSession, path: String): AnnIvfPqIndex = {
+      graft.functions.GraftFunctions.register(spark)
+      val codes = Q.cached(spark.read.parquet(s"$path/codes.parquet"))
+      val trained =
+        try spark.read.parquet(s"$path/meta.parquet")
+          .select("trained_rows").head().getLong(0)
+        catch { case scala.util.control.NonFatal(_) => codes.count() }
+      AnnIvfPqIndex(
+        Q.cached(spark.read.parquet(s"$path/centroids.parquet")),
+        Q.cached(spark.read.parquet(s"$path/codebooks.parquet")),
+        codes,
+        Q.cached(spark.read.parquet(s"$path/vecs.parquet")),
+        trained)
+    }
+  }
+
+  /** Train both quantizers over one cached embedding frame: the coarse
+    * k-means (shared trainer with AnnIvfIndex) and the PQ codebooks,
+    * then one assignment pass each — codes carry (list_id, codes, n2). */
+  def buildAnnIvfPqIndex(emb: DataFrame, nlist: Int = 10, m: Int = 8,
+      ksub: Int = 32, iters: Int = 2): AnnIvfPqIndex = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val embC = Q.cached(emb.select(col("vec_id"), col("e"), col("n2")))
+    val centsC = Q.cached(Llm.trainIvfCentroids(embC, nlist, iters))
+    val subs = Q.cached(subVectors(embC, m))
+    var cb = codeCentroids(subs
+      .withColumn("code", ((col("vec_id") + col("sub_id")) % ksub).cast("int"))
+      .select("sub_id", "code", "sv"))
+    (1 to iters).foreach { _ => cb = codeCentroids(assignCodes(subs, cb)) }
+    val cbC = Q.cached(cb)
+    val assigned = Llm.nearestLists(embC, centsC, 1)
+      .select(col("vec_id"), col("c_label").as("list_id"))
+    val codes = Q.cached(encode(subs, cbC)
+      .join(assigned, "vec_id")
+      .join(embC.select("vec_id", "n2"), "vec_id"))
+    AnnIvfPqIndex(centsC, cbC, codes, embC, codes.count())
+  }
+
+  /** Encode-only ingest: assign new vectors to the frozen coarse lists
+    * AND encode them against the frozen codebooks — both quantizers
+    * untouched, both drift debts covered by [[maybeRetrainIvfPq]]. */
+  def appendToIvfPqIndex(index: AnnIvfPqIndex,
+      newVecs: DataFrame): AnnIvfPqIndex = {
+    graft.functions.GraftFunctions.register(newVecs.sparkSession)
+    val nv = newVecs.select(col("vec_id"), col("e"), col("n2"))
+    val m = index.codebooks.select(max(col("sub_id"))).head().getInt(0) + 1
+    val assigned = Llm.nearestLists(nv, index.centroids, 1)
+      .select(col("vec_id"), col("c_label").as("list_id"))
+    AnnIvfPqIndex(
+      index.centroids, index.codebooks,
+      index.codes.unionByName(encode(subVectors(nv, m), index.codebooks)
+        .join(assigned, "vec_id")
+        .join(nv.select("vec_id", "n2"), "vec_id")),
+      index.vecs.unionByName(nv),
+      index.trainedRows)
+  }
+
+  /** Rewrite-semantics deletion, same contract as the other families. */
+  def deleteFromIvfPqIndex(index: AnnIvfPqIndex,
+      removed: DataFrame): AnnIvfPqIndex = {
+    val rm = removed.select(col(removed.columns.head).as("vec_id"))
+    val before = index.codes.count()
+    val codes = Q.cached(index.codes.join(rm, Seq("vec_id"), "left_anti"))
+    AnnIvfPqIndex(index.centroids, index.codebooks, codes,
+      Q.cached(index.vecs.join(rm, Seq("vec_id"), "left_anti")),
+      math.max(0L, index.trainedRows - (before - codes.count())))
+  }
+
+  /** Shared drift policy (see [[Llm.maybeRetrain]]'s measured curve). */
+  def maybeRetrainIvfPq(index: AnnIvfPqIndex, nlist: Int = 10, m: Int = 8,
+      ksub: Int = 32, iters: Int = 2,
+      maxAppendedFraction: Double = 0.5): AnnIvfPqIndex =
+    if (index.appendedFraction > maxAppendedFraction)
+      buildAnnIvfPqIndex(index.vecs.select(col("vec_id"), col("e"), col("n2")),
+        nlist, m, ksub, iters)
+    else index
+
+  /** Three-phase IVFADC search: coarse probe → ADC within the probed
+    * lists → exact rerank. The probe frame is nq×nprobe rows (broadcast);
+    * the candidate scan touches only the probed lists' code rows. */
+  def ivfPqQueryTopk(index: AnnIvfPqIndex, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 6, rerankDepth: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val m = index.codebooks.select(max(col("sub_id"))).head().getInt(0) + 1
+    val q = queries.select(col("vec_id").as("query_id"), col("e").as("qe"),
+      col("n2").as("qn2"))
+    val probes = Llm.nearestLists(
+        queries.select(col("vec_id"), col("e"), col("n2")), index.centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("c_label").as("list_id"))
+    val cands = index.codes
+      .select(col("list_id"), col("vec_id").as("neighbor_id"),
+        col("n2").as("cn2"), posexplode(col("codes")).as(Seq("sub_id", "code")))
+      .join(broadcast(probes), "list_id")
+      .join(broadcast(adcLut(q, index.codebooks, m)),
+        Seq("query_id", "sub_id", "code"))
+    exactRerank(adcPreRank(cands, rerankDepth), index.vecs, q, k)
   }
 
   /** Registered row: the artifact API end-to-end (train, encode, ADC
@@ -252,5 +409,13 @@ object AnnPq {
       .orderBy("query_id", "rank")
   }
 
-  def all: Seq[Q] = Seq(llmAnnPq)
+  /** Registered row for the composed index: both quantizers trained,
+    * coarse probe + list-restricted ADC + exact rerank end-to-end. */
+  val llmAnnIvfPq: Q = Q.noOracle("llm_ann_ivfpq") { (s, dir) =>
+    val index = buildAnnIvfPqIndex(Q.cached(Llm.scaledEmb(s, dir)))
+    ivfPqQueryTopk(index, Llm.scaledEmb(s, dir).where(col("vec_id") < 10))
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Seq[Q] = Seq(llmAnnPq, llmAnnIvfPq)
 }

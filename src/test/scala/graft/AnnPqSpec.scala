@@ -80,6 +80,46 @@ class AnnPqSpec extends SparkSpec {
     }
   }
 
+  test("ann IVFPQ: composed coarse-probe + list-restricted ADC clears the floor") {
+    val exact = pairs(graft.ops.Llm.bruteForceTopk(
+      graft.ops.Llm.scaledEmb(spark, dir), lit(true)))
+    val ivfpq = pairs(SparkEntry.queries("llm_ann_ivfpq")(spark, dir))
+    val recall = (ivfpq intersect exact).size.toDouble / exact.size
+    info(s"ann IVFPQ recall@5 = $recall")
+    assert(recall >= 0.8, s"recall $recall below floor")
+  }
+
+  test("ann IVFPQ index API: reload == in-session, encode-only append, delete") {
+    val emb = graft.ops.Llm.scaledEmb(spark, dir)
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val incoming = emb.where(col("vec_id") % 10 === 0)
+    val queries = emb.where(col("vec_id") < 10)
+    val idx = graft.ops.AnnPq.buildAnnIvfPqIndex(base)
+    val inSession = triples(graft.ops.AnnPq.ivfPqQueryTopk(idx, queries))
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_idx_").toString
+    try {
+      idx.write(tmp)
+      val loaded = graft.ops.AnnPq.AnnIvfPqIndex.load(spark, tmp)
+      assert(triples(graft.ops.AnnPq.ivfPqQueryTopk(loaded, queries)) == inSession)
+      val appended = graft.ops.AnnPq.appendToIvfPqIndex(loaded, incoming)
+      assert(appended.codes.count() == emb.count())
+      // both quantizers untouched by append
+      assert(appended.centroids.collect().toSet == idx.centroids.collect().toSet)
+      assert(appended.codebooks.collect().toSet == idx.codebooks.collect().toSet)
+      assert(appended.trainedRows == idx.trainedRows)
+      // deleted ids can neither pre-rank nor rerank
+      val del = graft.ops.AnnPq.deleteFromIvfPqIndex(appended,
+        emb.where(col("vec_id") % 7 === 0).select("vec_id"))
+      val res = pairs(graft.ops.AnnPq.ivfPqQueryTopk(del,
+        emb.where(col("vec_id") < 10 && col("vec_id") % 7 =!= 0)))
+      assert(res.forall(_._2 % 7 != 0), "a deleted vector came back as a neighbor")
+      loaded.unpersist()
+    } finally {
+      idx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("ann PQ deletion: deleted ids absent from results, survivors at the floor") {
     val emb = graft.ops.Llm.scaledEmb(spark, dir)
     val removedPred = col("vec_id") % 7 === 0
