@@ -181,6 +181,35 @@ object Funcs {
       .orderBy("event_id")
   }
 
+  /** B9 (r8) — Spark 4 VARIANT path over the same payloads: parse once
+    * to the binary semi-structured type, then typed `variant_get`
+    * extraction — the modern replacement for per-path string re-parsing
+    * (B8's get_json_object re-tokenizes the JSON text for every path;
+    * a VARIANT parses once and serves every extraction from the binary
+    * form, the difference that matters when a 100 TB event stream
+    * carries wide props). Outputs are plain scalars so the DuckDB
+    * oracle (which has no VARIANT) compares on the extracted values:
+    * the typed hit, a missing-path null via try_variant_get, the
+    * string-typed view, and a predicate computed on the variant. */
+  val funcVariant: Q = Q(
+    "func_variant",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CAST(NULL AS BIGINT) AS missing,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  (CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0) AS k_even
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("missing"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        (expr("variant_get(v, '$.k', 'bigint')") % 2 === 0).as("k_even"))
+      .orderBy("event_id")
+  }
+
   def all: Seq[Q] = Seq(projectCompute, filterCompound, funcCaseCoalesce,
-    funcString, funcDate, funcMath, funcArray, funcJsonMap)
+    funcString, funcDate, funcMath, funcArray, funcJsonMap, funcVariant)
 }
