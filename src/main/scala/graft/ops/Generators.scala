@@ -110,5 +110,76 @@ object Generators {
       .orderBy("event_type", "h")
   }
 
-  def all: Seq[Q] = Seq(explodeTokens, udfScalar, udtfGenerator, generateResample)
+  /** Gap-filling with LINEAR INTERPOLATION (r8) — generate_resample's
+    * sibling for metrics that must stay continuous (sensor feeds,
+    * spend curves): per user, the hourly grid from first to last
+    * observation; observed slots keep their exact micro-unit sum,
+    * missing slots take the linear interpolation between the nearest
+    * observed neighbors. All-integer arithmetic: values pre-scaled to
+    * micro units (exact DECIMAL(18,6) rounding), interpolation is the
+    * rational (prev*(next_t - t) + next*(t - prev_t)) div (next_t -
+    * prev_t) with non-negative operands, so both engines floor
+    * identically. Bounded to the fixed-count user_id < 50 prefix (the
+    * r7-verdict sampling rule: count bounds, not % samples — the grid
+    * is O(users × span) at any corpus size). Shape: one narrow agg,
+    * one per-user sequence explode, one left join, ONE window over the
+    * user partition computing all four neighbor frames — nothing
+    * corpus-wide; at 100 TB users partition the grid and each
+    * partition's window is span-bounded. Interpolated slots always
+    * have both neighbors because the grid ends at observed slots. */
+  val tsInterpolate: Q = Q(
+    "ts_interpolate",
+    """WITH b AS (SELECT user_id, epoch(date_trunc('hour', ts))::BIGINT // 3600 AS slot,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+      |      AS v_micro
+      |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      |r AS (SELECT user_id, min(slot) AS mn, max(slot) AS mx FROM b GROUP BY 1),
+      |g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS slot FROM r),
+      |j AS (SELECT g.user_id, g.slot, b.v_micro FROM g LEFT JOIN b USING (user_id, slot)),
+      |w AS (SELECT user_id, slot, v_micro,
+      |    last_value(v_micro IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v_micro IS NOT NULL THEN slot END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY slot
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+      |    first_value(v_micro IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v_micro IS NOT NULL THEN slot END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY slot
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns
+      |  FROM j)
+      |SELECT user_id, slot,
+      |  CASE WHEN v_micro IS NOT NULL THEN v_micro
+      |       ELSE (pv * (ns - slot) + nv * (slot - ps)) // (ns - ps) END AS v_micro,
+      |  CASE WHEN v_micro IS NULL THEN TRUE ELSE FALSE END AS is_interp
+      |FROM w ORDER BY user_id, slot""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Q.cached(events(s, dir).where(col("user_id") < 50)
+      .groupBy(col("user_id"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("slot"))
+      .agg(sum(micro(col("value"))).as("v_micro")))
+    val g = b.groupBy("user_id").agg(min("slot").as("mn"), max("slot").as("mx"))
+      .select(col("user_id"), explode(expr("sequence(mn, mx)")).as("slot"))
+    val back = Window.partitionBy("user_id").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("slot")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    g.join(b, Seq("user_id", "slot"), "left")
+      .withColumn("pv", last(col("v_micro"), ignoreNulls = true).over(back))
+      .withColumn("ps", last(when(col("v_micro").isNotNull, col("slot")),
+        ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v_micro"), ignoreNulls = true).over(fwd))
+      .withColumn("ns", first(when(col("v_micro").isNotNull, col("slot")),
+        ignoreNulls = true).over(fwd))
+      .select(col("user_id"), col("slot"),
+        when(col("v_micro").isNotNull, col("v_micro"))
+          .otherwise(expr("(pv * (ns - slot) + nv * (slot - ps)) div (ns - ps)"))
+          .as("v_micro"),
+        col("v_micro").isNull.as("is_interp"))
+      .orderBy("user_id", "slot")
+  }
+
+  def all: Seq[Q] = Seq(explodeTokens, udfScalar, udtfGenerator, generateResample,
+    tsInterpolate)
 }

@@ -732,9 +732,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Lexical-diversity signals (r8) — the two standard richness scores
+    * a quality-filtering pass ranks on, in exact integer micro-units:
+    * type-token ratio (distinct words / words) and the Simpson
+    * diversity index 1 - Σ(c/n)² (the probability two random tokens
+    * differ — low = repetitive boilerplate). Entropy is the textbook
+    * third member, but log() is float-divergent across engines; Simpson
+    * carries the same repetitiveness signal as a pure rational, so the
+    * driver hash covers it exactly. Shape: explode → (doc, term) count
+    * → per-doc fold — the same two-aggregate cascade as llm_tfidf, no
+    * corpus-wide state, text never shuffles (only (doc_id, term-hash
+    * sized) count rows move). */
+  val llmLexicalDiversity: Q = Q(
+    "llm_lexical_diversity",
+    """WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2),
+      |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM tf GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_types,
+      |  n_types * 1000000 // n_tokens AS ttr_micro,
+      |  (n_tokens * n_tokens - sum_c2) * 1000000 // (n_tokens * n_tokens)
+      |    AS simpson_micro
+      |FROM d ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(expr("c * c")).as("sum_c2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_micro"),
+        expr("(n_tokens * n_tokens - sum_c2) * 1000000 div (n_tokens * n_tokens)")
+          .as("simpson_micro"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
     llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup,
     llmBloomDecontaminate, llmTfidfVectors, llmCorpusShuffle, llmSourceMix,
-    llmSplitAssign)
+    llmSplitAssign, llmLexicalDiversity)
 }
