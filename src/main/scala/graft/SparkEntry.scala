@@ -17,7 +17,8 @@ object SparkEntry {
   lazy val registry: Seq[Q] = {
     val qs = Scans.all ++ Funcs.all ++ Joins.all ++ Aggs.all ++ Windows.all ++
       SetSort.all ++ Generators.all ++ StreamTwins.all ++ Llm.all ++
-      TextOps.all ++ DedupOps.all ++ MediaOps.all ++ AnnPq.all ++ Rewrite.all
+      TextOps.all ++ DedupOps.all ++ MediaOps.all ++ AnnPq.all ++ Rewrite.all ++
+      Layout.all
     val dups = qs.groupBy(_.key).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query keys would shadow queries: ${dups.mkString(", ")}")
     qs

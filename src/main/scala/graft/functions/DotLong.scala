@@ -131,7 +131,9 @@ object GraftFunctions {
     ("bloom_contains", classOf[BloomContains],
       (exprs: Seq[Expression]) => BloomContains(exprs(0), exprs(1))),
     ("cm_estimate", classOf[CmEstimate],
-      (exprs: Seq[Expression]) => CmEstimate(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => CmEstimate(exprs(0), exprs(1))),
+    ("interleave16", classOf[Interleave16],
+      (exprs: Seq[Expression]) => Interleave16(exprs(0), exprs(1))))
 
   /** Register graft's native expressions in a session's function
     * registry (idempotent; called by every query that uses them, and by

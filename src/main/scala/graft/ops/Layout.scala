@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.GraftFunctions
+
+/** §2 extension (r8) — physical DATA LAYOUT operators: the decisions
+  * that dominate 100 TB cost before any query runs.
+  *
+  *  - `join_bucketed_colocated` — bucketed table writes + a
+  *    co-located join that needs NO shuffle: both fact tables are
+  *    bucketed 8-ways on the join key at write time, so the sort-merge
+  *    join reads bucket i against bucket i directly (zero Exchange in
+  *    the physical plan — LayoutSpec asserts it). This is THE answer to
+  *    "the same big join runs every day": pay the shuffle once at
+  *    ingest, never again.
+  *  - `layout_zorder` — Morton (Z-order) clustering keys via the native
+  *    codegen `interleave16` expression: sort-by-zkey clusters rows
+  *    close in BOTH dimensions into the same files, giving tight
+  *    per-file min/max bounding boxes → multi-dimensional file skipping
+  *    (a linear sort only serves its leading column). LayoutSpec
+  *    MEASURES the claim: mean per-file bounding-box area under
+  *    Z-order ≪ under linear sort.
+  *  - `profile_table` — per-column profiling (nulls / distincts /
+  *    min / max) in long format — the data-quality gate a pipeline runs
+  *    before committing a new corpus drop.
+  */
+object Layout {
+
+  /** Deterministic scratch root for the bucketed-table files (same
+    * policy as Scans.roundTrip: fixed path + overwrite, so repeated
+    * runs never accrete). */
+  private def bucketRoot(tag: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bkt",
+      Integer.toHexString(tag.hashCode)).toString
+
+  /** Shuffle-free co-located fact join: write lineitem and orders
+    * bucketed (and sorted) 8-ways on the join key, then sort-merge-join
+    * the bucketed tables. Spark's bucketing metadata lives in the
+    * session catalog, so the write is part of the query (idempotent:
+    * DROP + overwrite); a production pipeline does the write once per
+    * ingest and every downstream join of the pair is exchange-free —
+    * at 100 TB that converts the daily O(corpus) shuffle into zero.
+    * The digest aggregate is the usual partial+final hash agg. The
+    * merge hint forces the sort-merge path so the exchange-free plan is
+    * what actually runs even where the dimension side would broadcast
+    * (the spec asserts zero ShuffleExchange under it). */
+  val joinBucketedColocated: Q = Q(
+    "join_bucketed_colocated",
+    """SELECT o_orderstatus, l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_micro,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+      |    AS sum_price_micro
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val root = bucketRoot(dir)
+    s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    lineitem(s, dir).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$root/lineitem").mode("overwrite")
+      .saveAsTable("graft_bkt_lineitem")
+    orders(s, dir).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$root/orders").mode("overwrite")
+      .saveAsTable("graft_bkt_orders")
+    val li = s.table("graft_bkt_lineitem")
+    val od = s.table("graft_bkt_orders").hint("merge")
+    li.join(od, li("l_orderkey") === od("o_orderkey"))
+      .groupBy("o_orderstatus", "l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(micro(col("l_quantity"))).as("sum_qty_micro"),
+        sum(micro(col("l_extendedprice"))).as("sum_price_micro"))
+      .orderBy("o_orderstatus", "l_returnflag")
+  }
+
+  /** Morton clustering keys over (user, hour) — the key computation is
+    * one codegen'd expression per row (a narrow map stage); the actual
+    * layout write is `sort(zkey).write` (LayoutSpec measures the
+    * bounding-box effect). The oracle reproduces the bit-spread with
+    * plain shift/mask SQL, so the driver hash pins every interleaved
+    * bit. Both dimensions fold into 16 bits explicitly (user ids mod
+    * 2^16; hour slots since 2024-01-01 00:00, span ≪ 2^16 on the
+    * fixture — a production layout picks per-dimension bucketizations
+    * the same way). */
+  val layoutZorder: Q = Q(
+    "layout_zorder",
+    """WITH e AS (SELECT event_id, user_id & 65535 AS x,
+      |    ((epoch(date_trunc('hour', ts))::BIGINT // 3600) - 473352) & 65535 AS y
+      |  FROM events),
+      |s1 AS (SELECT event_id, x, y,
+      |    (x | (x << 8)) & 16711935 AS xa, (y | (y << 8)) & 16711935 AS ya FROM e),
+      |s2 AS (SELECT event_id, x, y,
+      |    (xa | (xa << 4)) & 252645135 AS xb, (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+      |s3 AS (SELECT event_id, x, y,
+      |    (xb | (xb << 2)) & 858993459 AS xc, (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+      |s4 AS (SELECT event_id, x, y,
+      |    (xc | (xc << 1)) & 1431655765 AS xd, (yc | (yc << 1)) & 1431655765 AS yd FROM s3)
+      |SELECT event_id, x, y, xd | (yd << 1) AS zkey
+      |FROM s4 ORDER BY zkey, event_id LIMIT 1000""".stripMargin
+  ) { (s, dir) =>
+    GraftFunctions.register(s)
+    events(s, dir)
+      .select(col("event_id"),
+        expr("user_id & 65535").as("x"),
+        // hour slots relative to 2024-01-01 (epoch hour 473352) so the
+        // dimension genuinely varies within 16 bits on the fixture
+        expr("((unix_timestamp(date_trunc('hour', ts)) div 3600) - 473352) & 65535")
+          .as("y"))
+      .withColumn("zkey", expr("interleave16(x, y)"))
+      .orderBy("zkey", "event_id")
+      .limit(1000)
+  }
+
+  /** Columns profiled by `profile_table`, with a per-type string
+    * canonicalization both engines print identically: numerics via
+    * DECIMAL(18,6) (fixed 6-digit rendering), timestamps via the
+    * session-UTC cast, strings as-is. */
+  private val ProfiledCols: Seq[(String, String)] = Seq(
+    ("l_orderkey", "CAST(CAST(%s AS DECIMAL(18,6)) AS STRING)"),
+    ("l_quantity", "CAST(CAST(%s AS DECIMAL(18,6)) AS STRING)"),
+    ("l_returnflag", "CAST(%s AS STRING)"),
+    ("l_shipdate", "CAST(%s AS STRING)"))
+
+  /** Per-column data-quality profile of lineitem in long format: row
+    * count, null count, exact distinct count, min/max (canonicalized to
+    * strings so one schema carries every column type). Shape: one
+    * column-pruned scan per profiled column (a 100 TB profile reads
+    * each column's pages once, in parallel, never the whole row) — the
+    * exact-distinct aggregate is the only shuffle, and the documented
+    * swap-in for trillion-row columns is approx_count_distinct on the
+    * same plan. */
+  val profileTable: Q = Q(
+    "profile_table",
+    ProfiledCols.map { case (c, fmt) =>
+      val canon = fmt.replace("AS STRING", "AS VARCHAR").format(c)
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  min($canon) AS min_s, max($canon) AS max_s
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  ) { (s, dir) =>
+    val li = lineitem(s, dir)
+    ProfiledCols.map { case (c, fmt) =>
+      val canon = fmt.format(c)
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(expr(canon)).as("min_s"),
+        max(expr(canon)).as("max_s"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionByName _)
+      .orderBy("col_name")
+  }
+
+  /** The write-side Z-order API: min/max-scale each dimension into
+    * `bits` bits (the rank-normalization step every production Z-order
+    * implementation performs — interleaving RAW values lets the
+    * larger-ranged dimension's high bits dominate the key and the
+    * layout degenerates to a linear sort on it), then Morton-interleave.
+    * `df.sort("zkey").write` is the layout; LayoutSpec measures the
+    * per-file min/max pruning it buys on BOTH dimensions. The min/max
+    * pass is one tiny aggregate broadcast back over the frame — at
+    * 100 TB use the ingest batch's known bounds or a sampled quantile
+    * map the same way. */
+  def zorderKey(df: org.apache.spark.sql.DataFrame,
+      xCol: org.apache.spark.sql.Column, yCol: org.apache.spark.sql.Column,
+      bits: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    GraftFunctions.register(df.sparkSession)
+    val top = (1L << bits) - 1
+    val withDims = df.withColumn("zx_raw", xCol.cast("bigint"))
+      .withColumn("zy_raw", yCol.cast("bigint"))
+    val bounds = withDims.agg(
+      min("zx_raw").as("x_mn"), max("zx_raw").as("x_mx"),
+      min("zy_raw").as("y_mn"), max("zy_raw").as("y_mx"))
+    withDims.join(broadcast(bounds))
+      .withColumn("zkey", expr(
+        s"""interleave16(
+           |  (zx_raw - x_mn) * $top div greatest(x_mx - x_mn, 1),
+           |  (zy_raw - y_mn) * $top div greatest(y_mx - y_mn, 1))""".stripMargin))
+      .drop("zx_raw", "zy_raw", "x_mn", "x_mx", "y_mn", "y_mx")
+  }
+
+  def all: Seq[Q] = Seq(joinBucketedColocated, layoutZorder, profileTable)
+}
