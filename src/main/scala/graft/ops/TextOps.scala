@@ -769,9 +769,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance fuzzy matching (r8) — the string-level near-match
+    * primitive (title/record linkage) the token-set ops can't express:
+    * token Jaccard is order- and segmentation-blind, Levenshtein
+    * catches single-character drift (typos, OCR noise, template
+    * fill-ins). Exact dynamic-programming distance on both engines
+    * (Spark `levenshtein` ≡ DuckDB `levenshtein` — classic
+    * insert/delete/substitute, no transpositions), over 40-char
+    * prefixes (the match KEY — linkage on a bounded prefix/field, not
+    * whole documents) on the fixed-count doc_id < 80 prefix: the
+    * registered all-pairs baseline is O(K²) at any corpus size (the r7
+    * sampling rule). The 100 TB path is standard blocking — group by a
+    * cheap key (first token, length band, or an LSH bucket) and run
+    * this exact distance only within blocks; the inner test is this
+    * same codegen'd expression. */
+  val llmFuzzyMatch: Q = Q(
+    "llm_fuzzy_match",
+    """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS p
+      |           FROM documents WHERE doc_id < 80)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.p, b.p) <= 24
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val d = documents(s, dir).where(col("doc_id") < 80)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+    val a = d.select(col("doc_id").as("doc_a"), col("p").as("pa"))
+    val b = d.select(col("doc_id").as("doc_b"), col("p").as("pb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("bigint"))
+      .where(col("dist") <= 24)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
     llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup,
     llmBloomDecontaminate, llmTfidfVectors, llmCorpusShuffle, llmSourceMix,
-    llmSplitAssign, llmLexicalDiversity)
+    llmSplitAssign, llmLexicalDiversity, llmFuzzyMatch)
 }
