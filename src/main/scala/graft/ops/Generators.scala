@@ -180,6 +180,60 @@ object Generators {
       .orderBy("user_id", "slot")
   }
 
+  /** Per-user hourly series row for the typed EWMA fold. */
+  final case class SlotVal(user_id: Long, slot: Long, v: Long)
+
+  /** Exponentially-weighted moving average, α = 1/2 in INTEGER
+    * arithmetic: ewma₀ = v₀, ewmaᵢ = (ewmaᵢ₋₁ + vᵢ) div 2 — a true
+    * RECURSION no window frame can express (each output depends on the
+    * previous OUTPUT, not on previous inputs). The Spark-first answer
+    * is the typed `KeyValueGroupedDataset.flatMapGroups` fold — the
+    * batch sibling of H5's mapGroupsWithState: group by user, sort the
+    * bounded series in-group, fold once. Memory bound = one user's
+    * series (the same per-key bound every stateful-streaming op here
+    * carries); the groups partition the cluster, so 100 TB of users
+    * fan out while each series folds sequentially, which is the
+    * algorithm's own data dependence. The oracle spells the identical
+    * recursion as a DuckDB recursive CTE, so every folded value is
+    * hash-pinned. Same fixed-count user_id < 50 bound as
+    * ts_interpolate. */
+  val tsEwma: Q = Q(
+    "ts_ewma",
+    """WITH RECURSIVE b AS (SELECT user_id,
+      |    epoch(date_trunc('hour', ts))::BIGINT // 3600 AS slot,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS v
+      |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      |s AS (SELECT user_id, slot, v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY slot) AS seq FROM b),
+      |e AS (
+      |  SELECT user_id, slot, seq, v, v AS ewma FROM s WHERE seq = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.slot, s.seq, s.v, CAST((e.ewma + s.v) // 2 AS BIGINT) AS ewma
+      |  FROM e JOIN s ON s.user_id = e.user_id AND s.seq = e.seq + 1)
+      |SELECT user_id, slot, v AS v_micro, ewma AS ewma_micro
+      |FROM e ORDER BY user_id, slot""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val b = events(s, dir).where(col("user_id") < 50)
+      .groupBy(col("user_id"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("slot"))
+      .agg(sum(micro(col("value"))).as("v"))
+      .as[SlotVal]
+    b.groupByKey(_.user_id)
+      .flatMapGroups { (_, it) =>
+        // one user's series: sort by slot, fold the recursion once.
+        // Non-negative operands, so `/ 2` == both engines' floor div.
+        val series = it.toArray.sortBy(_.slot)
+        var ewma = 0L
+        series.iterator.zipWithIndex.map { case (sv, i) =>
+          ewma = if (i == 0) sv.v else (ewma + sv.v) / 2
+          (sv.user_id, sv.slot, sv.v, ewma)
+        }
+      }
+      .toDF("user_id", "slot", "v_micro", "ewma_micro")
+      .orderBy("user_id", "slot")
+  }
+
   def all: Seq[Q] = Seq(explodeTokens, udfScalar, udtfGenerator, generateResample,
-    tsInterpolate)
+    tsInterpolate, tsEwma)
 }

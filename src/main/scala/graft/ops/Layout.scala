@@ -59,10 +59,16 @@ object Layout {
     val root = bucketRoot(dir)
     s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
     s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-    lineitem(s, dir).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+    // project to the digest's columns before the layout write: the
+    // bucketed artifact carries what downstream reads, not the full row
+    // (at 100 TB the bucketed copy is usually a curated projection too)
+    lineitem(s, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$root/lineitem").mode("overwrite")
       .saveAsTable("graft_bkt_lineitem")
-    orders(s, dir).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+    orders(s, dir).select("o_orderkey", "o_orderstatus")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$root/orders").mode("overwrite")
       .saveAsTable("graft_bkt_orders")
     val li = s.table("graft_bkt_lineitem")
@@ -186,5 +192,66 @@ object Layout {
       .drop("zx_raw", "zy_raw", "x_mn", "x_mx", "y_mn", "y_mx")
   }
 
-  def all: Seq[Q] = Seq(joinBucketedColocated, layoutZorder, profileTable)
+  /** Compact a parquet directory into ~`targetBytes`-sized files:
+    * list the input files (Hadoop FS — works on HDFS/S3A the same
+    * way), size the output file count from the actual byte total, and
+    * rewrite round-robin-balanced. `repartition(n)` (one shuffle) is
+    * deliberate: `coalesce(n)` is shuffle-free but concatenates
+    * neighboring input files, inheriting their skew — a compaction
+    * pass exists to fix layout, so it pays the one shuffle for
+    * balance. Returns the output file count. The small-files problem
+    * is THE chronic 100 TB ingest pathology (per-micro-batch and
+    * per-task files): scans pay per-file open cost and footer reads,
+    * so periodic compaction keeps scan parallelism matched to data,
+    * not to ingest history. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(path)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** End-to-end compaction row: fragment events into 64 task files (the
+    * ingest-history pathology), compact to ~quarter-of-total target
+    * size, and digest the COMPACTED copy — the oracle digests the
+    * original table, so the row proves bit-level content preservation
+    * through fragment→compact→scan. LayoutSpec asserts the physical
+    * claims (file count shrinks to the computed n, sizes balanced). */
+  val compactFiles: Q = Q(
+    "compact_files",
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+      |    AS sum_value_micro,
+      |  CAST(min(event_id) AS BIGINT) AS min_id, CAST(max(event_id) AS BIGINT) AS max_id
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_compact",
+      Integer.toHexString(dir.hashCode)).toString
+    val frag = s"$root/frag"
+    val comp = s"$root/comp"
+    events(s, dir).repartition(64).write.mode("overwrite").parquet(frag)
+    val path = new org.apache.hadoop.fs.Path(frag)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(path)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    compactParquet(s, frag, comp, targetBytes = math.max(1L, total / 4))
+    s.read.parquet(comp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(micro(col("value"))).as("sum_value_micro"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
+  def all: Seq[Q] = Seq(joinBucketedColocated, layoutZorder, profileTable,
+    compactFiles)
 }

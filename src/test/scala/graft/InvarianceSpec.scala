@@ -26,7 +26,8 @@ class InvarianceSpec extends SparkSpec {
     "agg_quantiles_approx", // GK sketch merge
     "agg_count_min",        // Count-Min row merge
     "llm_minhash_lsh",      // banded LSH candidate generation
-    "llm_ngram_jaccard")    // gram-df window cap + inverted-index join
+    "llm_ngram_jaccard",    // gram-df window cap + inverted-index join
+    "llm_line_dedup")       // hash-window survivor election + collect_list reassembly
 
   private def fingerprint(df: DataFrame): (String, Long) = {
     val r = df.toJSON

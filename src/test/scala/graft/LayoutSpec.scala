@@ -91,6 +91,37 @@ class LayoutSpec extends SparkSpec {
       s"z-order combined read fraction ${zx + zy} not below linear ${lx + ly}")
   }
 
+  test("compaction collapses the small-file layout into balanced target-size files") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    val frag = s"$root/frag"
+    val comp = s"$root/comp"
+    Tables.events(s, sf("sf0.01")).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    def files(dir: String): Array[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+    val fragFiles = files(frag)
+    assert(fragFiles.length == 64)
+    val total = fragFiles.map(_.getLen).sum
+    val n = graft.ops.Layout.compactParquet(s, frag, comp, targetBytes = total / 4)
+    val compFiles = files(comp)
+    assert(compFiles.length == n)
+    assert(n <= 8, s"expected <= 8 compacted files, got $n") // ~4 plus rounding
+    assert(n < fragFiles.length / 4)
+    // balanced: no output file more than 3x another (round-robin shuffle)
+    val sizes = compFiles.map(_.getLen)
+    assert(sizes.max <= 3 * sizes.min,
+      s"unbalanced compaction: ${sizes.mkString(",")}")
+    // content preserved exactly (decimal sum: long would ANSI-overflow)
+    def digest(dir: String): String = s.read.parquet(dir)
+      .selectExpr("sum(cast(xxhash64(event_id, user_id, value) as decimal(38,0)))")
+      .head().getDecimal(0).toPlainString
+    assert(digest(frag) == digest(comp))
+  }
+
   test("interleave16 matches a reference bit-by-bit implementation") {
     val s = spark
     graft.functions.GraftFunctions.register(s)
