@@ -266,6 +266,44 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One EWMA output row: the input slot value and the folded state. */
+  final case class EwmaRow(user_id: Long, slot: Long, v_micro: Long,
+      ewma_micro: Long)
+
+  /** H10 — streaming EWMA: the stateful-stream form of
+    * `Generators.tsEwma`'s recursion (ewma₀ = v₀, ewmaᵢ =
+    * (ewmaᵢ₋₁ + vᵢ) div 2). The fold's data dependence IS per-key
+    * state, so the streaming form is the natural one: state = the last
+    * folded value per user (one Long — O(keys) store, watermark-free),
+    * each micro-batch folds its slots in slot order and emits one row
+    * per input. Slots must arrive per-user in slot order across
+    * micro-batches for stream ≡ batch (the same contract as
+    * [[statefulCounter]]; Kafka keyed by user gives it); StreamingSpec
+    * pins equality against the batch flatMapGroups fold on the same
+    * feed. */
+  def ewmaStream(slots: Dataset[graft.ops.Generators.SlotVal]): Dataset[EwmaRow] = {
+    import slots.sparkSession.implicits._
+    slots
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, it: Iterator[graft.ops.Generators.SlotVal],
+            state: GroupState[Long]) =>
+          // absent state (first batch for this user) seeds with v₀
+          var cur: Option[Long] = state.getOption
+          val out = it.toSeq.sortBy(_.slot).map { r =>
+            val e = cur match {
+              case Some(prev) => (prev + r.v) / 2
+              case None => r.v
+            }
+            cur = Some(e)
+            EwmaRow(user, r.slot, r.v, e)
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** H8 / I-ext — streaming near-dup against a STATIC reference corpus:
     * the incremental form of llm_minhash_lsh, i.e. what a production
     * ingest pipeline runs as new documents arrive. Each incoming doc is

@@ -272,6 +272,33 @@ class StreamingSpec extends SparkSpec {
     assertSame(streamed, batch, Seq("doc_id"))
   }
 
+  test("H10 streaming EWMA: stream == the batch flatMapGroups fold (r8)") {
+    // slots arrive per-user in slot order (the statefulCounter arrival
+    // contract); the stream's per-key state fold must equal the batch
+    // typed-fold on the same slot frame, including across micro-batch
+    // boundaries (state carries ewma between batches)
+    val slotFrame = Tables.events(spark, sf("sf0.001"))
+      .where(col("user_id") < 50)
+      .groupBy(col("user_id"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("slot"))
+      .agg(sum(Tables.micro(col("value"))).as("v"))
+    import spark.implicits._
+    val slots = slotFrame.as[graft.ops.Generators.SlotVal]
+      .collect().sortBy(r => (r.slot, r.user_id)).toSeq
+    assert(slots.size > 20)
+    val ms = MemoryStream[graft.ops.Generators.SlotVal]
+    val name = "sink_h10"
+    val q = StreamOps.ewmaStream(ms.toDS()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    slots.grouped(math.max(1, slots.size / 5)).foreach { c =>
+      ms.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table(name)
+    val batch = graft.ops.Generators.tsEwma.build(spark, sf("sf0.001"))
+    assertSame(streamed, batch, Seq("user_id", "slot"))
+  }
+
   test("H9 incremental heavy hitters: batched absorb retains every term > 2n/k") {
     import spark.implicits._
     // skewed synthetic stream (4 hot terms ≈ 10% each, 500 singletons),
