@@ -25,7 +25,9 @@ object Plans {
       "llm_bloom_decontaminate", "llm_chunk_dedup", "llm_pii_redact",
       "join_priority_topk", "generate_resample", "llm_tfidf_vectors",
       "agg_histogram", "llm_embedding_quantize", "llm_dedup_incremental",
-      "agg_median", "llm_corpus_shuffle", "llm_source_mix", "llm_split_assign")
+      "agg_median", "llm_corpus_shuffle", "llm_source_mix", "llm_split_assign",
+      "join_bucketed_colocated", "layout_zorder", "llm_line_dedup",
+      "graph_pagerank", "merge_upsert", "ts_interpolate")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)
