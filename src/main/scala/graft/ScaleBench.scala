@@ -37,7 +37,14 @@ object ScaleBench {
     "llm_jaccard_near_dup" -> ((s, d) =>
       graft.ops.Llm.jaccardPairs(Tables.documents(s, d))),
     "llm_simhash_dedup" -> ((s, d) =>
-      graft.ops.DedupOps.simhashAllPairs(Tables.documents(s, d))))
+      graft.ops.DedupOps.simhashAllPairs(Tables.documents(s, d))),
+    // the r8 rewrite op's engine (the registered row's +1e6 twin slice
+    // would collide with the replica offsets, so the curve runs the
+    // twin-free core): one hash-keyed corpus shuffle + one doc_id
+    // re-group — near-LINEAR is the claim
+    "llm_line_dedup" -> ((s, d) =>
+      graft.ops.Rewrite.lineDedup(
+        Tables.documents(s, d).select("doc_id", "text"))))
 
   /** The REGISTERED (fixed-count-bounded) baseline forms, measured on
     * the same growing corpora (r7 verdict item 1's done-condition): the
@@ -49,7 +56,10 @@ object ScaleBench {
   private val registeredForms: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_jaccard_near_dup@bound" -> SparkEntry.queries("llm_jaccard_near_dup"),
     "llm_simhash_dedup@bound" -> SparkEntry.queries("llm_simhash_dedup"),
-    "llm_cosine_near_dup@bound" -> SparkEntry.queries("llm_cosine_near_dup"))
+    "llm_cosine_near_dup@bound" -> SparkEntry.queries("llm_cosine_near_dup"),
+    // r8: the bounded-prefix PageRank — edge build + 3 iterations all
+    // confined to doc_id < SampleBound, so FLAT as the corpus grows
+    "graph_pagerank@bound" -> SparkEntry.queries("graph_pagerank"))
 
   private val queryKeys = Seq(
     "llm_jaccard_near_dup", // all-pairs baseline (quadratic by design)
@@ -57,6 +67,8 @@ object ScaleBench {
     "llm_jaccard_near_dup@bound", // registered fixed-count forms (r8):
     "llm_simhash_dedup@bound",    //   must be FLAT as the corpus grows
     "llm_cosine_near_dup@bound",  //   (pushed-down prefix bound)
+    "graph_pagerank@bound", // bounded-prefix PageRank (r8) — flat
+    "llm_line_dedup",       // line dedup+reconstruct engine (r8) — ~linear
     "llm_minhash_lsh",      // banded scale path
     "llm_simhash_banded",   // banded scale path
     "llm_dedup_clusters",   // contraction + confined CC loop

@@ -27,10 +27,15 @@ object Graph {
   /** Damping in micro-units: pr' = 0.15 + 0.85 * Σ pr(u)/deg(u). */
   private val BaseMicro = 150000L
 
-  /** Three PageRank iterations over a directed edge list
-    * (`src`, `dst`), ranks in micro-units, isolated vertices held at
-    * the dangling base rank. `edges` must already contain both
-    * directions for an undirected graph. */
+  /** PageRank over a directed edge list (`src`, `dst`), ranks in
+    * micro-units, isolated vertices held at the dangling base rank.
+    * `edges` must already contain both directions for an undirected
+    * graph. Cache lifecycle: the vertex/edge/degree frames are
+    * `Q.cached` (each of the `iters` rounds re-reads all three) under
+    * the standard caller-owned contract — run inside `Q.withCached`
+    * for one-shot use (every registered query does), or manage the
+    * persists yourself in a long-lived session (the NearDupIndex
+    * rule; see Q.scala). */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val v = Q.cached(vertices.select(col("id")))
     val deg = Q.cached(edges.groupBy("src").agg(count(lit(1)).as("deg")))

@@ -77,12 +77,18 @@ object Rewrite {
       .select((col("doc_id") + lit(1000000L)).as("doc_id"),
         concat(expr(s"concat_ws(' ', slice(split(text, ' '), 1, $L))"),
           lit(" xdup"), col("doc_id").cast("string")).as("text")))
-    // survivor election: first (doc_id, line_id) per 60-bit sha256 line
-    // hash — a window over the hash partition, one corpus-wide shuffle
-    // that carries (doc_id, line_id, line_text); at 100 TB this is the
-    // same traffic as any corpus repartition, and the hash (not the
-    // text) is the key, so no oversized-key skew
-    val lines = aug
+    lineDedup(aug)
+  }
+
+  /** The dedup-and-reconstruct engine over any (doc_id, text) frame —
+    * the twin-slice-free core the registered row and ScaleBench share.
+    * Survivor election: first (doc_id, line_id) per 60-bit sha256 line
+    * hash — a window over the hash partition, one corpus-wide shuffle
+    * that carries (doc_id, line_id, line_text); at 100 TB this is the
+    * same traffic as any corpus repartition, and the hash (not the
+    * text) is the key, so no oversized-key skew. */
+  def lineDedup(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lines = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, (size(toks)-1) div $L),
