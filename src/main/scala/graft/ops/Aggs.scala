@@ -437,9 +437,91 @@ object Aggs {
       .orderBy("term")
   }
 
+  /** D-ext (r8) — per-group MODE (most frequent value, deterministic
+    * alphabetical tie-break): the categorical summary statistic the
+    * numeric family (median/quantiles) doesn't cover. Same shape as
+    * agg_median: one (group, value) count aggregate + one row_number
+    * window over the group — the window partition is the group's
+    * DISTINCT value count, never its row count, so a 100 TB group with
+    * five categories windows five rows. */
+  val aggMode: Q = Q(
+    "agg_mode",
+    """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT user_id, event_type, cnt,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY cnt DESC, event_type ASC) AS rn FROM c)
+      |SELECT user_id, event_type AS mode_event_type, cnt AS mode_count
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("cnt").desc, col("event_type").asc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event_type"),
+        col("cnt").as("mode_count"))
+      .orderBy("user_id")
+  }
+
+  /** D-ext (r8) — winsorized aggregation: per-group exact rank-based
+    * p05/p95 thresholds, values clipped into [p05, p95] before the sum
+    * — the standard outlier-robust pre-aggregation for feature
+    * engineering (a fat-finger 1e9 reading moves a plain sum by 1e9
+    * and a winsorized sum by p95). Exact, not sketched: threshold =
+    * the value at rank ceil(q·n) of the group's sorted micro values
+    * (engine-identical integer rank arithmetic; the GK-sketch swap-in
+    * for trillion-row groups is agg_quantiles_approx's machinery).
+    * Shape: one rank window over the group + a broadcast-size
+    * threshold frame joined back — two passes over the group's rows,
+    * both group-partitioned. */
+  val aggWinsorize: Q = Q(
+    "agg_winsorize",
+    """WITH v AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro
+      |  FROM events),
+      |r AS (SELECT event_type, v_micro,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v_micro) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM v),
+      |t AS (SELECT event_type,
+      |    min(CASE WHEN rk = (n * 5 + 99) // 100 THEN v_micro END) AS p05,
+      |    min(CASE WHEN rk = (n * 95 + 99) // 100 THEN v_micro END) AS p95,
+      |    CAST(max(n) AS BIGINT) AS n
+      |  FROM r GROUP BY 1)
+      |SELECT v.event_type, t.n, t.p05 AS p05_micro, t.p95 AS p95_micro,
+      |  CAST(SUM(least(greatest(v.v_micro, t.p05), t.p95)) AS BIGINT)
+      |    AS sum_winsorized_micro,
+      |  CAST(SUM(CASE WHEN v.v_micro < t.p05 OR v.v_micro > t.p95
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      |FROM v JOIN t USING (event_type)
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Q.cached(events(s, dir)
+      .select(col("event_type"), micro(col("value")).as("v_micro")))
+    val w = Window.partitionBy("event_type")
+    val r = v
+      .withColumn("rk", row_number().over(w.orderBy("v_micro")))
+      .withColumn("n", count(lit(1)).over(w).cast("bigint"))
+    val t = r.groupBy("event_type")
+      .agg(min(when(col("rk") === expr("(n * 5 + 99) div 100"), col("v_micro"))).as("p05"),
+        min(when(col("rk") === expr("(n * 95 + 99) div 100"), col("v_micro"))).as("p95"),
+        max("n").as("n"))
+    v.join(broadcast(t), "event_type")
+      .groupBy("event_type", "n", "p05", "p95")
+      .agg(sum(least(greatest(col("v_micro"), col("p05")), col("p95")))
+          .as("sum_winsorized_micro"),
+        sum(when(col("v_micro") < col("p05") || col("v_micro") > col("p95"), 1L)
+          .otherwise(0L)).as("n_clipped"))
+      .select(col("event_type"), col("n"), col("p05").as("p05_micro"),
+        col("p95").as("p95_micro"), col("sum_winsorized_micro"), col("n_clipped"))
+      .orderBy("event_type")
+  }
+
   def all: Seq[Q] = Seq(aggPricingSummary, aggDistinctExact, aggDistinctApprox,
     aggRollup, aggCube, aggGroupingSets, aggHaving, aggCollectSorted,
     udafWeightedAvg, aggMedian, aggQuantilesApprox, aggDistinctKmv,
     aggSaltedHotkey, aggPivot, aggUnpivot, aggHeavyHitters, aggHistogram,
-    aggCountMin)
+    aggCountMin, aggMode, aggWinsorize)
 }

@@ -29,7 +29,7 @@ class CacheLifecycleSpec extends SparkSpec {
     // scaled-embedding frames, the composed pipeline
     for (name <- Seq("llm_minhash_lsh", "llm_dedup_clusters",
         "llm_corpus_clean", "llm_ann_ivf", "llm_bloom_decontaminate",
-        "generate_resample")) {
+        "generate_resample", "graph_pagerank", "ts_interpolate")) {
       val n = graft.ops.Q.withCached(
         SparkEntry.queries(name)(spark, dir))(_.count())
       assert(n > 0, s"$name returned no rows")

@@ -121,6 +121,27 @@ object ExpressionProps extends Properties("graft.expressions") {
         }
     }
 
+  property("interleave16 == per-bit reference interleave; fold is & 0xFFFF") =
+    Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (x: Long, y: Long) =>
+      def ref(v: Long, off: Int): Long =
+        (0 until 16).map(b => (((v >> b) & 1L) << (2 * b + off))).sum
+      val got = graft.functions.Interleave16(
+        Literal.create(x, LongType), Literal.create(y, LongType))
+        .eval(null).asInstanceOf[Long]
+      got == (ref(x & 0xFFFFL, 0) | ref(y & 0xFFFFL, 1))
+    }
+
+  property("interleave16 orders like the z-curve: equal high dims, higher y wins") =
+    Prop.forAll(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65534L)) {
+      (x: Long, y: Long) =>
+        // monotone in each dimension with the other fixed
+        def z(a: Long, b: Long): Long = graft.functions.Interleave16(
+          Literal.create(a, LongType), Literal.create(b, LongType))
+          .eval(null).asInstanceOf[Long]
+        z(x, y) < z(x, y + 1) && (x >= 65535L || z(x, y) < z(x + 1, y))
+    }
+
   property("tokenize_pos keeps trailing empty tokens (split limit -1)") =
     Prop.forAll(Gen.listOf(Gen.identifier.map(_.take(6)))) { (toks: List[String]) =>
       val text = toks.mkString(" ") + " " // trailing space → trailing empty token
