@@ -157,6 +157,45 @@ object Scans {
       .orderBy("lang")
   }
 
+  /** A9 (r8) — schema-evolution read: a real ingest accretes batches
+    * whose schemas DRIFT (a new column appears mid-stream); the scan
+    * must union them without rewriting history. Batch 1 = even
+    * event_ids WITHOUT event_type, batch 2 = odd event_ids WITH it;
+    * `mergeSchema` unions the footers and back-fills the missing
+    * column with NULL. The digest groups by column-presence, so the
+    * oracle can reproduce it from the ORIGINAL table by parity — any
+    * mis-merge (dropped column, wrong null-fill, type clash) breaks
+    * the hash. Scale note: mergeSchema pays one footer read per file
+    * at planning; production pins the merged schema in a catalog and
+    * passes it explicitly — the read path is identical. */
+  val scanSchemaEvolution: Q = Q(
+    "scan_schema_evolution",
+    """SELECT (event_id % 2 = 1) AS has_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CASE WHEN event_id % 2 = 1 THEN event_type END) AS BIGINT)
+      |    AS n_typed,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+      |    AS sum_value_micro
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_fmt",
+      s"evolve_${Integer.toHexString(dir.hashCode)}").toString
+    val ev = events(s, dir)
+    ev.where(col("event_id") % 2 === 0)
+      .select("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$out/b=1")
+    ev.where(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$out/b=2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/b=1", s"$out/b=2")
+      .groupBy((col("event_id") % 2 === 1).as("has_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("event_type")).as("n_typed"),
+        sum(micro(col("value"))).as("sum_value_micro"))
+      .orderBy("has_type")
+  }
+
   def all: Seq[Q] = Seq(scanParquetProject, scanFilterPushdown,
-    scanCsvRoundtrip, scanJsonlRoundtrip, scanOrcRoundtrip)
+    scanCsvRoundtrip, scanJsonlRoundtrip, scanOrcRoundtrip,
+    scanSchemaEvolution)
 }

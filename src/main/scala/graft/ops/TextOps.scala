@@ -804,9 +804,47 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Weighted (per-source) Bernoulli sampling (r8) — the APPLY step of
+    * the data-mixing story: llm_source_mix computes what fraction each
+    * source should contribute; this op materializes a sample at
+    * per-source RATES, deterministically (squared-LCG bucket in micro
+    * units — llm_split_assign's scramble — so a re-run keeps the exact
+    * same docs, and adding documents never flips earlier decisions).
+    * Rates here are the deterministic 25/50/75% ladder by source index
+    * (the fixture's sources are uniform, so uniform-target weights
+    * would all collapse to one rate and the row would prove nothing);
+    * a production pipeline feeds llm_source_mix's weight_micro in as
+    * the rate column the same way. Map-only: a scan-stage projection +
+    * filter, no shuffle but the presentation sort. */
+  val llmWeightedSample: Q = Q(
+    "llm_weighted_sample",
+    """WITH h0 AS (SELECT doc_id, source,
+      |    (doc_id % 1000000007 * 1103515245 + 12345) % 1000000007 AS h
+      |  FROM documents),
+      |b AS (SELECT doc_id, source,
+      |    (h * h + doc_id % 1000000007) % 1000000007 % 1000000 AS bucket,
+      |    (1 + CAST(substr(source, 4) AS BIGINT) % 3) * 250000 AS rate_micro
+      |  FROM h0)
+      |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(rate_micro AS BIGINT) AS rate_micro
+      |FROM b WHERE bucket < rate_micro ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr("(doc_id % 1000000007 * 1103515245 + 12345) % 1000000007").as("h"))
+      .select(col("doc_id"), col("source"),
+        expr("(h * h + doc_id % 1000000007) % 1000000007 % 1000000").as("bucket"),
+        expr("(1 + cast(substring(source, 4) as bigint) % 3) * 250000")
+          .as("rate_micro"))
+      .where(col("bucket") < col("rate_micro"))
+      .select(col("doc_id"), col("source"), col("bucket").cast("bigint").as("bucket"),
+        col("rate_micro").cast("bigint").as("rate_micro"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
     llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup,
     llmBloomDecontaminate, llmTfidfVectors, llmCorpusShuffle, llmSourceMix,
-    llmSplitAssign, llmLexicalDiversity, llmFuzzyMatch)
+    llmSplitAssign, llmLexicalDiversity, llmFuzzyMatch, llmWeightedSample)
 }
