@@ -210,6 +210,44 @@ object Funcs {
       .orderBy("event_id")
   }
 
+  /** B10 (r8) — the SQL surface end-to-end: a migrating user's query
+    * arrives as TEXT, not as DataFrame calls — register the fixture as
+    * a temp view and run one ANSI SQL string through `spark.sql`,
+    * exercising the parser → analyzer → same Catalyst pipeline every
+    * DataFrame query uses (plus a native graft function in SQL form,
+    * proving the registered-function path works from pasted SQL). The
+    * oracle is NEARLY the same text — the engines' sole divergence
+    * here is integer division spelling (`div` vs `//`), which is the
+    * migration-note this row documents. */
+  val sqlSurface: Q = Q(
+    "sql_surface",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_micro,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+      |    // count(*) AS BIGINT) AS avg_qty_micro
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    lineitem(s, dir).createOrReplaceTempView("graft_lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_micro,
+        |  SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+        |    div count(*) AS avg_qty_micro
+        |FROM graft_lineitem_v
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(projectCompute, filterCompound, funcCaseCoalesce,
-    funcString, funcDate, funcMath, funcArray, funcJsonMap, funcVariant)
+    funcString, funcDate, funcMath, funcArray, funcJsonMap, funcVariant,
+    sqlSurface)
 }

@@ -798,8 +798,13 @@ object TextOps {
     val a = d.select(col("doc_id").as("doc_a"), col("p").as("pa"))
     val b = d.select(col("doc_id").as("doc_b"), col("p").as("pb"))
     a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("bigint"))
-      .where(col("dist") <= 24)
+      // the THRESHOLD form: the DP abandons a pair once its running
+      // minimum exceeds 24 and returns -1 — O(threshold·len) per pair
+      // instead of O(len²), the variant a blocked 100 TB linkage pass
+      // actually runs; surviving pairs carry the exact distance, so the
+      // unthresholded oracle is unchanged
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), 24).cast("bigint"))
+      .where(col("dist") =!= -1L)
       .select("doc_a", "doc_b", "dist")
       .orderBy("doc_a", "doc_b")
   }
