@@ -247,5 +247,94 @@ object Rewrite {
       .orderBy("custkey", "version_n")
   }
 
-  def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeScd2)
+  /** The end-to-end curation pipeline as ONE query — the "switch your
+    * pipeline to this library" statement, composed from stages each
+    * proven individually: token-count quality gate → line-level dedup
+    * WITH reconstruction (the rewrite actually changes the text the
+    * later stages see) → exact dedup on the REWRITTEN text → split
+    * assignment (squared-LCG) → weighted sampling of the train split
+    * (per-source rate ladder) → per-(source, split) accounting over
+    * the final corpus. The oracle chains the same six stages as CTEs,
+    * so one hash covers every stage boundary — a regression anywhere
+    * in the composition (e.g. dedup running on pre-rewrite text)
+    * flips the row. Scale shape: the union of the stages' own shapes;
+    * nothing new joins beyond them, and the final accounting is a tiny
+    * two-key aggregate. */
+  val llmPipelineEnd2end: Q = Q(
+    "llm_pipeline_end2end",
+    s"""WITH gate AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 20),
+      |t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM gate),
+      |c AS (SELECT doc_id, source, ws,
+      |    unnest(generate_series(0, (len(ws)-1) // $L)) AS line_id FROM t),
+      |l AS (SELECT doc_id, source, line_id,
+      |    array_to_string(ws[line_id*$L+1:line_id*$L+$L], ' ') AS line_text FROM c),
+      |h AS (SELECT doc_id, source, line_id, line_text,
+      |    ('0x' || substr(sha256(line_text), 1, 15))::BIGINT AS line_hash FROM l),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY line_hash
+      |                                   ORDER BY doc_id, line_id) AS rn FROM h),
+      |rebuilt AS (
+      |  SELECT doc_id, source,
+      |    coalesce(string_agg(CASE WHEN rn = 1 THEN line_text END, ' '
+      |                        ORDER BY line_id), '') AS clean_text
+      |  FROM r GROUP BY doc_id, source),
+      |exact AS (
+      |  SELECT doc_id, source, clean_text,
+      |    row_number() OVER (PARTITION BY sha256(clean_text)
+      |                       ORDER BY doc_id) AS dup_rn
+      |  FROM rebuilt),
+      |survivors AS (SELECT doc_id, source, clean_text FROM exact WHERE dup_rn = 1),
+      |assigned AS (
+      |  SELECT doc_id, source, clean_text,
+      |    ((doc_id % 1000000007 * 1103515245 + 12345) % 1000000007) AS h0
+      |  FROM survivors),
+      |split AS (
+      |  SELECT doc_id, source, clean_text,
+      |    (h0 * h0 + doc_id % 1000000007) % 1000000007 % 1000 AS bucket,
+      |    (h0 * h0 + doc_id % 1000000007) % 1000000007 % 1000000 AS sbucket
+      |  FROM assigned),
+      |labeled AS (
+      |  SELECT doc_id, source, clean_text, sbucket,
+      |    CASE WHEN bucket < 980 THEN 'train'
+      |         WHEN bucket < 990 THEN 'valid' ELSE 'test' END AS split
+      |  FROM split),
+      |sampled AS (
+      |  SELECT * FROM labeled
+      |  WHERE split <> 'train'
+      |     OR sbucket < (1 + CAST(substr(source, 4) AS BIGINT) % 3) * 250000)
+      |SELECT source, split,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(clean_text)) AS BIGINT) AS sum_chars
+      |FROM sampled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val gate = documents(s, dir)
+      .where(size(split(col("text"), " ")) >= 20)
+      .select(col("doc_id"), col("source"), col("text"))
+    // line-dedup rewrite, carrying source through by re-joining (the
+    // engine keys by doc_id, which the gate preserved)
+    val rebuilt = lineDedup(gate.select("doc_id", "text"))
+      .join(gate.select("doc_id", "source"), "doc_id")
+    val survivors = rebuilt
+      .withColumn("dup_rn", row_number().over(
+        Window.partitionBy(sha2(col("clean_text"), 256)).orderBy("doc_id")))
+      .where(col("dup_rn") === 1)
+    survivors
+      .withColumn("h0",
+        expr("(doc_id % 1000000007 * 1103515245 + 12345) % 1000000007"))
+      .withColumn("bucket", expr("(h0 * h0 + doc_id % 1000000007) % 1000000007 % 1000"))
+      .withColumn("sbucket",
+        expr("(h0 * h0 + doc_id % 1000000007) % 1000000007 % 1000000"))
+      .withColumn("split",
+        when(col("bucket") < 980, "train")
+          .when(col("bucket") < 990, "valid").otherwise("test"))
+      .where(col("split") =!= "train"
+        || col("sbucket") < expr("(1 + cast(substring(source, 4) as bigint) % 3) * 250000"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("clean_text")).cast("bigint")).as("sum_chars"))
+      .orderBy("source", "split")
+  }
+
+  def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeScd2, llmPipelineEnd2end)
 }
