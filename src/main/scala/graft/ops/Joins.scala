@@ -330,8 +330,55 @@ object Joins {
       .limit(10)
   }
 
+  /** C13 (r8) — INTERVAL-OVERLAP join (ranges × ranges; C7 is
+    * point-in-range): click windows vs purchase windows of the same
+    * user that overlap in time, strict half-open semantics
+    * (a.s < b.e ∧ b.s < a.e). The REGISTERED plan is the scale
+    * strategy itself, not a theta join: each 2-hour interval explodes
+    * to the ≤3 hour buckets it touches, candidates come from an
+    * EQUI-join on (user, hour_bucket) — partitionable, no BNLJ —
+    * deduped (an overlapping pair can co-occupy up to 3 buckets) and
+    * exact-verified. Candidates are bounded by true temporal
+    * co-locality (pairs in the same hour), never |A|×|B|; bucket width
+    * tunes the candidate/duplication trade exactly like LSH band
+    * width. The oracle is the naive theta join — output equality IS
+    * the proof the bucketed rewrite loses nothing. */
+  val joinIntervalOverlap: Q = Q(
+    "join_interval_overlap",
+    """WITH a AS (SELECT event_id AS a_id, user_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 7200000000 AS e
+      |  FROM events WHERE event_type = 'click'),
+      |b AS (SELECT event_id AS b_id, user_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 7200000000 AS e
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT a.a_id, b.b_id,
+      |  CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+      |FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+      |ORDER BY a_id, b_id""".stripMargin
+  ) { (s, dir) =>
+    val us = 3600L * 1000000L // one bucket = one hour of microseconds
+    def side(tpe: String, idAs: String) = events(s, dir)
+      .where(col("event_type") === tpe)
+      .select(col("event_id").as(idAs), col("user_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + lit(7200000000L)).as("e"))
+    val a = side("click", "a_id")
+      .select(col("a_id"), col("user_id"), col("s").as("a_s"), col("e").as("a_e"),
+        explode(expr(s"sequence(s div $us, (e - 1) div $us)")).as("hb"))
+    val b = side("purchase", "b_id")
+      .select(col("b_id"), col("user_id"), col("s").as("b_s"), col("e").as("b_e"),
+        explode(expr(s"sequence(s div $us, (e - 1) div $us)")).as("hb"))
+    a.join(b, Seq("user_id", "hb"))
+      .where(col("a_s") < col("b_e") && col("b_s") < col("a_e")) // exact verify
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_us"))
+      .distinct() // a pair can co-occupy up to 3 hour buckets
+      .orderBy("a_id", "b_id")
+  }
+
   def all: Seq[Q] = Seq(joinBroadcastDims, joinShuffleFact, joinLeftOuter,
     joinSemi, joinAnti, joinCrossTheta, joinRangeInterval, joinAsof,
     joinAsofNative, joinFullOuter, joinStarSchema, joinSaltedSkew,
-    joinPriorityTopk)
+    joinPriorityTopk, joinIntervalOverlap)
 }
