@@ -86,5 +86,53 @@ object Behavior {
       .orderBy("cohort_day", "day_offset")
   }
 
-  def all: Seq[Q] = Seq(funnelStages, cohortRetention)
+  /** Gap-based sessionization in BATCH form (H3's session_window is the
+    * streaming/state form; this is the lag-flag formulation every
+    * warehouse runs): a new session starts when the gap to the user's
+    * previous event exceeds 30 minutes; session id = running sum of
+    * start flags per user. Output: per-user session count, longest
+    * session (events), mean session span in seconds (micro-unit exact).
+    * Two windows over the user partition + one aggregate — events
+    * reduce to (user, session) rows at the first aggregate. */
+  val sessionStats: Q = Q(
+    "session_stats",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |f AS (SELECT user_id, t,
+      |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      |              > 1800000000 OR
+      |              lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM e),
+      |s AS (SELECT user_id, t,
+      |    sum(is_start) OVER (PARTITION BY user_id ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM f),
+      |g AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
+      |    max(t) - min(t) AS span_us
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(max(n_events) AS BIGINT) AS max_session_events,
+      |  CAST(sum(span_us) // count(*) AS BIGINT) AS mean_span_us
+      |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("t")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("prev", lag("t", 1).over(byUser))
+      .withColumn("is_start",
+        when(col("prev").isNull || col("t") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum("is_start").over(run))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"), (max("t") - min("t")).as("span_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        expr("sum(span_us) div count(1)").as("mean_span_us"))
+      .orderBy("user_id")
+  }
+
+  def all: Seq[Q] = Seq(funnelStages, cohortRetention, sessionStats)
 }

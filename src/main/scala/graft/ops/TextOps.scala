@@ -847,9 +847,79 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer vocabulary building (r8) — the id-assignment step before
+    * any token-count/packing stage can feed a trainer: terms ranked by
+    * document frequency (df desc, term asc tie-break), dense ids from
+    * 0, terms below the df floor fall to the OOV bucket (id -1). The
+    * corpus side is the usual (term, df) aggregate; the RANKING window
+    * is global but runs over the VOCABULARY (≤ distinct-term count,
+    * millions at 100 TB — window input is vocab-sized, never
+    * corpus-sized; a sharded rank via range-partition + offset is the
+    * documented swap-in if the vocab itself outgrows one partition). */
+  val llmBuildVocab: Q = Q(
+    "llm_build_vocab",
+    """WITH u AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM u GROUP BY 1)
+      |SELECT term, df,
+      |  CASE WHEN df >= 3
+      |       THEN row_number() OVER (ORDER BY
+      |              CASE WHEN df >= 3 THEN 0 ELSE 1 END, df DESC, term ASC) - 1
+      |       ELSE -1 END AS vocab_id
+      |FROM df ORDER BY term""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("vocab_id",
+        when(col("df") >= 3,
+          row_number().over(Window.orderBy(
+            when(col("df") >= 3, 0).otherwise(1), col("df").desc, col("term").asc))
+            .cast("bigint") - 1)
+          .otherwise(-1L))
+      .select(col("term"), col("df"), col("vocab_id"))
+      .orderBy("term")
+  }
+
+  /** Time-horizon dedup (r8) — exact dedup with a RECENCY WINDOW: a
+    * repeat of a document only counts as a duplicate inside the same
+    * 7-day horizon; content re-appearing in a later window survives as
+    * that window's canonical copy (news re-publication, periodic
+    * crawls — the policy real crawl pipelines run, vs llm_exact_dedup's
+    * forever-horizon). Keys by (digest, epoch-week of the attached
+    * event time): one shuffle of 16-byte pairs, text never moves.
+    * Fixture docs carry no timestamp, so each doc borrows the event
+    * with event_id = doc_id's time (deterministic on both surfaces) —
+    * the join shape a real (doc, crawl_ts) table gives directly. */
+  val llmDedupWindowed: Q = Q(
+    "llm_dedup_windowed",
+    """WITH d AS (SELECT doc_id, sha256(text) AS digest FROM documents),
+      |t AS (SELECT d.doc_id, d.digest,
+      |    epoch_us(e.ts) // 604800000000 AS win
+      |  FROM d JOIN events e ON e.event_id = d.doc_id),
+      |r AS (SELECT doc_id, digest, win,
+      |    row_number() OVER (PARTITION BY digest, win ORDER BY doc_id) AS rn
+      |  FROM t)
+      |SELECT doc_id, win, (rn = 1) AS is_canonical
+      |FROM r ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(s, dir).select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    val e = events(s, dir)
+      .select(col("event_id"), expr("unix_micros(ts) div 604800000000").as("win"))
+    d.join(e, col("event_id") === col("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("digest", "win").orderBy("doc_id")))
+      .select(col("doc_id"), col("win"), (col("rn") === 1).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
     llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup,
     llmBloomDecontaminate, llmTfidfVectors, llmCorpusShuffle, llmSourceMix,
-    llmSplitAssign, llmLexicalDiversity, llmFuzzyMatch, llmWeightedSample)
+    llmSplitAssign, llmLexicalDiversity, llmFuzzyMatch, llmWeightedSample,
+    llmBuildVocab, llmDedupWindowed)
 }
