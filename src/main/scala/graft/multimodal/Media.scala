@@ -175,9 +175,11 @@ object RealAudioDecoder extends Serializable {
               var sum = 0.0
               var i = 0
               while (i < n) {
-                val lo = pcm(2 * i) & 0xff; val hi = pcm(2 * i + 1) & 0xff
-                val s = (if (fmt.isBigEndian) (pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)
-                         else (pcm(2 * i + 1) << 8) | lo).toShort.toDouble
+                // byte 2i is low in LE / high in BE; the other byte
+                // carries the sign via the final toShort
+                val b0 = pcm(2 * i); val b1 = pcm(2 * i + 1)
+                val s = (if (fmt.isBigEndian) (b0 << 8) | (b1 & 0xff)
+                         else (b1 << 8) | (b0 & 0xff)).toShort.toDouble
                 sum += s * s
                 i += 1
               }

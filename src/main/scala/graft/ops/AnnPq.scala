@@ -34,13 +34,19 @@ import org.apache.spark.sql.functions._
   * dot_long — no overflow beyond what I3 already bounds. */
 object AnnPq {
 
-  /** (vec_id, sub_id, sv) sub-vector view: `m` slices per vector,
-    * dsub = d/m derived per-row (fails loud on a non-divisible dim
-    * via the slice length check below). */
+  /** (vec_id, sub_id, sv) sub-vector view: `m` slices per vector.
+    * Fails LOUD on a non-divisible dim (r8 review: the old truncating
+    * `size(e) div m` silently dropped the trailing dims — m=7 on a
+    * 64-dim corpus encoded only dims 1..63 and ADC quietly ignored
+    * the tail). */
   private def subVectors(vecs: DataFrame, m: Int): DataFrame =
     vecs.select(col("vec_id"), col("e"),
         explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
-      .withColumn("dsub", expr(s"size(e) div $m"))
+      .withColumn("dsub",
+        when(expr(s"size(e) % $m = 0"), expr(s"size(e) div $m"))
+          .otherwise(raise_error(concat(lit("subVectors: dim "),
+            size(col("e")).cast("string"),
+            lit(s" is not divisible by m=$m — the tail would be silently dropped")))))
       .withColumn("sv", expr(s"slice(e, sub_id * dsub + 1, dsub)"))
       .select("vec_id", "sub_id", "sv")
 
@@ -136,7 +142,14 @@ object AnnPq {
     val cbC = Q.cached(cb)
     val codes = Q.cached(encode(subs, cbC)
       .join(embC.select("vec_id", "n2"), "vec_id"))
-    AnnPqIndex(cbC, codes, embC, codes.count())
+    val n = codes.count()
+    // subs is a build-time-only intermediate: once `codes` has
+    // materialized it is dead weight the returned index could never
+    // release (r8 review — the long-lived-session leak the LSH family
+    // was already fixed for). Under withCached the scope's own release
+    // makes this a harmless no-op.
+    subs.unpersist()
+    AnnPqIndex(cbC, codes, embC, n)
   }
 
   /** (vec_id, codes) — final per-vector code arrays, sub_id-ordered. */
@@ -335,7 +348,9 @@ object AnnPq {
     val codes = Q.cached(encode(subs, cbC)
       .join(assigned, "vec_id")
       .join(embC.select("vec_id", "n2"), "vec_id"))
-    AnnIvfPqIndex(centsC, cbC, codes, embC, codes.count())
+    val n = codes.count()
+    subs.unpersist() // build-time-only (see buildAnnPqIndex)
+    AnnIvfPqIndex(centsC, cbC, codes, embC, n)
   }
 
   /** Encode-only ingest: assign new vectors to the frozen coarse lists

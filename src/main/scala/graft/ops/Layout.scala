@@ -122,7 +122,11 @@ object Layout {
   /** Columns profiled by `profile_table`, with a per-type string
     * canonicalization both engines print identically: numerics via
     * DECIMAL(18,6) (fixed 6-digit rendering), timestamps via the
-    * session-UTC cast, strings as-is. */
+    * session-UTC cast, strings as-is. The format is applied to the
+    * AGGREGATE (min(col)/max(col)), never to the column before
+    * aggregation — min/max must compare native values; comparing the
+    * canonicalized strings would be lexicographic ("9.0" > "14999.0",
+    * the r8 review catch). */
   private val ProfiledCols: Seq[(String, String)] = Seq(
     ("l_orderkey", "CAST(CAST(%s AS DECIMAL(18,6)) AS STRING)"),
     ("l_quantity", "CAST(CAST(%s AS DECIMAL(18,6)) AS STRING)"),
@@ -140,23 +144,23 @@ object Layout {
   val profileTable: Q = Q(
     "profile_table",
     ProfiledCols.map { case (c, fmt) =>
-      val canon = fmt.replace("AS STRING", "AS VARCHAR").format(c)
+      val lo = fmt.replace("AS STRING", "AS VARCHAR").format(s"min($c)")
+      val hi = fmt.replace("AS STRING", "AS VARCHAR").format(s"max($c)")
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-         |  min($canon) AS min_s, max($canon) AS max_s
+         |  $lo AS min_s, $hi AS max_s
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   ) { (s, dir) =>
     val li = lineitem(s, dir)
     ProfiledCols.map { case (c, fmt) =>
-      val canon = fmt.format(c)
       li.agg(
         count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col(c))).as("n_nulls"),
         countDistinct(col(c)).as("n_distinct"),
-        min(expr(canon)).as("min_s"),
-        max(expr(canon)).as("max_s"))
+        expr(fmt.format(s"min($c)")).as("min_s"),
+        expr(fmt.format(s"max($c)")).as("max_s"))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_s"), col("max_s"))
     }.reduce(_ unionByName _)

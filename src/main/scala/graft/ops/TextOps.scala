@@ -773,11 +773,15 @@ object TextOps {
     * primitive (title/record linkage) the token-set ops can't express:
     * token Jaccard is order- and segmentation-blind, Levenshtein
     * catches single-character drift (typos, OCR noise, template
-    * fill-ins). Exact dynamic-programming distance on both engines
-    * (Spark `levenshtein` ≡ DuckDB `levenshtein` — classic
-    * insert/delete/substitute, no transpositions), over 40-char
-    * prefixes (the match KEY — linkage on a bounded prefix/field, not
-    * whole documents) on the fixed-count doc_id < 80 prefix: the
+    * fill-ins). Exact dynamic-programming distance (classic
+    * insert/delete/substitute, no transpositions) — with one honest
+    * caveat the match key handles explicitly: Spark's levenshtein
+    * counts CODE-POINT edits while DuckDB's counts BYTE edits (they
+    * diverge on any non-ASCII char — r8 review, verified live), so
+    * the key strips to printable ASCII first, the regime where the two
+    * definitions provably coincide. The key is a 40-char prefix
+    * (linkage on a bounded field, not whole documents) on the
+    * fixed-count doc_id < 80 prefix: the
     * registered all-pairs baseline is O(K²) at any corpus size (the r7
     * sampling rule). The 100 TB path is standard blocking — group by a
     * cheap key (first token, length band, or an LSH bucket) and run
@@ -785,7 +789,8 @@ object TextOps {
     * same codegen'd expression. */
   val llmFuzzyMatch: Q = Q(
     "llm_fuzzy_match",
-    """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS p
+    """WITH d AS (SELECT doc_id,
+      |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 40) AS p
       |           FROM documents WHERE doc_id < 80)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
@@ -794,7 +799,8 @@ object TextOps {
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
     val d = documents(s, dir).where(col("doc_id") < 80)
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      .select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 40).as("p"))
     val a = d.select(col("doc_id").as("doc_a"), col("p").as("pa"))
     val b = d.select(col("doc_id").as("doc_b"), col("p").as("pb"))
     a.join(b, col("doc_a") < col("doc_b"))

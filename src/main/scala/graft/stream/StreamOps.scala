@@ -37,6 +37,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Event-time in MICROseconds for state-op ordering: getTime
+    * truncates to ms, which diverged from the batch twins' unix_micros
+    * ordering for same-millisecond events (r4 review); hoisted to ONE
+    * definition (r8 review — three verbatim copies had accreted, and
+    * the r4 fix itself had already been applied twice). */
+  private[stream] def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+
   private def wm(events: DataFrame, watermark: Option[String]): DataFrame =
     watermark.fold(events)(w => events.withWatermark("ts", w))
 
@@ -165,8 +174,6 @@ object StreamOps {
       "dedupFirstExact is streaming-only (timeouts never fire in batch); " +
         "use dedupFirst on a batch frame")
     import events.sparkSession.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(e => (e.user_id, e.event_type))
@@ -216,11 +223,6 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
           var k = state.getOption.getOrElse(0L)
-          // order by MICROseconds: getTime truncates to ms, which
-          // diverged from the batch twin's unix_micros ordering for
-          // same-millisecond events (r4 review)
-          def micros(t: java.sql.Timestamp): Long =
-            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           val out = evs.toSeq
             .sortBy(e => (micros(e.ts), e.event_id))
             .map { e => k += 1; Counted(user, e.event_id, k) }
@@ -247,8 +249,6 @@ object StreamOps {
       count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(user: Long, evs: Iterator[Ev],
         timerValues: TimerValues): Iterator[Counted] = {
-      def micros(t: java.sql.Timestamp): Long =
-        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
       var k = if (count.exists()) count.get() else 0L
       val out = evs.toSeq
         .sortBy(e => (micros(e.ts), e.event_id))
