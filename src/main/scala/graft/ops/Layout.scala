@@ -208,18 +208,33 @@ object Layout {
     * per-task files): scans pay per-file open cost and footer reads,
     * so periodic compaction keeps scan parallelism matched to data,
     * not to ingest history. */
+  /** Recursive parquet-file byte count — `listFiles(_, true)` so a
+    * hive-partitioned layout (`k=v/` subdirs) totals correctly; a
+    * top-level listStatus would see zero files there, size the output
+    * as ONE file, and silently serialize the whole dataset (r8
+    * self-review). */
+  private def parquetBytes(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Long = {
+    var total = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) total += st.getLen
+    }
+    total
+  }
+
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
       inDir: String, outDir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(path)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val total = parquetBytes(fs, path)
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).repartition(n)
       .write.mode("overwrite").parquet(outDir)
-    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    fs.listStatus(out)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
   }
 
@@ -245,9 +260,7 @@ object Layout {
     events(s, dir).repartition(64).write.mode("overwrite").parquet(frag)
     val path = new org.apache.hadoop.fs.Path(frag)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(path)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val total = parquetBytes(fs, path)
     compactParquet(s, frag, comp, targetBytes = math.max(1L, total / 4))
     s.read.parquet(comp)
       .groupBy("event_type")

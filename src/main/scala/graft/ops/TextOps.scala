@@ -857,11 +857,12 @@ object TextOps {
     * any token-count/packing stage can feed a trainer: terms ranked by
     * document frequency (df desc, term asc tie-break), dense ids from
     * 0, terms below the df floor fall to the OOV bucket (id -1). The
-    * corpus side is the usual (term, df) aggregate; the RANKING window
-    * is global but runs over the VOCABULARY (≤ distinct-term count,
-    * millions at 100 TB — window input is vocab-sized, never
-    * corpus-sized; a sharded rank via range-partition + offset is the
-    * documented swap-in if the vocab itself outgrows one partition). */
+    * corpus side is the usual (term, df) aggregate; the RANKING runs
+    * over the VOCABULARY (≤ distinct-term count) via distributed
+    * range-partitioned sort + zipWithIndex (Spark's global-dense-id
+    * idiom: one pass over partition sizes, then a map — deterministic
+    * because the sort order is total), NOT a single-partition global
+    * window, so a billion-term vocab ranks across the cluster. */
   val llmBuildVocab: Q = Q(
     "llm_build_vocab",
     """WITH u AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
@@ -874,19 +875,22 @@ object TextOps {
       |       ELSE -1 END AS vocab_id
       |FROM df ORDER BY term""".stripMargin
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    documents(s, dir)
+    import s.implicits._
+    val dfFrame = Q.cached(documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("vocab_id",
-        when(col("df") >= 3,
-          row_number().over(Window.orderBy(
-            when(col("df") >= 3, 0).otherwise(1), col("df").desc, col("term").asc))
-            .cast("bigint") - 1)
-          .otherwise(-1L))
-      .select(col("term"), col("df"), col("vocab_id"))
-      .orderBy("term")
+      .groupBy("term").agg(count(lit(1)).as("df")))
+    // distributed dense rank: range-partitioned sort by (df desc, term)
+    // then zipWithIndex (per-partition offsets from one size pass) —
+    // deterministic because the sort order is total
+    val inVocab = dfFrame.where(col("df") >= 3)
+      .orderBy(col("df").desc, col("term").asc)
+      .as[(String, Long)].rdd.zipWithIndex()
+      .map { case ((term, df), id) => (term, df, id) }
+      .toDF("term", "df", "vocab_id")
+    val oov = dfFrame.where(col("df") < 3)
+      .select(col("term"), col("df"), lit(-1L).as("vocab_id"))
+    inVocab.unionByName(oov).orderBy("term")
   }
 
   /** Time-horizon dedup (r8) — exact dedup with a RECENCY WINDOW: a
