@@ -926,10 +926,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** N-gram language-model count statistics (r8) — the four integers a
+    * Kneser-Ney (or any interpolated) bigram LM needs per surviving
+    * bigram: the bigram count c(w1,w2), the left-context total c(w1·),
+    * the fan-out |{w : c(w1,w)>0}| (how many types follow w1 — the KN
+    * discount mass denominator), and the CONTINUATION count
+    * |{w : c(w,w2)>0}| (how many types precede w2 — the KN lower-order
+    * distribution). The smoothed probability is then pure driver-side
+    * arithmetic over these counts; computing THEM is the corpus-scale
+    * job. Shape: one bigram explode (adjacent-pair transform, same
+    * geometry as the decontaminate grams) → one (w1,w2) count
+    * aggregate → three small aggregates over the BIGRAM-TYPE table
+    * (vocab², not corpus-sized) joined back broadcast-eligibly. */
+  val llmNgramCounts: Q = Q(
+    "llm_ngram_counts",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p FROM t),
+      |pairs AS (SELECT p[1] AS w1, p[2] AS w2 FROM b),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      |  FROM pairs GROUP BY 1, 2),
+      |left_tot AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+      |    CAST(count(*) AS BIGINT) AS n_follow FROM c12 GROUP BY 1),
+      |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_precede
+      |  FROM c12 GROUP BY 1)
+      |SELECT c12.w1, c12.w2, c12.c, left_tot.c1, left_tot.n_follow,
+      |  cont.n_precede
+      |FROM c12 JOIN left_tot USING (w1) JOIN cont USING (w2)
+      |WHERE c12.c >= 5 ORDER BY w1, w2""".stripMargin
+  ) { (s, dir) =>
+    val b = documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(expr(
+        """transform(sequence(0, size(ws) - 2),
+          |  i -> struct(ws[i] as w1, ws[i+1] as w2))""".stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = Q.cached(b.groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+    val leftTot = c12.groupBy("w1")
+      .agg(sum("c").as("c1"), count(lit(1)).as("n_follow"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n_precede"))
+    c12.join(broadcast(leftTot), "w1").join(broadcast(cont), "w2")
+      .where(col("c") >= 5)
+      .select("w1", "w2", "c", "c1", "n_follow", "n_precede")
+      .orderBy("w1", "w2")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
     llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup,
     llmBloomDecontaminate, llmTfidfVectors, llmCorpusShuffle, llmSourceMix,
     llmSplitAssign, llmLexicalDiversity, llmFuzzyMatch, llmWeightedSample,
-    llmBuildVocab, llmDedupWindowed)
+    llmBuildVocab, llmDedupWindowed, llmNgramCounts)
 }
