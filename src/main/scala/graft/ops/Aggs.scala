@@ -519,9 +519,44 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** D-ext (r8) — correlation SUFFICIENT STATISTICS per group: n, Σx,
+    * Σy, Σxy, Σx², Σy² as exact integers — everything Pearson's r (or
+    * a least-squares slope) needs, with the one float division left to
+    * the caller (the same split as llm_ngram_counts: corr(x,y) itself
+    * is sqrt-divergent across engines, its moments are not). x = event
+    * value in MILLI-units, y = hour-of-day — bounds chosen so Σx²/Σxy
+    * stay under int64 at any corpus size a single group can hold
+    * (x ≤ 5·10⁵, x² ≤ 2.5·10¹¹ → 3.7·10⁷ rows per group headroom; at
+    * 100 TB the same statistics shard by group and merge, since every
+    * moment is a sum). One partial+final hash aggregate — the
+    * textbook mergeable-statistics shape. */
+  val aggCorrStats: Q = Q(
+    "agg_corr_stats",
+    """WITH v AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000 AS BIGINT) AS x,
+      |    epoch_us(ts) // 3600000000 % 24 AS y
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+      |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+      |  CAST(sum(x * x) AS BIGINT) AS sum_x2,
+      |  CAST(sum(y * y) AS BIGINT) AS sum_y2
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,6)") * 1000).cast("long").as("x"),
+        expr("unix_micros(ts) div 3600000000 % 24").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"), sum("y").as("sum_y"),
+        sum(expr("x * y")).as("sum_xy"), sum(expr("x * x")).as("sum_x2"),
+        sum(expr("y * y")).as("sum_y2"))
+      .orderBy("event_type")
+  }
+
   def all: Seq[Q] = Seq(aggPricingSummary, aggDistinctExact, aggDistinctApprox,
     aggRollup, aggCube, aggGroupingSets, aggHaving, aggCollectSorted,
     udafWeightedAvg, aggMedian, aggQuantilesApprox, aggDistinctKmv,
     aggSaltedHotkey, aggPivot, aggUnpivot, aggHeavyHitters, aggHistogram,
-    aggCountMin, aggMode, aggWinsorize)
+    aggCountMin, aggMode, aggWinsorize, aggCorrStats)
 }
