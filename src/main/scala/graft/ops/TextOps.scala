@@ -970,10 +970,56 @@ object TextOps {
       .orderBy("w1", "w2")
   }
 
+  /** Per-domain corpus statistics (r8) — the crawl-curation signal
+    * behind domain allow/deny lists and per-domain sampling caps:
+    * extract URLs, reduce to registrable hosts, count documents and
+    * mentions per domain. The fixture corpus carries no URLs (the
+    * same vacuity class as the r7 PII row), so a deterministic
+    * synthetic URL slice is appended IDENTICALLY on both surfaces —
+    * every doc_id % 25 = 0 doc gains one URL whose host is a pure
+    * function of its id — and the driver hash covers 20 real
+    * per-domain rollups. Shape: regex extract in the scan stage,
+    * explode URLs (sparse — most docs contribute nothing), one
+    * (domain) count aggregate. */
+  val llmDomainStats: Q = Q(
+    "llm_domain_stats",
+    """WITH aug AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    'see http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' for more'
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |u AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(text, 'https?://[a-z0-9.-]+[^ ]*')) AS url
+      |  FROM aug),
+      |d AS (SELECT doc_id, regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS domain
+      |  FROM u)
+      |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_urls
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val aug = documents(s, dir)
+      .select(DedupOps.idBelowOffset(col("doc_id"), "llm_domain_stats").as("doc_id"),
+        col("text"))
+      .unionByName(documents(s, dir).where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("see http://site"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string"),
+            lit(" for more")).as("text")))
+    aug
+      .select(col("doc_id"), explode(expr(
+        "regexp_extract_all(text, 'https?://[a-z0-9.-]+[^ ]*', 0)")).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "https?://([a-z0-9.-]+)", 1).as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_urls"))
+      .orderBy("domain")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
     llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup,
     llmBloomDecontaminate, llmTfidfVectors, llmCorpusShuffle, llmSourceMix,
     llmSplitAssign, llmLexicalDiversity, llmFuzzyMatch, llmWeightedSample,
-    llmBuildVocab, llmDedupWindowed, llmNgramCounts)
+    llmBuildVocab, llmDedupWindowed, llmNgramCounts, llmDomainStats)
 }
