@@ -1356,7 +1356,44 @@ object DedupOps {
       .orderBy("vec_id")
   }
 
+  /** LSH-vs-exact evaluation as a REGISTERED row (r8): run BOTH pair
+    * engines over the bounded doc prefix and confusion-count them —
+    * tp (both agree), fp (LSH-only), fn (exact-only). On these banding
+    * parameters precision is 1 by construction (every candidate is
+    * exact-verified) and recall is 1 by the pigeonhole bound, so the
+    * oracle states the STRONG claim — fp = fn = 0, tp = the exact pair
+    * count — and the driver hash now fails loudly if either engine
+    * ever drifts from the other (the equality previously lived only in
+    * LlmSpec, invisible to the correctness gate). This is also the
+    * evaluation-harness shape a production pipeline runs on a GOLD
+    * slice after every parameter change. */
+  val llmLshEval: Q = Q(
+    "llm_lsh_eval",
+    s"""WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      |           FROM documents WHERE doc_id < ${Llm.SampleBound}),
+      |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+      |  WHERE ${Llm.TauDenom} * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |     >= ${Llm.TauNumer} * CAST(len(a.ts) + len(b.ts)
+      |        - len(list_intersect(a.ts, b.ts)) AS BIGINT))
+      |SELECT CAST(count(*) AS BIGINT) AS tp, CAST(0 AS BIGINT) AS fp,
+      |  CAST(0 AS BIGINT) AS fn
+      |FROM e""".stripMargin
+  ) { (s, dir) =>
+    val docs = Q.cached(documents(s, dir)
+      .where(col("doc_id") < Llm.SampleBound).select("doc_id", "text"))
+    val exact = Llm.jaccardPairs(docs).select("doc_a", "doc_b")
+      .withColumn("in_exact", lit(1))
+    val lsh = lshVerifiedPairs(docs).withColumn("in_lsh", lit(1))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("in_exact").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("in_lsh").isNull, 1L).otherwise(0L)).as("fn"))
+  }
+
   def all: Seq[Q] = Seq(llmSimhashDedup, llmSimhashBanded, llmNgramJaccard,
     llmCosineNearDup, llmCosineLsh, llmMinhashLsh, llmDedupClusters, llmCorpusClean,
-    llmClusterBest, llmDedupIncremental, llmSemanticDedup)
+    llmClusterBest, llmDedupIncremental, llmSemanticDedup, llmLshEval)
 }

@@ -697,7 +697,35 @@ object Llm {
       .orderBy("vec_id")
   }
 
+  /** Per-dimension embedding profile (r8) — the vector-data sibling of
+    * profile_table: for every dimension, count / min / max / sum in the
+    * repo's exact ×1e7 scaled-integer domain (the same mapping every
+    * embedding op shares, so a dead dimension, a scale-drifted batch,
+    * or a saturated axis shows up as integers the driver hash pins).
+    * A real pipeline runs this as the pre-ingest sanity gate on each
+    * embedding drop. Shape: posexplode → (pos) aggregate — dimensions
+    * partition the shuffle, D rows out. */
+  val llmEmbeddingProfile: Q = Q(
+    "llm_embedding_profile",
+    """WITH s AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |x AS (SELECT vec_id, unnest(e) AS v,
+      |    CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS pos FROM s)
+      |SELECT pos, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(v) AS BIGINT) AS min_scaled, CAST(max(v) AS BIGINT) AS max_scaled,
+      |  CAST(sum(v) AS BIGINT) AS sum_scaled
+      |FROM x GROUP BY pos ORDER BY pos""".stripMargin
+  ) { (s, dir) =>
+    scaledEmb(s, dir)
+      .select(posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("pos").cast("bigint").as("pos"))
+      .agg(count(lit(1)).as("n"), min("v").as("min_scaled"),
+        max("v").as("max_scaled"), sum("v").as("sum_scaled"))
+      .orderBy("pos")
+  }
+
   def all: Seq[Q] = Seq(llmExactDedup, llmJaccardNearDup, llmSimilarityTopk,
     llmEmbeddingCentroid, llmTextStats, llmAnnLsh, llmAnnIvf,
-    llmEmbeddingQuantize)
+    llmEmbeddingQuantize, llmEmbeddingProfile)
 }
