@@ -497,9 +497,19 @@ object Aggs {
       |FROM v JOIN t USING (event_type)
       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val v = Q.cached(events(s, dir)
+    winsorizeEngine(events(s, dir)
       .select(col("event_type"), micro(col("value")).as("v_micro")))
+  }
+
+  /** The winsorize engine over any (event_type, v_micro) frame — the
+    * registered row and AggInvariantsSpec's degenerate-input checks
+    * drive THE SAME code (the spec previously asserted on its own
+    * duplicated rank expressions, which could not catch a regression
+    * here — r8 review). */
+  private[graft] def winsorizeEngine(
+      v0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Q.cached(v0)
     val w = Window.partitionBy("event_type")
     val r = v
       .withColumn("rk", row_number().over(w.orderBy("v_micro")))
@@ -533,7 +543,7 @@ object Aggs {
   val aggCorrStats: Q = Q(
     "agg_corr_stats",
     """WITH v AS (SELECT event_type,
-      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000 AS BIGINT) AS x,
+      |    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 1000, 0) AS BIGINT) AS x,
       |    epoch_us(ts) // 3600000000 % 24 AS y
       |  FROM events)
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -545,7 +555,11 @@ object Aggs {
   ) { (s, dir) =>
     events(s, dir)
       .select(col("event_type"),
-        (col("value").cast("decimal(18,6)") * 1000).cast("long").as("x"),
+        // explicit HALF_UP round BEFORE the long cast: Spark's
+        // decimal→long cast truncates while DuckDB's rounds, so a
+        // 4-decimal value would diverge without it (r8 review; the D1
+        // ROUND-then-CAST pattern)
+        round(col("value").cast("decimal(18,6)") * 1000, 0).cast("long").as("x"),
         expr("unix_micros(ts) div 3600000000 % 24").as("y"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("x").as("sum_x"), sum("y").as("sum_y"),

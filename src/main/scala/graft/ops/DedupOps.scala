@@ -1385,12 +1385,15 @@ object DedupOps {
     val exact = Llm.jaccardPairs(docs).select("doc_a", "doc_b")
       .withColumn("in_exact", lit(1))
     val lsh = lshVerifiedPairs(docs).withColumn("in_lsh", lit(1))
+    // coalesce: a global sum over ZERO joined rows is NULL, while the
+    // oracle's count(*)/literal row is (0,0,0) — a pairless prefix
+    // must agree (r8 review)
     exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
-        sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
-          .otherwise(0L)).as("tp"),
-        sum(when(col("in_exact").isNull, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("in_lsh").isNull, 1L).otherwise(0L)).as("fn"))
+        coalesce(sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("in_exact").isNull, 1L).otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("in_lsh").isNull, 1L).otherwise(0L)), lit(0L)).as("fn"))
   }
 
   def all: Seq[Q] = Seq(llmSimhashDedup, llmSimhashBanded, llmNgramJaccard,

@@ -940,7 +940,8 @@ object TextOps {
     * (vocab², not corpus-sized) joined back broadcast-eligibly. */
   val llmNgramCounts: Q = Q(
     "llm_ngram_counts",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
       |b AS (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p FROM t),
       |pairs AS (SELECT p[1] AS w1, p[2] AS w2 FROM b),
       |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
@@ -956,6 +957,10 @@ object TextOps {
   ) { (s, dir) =>
     val b = documents(s, dir)
       .withColumn("ws", split(col("text"), " "))
+      // single-token docs: sequence(0, -1) steps DOWNWARD in Spark
+      // ([0,-1] — ANSI then throws on ws[-1]); the guard mirrors the
+      // oracle's len >= 2 and the llm_doc_chunks pattern (r8 review)
+      .where(size(col("ws")) >= 2)
       .select(explode(expr(
         """transform(sequence(0, size(ws) - 2),
           |  i -> struct(ws[i] as w1, ws[i+1] as w2))""".stripMargin)).as("bg"))

@@ -27,21 +27,19 @@ class AggInvariantsSpec extends SparkSpec {
     }
   }
 
-  test("winsorized sum equals the plain sum when clipping is disabled by the data") {
-    // degenerate check on a constant column: p05 == p95 == the value,
-    // zero rows clip, sum preserved exactly
+  test("winsorize engine on a constant column: nothing clips, sum preserved exactly") {
+    // degenerate input through THE production engine (not a re-derived
+    // copy of its rank math — r8 review): constant values mean
+    // p05 == p95 == the value, zero clipped rows, winsorized sum ==
+    // the plain sum
     val s = spark
     import s.implicits._
     val const = Seq.fill(100)(("k", 5000000L)).toDF("event_type", "v_micro")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("event_type")
-    val r = const
-      .withColumn("rk", row_number().over(w.orderBy("v_micro")))
-      .withColumn("n", count(lit(1)).over(w))
-      .agg(min(when(col("rk") === expr("(n * 5 + 99) div 100"), col("v_micro"))).as("p05"),
-        min(when(col("rk") === expr("(n * 95 + 99) div 100"), col("v_micro"))).as("p95"))
-      .head()
-    assert(r.getLong(0) == 5000000L && r.getLong(1) == 5000000L)
+    val r = Q.withCached(Aggs.winsorizeEngine(const))(_.head())
+    assert(r.getAs[Long]("p05_micro") == 5000000L)
+    assert(r.getAs[Long]("p95_micro") == 5000000L)
+    assert(r.getAs[Long]("n_clipped") == 0L)
+    assert(r.getAs[Long]("sum_winsorized_micro") == 100L * 5000000L)
   }
 
   test("corr stats: moments satisfy Cauchy-Schwarz per group") {

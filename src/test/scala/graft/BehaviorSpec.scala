@@ -36,8 +36,10 @@ class BehaviorSpec extends SparkSpec {
   }
 
   test("sessionization conserves events and bounds spans") {
-    val stats = Q.withCached(Behavior.sessionStats.build(spark, dir))(_.cache())
-    try {
+    // every assertion runs INSIDE the withCached scope — returning a
+    // lazy frame and consuming it after the scope exits would drop the
+    // build's internal caches first (the Q.scala footgun; r8 review)
+    Q.withCached(Behavior.sessionStats.build(spark, dir)) { stats =>
       val perUser = Tables.events(spark, dir)
         .groupBy("user_id").agg(count(lit(1)).as("n_events"),
           (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
@@ -51,6 +53,6 @@ class BehaviorSpec extends SparkSpec {
       // every user appears exactly once
       assert(stats.count() ==
         Tables.events(spark, dir).select("user_id").distinct().count())
-    } finally stats.unpersist()
+    }
   }
 }
