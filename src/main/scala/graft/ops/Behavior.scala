@@ -11,12 +11,12 @@ import graft.Tables._
   *    IN ORDER (first purchase after first click after first view) —
   *    the strict-ordering semantics that separates a funnel from three
   *    independent counts.
-  *  - `cohort_retention` — weekly cohort retention matrix: users
-  *    cohorted by first-activity week, counted in every later week
-  *    they return.
+  *  - `cohort_retention` — daily cohort retention matrix: users
+  *    cohorted by first-activity day, counted in every later day they
+  *    return (the per-val doc notes the weekly divisor swap).
   *
   * Both are two-phase aggregates over (user, small-key) rows — the
-  * event table reduces to one row per user (funnel) or per (user, week)
+  * event table reduces to one row per user (funnel) or per (user, day)
   * (cohort) in the map-side combine, so the shuffle carries user-count
   * rows, never raw events. Timestamps compare as epoch microseconds
   * (the repo's cross-engine event-time policy). */

@@ -117,9 +117,10 @@ object Generators {
     * missing slots take the linear interpolation between the nearest
     * observed neighbors. All-integer arithmetic: values pre-scaled to
     * micro units (exact DECIMAL(18,6) rounding), interpolation is the
-    * rational (prev*(next_t - t) + next*(t - prev_t)) div (next_t -
-    * prev_t) with non-negative operands, so both engines floor
-    * identically. Bounded to the fixed-count user_id < 50 prefix (the
+    * rational (prev*(next_t - t) + next*(t - prev_t)) FLOOR-divided by
+    * (next_t - prev_t) — the floor spelled explicitly on the Spark side
+    * so the engines agree even on negative values (r8 advice; `div`
+    * truncates, DuckDB `//` floors). Bounded to the fixed-count user_id < 50 prefix (the
     * r7-verdict sampling rule: count bounds, not % samples — the grid
     * is O(users × span) at any corpus size). Shape: one narrow agg,
     * one per-user sequence explode, one left join, ONE window over the
@@ -172,9 +173,16 @@ object Generators {
       .withColumn("nv", first(col("v_micro"), ignoreNulls = true).over(fwd))
       .withColumn("ns", first(when(col("v_micro").isNotNull, col("slot")),
         ignoreNulls = true).over(fwd))
+      // floor-division spelled explicitly: DuckDB `//` floors, Spark
+      // `div` truncates toward zero — identical only for non-negative
+      // numerators, and negative values would make them diverge
+      // silently (r8 advice). den = ns - ps > 0 always.
+      .withColumn("inum", expr("pv * (ns - slot) + nv * (slot - ps)"))
+      .withColumn("iden", col("ns") - col("ps"))
       .select(col("user_id"), col("slot"),
         when(col("v_micro").isNotNull, col("v_micro"))
-          .otherwise(expr("(pv * (ns - slot) + nv * (slot - ps)) div (ns - ps)"))
+          .otherwise(expr(
+            "(inum div iden) - if(inum % iden != 0 and inum < 0, 1, 0)"))
           .as("v_micro"),
         col("v_micro").isNull.as("is_interp"))
       .orderBy("user_id", "slot")
@@ -222,11 +230,13 @@ object Generators {
     b.groupByKey(_.user_id)
       .flatMapGroups { (_, it) =>
         // one user's series: sort by slot, fold the recursion once.
-        // Non-negative operands, so `/ 2` == both engines' floor div.
+        // floorDiv, not `/`: DuckDB's `//` floors, Scala `/` truncates
+        // toward zero — they agree only on non-negative operands, and
+        // nothing guarantees a production feed's values are (r8 advice).
         val series = it.toArray.sortBy(_.slot)
         var ewma = 0L
         series.iterator.zipWithIndex.map { case (sv, i) =>
-          ewma = if (i == 0) sv.v else (ewma + sv.v) / 2
+          ewma = if (i == 0) sv.v else Math.floorDiv(ewma + sv.v, 2)
           (sv.user_id, sv.slot, sv.v, ewma)
         }
       }

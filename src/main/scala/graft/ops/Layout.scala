@@ -57,8 +57,15 @@ object Layout {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (s, dir) =>
     val root = bucketRoot(dir)
-    s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
-    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    // catalog names carry the same per-dir tag as the backing path (r8
+    // advice): fixed global names raced when two fixture dirs ran in
+    // one session — one run's DROP+overwrite invalidated the other's
+    // read mid-query
+    val tag = Integer.toHexString(dir.hashCode)
+    val liName = s"graft_bkt_lineitem_$tag"
+    val odName = s"graft_bkt_orders_$tag"
+    s.sql(s"DROP TABLE IF EXISTS $liName")
+    s.sql(s"DROP TABLE IF EXISTS $odName")
     // project to the digest's columns before the layout write: the
     // bucketed artifact carries what downstream reads, not the full row
     // (at 100 TB the bucketed copy is usually a curated projection too)
@@ -66,13 +73,13 @@ object Layout {
       .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$root/lineitem").mode("overwrite")
-      .saveAsTable("graft_bkt_lineitem")
+      .saveAsTable(liName)
     orders(s, dir).select("o_orderkey", "o_orderstatus")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$root/orders").mode("overwrite")
-      .saveAsTable("graft_bkt_orders")
-    val li = s.table("graft_bkt_lineitem")
-    val od = s.table("graft_bkt_orders").hint("merge")
+      .saveAsTable(odName)
+    val li = s.table(liName)
+    val od = s.table(odName).hint("merge")
     li.join(od, li("l_orderkey") === od("o_orderkey"))
       .groupBy("o_orderstatus", "l_returnflag")
       .agg(count(lit(1)).as("n"),

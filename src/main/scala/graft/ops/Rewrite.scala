@@ -80,15 +80,10 @@ object Rewrite {
     lineDedup(aug)
   }
 
-  /** The dedup-and-reconstruct engine over any (doc_id, text) frame —
-    * the twin-slice-free core the registered row and ScaleBench share.
-    * Survivor election: first (doc_id, line_id) per 60-bit sha256 line
-    * hash — a window over the hash partition, one corpus-wide shuffle
-    * that carries (doc_id, line_id, line_text); at 100 TB this is the
-    * same traffic as any corpus repartition, and the hash (not the
-    * text) is the key, so no oversized-key skew. */
-  def lineDedup(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val lines = docs
+  /** (doc_id, line_id, line_text, line_hash) line view shared by the
+    * two election forms below. */
+  private def lineView(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, (size(toks)-1) div $L),
@@ -96,14 +91,62 @@ object Rewrite {
         .as(Seq("line_id", "line_text")))
       .withColumn("line_hash",
         expr("cast(conv(substring(sha2(line_text, 256), 1, 15), 16, 10) as bigint)"))
-    lines
+
+  /** The dedup-and-reconstruct engine over any (doc_id, text) frame —
+    * the twin-slice-free core the registered row and ScaleBench share.
+    *
+    * Survivor election (r9, skew-proofed per the r8 verdict): the first
+    * (doc_id, line_id) per 60-bit sha256 line hash is elected with a
+    * PARTIAL-AGGREGATABLE `min(struct(doc_id, line_id))` grouped by the
+    * hash, then joined back to flag each line. The r8 form was a
+    * `row_number` window over the hash partition — correct, but a
+    * boilerplate line repeated in f documents ("All rights reserved.")
+    * is ONE window partition of f rows sorted in a single task, and f
+    * is billions on a web corpus (hash-FREQUENCY skew; key size was
+    * never the issue). The aggregate form's map-side combine reduces
+    * the hot hash to one candidate row per map task before the
+    * shuffle, and the join-back is a join, not a window — AQE's
+    * skew-join split applies where a window partition is unsplittable.
+    * Cost: one extra exchange of the line frame (agg + join vs the
+    * window's single shuffle) — the price of the bound; ScaleBench's
+    * boilerplate mode measures both forms on a planted every-doc line
+    * ([[lineDedupWindowForm]] is kept privately as that contrast). */
+  def lineDedup(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lines = lineView(docs)
+    val winners = lines.groupBy("line_hash")
+      .agg(min(struct(col("doc_id"), col("line_id"))).as("w"))
+      .select(col("line_hash"), col("w.doc_id").as("w_doc"),
+        col("w.line_id").as("w_line"))
+    lines.join(winners, "line_hash")
+      .withColumn("kept",
+        col("doc_id") === col("w_doc") && col("line_id") === col("w_line"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        // reassemble: surviving lines back in document order; losers
+        // contribute NULL, which collect_list drops
+        concat_ws(" ", expr(
+          """transform(
+            |  array_sort(collect_list(
+            |    CASE WHEN kept THEN struct(line_id, line_text) END)),
+            |  x -> x.line_text)""".stripMargin)).as("clean_text"))
+      .select(col("doc_id"), col("n_lines").cast("bigint").as("n_lines"),
+        col("n_kept").cast("bigint").as("n_kept"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** The r8 window-election form, kept ONLY as ScaleBench's degradation
+    * baseline for the planted-boilerplate measurement (BOILERPLATE_r09):
+    * the `row_number` window makes an f-duplicated line one f-row
+    * single-task sort. Not used by any registered query. */
+  private[graft] def lineDedupWindowForm(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lineView(docs)
       .withColumn("rn", row_number().over(
         Window.partitionBy("line_hash").orderBy("doc_id", "line_id")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        // reassemble: surviving lines back in document order; losers
-        // contribute NULL, which collect_list drops
         concat_ws(" ", expr(
           """transform(
             |  array_sort(collect_list(
@@ -112,7 +155,6 @@ object Rewrite {
       .select(col("doc_id"), col("n_lines").cast("bigint").as("n_lines"),
         col("n_kept").cast("bigint").as("n_kept"), col("clean_text"))
       .orderBy("doc_id")
-  }
 
   /** The MERGE change batch, derived identically on both surfaces: the
     * last 30 days of orders (a "recent change feed" — customers with no
@@ -315,10 +357,24 @@ object Rewrite {
     // engine keys by doc_id, which the gate preserved)
     val rebuilt = lineDedup(gate.select("doc_id", "text"))
       .join(gate.select("doc_id", "source"), "doc_id")
-    val survivors = rebuilt
-      .withColumn("dup_rn", row_number().over(
-        Window.partitionBy(sha2(col("clean_text"), 256)).orderBy("doc_id")))
-      .where(col("dup_rn") === 1)
+    // exact dedup on the REWRITTEN text, elected like lineDedup (r9
+    // skew-proofing): min(doc_id) per digest is partial-aggregatable
+    // where the r8 row_number window was a one-task sort per digest.
+    // The empty rebuild is this stage's GUARANTEED hot key — every
+    // document whose lines were all removed rebuilds to '' and all of
+    // them share sha256('') — so it never reaches the digest join at
+    // all: its single survivor is a one-row global min, broadcast back.
+    val nonEmpty = rebuilt.where(length(col("clean_text")) > 0)
+      .withColumn("digest", sha2(col("clean_text"), 256))
+    val emptied = rebuilt.where(length(col("clean_text")) === 0)
+    val survivors = nonEmpty
+      .join(nonEmpty.groupBy("digest").agg(min("doc_id").as("w_doc")), "digest")
+      .where(col("doc_id") === col("w_doc"))
+      .drop("digest", "w_doc")
+      .unionByName(emptied
+        .join(broadcast(emptied.agg(min("doc_id").as("w_doc"))),
+          col("doc_id") === col("w_doc"))
+        .drop("w_doc"))
     survivors
       .withColumn("h0",
         expr("(doc_id % 1000000007 * 1103515245 + 12345) % 1000000007"))

@@ -292,8 +292,10 @@ object StreamOps {
           // absent state (first batch for this user) seeds with v₀
           var cur: Option[Long] = state.getOption
           val out = it.toSeq.sortBy(_.slot).map { r =>
+            // floorDiv matches the batch fold and DuckDB's `//` even on
+            // negative values (r8 advice)
             val e = cur match {
-              case Some(prev) => (prev + r.v) / 2
+              case Some(prev) => Math.floorDiv(prev + r.v, 2)
               case None => r.v
             }
             cur = Some(e)

@@ -34,7 +34,11 @@ class LayoutSpec extends SparkSpec {
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val df = Layout.joinBucketedColocated.build(s, sf("sf0.001"))
-      assert(df.count() > 0) // finalize the adaptive plan
+      // collect() on df ITSELF (not a derived count) so the walked
+      // df.queryExecution.executedPlan is the finalized adaptive plan
+      // of this very Dataset (r8 advice: count() runs its own
+      // QueryExecution and finalizes nothing here)
+      assert(df.collect().nonEmpty)
       val smjs = allNodes(df.queryExecution.executedPlan)
         .collect { case j: SortMergeJoinExec => j }
       assert(smjs.nonEmpty, "expected the hinted sort-merge join")
