@@ -239,39 +239,38 @@ object AnnPq {
 
   /** ADC pre-rank: sum each candidate's m LUT hits (partial-aggregated),
     * approximate-cosine by the EXACT stored norm (only the numerator is
-    * approximated), keep the top `rerankDepth` per query. Input rows:
-    * (query_id, neighbor_id, cn2, pdot) — one per LUT hit. */
-  private def adcPreRank(cands: DataFrame, rerankDepth: Int): DataFrame = {
-    val preW = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id"))
+    * approximated), keep the top `rerankDepth` per query via the
+    * bounded-heap [[graft.functions.TopKScored]] aggregate (r9): the r8
+    * `row_number` window sorted each query's WHOLE candidate set in one
+    * task — the entire corpus per query in the flat form — where the
+    * aggregate folds map-side into O(rerankDepth) state and never
+    * materializes a per-query sort. Input rows: (query_id, neighbor_id,
+    * cn2, pdot) — one per LUT hit. */
+  private def adcPreRank(cands: DataFrame, rerankDepth: Int): DataFrame =
     cands
       .where(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id", "cn2")
       .agg(sum(col("pdot")).as("adc_dot"))
       .withColumn("adc", col("adc_dot").cast("double")
         / sqrt(col("cn2").cast("double")))
-      .withColumn("prn", row_number().over(preW))
-      .where(col("prn") <= rerankDepth)
+      .transform(graft.functions.TopKScored.rankedTopk(
+        _, "query_id", col("adc"), col("neighbor_id"), rerankDepth))
       .select("query_id", "neighbor_id")
-  }
 
   /** Exact rerank: survivors join the full vectors by id (the only
     * full-width fetch — rerankDepth×nq rows) and re-score with the
-    * exact dot_long cosine, neighbor_id tie-break, top k. */
+    * exact dot_long cosine, neighbor_id tie-break, top k via the same
+    * bounded-heap aggregate as the pre-rank. */
   private def exactRerank(pre: DataFrame, vecs: DataFrame, q: DataFrame,
-      k: Int): DataFrame = {
-    val rankW = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
+      k: Int): DataFrame =
     pre
       .join(vecs.select(col("vec_id").as("neighbor_id"),
         col("e").as("ce2"), col("n2").as("cn2")), "neighbor_id")
       .join(broadcast(q), "query_id")
       .withColumn("score", expr("cast(dot_long(qe, ce2) as double)")
         / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
-      .withColumn("rank", row_number().over(rankW).cast("bigint"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
-  }
+      .transform(graft.functions.TopKScored.rankedTopk(
+        _, "query_id", col("score"), col("neighbor_id"), k))
 
   /** The full IVFADC composition — coarse quantizer + PQ codes in ONE
     * index, the production 100 TB ANN shape: a query (1) probes its

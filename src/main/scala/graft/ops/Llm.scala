@@ -211,20 +211,20 @@ object Llm {
   private[graft] def bruteForceTopk(
       emb: org.apache.spark.sql.DataFrame,
       candPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val q = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("n2").as("qn2"))
     val c = emb.where(candPred)
       .select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("n2").as("cn2"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    // bounded-heap top-k (r9): the full-corpus candidate scan folds
+    // map-side into O(k) state per query — no per-query sort, where the
+    // r8 row_number window sorted every candidate in one task per query
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("dot", expr("dot_long(qe, ce)"))
       .withColumn("score",
         col("dot").cast("double") / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .where(col("rank") <= 5)
-      .select("query_id", "neighbor_id", "rank")
+      .transform(graft.functions.TopKScored.rankedTopk(
+        _, "query_id", col("score"), col("neighbor_id"), 5))
       .orderBy("query_id", "rank")
   }
 
@@ -387,7 +387,6 @@ object Llm {
   def lshQueryTopk(index: AnnLshIndex,
       queries: org.apache.spark.sql.DataFrame,
       k: Int = 5): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(queries.sparkSession)
     // query signatures recomputed from the same deterministic
     // hyperplanes — bit-identical to the index's build-time buckets;
@@ -408,13 +407,12 @@ object Llm {
       col("n2").as("qn2"))
     val ce = index.vecs.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
       col("n2").as("cn2"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    // bounded-heap top-k (r9) — same swap as bruteForceTopk
     cand.join(broadcast(qe), "query_id").join(ce, "neighbor_id")
       .withColumn("score", expr("cast(dot_long(qe, ce) as double)")
         / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+      .transform(graft.functions.TopKScored.rankedTopk(
+        _, "query_id", col("score"), col("neighbor_id"), k))
   }
 
   val llmAnnLsh: Q = Q.noOracle("llm_ann_lsh") { (s, dir) =>
@@ -634,21 +632,19 @@ object Llm {
   def annQueryTopk(index: AnnIvfIndex,
       queries: org.apache.spark.sql.DataFrame,
       k: Int = 5, nprobe: Int = 6): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val probes = nearestLists(queries.select(col("vec_id"), col("e"), col("n2")),
         index.centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("c_label").as("list_id"),
         col("e").as("qe"), col("n2").as("qn2"))
-    val rankW = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    // bounded-heap top-k (r9) — same swap as bruteForceTopk
     probes.join(index.assigned.select(col("list_id"), col("vec_id").as("neighbor_id"),
         col("e").as("ce2"), col("n2").as("cn2")), "list_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", expr("cast(dot_long(qe, ce2) as double)")
         / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
-      .withColumn("rank", row_number().over(rankW).cast("bigint"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+      .transform(graft.functions.TopKScored.rankedTopk(
+        _, "query_id", col("score"), col("neighbor_id"), k))
   }
 
   val llmAnnIvf: Q = Q.noOracle("llm_ann_ivf") { (s, dir) =>

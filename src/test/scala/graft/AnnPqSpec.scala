@@ -139,4 +139,47 @@ class AnnPqSpec extends SparkSpec {
       assert(del.trainedRows <= idx.trainedRows)
     } finally idx.unpersist()
   }
+
+  test("TopKScored: bounded-heap top-k == sort-based reference, any k") {
+    // deterministic LCG candidates: 40 groups x 200 candidates with
+    // heavy score ties (score = h % 17) so the id tie-break is exercised
+    val rows = for (g <- 0L until 40L; i <- 0L until 200L) yield {
+      val h = (g * 200 + i) * 6364136223846793005L + 1442695040888963407L
+      (g, ((h >>> 33) % 17).toDouble, i)
+    }
+    import spark.implicits._
+    val df = spark.createDataset(rows).toDF("g", "score", "id")
+      .repartition(7) // arrival order != rank order
+    for (k <- Seq(1, 5, 100, 500)) {
+      val got = graft.functions.TopKScored.rankedTopk(
+          df, "g", col("score"), col("id"), k, idName = "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (g, cs) =>
+        cs.sortBy(c => (-c._2, c._3)).take(k).zipWithIndex
+          .map { case (c, i) => (g, c._3, (i + 1).toLong) }
+      }.toSet
+      assert(got == want, s"k=$k mismatch")
+    }
+  }
+
+  test("PQ search plan has no per-query sort (no WindowExec anywhere)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = (p +: p.children.flatMap(allNodes)).flatMap {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case s: QueryStageExec => allNodes(s.plan)
+      case n => Seq(n)
+    }
+    val emb = graft.ops.Llm.scaledEmb(spark, dir)
+    val idx = graft.ops.AnnPq.buildAnnPqIndex(emb)
+    try {
+      val res = graft.ops.AnnPq.pqQueryTopk(idx, emb.where(col("vec_id") < 10))
+      assert(res.collect().nonEmpty) // finalize the adaptive plan
+      val wins = allNodes(res.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(wins.isEmpty,
+        s"pre-rank/rerank must be bounded-heap aggregates, found windows: $wins")
+    } finally idx.unpersist()
+  }
 }
