@@ -247,7 +247,53 @@ object Funcs {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** B11 (r9) — pasted SQL with a WINDOW function (r8 verdict item 7:
+    * the surface row covered one aggregate; migrating users paste
+    * window queries just as often). Same pattern as [[sqlSurface]]:
+    * temp view + one ANSI string through spark.sql, text identical to
+    * the oracle modulo the view name. */
+  val sqlSurfaceWindow: Q = Q(
+    "sql_surface_window",
+    """SELECT o_custkey, o_orderkey, rnk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+  ) { (s, dir) =>
+    orders(s, dir).createOrReplaceTempView("graft_orders_v")
+    s.sql(
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM graft_orders_v) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)
+  }
+
+  /** B12 (r9) — pasted SQL joining two temp views + aggregating, the
+    * other everyday migration shape. Catalyst still picks the physical
+    * join (broadcast here — nation is 25 rows) exactly as the
+    * DataFrame form would. */
+  val sqlSurfaceJoin: Q = Q(
+    "sql_surface_join",
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+      |    AS sum_bal_micro
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+  ) { (s, dir) =>
+    customer(s, dir).createOrReplaceTempView("graft_customer_v")
+    nation(s, dir).createOrReplaceTempView("graft_nation_v")
+    s.sql(
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+        |    AS sum_bal_micro
+        |FROM graft_customer_v JOIN graft_nation_v ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(projectCompute, filterCompound, funcCaseCoalesce,
     funcString, funcDate, funcMath, funcArray, funcJsonMap, funcVariant,
-    sqlSurface)
+    sqlSurface, sqlSurfaceWindow, sqlSurfaceJoin)
 }
