@@ -224,7 +224,12 @@ object Rewrite {
       |WHERE NOT (c_custkey IS NOT NULL AND m_custkey IS NOT NULL
       |           AND m_status = 'F')
       |ORDER BY custkey""".stripMargin
-  ) { (s, dir) =>
+  ) { (s, dir) => upsertResult(s, dir) }
+
+  /** The MERGE output frame shared by [[mergeUpsert]] and the
+    * transactional [[mergeUpsertTxn]] row. */
+  private def upsertResult(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
     customer(s, dir)
       .join(mergeSource(s, dir), col("c_custkey") === col("m_custkey"), "full_outer")
       .where(!(col("c_custkey").isNotNull && col("m_custkey").isNotNull
@@ -242,6 +247,50 @@ object Rewrite {
           .when(col("m_custkey").isNull, lit("keep"))
           .otherwise(lit("update")).as("op"))
       .orderBy("custkey")
+
+  /** merge_upsert THROUGH the transactional table (r9, r8 verdict item
+    * 3): commit the dimension as version 1, commit the MERGE output as
+    * version 2, then plant a TORN third attempt — snapshot files and a
+    * staged manifest written, crash before the publish rename — and
+    * read the table back through [[Txn.read]]. The driver hash checks
+    * the read path returns exactly the committed merge output, torn
+    * attempt invisible; TxnSpec proves the crash cases directly. Same
+    * oracle as merge_upsert (the txn layer must be a no-op on CONTENT;
+    * its whole contract is invisibility of uncommitted state). */
+  val mergeUpsertTxn: Q = Q(
+    "merge_upsert_txn",
+    s"""WITH $MergeSourceSql
+      |SELECT
+      |  coalesce(c_custkey, m_custkey) AS custkey,
+      |  CASE WHEN c_custkey IS NULL THEN 'new-' || CAST(m_custkey AS VARCHAR)
+      |       ELSE c_name END AS name,
+      |  CASE WHEN m_custkey IS NULL THEN c_acctbal ELSE m_acctbal END AS acctbal,
+      |  CASE WHEN c_custkey IS NULL THEN 'NEW'
+      |       ELSE c_mktsegment END AS mktsegment,
+      |  CASE WHEN c_custkey IS NULL THEN 'insert'
+      |       WHEN m_custkey IS NULL THEN 'keep'
+      |       ELSE 'update' END AS op
+      |FROM customer FULL OUTER JOIN m ON c_custkey = m_custkey
+      |WHERE NOT (c_custkey IS NOT NULL AND m_custkey IS NOT NULL
+      |           AND m_status = 'F')
+      |ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_txn",
+      Integer.toHexString(dir.hashCode), "customer_upsert").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // self-contained rerun
+    Txn.commit(customer(s, dir)
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"),
+        lit("base").as("op")), root)
+    Txn.commit(upsertResult(s, dir), root)
+    // torn writer: snapshot + staged manifest exist, publish never ran
+    upsertResult(s, dir).limit(7)
+      .write.mode("overwrite").parquet(s"$root/data/torn-attempt")
+    val tmp = fs.create(new org.apache.hadoop.fs.Path(s"$root/_tmp/torn"), false)
+    try tmp.write("data/torn-attempt".getBytes("UTF-8")) finally tmp.close()
+    Txn.read(s, root).orderBy("custkey")
   }
 
   /** Type-2 SCD history: the dimension's tracked attribute (account
@@ -392,5 +441,6 @@ object Rewrite {
       .orderBy("source", "split")
   }
 
-  def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeScd2, llmPipelineEnd2end)
+  def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeUpsertTxn, mergeScd2,
+    llmPipelineEnd2end)
 }
