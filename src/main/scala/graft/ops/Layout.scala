@@ -240,9 +240,43 @@ object Layout {
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).repartition(n)
       .write.mode("overwrite").parquet(outDir)
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    fs.listStatus(out)
+    countParquetFiles(fs, outDir)
+  }
+
+  private def countParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Int =
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+
+  /** Sort-aware compaction (r9, r8 verdict item 4): [[compactParquet]]'s
+    * round-robin `repartition(n)` balances bytes but DESTROYS any
+    * clustering the input had — every output file spans the full key
+    * space, so the compacted copy prunes nothing. The production shape
+    * recombines the two layout operators this file already had:
+    * compute the [[zorderKey]], range-partition INTO the computed file
+    * count on it, and sort within each partition — every output file
+    * is a contiguous segment of the Z-curve, so per-file min/max
+    * footers bound BOTH dimensions tightly (LayoutSpec measures the
+    * compacted copy's read fractions at the pre-compaction Z-order
+    * level, vs ~1.0 for round-robin). Balance comes from the range
+    * partitioner's sampling instead of round-robin. One shuffle + one
+    * in-partition sort — same exchange count as the balanced form;
+    * the sort is the only extra cost, exactly the ingest-time price
+    * every Z-ordered table pays. */
+  def compactParquetZorder(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetBytes: Long,
+      xCol: String, yCol: String, bits: Int = 8): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = parquetBytes(fs, path)
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    zorderKey(spark.read.parquet(inDir), col(xCol), col(yCol), bits)
+      .repartitionByRange(n, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop("zkey")
+      .write.mode("overwrite").parquet(outDir)
+    countParquetFiles(fs, outDir)
   }
 
   /** End-to-end compaction row: fragment events into 64 task files (the
@@ -276,6 +310,41 @@ object Layout {
       .orderBy("event_type")
   }
 
+  /** Sort-aware compaction end-to-end (r9): fragment events, compact
+    * with [[compactParquetZorder]] on (user, hour-slot), digest the
+    * compacted copy against the original-table oracle — content
+    * preservation through fragment → Z-order-compact → scan, while
+    * LayoutSpec measures the pruning the re-established clustering
+    * buys on the same output. */
+  val compactZorder: Q = Q(
+    "compact_zorder",
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+      |    AS sum_value_micro,
+      |  CAST(min(event_id) AS BIGINT) AS min_id, CAST(max(event_id) AS BIGINT) AS max_id
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_compactz",
+      Integer.toHexString(dir.hashCode)).toString
+    val frag = s"$root/frag"
+    val comp = s"$root/comp"
+    events(s, dir)
+      .withColumn("hour_slot",
+        expr("(unix_timestamp(date_trunc('hour', ts)) div 3600) - 473352"))
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    val path = new org.apache.hadoop.fs.Path(frag)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val total = parquetBytes(fs, path)
+    compactParquetZorder(s, frag, comp, targetBytes = math.max(1L, total / 4),
+      xCol = "user_id", yCol = "hour_slot")
+    s.read.parquet(comp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(micro(col("value"))).as("sum_value_micro"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
   def all: Seq[Q] = Seq(joinBucketedColocated, layoutZorder, profileTable,
-    compactFiles)
+    compactFiles, compactZorder)
 }

@@ -126,6 +126,65 @@ class LayoutSpec extends SparkSpec {
     assert(digest(frag) == digest(comp))
   }
 
+  test("z-order compaction re-establishes clustering; round-robin destroys it") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft_compactz_spec").toString
+    val frag = s"$root/frag"
+    val rr = s"$root/rr"
+    val zc = s"$root/zc"
+    // the ingest-history pathology, with the two layout dimensions kept
+    // as columns so per-FILE min/max bounds are measurable on the output
+    Tables.events(s, sf("sf0.01"))
+      .select(col("event_id"), col("user_id").as("x"),
+        expr("(unix_timestamp(date_trunc('hour', ts)) div 3600) - 473352").as("y"))
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    def files(dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+    val total = files(frag).map(_.getLen).sum
+    val target = math.max(1L, total / 16)
+    graft.ops.Layout.compactParquet(s, frag, rr, target)
+    val nz = graft.ops.Layout.compactParquetZorder(s, frag, zc, target, "x", "y")
+    // per-file min/max bounds of the ACTUAL written files — what a
+    // footer-pruning scan reads
+    def bounds(dir: String): Array[(Long, Long, Long, Long)] =
+      s.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect()
+        .map(r => (r.getAs[Long]("x0"), r.getAs[Long]("x1"),
+          r.getAs[Long]("y0"), r.getAs[Long]("y1")))
+    def readFrac(b: Array[(Long, Long, Long, Long)],
+        probes: Seq[Long], dim: Char): Double =
+      probes.map { v =>
+        b.count { case (x0, x1, y0, y1) =>
+          if (dim == 'x') x0 <= v && v <= x1 else y0 <= v && v <= y1
+        }.toDouble / b.length
+      }.sum / probes.size
+    val xProbes = (0L to 140L by 20L).toSeq
+    val yProbes = (0L to 700L by 100L).toSeq
+    val zb = bounds(zc)
+    val rb = bounds(rr)
+    val (zx, zy) = (readFrac(zb, xProbes, 'x'), readFrac(zb, yProbes, 'y'))
+    val (rx, ry) = (readFrac(rb, xProbes, 'x'), readFrac(rb, yProbes, 'y'))
+    info(f"z-order compacted ($nz files): read-frac x=$zx%.2f y=$zy%.2f; " +
+      f"round-robin: x=$rx%.2f y=$ry%.2f")
+    // round-robin compaction: every file spans everything — no pruning
+    assert(rx > 0.9 && ry > 0.9, s"round-robin unexpectedly pruned: $rx/$ry")
+    // sort-aware compaction holds the pre-compaction Z-order pruning
+    // levels (the fractions the layout_zorder test pins at < 0.6)
+    assert(zx < 0.6, s"z-compacted copy should prune on x, read fraction $zx")
+    assert(zy < 0.6, s"z-compacted copy should prune on y, read fraction $zy")
+    // content preserved bit-for-bit through the sort-aware rewrite
+    def digest(dir: String): String = s.read.parquet(dir)
+      .selectExpr("sum(cast(xxhash64(event_id, x, y) as decimal(38,0)))")
+      .head().getDecimal(0).toPlainString
+    assert(digest(frag) == digest(zc))
+  }
+
   test("interleave16 matches a reference bit-by-bit implementation") {
     val s = spark
     graft.functions.GraftFunctions.register(s)
