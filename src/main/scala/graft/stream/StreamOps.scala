@@ -266,6 +266,67 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Versioned state records for the transformWithState SCHEMA-EVOLUTION
+    * contract (r9, r8 verdict item 5): a long-lived production counter
+    * eventually needs to grow its state — V2 adds an Option field
+    * (nullable in the state schema, which is exactly the evolution the
+    * Avro state encoding permits: restored V1 records read with the new
+    * field null). Requires `spark.sql.streaming.stateStore
+    * .encodingFormat=avro` from the FIRST run of the query (the default
+    * unsaferow encoding is positional and cannot evolve) + the RocksDB
+    * provider TWS already mandates; StreamingSpec restarts a V1
+    * checkpoint under the V2 processor mid-stream and pins output ≡
+    * batch twin. */
+  final case class CounterStateV1(value: Long)
+  final case class CounterStateV2(value: Long, lastEventId: Option[Long])
+
+  /** [[CounterProcessor]] with record-shaped (evolvable) state. */
+  final class CounterProcessorV1 extends StatefulProcessor[Long, Ev, Counted] {
+    @transient private var count: ValueState[CounterStateV1] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[CounterStateV1]("countRec",
+        Encoders.product[CounterStateV1], TTLConfig.NONE)
+    override def handleInputRows(user: Long, evs: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Counted] = {
+      var k = if (count.exists()) count.get().value else 0L
+      val out = evs.toSeq
+        .sortBy(e => (micros(e.ts), e.event_id))
+        .map { e => k += 1; Counted(user, e.event_id, k) }
+      count.update(CounterStateV1(k))
+      out.iterator
+    }
+  }
+
+  /** The EVOLVED processor: same state variable name, V2 record. A V1
+    * checkpoint restores with `lastEventId = None`; the counter value
+    * carries through untouched. */
+  final class CounterProcessorV2 extends StatefulProcessor[Long, Ev, Counted] {
+    @transient private var count: ValueState[CounterStateV2] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[CounterStateV2]("countRec",
+        Encoders.product[CounterStateV2], TTLConfig.NONE)
+    override def handleInputRows(user: Long, evs: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Counted] = {
+      var k = if (count.exists()) count.get().value else 0L
+      val ordered = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val out = ordered.map { e => k += 1; Counted(user, e.event_id, k) }
+      count.update(CounterStateV2(k, ordered.lastOption.map(_.event_id)))
+      out.iterator
+    }
+  }
+
+  def statefulCounterTwsV1(events: Dataset[Ev]): Dataset[Counted] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CounterProcessorV1, TimeMode.None(), OutputMode.Append())
+  }
+
+  def statefulCounterTwsV2(events: Dataset[Ev]): Dataset[Counted] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CounterProcessorV2, TimeMode.None(), OutputMode.Append())
+  }
+
   /** One EWMA output row: the input slot value and the folded state. */
   final case class EwmaRow(user_id: Long, slot: Long, v_micro: Long,
       ewma_micro: Long)
