@@ -140,6 +140,115 @@ class AnnPqSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("PQ + IVFPQ maintenance: frozen-codebook drift decay, maybeRetrain restores (r9)") {
+    // r8 verdict item 6: the IVF append-decay curve calibrated
+    // maybeRetrain's 0.5 threshold; measure the same drift-append
+    // ladder for the PQ families, where the decay mechanism is frozen
+    // CODEBOOKS mis-encoding a shifted region (ADC pre-rank quality
+    // collapses, and a small rerankDepth can't rescue what pre-rank
+    // never surfaced). Same synthetic drift corpus as the IVF curve:
+    // 10 tight base clusters train the quantizers; three appended
+    // shards bring wide clusters from a region they never saw.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def h(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def vec(seed: Long, scale: Long, offset: Long): Array[Long] =
+      (0 until 64).map(d => math.floorMod(h(seed * 64 + d), 2 * scale + 1) - scale + offset).toArray
+    def cluster(k: Int, offset: Long, jitter: Long): Seq[(Long, Array[Long])] = {
+      val c = vec(1000 + k, 1000, offset)
+      (0 until 20).map { j =>
+        val m = vec(k * 100 + j, jitter, 0).zip(c).map { case (a, b) => a + b }
+        (10000L + k * 100 + j, m)
+      }
+    }
+    def frame(rows: Seq[(Long, Array[Long])]) =
+      rows.toDF("vec_id", "e")
+        .withColumn("n2", expr("dot_long(e, e)"))
+        .select(col("vec_id"), col("e"), col("n2"))
+    val baseRows = (0 until 10).flatMap(cluster(_, 0, 200))
+    val shardRows = (0 until 3).map { s =>
+      (10 + s * 5 until 15 + s * 5).flatMap(cluster(_, 2500, 700))
+    }
+    def exactTop(corpus: Seq[(Long, Array[Long])], qs: Seq[(Long, Array[Long])]): Set[(Long, Long)] = {
+      def dot(a: Array[Long], b: Array[Long]): Double =
+        a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      qs.flatMap { case (qid, qv) =>
+        corpus.filter(_._1 != qid)
+          .map { case (cid, cv) => (cid, dot(qv, cv) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(cv, cv)))) }
+          .sortBy { case (cid, sc) => (-sc, cid) }.take(10).map(c => (qid, c._1))
+      }.toSet
+    }
+    def queriesOf(shardIdx: Int): Seq[(Long, Array[Long])] =
+      (0 until 3).take(shardIdx + 1).flatMap(s => shardRows(s).grouped(20).map(_.head))
+
+    // --- flat PQ ladder (rerankDepth 20: the ADC quality is the test) ---
+    var pq = graft.ops.AnnPq.buildAnnPqIndex(frame(baseRows))
+    var corpus = baseRows
+    var pqStale = 0.0
+    (0 until 3).foreach { s =>
+      pq = graft.ops.AnnPq.appendToPqIndex(pq, frame(shardRows(s)))
+      corpus = corpus ++ shardRows(s)
+      val qs = queriesOf(s)
+      val got = graft.ops.AnnPq.pqQueryTopk(pq, frame(qs), k = 10, rerankDepth = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = exactTop(corpus, qs)
+      pqStale = (got intersect exact).size.toDouble / exact.size
+      info(f"PQ after shard ${s + 1}: appendedFraction ${pq.appendedFraction}%.2f recall@10 $pqStale%.3f")
+    }
+    assert(pq.appendedFraction > 0.5)
+    // below the threshold: no-op (same object)
+    val pqSmall = graft.ops.AnnPq.appendToPqIndex(
+      graft.ops.AnnPq.buildAnnPqIndex(frame(baseRows)), frame(shardRows(0)))
+    assert(graft.ops.AnnPq.maybeRetrainPq(pqSmall) eq pqSmall)
+    // past it: retrain fires and fresh codebooks restore the loss
+    val pqRe = graft.ops.AnnPq.maybeRetrainPq(pq)
+    assert(!(pqRe eq pq) && pqRe.appendedFraction == 0.0)
+    val qsF = queriesOf(2)
+    val exactF = exactTop(corpus, qsF)
+    val gotRe = graft.ops.AnnPq.pqQueryTopk(pqRe, frame(qsF), k = 10, rerankDepth = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqFresh = (gotRe intersect exactF).size.toDouble / exactF.size
+    info(f"PQ retrained: recall@10 $pqFresh%.3f (stale was $pqStale%.3f)")
+    // the drift corpus is deliberately hostile (wide shifted clusters vs
+    // a ±3200-range 8x32 codebook at depth 20), so the pin is the
+    // RESTORE MARGIN, not an absolute floor: fresh codebooks must win
+    // clearly (measured 0.313 vs 0.093 stale — deterministic fixture)
+    assert(pqFresh >= pqStale + 0.1,
+      f"retrained codebooks must clearly beat frozen: $pqFresh%.3f vs $pqStale%.3f")
+
+    // --- IVFADC ladder (both quantizers frozen: nprobe=2, depth 20) ---
+    var ivfpq = graft.ops.AnnPq.buildAnnIvfPqIndex(frame(baseRows))
+    var ipStale = 0.0
+    (0 until 3).foreach { s =>
+      ivfpq = graft.ops.AnnPq.appendToIvfPqIndex(ivfpq, frame(shardRows(s)))
+      val qs = queriesOf(s)
+      val got = graft.ops.AnnPq.ivfPqQueryTopk(ivfpq, frame(qs), k = 10,
+          nprobe = 2, rerankDepth = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = exactTop(baseRows ++ (0 to s).flatMap(shardRows), qs)
+      ipStale = (got intersect exact).size.toDouble / exact.size
+      info(f"IVFPQ after shard ${s + 1}: appendedFraction ${ivfpq.appendedFraction}%.2f recall@10 $ipStale%.3f")
+    }
+    assert(ivfpq.appendedFraction > 0.5)
+    val ipSmall = graft.ops.AnnPq.appendToIvfPqIndex(
+      graft.ops.AnnPq.buildAnnIvfPqIndex(frame(baseRows)), frame(shardRows(0)))
+    assert(graft.ops.AnnPq.maybeRetrainIvfPq(ipSmall) eq ipSmall)
+    val ipRe = graft.ops.AnnPq.maybeRetrainIvfPq(ivfpq)
+    assert(!(ipRe eq ivfpq) && ipRe.appendedFraction == 0.0)
+    val gotIpRe = graft.ops.AnnPq.ivfPqQueryTopk(ipRe, frame(qsF), k = 10,
+        nprobe = 2, rerankDepth = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ipFresh = (gotIpRe intersect exactF).size.toDouble / exactF.size
+    info(f"IVFPQ retrained: recall@10 $ipFresh%.3f (stale was $ipStale%.3f)")
+    assert(ipFresh >= ipStale,
+      f"retrained quantizers must not be worse: $ipFresh%.3f < $ipStale%.3f")
+  }
+
   test("TopKScored: bounded-heap top-k == sort-based reference, any k") {
     // deterministic LCG candidates: 40 groups x 200 candidates with
     // heavy score ties (score = h % 17) so the id tie-break is exercised
