@@ -27,7 +27,9 @@ object Plans {
       "agg_histogram", "llm_embedding_quantize", "llm_dedup_incremental",
       "agg_median", "llm_corpus_shuffle", "llm_source_mix", "llm_split_assign",
       "join_bucketed_colocated", "layout_zorder", "llm_line_dedup",
-      "graph_pagerank", "merge_upsert", "ts_interpolate")
+      "graph_pagerank", "merge_upsert", "ts_interpolate",
+      "llm_ann_pq", "sql_surface_window", "sql_surface_join",
+      "merge_upsert_txn", "compact_zorder", "llm_pipeline_end2end")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

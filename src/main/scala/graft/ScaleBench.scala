@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Env knobs: SPARK_GRAFT_SCALE_MULTS (default "1,10"),
   * SPARK_GRAFT_SCALE_PASSES (default 2, min-of-passes like Bench),
   * SPARK_GRAFT_SCALE_ONLY (comma-filter on query keys).
-  * Writes SCALING_r08.json (per-query seconds and output rows per
+  * Writes SCALING_r09.json (per-query seconds and output rows per
   * multiplier, plus the x10/x1 ratio).
   */
 object ScaleBench {
@@ -78,16 +78,17 @@ object ScaleBench {
                              // both grow n× here — near-linear is the claim)
 
   def synthesize(spark: SparkSession, baseDir: String, mult: Int,
-      outDir: String, stopGram: Boolean = false): Unit = {
+      outDir: String, stopGram: Boolean = false,
+      bpRepeat: Int = 0): Unit = {
     val docs0 = Tables.documents(spark, baseDir)
     // stop-gram mode (r7 verdict item 2's done-condition): plant one
     // bigram shared by EVERY doc before the per-replica token suffixing,
     // so each replica carries an every-doc gram — f ≈ corpus/3 docs per
     // hot key after llm_ngram_jaccard's %3 sample, the single-key f²
     // shuffle bomb the NgramDfCap ceiling exists to drop
-    val docs = if (stopGram)
-      docs0.withColumn("text", concat(col("text"), lit(" zzof zzthe")))
-    else docs0
+    val docs =
+      if (stopGram) docs0.withColumn("text", concat(col("text"), lit(" zzof zzthe")))
+      else docs0
     val replicas = (0 until mult).map { k =>
       docs.select(
         (col("doc_id") + lit(k * 1000000L)).as("doc_id"),
@@ -95,7 +96,22 @@ object ScaleBench {
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
-    replicas.reduce(_.unionByName(_))
+    val unioned = replicas.reduce(_.unionByName(_))
+    // boilerplate mode (r8 verdict item 1's done-condition): open EVERY
+    // doc with `bpRepeat` copies of one 8-token line (template-heavy
+    // web pages repeat identical nav/footer/license lines many times) —
+    // planted AFTER the replica token-suffixing, so the line hashes
+    // identically across the WHOLE corpus and the hot key's frequency
+    // is bpRepeat x corpus, growing linearly with the multiplier: the
+    // hash-FREQUENCY key the r8 row_number survivor election sorted in
+    // one task and the r9 aggregate election map-side-combines
+    val out =
+      if (bpRepeat > 0) unioned.withColumn("text",
+        concat(concat_ws(" ", (0 until bpRepeat).flatMap(_ =>
+          Seq("zzbp1", "zzbp2", "zzbp3", "zzbp4", "zzbp5", "zzbp6", "zzbp7", "zzbp8"))
+          .map(lit): _*), lit(" "), col("text")))
+      else unioned
+    out
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
@@ -130,7 +146,7 @@ object ScaleBench {
     * parquet, RELOAD it, and probe from the RELOADED index — build and
     * write are the amortized once-per-corpus-version costs, probe (from
     * the reloaded frames) is the recurring per-shard cost. Writes
-    * INGEST_r08.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
+    * INGEST_r09.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
     * INSTEAD of the query curve). */
   private def ingestCurve(spark: SparkSession, dirs: Seq[(Int, String)],
       passes: Int): Unit = {
@@ -175,7 +191,7 @@ object ScaleBench {
     val s =
       s"""{"shard_docs":$nShard,"passes":$passes,"note":"fixed shard vs growing corpus; build+write are the amortized once-per-corpus-version costs, probe runs against the RELOADED parquet index (r7 persistence leg)","corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("INGEST_r08.json"), s.getBytes)
+      java.nio.file.Paths.get("INGEST_r09.json"), s.getBytes)
     println(s)
   }
 
@@ -230,7 +246,66 @@ object ScaleBench {
     val s =
       s"""{"note":"every doc carries a planted stop-bigram; registered llm_ngram_jaccard timed WITH the df cap ${graft.ops.DedupOps.NgramDfCap}; uncapped_cand_pairs is the analytic single-key bomb the cap removed","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("STOPGRAM_r08.json"), s.getBytes)
+      java.nio.file.Paths.get("STOPGRAM_r09.json"), s.getBytes)
+    println(s)
+  }
+
+  /** Planted-boilerplate point (r8 verdict item 1's done-condition):
+    * corpora where EVERY document opens with the same 8-token line, at
+    * 1x and the max multiplier, timing the REGISTERED aggregate-election
+    * [[graft.ops.Rewrite.lineDedup]] against the r8 window-election form
+    * on identical inputs. The census records the max line-hash
+    * frequency — the exact row count of the single-task window
+    * partition the r8 form sorts (and the AQE-unsplittable part of its
+    * shuffle), which grows linearly with the corpus while the aggregate
+    * form's per-task state stays O(1) per hash via map-side combine.
+    * Both forms' outputs are asserted identical before timing counts.
+    * Writes BOILERPLATE_r09.json. Enabled with
+    * SPARK_GRAFT_SCALE_BOILERPLATE=1 (runs INSTEAD of the query curve). */
+  private def boilerplateCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.Rewrite
+    // 16 planted copies per doc by default: template-heavy pages repeat
+    // identical lines, and the hot key must outgrow what a single local
+    // task hides (at 5k docs x 1 copy the one-task sort is milliseconds
+    // and the window form's missing partial aggregation is invisible)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_SCALE_BP_REPEAT", "16").toInt
+    val out = mults.map { m =>
+      val d = s"/tmp/graft_scale_bp_x$m"
+      synthesize(spark, baseDir, m, d, bpRepeat = repeat)
+      val docs = Tables.documents(spark, d).select("doc_id", "text")
+      val maxDf = Rewrite.lineView(docs)
+        .groupBy("line_hash").count().agg(max("count")).head().getLong(0)
+      // one-off equivalence check: the two elections agree exactly
+      val diff = Rewrite.lineDedup(docs)
+        .unionByName(Rewrite.lineDedupWindowForm(docs))
+        .groupBy("doc_id", "n_lines", "n_kept", "clean_text")
+        .count().where(col("count") =!= 2).count()
+      require(diff == 0, s"election forms diverge on $diff rows at x$m")
+      var aggMin = Double.MaxValue
+      var winMin = Double.MaxValue
+      var nRows = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        var t0 = System.nanoTime()
+        nRows = graft.ops.Q.withCached(Rewrite.lineDedup(docs))(_.count())
+        aggMin = math.min(aggMin, (System.nanoTime() - t0) / 1e9)
+        t0 = System.nanoTime()
+        graft.ops.Q.withCached(Rewrite.lineDedupWindowForm(docs))(_.count())
+        winMin = math.min(winMin, (System.nanoTime() - t0) / 1e9)
+      }
+      System.err.println(f"boilerplate x$m: agg $aggMin%.2f s, window $winMin%.2f s, " +
+        f"$nRows rows, max line df $maxDf")
+      (m, aggMin, winMin, nRows, maxDf)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, a, w, n, df) =>
+      s""""x$m":{"agg_sec":${f2(a)},"window_sec":${f2(w)},"rows":$n,"max_line_df":$df}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"every doc opens with $repeat planted copies of one 8-token boilerplate line (template-heavy pages repeat identical lines); registered join-free aggregate-election lineDedup vs the r8 row_number-window form on identical inputs (outputs asserted equal); max_line_df is the single-task window partition the window form sorts — linear in corpus, the unsplittable straggler/OOM at web scale — while the aggregate form map-side-combines every hot hash to one struct per map task (O(1) per-group state at any f)","bp_repeat":$repeat,"passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BOILERPLATE_r09.json"), s.getBytes)
     println(s)
   }
 
@@ -254,6 +329,10 @@ object ScaleBench {
 
     if (sys.env.get("SPARK_GRAFT_SCALE_STOPGRAM").contains("1")) {
       stopGramCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_BOILERPLATE").contains("1")) {
+      boilerplateCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
     val ingest = sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")
@@ -319,7 +398,7 @@ object ScaleBench {
     val out =
       s"""{"base":"$baseDir","multipliers":[${mults.mkString(",")}],"passes":$passes,"docs":$docsJson,"queries":$qJson}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALING_r08.json"), out.getBytes)
+      java.nio.file.Paths.get("SCALING_r09.json"), out.getBytes)
     println(out)
     spark.stop()
   }

@@ -81,8 +81,8 @@ object Rewrite {
   }
 
   /** (doc_id, line_id, line_text, line_hash) line view shared by the
-    * two election forms below. */
-  private def lineView(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    * two election forms below (and ScaleBench's hash-frequency census). */
+  private[graft] def lineView(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), posexplode(expr(
@@ -97,41 +97,47 @@ object Rewrite {
     *
     * Survivor election (r9, skew-proofed per the r8 verdict): the first
     * (doc_id, line_id) per 60-bit sha256 line hash is elected with a
-    * PARTIAL-AGGREGATABLE `min(struct(doc_id, line_id))` grouped by the
-    * hash, then joined back to flag each line. The r8 form was a
-    * `row_number` window over the hash partition — correct, but a
-    * boilerplate line repeated in f documents ("All rights reserved.")
-    * is ONE window partition of f rows sorted in a single task, and f
-    * is billions on a web corpus (hash-FREQUENCY skew; key size was
-    * never the issue). The aggregate form's map-side combine reduces
-    * the hot hash to one candidate row per map task before the
-    * shuffle, and the join-back is a join, not a window — AQE's
-    * skew-join split applies where a window partition is unsplittable.
-    * Cost: one extra exchange of the line frame (agg + join vs the
-    * window's single shuffle) — the price of the bound; ScaleBench's
-    * boilerplate mode measures both forms on a planted every-doc line
-    * ([[lineDedupWindowForm]] is kept privately as that contrast). */
+    * PARTIAL-AGGREGATABLE `min(struct(doc_id, line_id, line_text))`
+    * grouped by the hash — (doc_id, line_id) is unique, so the struct
+    * order never reaches line_text; the winner row CARRIES its text,
+    * which is what makes the plan join-free: the surviving lines ARE
+    * the aggregate's output, so reassembly is just a regroup of the
+    * winners by their winning doc, and per-doc totals are a separate
+    * narrow count. The r8 form was a `row_number` window over the hash
+    * partition — correct, but a boilerplate line repeated in f
+    * documents ("All rights reserved.") is ONE window partition of f
+    * rows sorted in a single task, and f is billions on a web corpus
+    * (hash-FREQUENCY skew; key size was never the issue). Here the
+    * map-side combine reduces every hot hash to one candidate per map
+    * task before the shuffle, per-group state is one struct, and no
+    * stage ever sees an f-row partition. Exchange ledger vs the window
+    * form: it moved the full line frame TWICE (hash partition, then
+    * doc regroup); this moves the combined hash groups once, the
+    * winner rows once, and (doc_id, count) pairs once — strictly fewer
+    * bytes AND skew-proof. ScaleBench's boilerplate mode measures both
+    * forms on a planted every-doc line ([[lineDedupWindowForm]] is
+    * kept privately as that contrast). */
   def lineDedup(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val lines = lineView(docs)
+    // per-doc denominators: map-side-combined counts, never text
+    val counts = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    // the election: one combined exchange keyed by line_hash
     val winners = lines.groupBy("line_hash")
-      .agg(min(struct(col("doc_id"), col("line_id"))).as("w"))
-      .select(col("line_hash"), col("w.doc_id").as("w_doc"),
-        col("w.line_id").as("w_line"))
-    lines.join(winners, "line_hash")
-      .withColumn("kept",
-        col("doc_id") === col("w_doc") && col("line_id") === col("w_line"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        // reassemble: surviving lines back in document order; losers
-        // contribute NULL, which collect_list drops
+      .agg(min(struct(col("doc_id"), col("line_id"), col("line_text"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.line_id").as("line_id"),
+        col("w.line_text").as("line_text"))
+    // reassembly: winners regroup by their winning doc, document order
+    val kept = winners.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", expr(
-          """transform(
-            |  array_sort(collect_list(
-            |    CASE WHEN kept THEN struct(line_id, line_text) END)),
+          """transform(array_sort(collect_list(struct(line_id, line_text))),
             |  x -> x.line_text)""".stripMargin)).as("clean_text"))
+    // left join: a doc whose every line lost elsewhere keeps n_kept 0
+    // and rebuilds to '' — same contract as the r8 form
+    counts.join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines").cast("bigint").as("n_lines"),
-        col("n_kept").cast("bigint").as("n_kept"), col("clean_text"))
+        coalesce(col("n_kept"), lit(0L)).cast("bigint").as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")
   }
 
@@ -407,23 +413,19 @@ object Rewrite {
     val rebuilt = lineDedup(gate.select("doc_id", "text"))
       .join(gate.select("doc_id", "source"), "doc_id")
     // exact dedup on the REWRITTEN text, elected like lineDedup (r9
-    // skew-proofing): min(doc_id) per digest is partial-aggregatable
-    // where the r8 row_number window was a one-task sort per digest.
-    // The empty rebuild is this stage's GUARANTEED hot key — every
-    // document whose lines were all removed rebuilds to '' and all of
-    // them share sha256('') — so it never reaches the digest join at
-    // all: its single survivor is a one-row global min, broadcast back.
-    val nonEmpty = rebuilt.where(length(col("clean_text")) > 0)
-      .withColumn("digest", sha2(col("clean_text"), 256))
-    val emptied = rebuilt.where(length(col("clean_text")) === 0)
-    val survivors = nonEmpty
-      .join(nonEmpty.groupBy("digest").agg(min("doc_id").as("w_doc")), "digest")
-      .where(col("doc_id") === col("w_doc"))
-      .drop("digest", "w_doc")
-      .unionByName(emptied
-        .join(broadcast(emptied.agg(min("doc_id").as("w_doc"))),
-          col("doc_id") === col("w_doc"))
-        .drop("w_doc"))
+    // skew-proofing): min(struct(doc_id, source, clean_text)) per
+    // digest — doc_id leads the struct order, so the winner row carries
+    // its own payload and no join-back exists. The empty rebuild is
+    // this stage's GUARANTEED hot key (every document whose lines were
+    // all removed rebuilds to '' and all share sha256('')), and the
+    // partial aggregate bounds it like any other hot digest: one
+    // candidate struct per map task, one surviving row — where the r8
+    // row_number window sorted the whole '' cohort in a single task.
+    val survivors = rebuilt
+      .groupBy(sha2(col("clean_text"), 256).as("digest"))
+      .agg(min(struct(col("doc_id"), col("source"), col("clean_text"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"),
+        col("w.clean_text").as("clean_text"))
     survivors
       .withColumn("h0",
         expr("(doc_id % 1000000007 * 1103515245 + 12345) % 1000000007"))
