@@ -443,6 +443,105 @@ object Rewrite {
       .orderBy("source", "split")
   }
 
+  /** Fresh per-fixture Txn root under java.io.tmpdir (self-contained
+    * rerun — the shape [[mergeUpsertTxn]] established). */
+  private def txnRoot(s: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): String = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_txn",
+      Integer.toHexString(dir.hashCode), name).toString
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    root
+  }
+
+  /** The base (version-1) customer snapshot and the merged (version-2)
+    * snapshot diffed by [[txnChanges]] — op tag DROPPED so an untouched
+    * customer is the same row in both versions and exits the feed. */
+  private def baseSnapshot(s: org.apache.spark.sql.SparkSession, dir: String) =
+    customer(s, dir).select(col("c_custkey").as("custkey"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("mktsegment"))
+
+  /** CDC CHANGES FEED through the transactional table (r9): commit the
+    * customer dimension as version 1 and the MERGE output as version 2,
+    * then read `Txn.changes(1→2)` — updates surface as delete+insert
+    * pairs, MERGE-deletes as bare deletes, MERGE-inserts as bare
+    * inserts, and the ~1300 keep-branch customers (identical rows in
+    * both snapshots) never enter the feed. The oracle rebuilds both
+    * snapshots in SQL and diffs them with EXCEPT ALL — the engine's
+    * bag-semantics diff must agree with DuckDB's row for row. This is
+    * the table-layer twin of the MERGE row: merge_upsert pins WHAT the
+    * new version contains, txn_changes pins what a downstream
+    * incremental consumer (index maintainer, aggregate refresher,
+    * replication feed) is TOLD changed. */
+  val txnChanges: Q = Q(
+    "txn_changes",
+    s"""WITH $MergeSourceSql,
+      |base AS (SELECT c_custkey AS custkey, c_name AS name,
+      |    c_acctbal AS acctbal, c_mktsegment AS mktsegment FROM customer),
+      |merged AS (SELECT
+      |    coalesce(c_custkey, m_custkey) AS custkey,
+      |    CASE WHEN c_custkey IS NULL THEN 'new-' || CAST(m_custkey AS VARCHAR)
+      |         ELSE c_name END AS name,
+      |    CASE WHEN m_custkey IS NULL THEN c_acctbal ELSE m_acctbal END AS acctbal,
+      |    CASE WHEN c_custkey IS NULL THEN 'NEW'
+      |         ELSE c_mktsegment END AS mktsegment
+      |  FROM customer FULL OUTER JOIN m ON c_custkey = m_custkey
+      |  WHERE NOT (c_custkey IS NOT NULL AND m_custkey IS NOT NULL
+      |             AND m_status = 'F'))
+      |SELECT 'insert' AS change_op, custkey, name, acctbal, mktsegment
+      |FROM (SELECT * FROM merged EXCEPT ALL SELECT * FROM base)
+      |UNION ALL
+      |SELECT 'delete' AS change_op, custkey, name, acctbal, mktsegment
+      |FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM merged)
+      |ORDER BY change_op, custkey, acctbal""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "customer_cdc")
+    Txn.commit(baseSnapshot(s, dir), root)
+    Txn.commit(upsertResult(s, dir).drop("op"), root)
+    Txn.changes(s, root, 1L, 2L)
+      .select(col("change_op"), col("custkey"), col("name"), col("acctbal"),
+        col("mktsegment"))
+      .orderBy("change_op", "custkey", "acctbal")
+  }
+
+  /** DATA SKIPPING through the transactional table (r9): commit orders
+    * range-clustered on o_custkey WITH per-file min/max stats in the
+    * snapshot sidecar, then answer a customer-range query via
+    * `Txn.readPruned` — which opens only the files whose recorded range
+    * intersects [301, 600] (a populated mid-range at every fixture SF) (TxnSpec pins the file count actually
+    * read < total and the ≡-to-full-filter equivalence; this row
+    * hash-gates the pruned read's CONTENT against DuckDB's plain
+    * filter). Clustered commit + manifest stats + file skipping is the
+    * read path that makes a 100 TB point query O(matching files):
+    * partition pruning's finer-grained sibling, and exactly what
+    * Delta/Iceberg data skipping does. */
+  val txnSkipping: Q = Q(
+    "txn_skipping",
+    """SELECT o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+      |    AS BIGINT) AS revenue_micro
+      |FROM orders
+      |WHERE o_custkey BETWEEN 301 AND 600
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "orders_skip")
+    Txn.commit(
+      orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"),
+      root, statsCols = Seq("o_custkey"))
+    Txn.readPruned(s, root, "o_custkey", 301L, 600L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.Tables.micro(col("o_totalprice"))).as("revenue_micro"))
+      .orderBy("o_orderstatus")
+  }
+
   def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeUpsertTxn, mergeScd2,
-    llmPipelineEnd2end)
+    llmPipelineEnd2end, txnChanges, txnSkipping)
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Minimal transactional table commits (r8 verdict item 3): the repo's
   * rewrite operators (MERGE, compaction, corpus rewrites) compute new
@@ -84,13 +85,24 @@ object Txn {
   /** Commit `df` as the next version of the table at `root`; returns
     * the committed version number. The data write happens BEFORE any
     * publish step — a crash anywhere leaves the previous version
-    * untouched and visible. */
-  def commit(df: DataFrame, root: String): Long = {
+    * untouched and visible.
+    *
+    * `statsCols` (data skipping): for each named LONG-castable column,
+    * per-file min/max are computed from the freshly-written snapshot and
+    * stored in an underscore-prefixed sidecar INSIDE the snapshot dir
+    * (`data/<uuid>/_stats.tsv` — invisible to parquet readers, and
+    * published atomically with the data because the pointer swap happens
+    * after). [[readPruned]] then opens only the files whose range
+    * overlaps a predicate — the Delta/Iceberg file-skipping core. Stats
+    * cost one extra scan of the new snapshot at commit time (file-local
+    * aggregation, no shuffle: the groupBy key IS the input file). */
+  def commit(df: DataFrame, root: String, statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val uuid = java.util.UUID.randomUUID().toString
     val dataRel = s"data/$uuid"
     df.write.mode("overwrite").parquet(s"$root/$dataRel")
+    if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$dataRel", statsCols)
     // stage the manifest, then CAS-publish: retry the rename at the
     // next version number until we win (rename-without-overwrite fails
     // if a concurrent writer took N first)
@@ -106,6 +118,179 @@ object Txn {
       else published = true
     }
     n
+  }
+
+  /** OPTIMISTIC-CONCURRENCY commit: publish `df` as the next version
+    * only if the table is still at `expectedBase` (the version this
+    * writer read before computing). A full-snapshot rewrite computed
+    * from version B silently DISCARDS any version committed between B
+    * and the publish — [[commit]]'s CAS only serializes version
+    * numbers, it cannot know the rewrite is stale. This is the
+    * serializable-writer check Delta calls conflict detection, reduced
+    * to whole-snapshot granularity: losers throw
+    * [[java.util.ConcurrentModificationException]] and must re-read +
+    * recompute (their orphan snapshot is vacuum fodder, never visible).
+    * The check runs AFTER the data write — the publish rename is the
+    * linearization point, and a racer that lands between check and
+    * rename is caught because rename-without-overwrite fails on the
+    * taken version number and we re-check instead of retrying blindly. */
+  def commitIf(df: DataFrame, root: String, expectedBase: Long,
+      statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    def check(): Unit = {
+      val cur = committedVersions(f, root).foldLeft(0L)(math.max)
+      if (cur != expectedBase)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $root moved to version $cur while this writer " +
+            s"computed from $expectedBase; re-read and recompute")
+    }
+    check()
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataRel = s"data/$uuid"
+    df.write.mode("overwrite").parquet(s"$root/$dataRel")
+    if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$dataRel", statsCols)
+    val tmp = new Path(s"$root/_tmp/$uuid")
+    val out = f.create(tmp, false)
+    try out.write(dataRel.getBytes("UTF-8")) finally out.close()
+    f.mkdirs(new Path(s"$root/_commits"))
+    check()
+    val target = new Path(s"$root/_commits/${expectedBase + 1}")
+    if (f.exists(target) || !f.rename(tmp, target)) {
+      // a racer published expectedBase+1 between the re-check and the
+      // rename; the rename-without-overwrite failure IS the detection
+      throw new java.util.ConcurrentModificationException(
+        s"version ${expectedBase + 1} at $root was taken concurrently; " +
+          "re-read and recompute")
+    }
+    expectedBase + 1
+  }
+
+  /** Per-file min/max for `statsCols` over the snapshot at `dataDir`,
+    * written as `_stats.tsv` lines `basename TAB col TAB min TAB max`.
+    * File-basename keyed: the manifest already pins the directory, so
+    * the basename is unambiguous within a snapshot. Null-only files
+    * write the sentinel `-` bounds (never prunable — always read). */
+  private def writeStats(spark: SparkSession, f: FileSystem,
+      dataDir: String, statsCols: Seq[String]): Unit = {
+    val snap = spark.read.parquet(dataDir)
+    statsCols.foreach { c => require(snap.schema.fieldNames.contains(c),
+      s"stats column $c absent from committed schema") }
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")))
+    val rows = snap
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per data FILE — bounded by snapshot file count
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val file = r.getString(0)
+      statsCols.zipWithIndex.foreach { case (c, i) =>
+        val mn = if (r.isNullAt(1 + 2 * i)) "-" else r.getLong(1 + 2 * i).toString
+        val mx = if (r.isNullAt(2 + 2 * i)) "-" else r.getLong(2 + 2 * i).toString
+        sb.append(s"$file\t$c\t$mn\t$mx\n")
+      }
+    }
+    val out = f.create(new Path(s"$dataDir/_stats.tsv"), false)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** (file-basename, col) -> (min, max) from a snapshot's stats sidecar;
+    * empty when the version was committed without stats. */
+  def fileStats(spark: SparkSession, root: String,
+      version: Long): Map[(String, String), (Option[Long], Option[Long])] = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/${manifestTarget(f, root, version)}/_stats.tsv")
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.split('\n').filter(_.nonEmpty).map { line =>
+        val Array(file, c, mn, mx) = line.split('\t')
+        def parse(s: String) = if (s == "-") None else Some(s.toLong)
+        (file, c) -> ((parse(mn), parse(mx)))
+      }.toMap
+    }
+  }
+
+  /** The file-skipping decision for `lo <= col <= hi` on the current
+    * version: (files to read, total data files). A file is skipped only
+    * when its recorded range provably misses the predicate; files with
+    * no stats row or null bounds are always kept (pruning must be an
+    * optimization, never a filter). */
+  def pruneFiles(spark: SparkSession, root: String, colName: String,
+      lo: Long, hi: Long): (Seq[String], Int) = {
+    val f = fs(spark, root)
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val dataDir = s"$root/${manifestTarget(f, root, v)}"
+    val stats = fileStats(spark, root, v)
+    val files = f.listStatus(new Path(dataDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val kept = files.filter { path =>
+      val base = path.substring(path.lastIndexOf('/') + 1)
+      stats.get((base, colName)) match {
+        case Some((Some(mn), Some(mx))) => mx >= lo && mn <= hi
+        case _                          => true
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Data-skipping read of `lo <= col <= hi` on the current version:
+    * opens only the files [[pruneFiles]] keeps and applies the residual
+    * predicate (file granularity is coarse; row-level filtering still
+    * pushes into the parquet reader as usual). Semantically identical
+    * to `read(...).where(col between lo and hi)` whenever the stats
+    * sidecar is honest — TxnSpec pins that equivalence; the registered
+    * `txn_skipping` row hash-gates it against DuckDB. On a clustered
+    * commit (range-partitioned + sorted, e.g. [[compactCommit]] output
+    * or `compactParquetZorder`) this is the 100 TB point-query path:
+    * O(matching files), not O(table). */
+  def readPruned(spark: SparkSession, root: String, colName: String,
+      lo: Long, hi: Long): DataFrame = {
+    val (kept, _) = pruneFiles(spark, root, colName, lo, hi)
+    val base =
+      if (kept.isEmpty) read(spark, root).limit(0)
+      else spark.read.parquet(kept: _*)
+    base.where(col(colName).cast("long").between(lo, hi))
+  }
+
+  /** Row-level CHANGES FEED between versions (CDC): for each step
+    * v in (fromExclusive, toInclusive], rows present in v but not v-1
+    * are emitted as `insert`@v and rows present in v-1 but not v as
+    * `delete`@v — an update is its delete+insert pair, an untouched row
+    * appears in no step. With whole-snapshot versions the step diff is
+    * two `exceptAll`s (one hash exchange each, keyed on the full row —
+    * bag semantics, duplicate multiplicity respected); the production
+    * formats avoid the scan by logging file-level add/removes at commit
+    * time, which this layer's manifest granularity doesn't record —
+    * the TRADE is commit cost (theirs) vs changes-read cost (ours),
+    * and the feed is still one linear pass per step, no quadratic
+    * term. Schemas must match across the range (rewrites that evolve
+    * the schema should version the READER, not diff across the
+    * boundary). */
+  def changes(spark: SparkSession, root: String, fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    require(fromExclusive < toInclusive,
+      s"empty changes range ($fromExclusive, $toInclusive]")
+    val steps = ((fromExclusive + 1) to toInclusive).map { v =>
+      val prev = readVersion(spark, root, v - 1)
+      val cur = readVersion(spark, root, v)
+      require(prev.schema.fieldNames.sorted.sameElements(
+        cur.schema.fieldNames.sorted),
+        s"schema changed between versions ${v - 1} and $v at $root")
+      cur.exceptAll(prev.select(cur.columns.map(col).toSeq: _*))
+        .withColumn("change_op", lit("insert")).withColumn("change_version", lit(v))
+        .unionByName(
+          prev.select(cur.columns.map(col).toSeq: _*).exceptAll(cur)
+            .withColumn("change_op", lit("delete"))
+            .withColumn("change_version", lit(v)))
+    }
+    steps.reduce(_.unionByName(_))
   }
 
   /** Drop snapshots and staged manifests no committed version (among

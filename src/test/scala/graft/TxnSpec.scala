@@ -102,6 +102,66 @@ class TxnSpec extends SparkSpec {
     assert(Txn.readVersion(spark, root, v1).count() == ev.count())
   }
 
+  test("data skipping: clustered commit prunes files, pruned read ≡ full filter") {
+    import spark.implicits._
+    val root = freshRoot("skip")
+    // 8 range-clustered files over id 0..7999 → a narrow range hits few
+    Txn.commit(
+      spark.range(0, 8000).toDF("id")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      root, statsCols = Seq("id"))
+    val (kept, total) = Txn.pruneFiles(spark, root, "id", 2100L, 2900L)
+    assert(total >= 8, s"expected >= 8 data files, got $total")
+    assert(kept.size < total,
+      s"stats pruned nothing: kept ${kept.size} of $total")
+    assert(kept.size <= 2, s"narrow range should hit <= 2 files, got ${kept.size}")
+    val pruned = ids(Txn.readPruned(spark, root, "id", 2100L, 2900L))
+    assert(pruned == (2100L to 2900L).toSet)
+    // no-stats snapshot: pruning keeps everything (never a filter)
+    val root2 = freshRoot("skip2")
+    Txn.commit((1L to 100L).toDF("id"), root2)
+    val (kept2, total2) = Txn.pruneFiles(spark, root2, "id", 5L, 10L)
+    assert(kept2.size == total2)
+    assert(ids(Txn.readPruned(spark, root2, "id", 5L, 10L)) == (5L to 10L).toSet)
+  }
+
+  test("commitIf: stale writer detected, fresh writer lands") {
+    import spark.implicits._
+    val root = freshRoot("occ")
+    Txn.commit((1L to 5L).toDF("id"), root) // v1
+    // writer A reads at v1 and starts computing; writer B lands v2 first
+    Txn.commit((6L to 9L).toDF("id"), root) // v2
+    intercept[java.util.ConcurrentModificationException] {
+      Txn.commitIf((100L to 105L).toDF("id"), root, expectedBase = 1L)
+    }
+    // loser's orphan snapshot never became visible
+    assert(ids(Txn.read(spark, root)) == (6L to 9L).toSet)
+    // after re-reading at v2, the recomputed rewrite lands as v3
+    val v3 = Txn.commitIf((200L to 202L).toDF("id"), root, expectedBase = 2L)
+    assert(v3 == 3L)
+    assert(ids(Txn.read(spark, root)) == (200L to 202L).toSet)
+  }
+
+  test("changes feed: update = delete+insert pair, keeps absent, multi-step") {
+    import spark.implicits._
+    def snap(rows: (Long, String)*) = rows.toDF("id", "v")
+    val root = freshRoot("cdc")
+    Txn.commit(snap(1L -> "a", 2L -> "b", 3L -> "c"), root)        // v1
+    Txn.commit(snap(1L -> "a", 2L -> "B2", 4L -> "d"), root)       // v2: upd 2, del 3, ins 4
+    Txn.commit(snap(1L -> "a", 2L -> "B2", 4L -> "d", 5L -> "e"), root) // v3: ins 5
+    val step2 = Txn.changes(spark, root, 1L, 2L)
+      .select("change_op", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(step2 == Set(("delete", 2L, "b"), ("insert", 2L, "B2"),
+      ("delete", 3L, "c"), ("insert", 4L, "d")))
+    val all = Txn.changes(spark, root, 1L, 3L)
+      .select("change_op", "id", "change_version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == Set(("delete", 2L, 2L), ("insert", 2L, 2L),
+      ("delete", 3L, 2L), ("insert", 4L, 2L), ("insert", 5L, 3L)))
+    // untouched row 1 never entered the feed (checked by the Sets above)
+  }
+
   test("vacuum drops unreferenced snapshots and keeps the current one readable") {
     import spark.implicits._
     val root = freshRoot("vac")
