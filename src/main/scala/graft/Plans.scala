@@ -29,7 +29,8 @@ object Plans {
       "join_bucketed_colocated", "layout_zorder", "llm_line_dedup",
       "graph_pagerank", "merge_upsert", "ts_interpolate",
       "llm_ann_pq", "sql_surface_window", "sql_surface_join",
-      "merge_upsert_txn", "compact_zorder", "llm_pipeline_end2end")
+      "merge_upsert_txn", "compact_zorder", "llm_pipeline_end2end",
+      "txn_skipping", "txn_changes", "txn_incremental_agg")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

@@ -542,6 +542,81 @@ object Rewrite {
       .orderBy("o_orderstatus")
   }
 
+  /** TIME TRAVEL as a registered row (r9): commit base as v1, the MERGE
+    * output as v2, vacuum with keepLast=2 (exercising retention around a
+    * pinned read), then read VERSION 1 — the oracle is the plain base
+    * snapshot, so the driver hash fails if a later commit, the torn
+    * attempt, or vacuum ever perturbs an old pinned version. The reader
+    * contract that makes long queries safe under concurrent rewrites at
+    * 100 TB: a query pins its snapshot at start and is immune to every
+    * commit that lands while it runs. */
+  val txnTimeTravel: Q = Q(
+    "txn_time_travel",
+    """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+      |  c_mktsegment AS mktsegment
+      |FROM customer ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "customer_tt")
+    Txn.commit(baseSnapshot(s, dir), root)
+    Txn.commit(upsertResult(s, dir).drop("op"), root)
+    Txn.vacuum(s, root, keepLast = 2)
+    Txn.readVersion(s, root, 1L).orderBy("custkey")
+  }
+
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (r9): refresh a per-
+    * segment aggregate using only the CDC feed, never rescanning the new
+    * snapshot. The materialized state is (mktsegment, n_customers,
+    * acctbal_micro_sum) over version 1; [[Txn.changes]](1→2) folds into
+    * per-group deltas (+1/+bal for inserts, -1/-bal for deletes — an
+    * update's pair cancels to its net balance change), and one outer
+    * join applies them: groups born in the delta (the MERGE's 'NEW'
+    * segment) appear, groups whose count reaches zero drop out. The
+    * oracle recomputes the aggregate from the merged snapshot directly,
+    * so the driver hash states refresh-by-delta ≡ full recompute — the
+    * maintenance loop that turns an O(table) nightly rebuild into
+    * O(changes) per cycle; all arithmetic in exact micro-unit integers,
+    * so incremental and recomputed sums agree bit-for-bit (float sums
+    * would drift by accumulation order and break this contract). */
+  val txnIncrementalAgg: Q = Q(
+    "txn_incremental_agg",
+    s"""WITH $MergeSourceSql,
+      |merged AS (SELECT
+      |    coalesce(c_custkey, m_custkey) AS custkey,
+      |    CASE WHEN m_custkey IS NULL THEN c_acctbal ELSE m_acctbal END AS acctbal,
+      |    CASE WHEN c_custkey IS NULL THEN 'NEW'
+      |         ELSE c_mktsegment END AS mktsegment
+      |  FROM customer FULL OUTER JOIN m ON c_custkey = m_custkey
+      |  WHERE NOT (c_custkey IS NOT NULL AND m_custkey IS NOT NULL
+      |             AND m_status = 'F'))
+      |SELECT mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(CAST(CAST(acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+      |    AS BIGINT) AS acctbal_micro_sum
+      |FROM merged GROUP BY mktsegment ORDER BY mktsegment""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "customer_ivm")
+    Txn.commit(baseSnapshot(s, dir), root)
+    Txn.commit(upsertResult(s, dir).drop("op"), root)
+    val mat = Txn.readVersion(s, root, 1L)
+      .groupBy("mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(micro(col("acctbal"))).as("acctbal_micro_sum"))
+    val delta = Txn.changes(s, root, 1L, 2L)
+      .withColumn("sgn",
+        when(col("change_op") === "insert", lit(1L)).otherwise(lit(-1L)))
+      .groupBy("mktsegment")
+      .agg(sum(col("sgn")).as("d_n"),
+        sum(col("sgn") * micro(col("acctbal"))).as("d_sum"))
+    mat.join(delta, Seq("mktsegment"), "full_outer")
+      .select(col("mktsegment"),
+        (coalesce(col("n_customers"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_customers"),
+        (coalesce(col("acctbal_micro_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+          .as("acctbal_micro_sum"))
+      .where(col("n_customers") > 0)
+      .orderBy("mktsegment")
+  }
+
   def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeUpsertTxn, mergeScd2,
-    llmPipelineEnd2end, txnChanges, txnSkipping)
+    llmPipelineEnd2end, txnChanges, txnSkipping, txnTimeTravel,
+    txnIncrementalAgg)
 }
