@@ -293,7 +293,34 @@ object Funcs {
         |GROUP BY n_name ORDER BY n_name""".stripMargin)
   }
 
+  /** B13 (r9) — pasted SQL with chained CTEs and a set operation, the
+    * remaining everyday migration shape after B10's aggregate, B11's
+    * window and B12's join: a WITH pipeline (filter → aggregate) whose
+    * branches are combined with EXCEPT — customers who have placed an
+    * urgent order but never a failed ('F') one. DISTINCT set semantics
+    * ride the same hash aggregate both engines use. */
+  val sqlSurfaceCte: Q = Q(
+    "sql_surface_cte",
+    """WITH urgent AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |failed AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderstatus = 'F')
+      |SELECT o_custkey FROM urgent
+      |EXCEPT SELECT o_custkey FROM failed
+      |ORDER BY o_custkey""".stripMargin
+  ) { (s, dir) =>
+    orders(s, dir).createOrReplaceTempView("graft_orders_cte_v")
+    s.sql(
+      """WITH urgent AS (SELECT DISTINCT o_custkey FROM graft_orders_cte_v
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |failed AS (SELECT DISTINCT o_custkey FROM graft_orders_cte_v
+        |  WHERE o_orderstatus = 'F')
+        |SELECT o_custkey FROM urgent
+        |EXCEPT SELECT o_custkey FROM failed
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(projectCompute, filterCompound, funcCaseCoalesce,
     funcString, funcDate, funcMath, funcArray, funcJsonMap, funcVariant,
-    sqlSurface, sqlSurfaceWindow, sqlSurfaceJoin)
+    sqlSurface, sqlSurfaceWindow, sqlSurfaceJoin, sqlSurfaceCte)
 }

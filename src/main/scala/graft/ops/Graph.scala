@@ -104,5 +104,84 @@ object Graph {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(graphPagerank)
+  /** TRIANGLE COUNTING (r9) over the same τ=0.7 similarity graph —
+    * the local-clustering signal (how interconnected is a doc's
+    * neighborhood) that complements PageRank's centrality: a doc whose
+    * neighbors all know each other sits inside a coherent near-dup
+    * cluster; a high-degree doc with NO triangles is a hub stitching
+    * unrelated regions (boilerplate contamination, template pages).
+    *
+    * The Spark build uses DEGREE-ORDERED ORIENTATION — each undirected
+    * edge points from its (degree, id)-smaller endpoint to the larger,
+    * every triangle is found exactly once from its lowest-ranked
+    * vertex, and the wedge join's fan-out per vertex is bounded by its
+    * ORIENTED out-degree, which is O(√m) on any graph — the standard
+    * defense that makes distributed triangle counting survive skew: a
+    * celebrity vertex of degree millions contributes almost no wedges
+    * because nearly all its edges point INTO it. The oracle enumerates
+    * a<b<c directly (id order) — a different orientation, the same
+    * triangle set, so the per-vertex counts must agree exactly. */
+  val graphTriangles: Q = Q(
+    "graph_triangles",
+    s"""WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      |           FROM documents WHERE doc_id < ${Llm.SampleBound}),
+      |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+      |  WHERE 10 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |     >= 7 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)),
+      |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM e0 e1
+      |  JOIN e0 e2 ON e2.src = e1.dst
+      |  JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |pv AS (SELECT a AS id FROM tri UNION ALL
+      |       SELECT b FROM tri UNION ALL
+      |       SELECT c FROM tri),
+      |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM pv GROUP BY id)
+      |SELECT doc_id, coalesce(n_tri, 0) AS n_tri
+      |FROM m LEFT JOIN cnt ON cnt.id = m.doc_id
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val m = Q.cached(documents(s, dir)
+      .where(col("doc_id") < Llm.SampleBound)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts")))
+    val a = m.select(col("doc_id").as("src"), col("ts").as("ats"))
+    val b = m.select(col("doc_id").as("dst"), col("ts").as("bts"))
+    val half = Q.cached(a.join(b, col("src") < col("dst"))
+      .withColumn("ni", size(array_intersect(col("ats"), col("bts"))).cast("bigint"))
+      .withColumn("nu", (size(col("ats")) + size(col("bts"))).cast("bigint") - col("ni"))
+      .where(col("ni") * 10 >= col("nu") * 7)
+      .select("src", "dst"))
+    // undirected degree, then the (deg, id) total order that orients edges
+    val deg = half.select(col("src").as("id"))
+      .unionByName(half.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withRanks = half
+      .join(deg.select(col("id").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("ddeg")), "dst")
+    val oriented = Q.cached(withRanks.select(
+      when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")),
+        struct(col("src").as("u"), col("dst").as("v"),
+          col("ddeg").as("vdeg")))
+        .otherwise(struct(col("dst").as("u"), col("src").as("v"),
+          col("sdeg").as("vdeg"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.vdeg").as("vdeg")))
+    // wedges from each lowest-ranked vertex; close them against the
+    // oriented edge set (v -> w in rank order by construction)
+    val e1 = oriented.select(col("u"), col("v"), col("vdeg"))
+    val e2 = oriented.select(col("u"), col("v").as("w"), col("vdeg").as("wdeg"))
+    val wedges = e1.join(e2, Seq("u"))
+      .where(struct(col("vdeg"), col("v")) < struct(col("wdeg"), col("w")))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val perVertex = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    m.select(col("doc_id"))
+      .join(perVertex, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(graphPagerank, graphTriangles)
 }

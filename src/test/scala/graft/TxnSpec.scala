@@ -162,6 +162,37 @@ class TxnSpec extends SparkSpec {
     // untouched row 1 never entered the feed (checked by the Sets above)
   }
 
+  test("incremental view maintenance across cycles ≡ recompute at every version") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    def snap(rows: (Long, String, Long)*) = rows.toDF("id", "grp", "v")
+    val root = freshRoot("ivm")
+    Txn.commit(snap((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)), root)   // v1
+    Txn.commit(snap((1L, "a", 11L), (3L, "b", 5L), (4L, "c", 7L)), root)    // v2: upd 1, del 2, ins 4
+    Txn.commit(snap((1L, "a", 11L), (4L, "c", 9L)), root)                   // v3: del 3 (b empties), upd 4
+    def agg(df: DataFrame) = df.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    def toMap(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    var mat = agg(Txn.readVersion(spark, root, 1L))
+    (2L to 3L).foreach { ver =>
+      val delta = Txn.changes(spark, root, ver - 1, ver)
+        .withColumn("sgn",
+          when(col("change_op") === "insert", lit(1L)).otherwise(lit(-1L)))
+        .groupBy("grp")
+        .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("v")).as("ds"))
+      mat = mat.join(delta, Seq("grp"), "full_outer")
+        .select(col("grp"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+        .where(col("n") > 0)
+      assert(toMap(mat) == toMap(agg(Txn.readVersion(spark, root, ver))),
+        s"incremental refresh diverged from recompute at version $ver")
+    }
+    // group b was born, emptied, and dropped through the cycles
+    assert(!toMap(mat).contains("b"))
+  }
+
   test("vacuum drops unreferenced snapshots and keeps the current one readable") {
     import spark.implicits._
     val root = freshRoot("vac")
