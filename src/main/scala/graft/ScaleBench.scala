@@ -309,6 +309,72 @@ object ScaleBench {
     println(s)
   }
 
+  /** Celebrity-vertex point (r9, graph_triangles' skew claim): a star
+    * graph — one hub adjacent to every spoke, plus a spoke path so real
+    * triangles (hub, i, i+1) exist — is the adversarial input for
+    * triangle counting: UNORIENTED wedge enumeration emits
+    * d(d-1)/2 ≈ n²/2 join rows from the hub alone (all hitting one
+    * join task — the same unsplittable hot-key class as the boilerplate
+    * line), while the degree-ordered orientation points every hub edge
+    * INTO the hub, leaving ≤ 1 oriented wedge per spoke — O(n) total.
+    * The naive form is timed only at the smallest multiplier (the n²
+    * wedge set is the bomb; at the top multiplier it is reported
+    * analytically, not detonated — the stop-gram protocol) and its
+    * output is asserted ≡ the oriented engine's there. */
+  private def celebrityCurve(spark: SparkSession, mults: Seq[Int],
+      passes: Int): Unit = {
+    import graft.ops.Graph
+    val baseN = 5000L
+    val out = mults.map { m =>
+      val n = baseN * m
+      val hub = spark.range(1, n).select(lit(0L).as("src"), col("id").as("dst"))
+      val path = spark.range(1, n - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val half = hub.unionByName(path)
+      // analytic wedge ledgers from the degree distribution
+      val deg = half.select(col("src").as("id"))
+        .unionByName(half.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val naiveWedges = deg.agg(sum(expr("d * (d - 1) div 2")))
+        .head().getLong(0)
+      var orientedMin = Double.MaxValue
+      var naiveMin = -1.0
+      var nTri = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        nTri = graft.ops.Q.withCached(Graph.triangleCounts(half))(
+          _.agg(sum("n_tri")).head().getLong(0)) / 3
+        orientedMin = math.min(orientedMin, (System.nanoTime() - t0) / 1e9)
+      }
+      if (m == mults.min) {
+        (1 to passes).foreach { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val naiveTri = graft.ops.Q.withCached(
+            Graph.triangleCountsNaive(half))(
+            _.agg(sum("n_tri")).head().getLong(0)) / 3
+          val t = (System.nanoTime() - t0) / 1e9
+          naiveMin = if (naiveMin < 0) t else math.min(naiveMin, t)
+          require(naiveTri == nTri,
+            s"naive ($naiveTri) and oriented ($nTri) triangle totals diverge")
+        }
+      }
+      System.err.println(f"celebrity x$m (n=$n): oriented $orientedMin%.2f s, " +
+        f"naive ${naiveMin}%.2f s, triangles $nTri, naive wedges $naiveWedges")
+      (m, n, orientedMin, naiveMin, nTri, naiveWedges)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, n, o, nv, t, w) =>
+      s""""x$m":{"vertices":$n,"oriented_sec":${f2(o)},"naive_sec":${f2(nv)},"triangles":$t,"naive_wedge_rows":$w}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"star graph (one celebrity hub + spoke path): unoriented wedge enumeration emits d(d-1)/2 ~ n^2/2 join rows from the hub on one key; degree-ordered orientation points every hub edge INTO the hub (<= 1 oriented wedge per spoke, O(n) total). naive timed only at the smallest multiplier (outputs asserted equal there); naive_sec -1.00 = reported analytically via naive_wedge_rows, not detonated","passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("CELEBRITY_r09.json"), s.getBytes)
+    println(s)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -333,6 +399,10 @@ object ScaleBench {
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_BOILERPLATE").contains("1")) {
       boilerplateCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_CELEBRITY").contains("1")) {
+      celebrityCurve(spark, mults, passes)
       spark.stop(); return
     }
     val ingest = sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")

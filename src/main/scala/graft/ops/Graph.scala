@@ -151,6 +151,18 @@ object Graph {
       .withColumn("nu", (size(col("ats")) + size(col("bts"))).cast("bigint") - col("ni"))
       .where(col("ni") * 10 >= col("nu") * 7)
       .select("src", "dst"))
+    m.select(col("doc_id"))
+      .join(triangleCounts(half), col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-vertex triangle counts (`id`, `n_tri`; vertices in no triangle
+    * absent) over an undirected edge set given as `(src, dst)` with
+    * src < dst, via degree-ordered orientation — see [[graphTriangles]].
+    * Cache lifecycle: `Q.cached` intermediates under the standard
+    * caller-owned contract (run inside Q.withCached for one-shot use). */
+  def triangleCounts(half: DataFrame): DataFrame = {
     // undirected degree, then the (deg, id) total order that orients edges
     val deg = half.select(col("src").as("id"))
       .unionByName(half.select(col("dst").as("id")))
@@ -174,13 +186,24 @@ object Graph {
     val closing = oriented.select(col("u").as("v"), col("v").as("w"))
     val tris = wedges.join(closing, Seq("v", "w"))
       .select(col("u"), col("v"), col("w"))
-    val perVertex = tris
-      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    m.select(col("doc_id"))
-      .join(perVertex, col("doc_id") === col("id"), "left")
-      .select(col("doc_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-      .orderBy("doc_id")
+  }
+
+  /** The UNORIENTED wedge enumeration — ScaleBench's celebrity-curve
+    * contrast only, never a shipped path: wedges are enumerated from
+    * EVERY vertex (each triangle found once per corner, which is
+    * exactly its per-vertex incidence count), so a vertex of degree d
+    * contributes d(d-1)/2 join rows — the celebrity vertex's d² blowup
+    * the orientation exists to avoid. Output ≡ [[triangleCounts]]. */
+  private[graft] def triangleCountsNaive(half: DataFrame): DataFrame = {
+    val und = Q.cached(half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst"))))
+    val n1 = und.select(col("src").as("u"), col("dst").as("v"))
+    val n2 = und.select(col("src").as("u"), col("dst").as("w"))
+    n1.join(n2, Seq("u")).where(col("v") < col("w"))
+      .join(half.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .groupBy(col("u").as("id")).agg(count(lit(1)).as("n_tri"))
   }
 
   def all: Seq[Q] = Seq(graphPagerank, graphTriangles)

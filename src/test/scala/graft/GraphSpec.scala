@@ -56,6 +56,38 @@ class GraphSpec extends SparkSpec {
     assert(r2(0L) == 150000L + 850L * (4L * 150000L) / 1000L)
   }
 
+  test("triangle counts: oriented engine ≡ naive enumeration on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph with planted skew: vertex 0 is
+    // adjacent to everything (the celebrity), plus LCG edges for real
+    // triangle structure
+    val n = 200
+    val lcg = (1 to 600).scanLeft(12345L)((s, _) => (s * 1103515245L + 12341L) % 2147483647L)
+    val rnd = lcg.sliding(2).map { case Seq(a, b) =>
+      (a % n, b % n)
+    }.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSeq
+    val star = (1L until n).map(i => (0L, i))
+    val half = (rnd ++ star).distinct.toDF("src", "dst")
+    val oriented = Q.withCached(graft.ops.Graph.triangleCounts(half))(
+      _.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val naive = Q.withCached(graft.ops.Graph.triangleCountsNaive(half))(
+      _.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(oriented == naive)
+    assert(oriented.values.sum % 3 == 0)     // every triangle counted at its 3 corners
+    assert(oriented.getOrElse(0L, 0L) > 0)   // the celebrity sits in real triangles
+  }
+
+  test("triangle counts: known tiny graphs, exact") {
+    import spark.implicits._
+    // K4: every vertex in C(3,2)=3 triangles
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)).toDF("src", "dst")
+    val c4 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)).toDF("src", "dst") // square: none
+    val k4c = Q.withCached(graft.ops.Graph.triangleCounts(k4))(
+      _.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(k4c == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(Q.withCached(graft.ops.Graph.triangleCounts(c4))(_.count()) == 0L)
+  }
+
   test("every rank is bounded below by the base rank") {
     val s = spark
     val ranks = Q.withCached(
