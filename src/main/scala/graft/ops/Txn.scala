@@ -56,13 +56,48 @@ object Txn {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def manifestTarget(f: FileSystem, root: String, n: Long): String = {
+  /** Manifest format: line 1 = the data dir (the original v1 contract);
+    * line 2+ = optional `key<TAB>value` commit-metadata pairs. Old
+    * single-line manifests parse as metadata-free. */
+  private def manifestLines(f: FileSystem, root: String, n: Long): Seq[String] = {
     val in = f.open(new Path(s"$root/_commits/$n"))
     try {
-      val bytes = new Array[Byte](4096)
+      val bytes = new Array[Byte](65536)
       val len = in.read(bytes)
       new String(bytes, 0, math.max(len, 0), "UTF-8").trim
+        .split('\n').toSeq.map(_.trim)
     } finally in.close()
+  }
+
+  private def manifestTarget(f: FileSystem, root: String, n: Long): String =
+    manifestLines(f, root, n).head
+
+  private def manifestBody(dataRel: String, meta: Map[String, String]): String = {
+    meta.foreach { case (k, v) =>
+      require(!k.contains('\t') && !k.contains('\n') &&
+        !v.contains('\t') && !v.contains('\n'),
+        s"commit metadata must be tab/newline-free: $k=$v") }
+    (dataRel +: meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" })
+      .mkString("\n")
+  }
+
+  /** Commit log (Delta's DESCRIBE HISTORY): every committed version,
+    * ascending, with its snapshot dir and the writer-supplied metadata
+    * (operation name, source job, input versions — whatever the caller
+    * recorded at [[commit]] time). Reading the log costs one small file
+    * per version — never touches data. */
+  def history(spark: SparkSession, root: String): Seq[(Long, String, Map[String, String])] = {
+    val f = fs(spark, root)
+    committedVersions(f, root).sorted.map { n =>
+      val lines = manifestLines(f, root, n)
+      val meta = lines.drop(1).flatMap { l =>
+        l.split('\t') match {
+          case Array(k, v) => Some(k -> v)
+          case _           => None
+        }
+      }.toMap
+      (n, lines.head, meta)
+    }
   }
 
   /** Snapshot-read version `n` (time travel). */
@@ -96,7 +131,8 @@ object Txn {
     * overlaps a predicate — the Delta/Iceberg file-skipping core. Stats
     * cost one extra scan of the new snapshot at commit time (file-local
     * aggregation, no shuffle: the groupBy key IS the input file). */
-  def commit(df: DataFrame, root: String, statsCols: Seq[String] = Nil): Long = {
+  def commit(df: DataFrame, root: String, statsCols: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val uuid = java.util.UUID.randomUUID().toString
@@ -108,7 +144,7 @@ object Txn {
     // if a concurrent writer took N first)
     val tmp = new Path(s"$root/_tmp/$uuid")
     val out = f.create(tmp, false)
-    try out.write(dataRel.getBytes("UTF-8")) finally out.close()
+    try out.write(manifestBody(dataRel, meta).getBytes("UTF-8")) finally out.close()
     f.mkdirs(new Path(s"$root/_commits"))
     var n = committedVersions(f, root).foldLeft(0L)(math.max) + 1
     var published = false
@@ -135,7 +171,7 @@ object Txn {
     * rename is caught because rename-without-overwrite fails on the
     * taken version number and we re-check instead of retrying blindly. */
   def commitIf(df: DataFrame, root: String, expectedBase: Long,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     def check(): Unit = {
@@ -152,7 +188,7 @@ object Txn {
     if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$dataRel", statsCols)
     val tmp = new Path(s"$root/_tmp/$uuid")
     val out = f.create(tmp, false)
-    try out.write(dataRel.getBytes("UTF-8")) finally out.close()
+    try out.write(manifestBody(dataRel, meta).getBytes("UTF-8")) finally out.close()
     f.mkdirs(new Path(s"$root/_commits"))
     check()
     val target = new Path(s"$root/_commits/${expectedBase + 1}")

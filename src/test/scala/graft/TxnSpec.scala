@@ -2,7 +2,12 @@ package graft
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import graft.ops.Txn
+
+/** Top-level so MemoryStream's implicit Encoder derivation can find a
+  * TypeTag (the StreamingSpec NdDoc rule). */
+case class CdcRow(change_op: String, grp: String, v: Long)
 
 /** The transactional-table contract (ops/Txn.scala): atomic pointer-swap
   * commits, torn-writer invisibility (the r8 verdict's "a failed rewrite
@@ -191,6 +196,70 @@ class TxnSpec extends SparkSpec {
     }
     // group b was born, emptied, and dropped through the cycles
     assert(!toMap(mat).contains("b"))
+  }
+
+  test("commit history records writer metadata per version; old manifests parse") {
+    import spark.implicits._
+    val root = freshRoot("hist")
+    Txn.commit((1L to 3L).toDF("id"), root,
+      meta = Map("op" -> "bootstrap", "job" -> "ingest-42"))
+    Txn.commit((4L to 6L).toDF("id"), root) // metadata-free (the v1 format)
+    Txn.commitIf((7L to 9L).toDF("id"), root, expectedBase = 2L,
+      meta = Map("op" -> "compact"))
+    val h = Txn.history(spark, root)
+    assert(h.map(_._1) == Seq(1L, 2L, 3L))
+    assert(h(0)._3 == Map("op" -> "bootstrap", "job" -> "ingest-42"))
+    assert(h(1)._3 == Map.empty)
+    assert(h(2)._3 == Map("op" -> "compact"))
+    // the data pointer is still the line-1 contract: reads unaffected
+    assert(ids(Txn.read(spark, root)) == (7L to 9L).toSet)
+    assert(ids(Txn.readVersion(spark, root, 1L)) == (1L to 3L).toSet)
+    intercept[IllegalArgumentException] {
+      Txn.commit((1L to 2L).toDF("id"), root, meta = Map("bad\tkey" -> "x"))
+    }
+  }
+
+  test("CDC replay from genesis through a streaming aggregation == snapshot agg") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def snap(rows: (Long, String, Long)*) = rows.toDF("id", "grp", "v")
+    val root = freshRoot("replay")
+    Txn.commit(snap((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)), root)  // v1
+    Txn.commit(snap((1L, "a", 11L), (3L, "b", 5L), (4L, "c", 7L)), root)   // v2
+    Txn.commit(snap((1L, "a", 11L), (4L, "c", 9L)), root)                  // v3
+    // the genesis feed: version 1 IS its own change set (all inserts),
+    // then the committed per-version diffs — one micro-batch per version
+    def step(ver: Long): Seq[CdcRow] =
+      (if (ver == 1L)
+        Txn.readVersion(spark, root, 1L)
+          .select(lit("insert").as("change_op"), col("grp"), col("v"))
+      else
+        Txn.changes(spark, root, ver - 1, ver).select("change_op", "grp", "v"))
+        .as[CdcRow].collect().toSeq
+    val source = MemoryStream[CdcRow]
+    val agg = source.toDF()
+      .withColumn("sgn",
+        when(col("change_op") === "insert", lit(1L)).otherwise(lit(-1L)))
+      .groupBy("grp")
+      .agg(sum(col("sgn")).as("n"), sum(col("sgn") * col("v")).as("s"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("cdc_replay").start()
+    try {
+      (1L to 3L).foreach { ver =>
+        source.addData(step(ver): _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cdc_replay")
+        .where(col("n") > 0).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = Txn.readVersion(spark, root, 3L)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed == batch,
+        s"CDC replay state $streamed != snapshot aggregate $batch")
+      assert(!streamed.contains("b")) // group b emptied mid-replay
+    } finally q.stop()
   }
 
   test("vacuum drops unreferenced snapshots and keeps the current one readable") {
