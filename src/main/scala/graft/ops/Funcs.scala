@@ -320,7 +320,70 @@ object Funcs {
         |ORDER BY o_custkey""".stripMargin)
   }
 
+  /** B14 (r9) — pasted RECURSIVE CTE through spark.sql (Spark 4's
+    * WITH RECURSIVE): the calendar-spine pattern — generate every month
+    * from min to max order date by recursion, left-join monthly order
+    * counts so EMPTY months surface as 0 (the gap a plain GROUP BY
+    * silently drops; a real report's x-axis needs them). Migration
+    * note this row documents: Spark 4.1 fails to resolve string
+    * literals inside the anchor when the CTE uses an explicit column
+    * list (`spine(m) AS ...` → UNRESOLVED_COLUMN on 'MONTH'); alias in
+    * the SELECT instead. Both engines cap runaway recursion (Spark
+    * errors past spark.sql.cteRecursionLevelLimit, default 100). */
+  val sqlSurfaceRecursive: Q = Q(
+    "sql_surface_recursive",
+    """WITH RECURSIVE spine AS (
+      |  SELECT date_trunc('MONTH', (SELECT min(o_orderdate) FROM orders)) AS m
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH AS m FROM spine
+      |  WHERE m < date_trunc('MONTH', (SELECT max(o_orderdate) FROM orders)))
+      |SELECT CAST(m AS TIMESTAMP) AS month_start,
+      |  CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+      |FROM spine LEFT JOIN (
+      |  SELECT date_trunc('MONTH', o_orderdate) AS m2, count(*) AS n
+      |  FROM orders GROUP BY 1) t ON m2 = m
+      |ORDER BY month_start""".stripMargin
+  ) { (s, dir) =>
+    orders(s, dir).createOrReplaceTempView("graft_orders_rec_v")
+    s.sql(
+      """WITH RECURSIVE spine AS (
+        |  SELECT date_trunc('MONTH', (SELECT min(o_orderdate) FROM graft_orders_rec_v)) AS m
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH AS m FROM spine
+        |  WHERE m < date_trunc('MONTH', (SELECT max(o_orderdate) FROM graft_orders_rec_v)))
+        |SELECT CAST(m AS TIMESTAMP) AS month_start,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |FROM spine LEFT JOIN (
+        |  SELECT date_trunc('MONTH', o_orderdate) AS m2, count(*) AS n
+        |  FROM graft_orders_rec_v GROUP BY 1) t ON m2 = m
+        |ORDER BY month_start""".stripMargin)
+  }
+
+  /** B15 (r9) — pasted LATERAL correlated subquery: a per-customer
+    * aggregate computed "for each row" syntactically; Catalyst
+    * DECORRELATES it into the same aggregate-then-join plan the
+    * hand-written form produces — the row pins that a pasted
+    * correlated query neither errors nor degenerates into a
+    * per-row re-execution. */
+  val sqlSurfaceLateral: Q = Q(
+    "sql_surface_lateral",
+    """SELECT c_custkey, t.n AS n_orders
+      |FROM customer c, LATERAL (
+      |  SELECT count(*) AS n FROM orders o WHERE o.o_custkey = c.c_custkey) t
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    customer(s, dir).createOrReplaceTempView("graft_customer_lat_v")
+    orders(s, dir).createOrReplaceTempView("graft_orders_lat_v")
+    s.sql(
+      """SELECT c_custkey, t.n AS n_orders
+        |FROM graft_customer_lat_v c, LATERAL (
+        |  SELECT count(*) AS n FROM graft_orders_lat_v o
+        |  WHERE o.o_custkey = c.c_custkey) t
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(projectCompute, filterCompound, funcCaseCoalesce,
     funcString, funcDate, funcMath, funcArray, funcJsonMap, funcVariant,
-    sqlSurface, sqlSurfaceWindow, sqlSurfaceJoin, sqlSurfaceCte)
+    sqlSurface, sqlSurfaceWindow, sqlSurfaceJoin, sqlSurfaceCte,
+    sqlSurfaceRecursive, sqlSurfaceLateral)
 }
