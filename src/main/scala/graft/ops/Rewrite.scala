@@ -616,7 +616,32 @@ object Rewrite {
       .orderBy("mktsegment")
   }
 
+  /** APPEND-COMMIT ingest (r9): the orders table arrives as three
+    * shards — version 1 is a full commit, versions 2 and 3 are
+    * [[Txn.commitAppend]]s whose manifests extend the dir list (commit
+    * cost O(shard), never O(table)); the current version reads the
+    * union of all three snapshot dirs. The oracle is the plain orders
+    * projection: the driver hash states shard-wise transactional
+    * ingest reassembles the table exactly — the 100 TB ingest shape,
+    * where rewriting the table per arriving shard is unthinkable. */
+  val txnAppend: Q = Q(
+    "txn_append",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "orders_append")
+    val o = orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Txn.commit(o.where(col("o_orderkey") % 3 === 0), root,
+      meta = Map("op" -> "bootstrap"))
+    Txn.commitAppend(o.where(col("o_orderkey") % 3 === 1), root,
+      meta = Map("op" -> "ingest-shard"))
+    Txn.commitAppend(o.where(col("o_orderkey") % 3 === 2), root,
+      meta = Map("op" -> "ingest-shard"))
+    Txn.read(s, root).orderBy("o_orderkey")
+  }
+
   def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeUpsertTxn, mergeScd2,
     llmPipelineEnd2end, txnChanges, txnSkipping, txnTimeTravel,
-    txnIncrementalAgg)
+    txnIncrementalAgg, txnAppend)
 }

@@ -34,9 +34,14 @@ import org.apache.spark.sql.functions._
   * At 100 TB this is exactly how the production formats behave: commits
   * cost one rename regardless of data size, readers pin a snapshot for
   * the whole query (no in-place mutation to race), old versions remain
-  * for time travel until [[vacuum]]. The simplifications vs Delta:
-  * whole-snapshot versions (no incremental add/remove file lists) and
-  * no optimistic conflict detection beyond the version CAS. */
+  * for time travel until [[vacuum]]. r9 closes the two gaps the r8
+  * design carried: [[commitAppend]] gives incremental ADD-file commits
+  * (a version's manifest lists many dirs; appending a shard to a
+  * 100 TB table costs O(shard), and the CDC feed serves appends at
+  * file level without diffing), and [[commitIf]] gives serializable
+  * conflict detection for rewrites. The remaining simplification vs
+  * Delta: REMOVE is always a full-snapshot rewrite (no per-file
+  * delete vectors). */
 object Txn {
 
   private def fs(spark: SparkSession, root: String): FileSystem =
@@ -72,6 +77,13 @@ object Txn {
   private def manifestTarget(f: FileSystem, root: String, n: Long): String =
     manifestLines(f, root, n).head
 
+  /** The snapshot dirs of version `n` — line 1 is a comma-separated
+    * list since [[commitAppend]] (r9); full-snapshot commits write one
+    * dir, appends extend the previous version's list, so v1 manifests
+    * parse unchanged. */
+  private def manifestDirs(f: FileSystem, root: String, n: Long): Seq[String] =
+    manifestTarget(f, root, n).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
   private def manifestBody(dataRel: String, meta: Map[String, String]): String = {
     meta.foreach { case (k, v) =>
       require(!k.contains('\t') && !k.contains('\n') &&
@@ -100,12 +112,18 @@ object Txn {
     }
   }
 
-  /** Snapshot-read version `n` (time travel). */
+  /** Snapshot-read version `n` (time travel). Multi-dir versions (from
+    * [[commitAppend]]) read with mergeSchema so an appended shard may
+    * ADD nullable columns (older rows surface them as null — the
+    * parquet schema-evolution contract); single-dir reads keep the
+    * cheaper footer-sampling path. */
   def readVersion(spark: SparkSession, root: String, n: Long): DataFrame = {
     val f = fs(spark, root)
     require(f.exists(new Path(s"$root/_commits/$n")),
       s"version $n was never committed at $root")
-    spark.read.parquet(s"$root/${manifestTarget(f, root, n)}")
+    val dirs = manifestDirs(f, root, n).map(d => s"$root/$d")
+    if (dirs.size == 1) spark.read.parquet(dirs.head)
+    else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** Read the current committed snapshot. Fails loud on a table with no
@@ -154,6 +172,51 @@ object Txn {
       else published = true
     }
     n
+  }
+
+  /** APPEND commit (r9): publish `df` as new data ADDED to the current
+    * version — the manifest of version N+1 lists the previous version's
+    * snapshot dirs plus one fresh dir, so the commit cost is
+    * O(appended data) while a full [[commit]] of the grown table would
+    * be O(table): the difference between ingesting a shard into a
+    * 100 TB table in seconds and rewriting 100 TB. This is the
+    * file-level add-log half of the production formats' manifest
+    * design (deletes still go through full-snapshot rewrite).
+    *
+    * Concurrency: appends REBASE instead of failing — if a racer takes
+    * our version number, the data dir is already written and only the
+    * manifest needs recomputing against the racer's dir list, so the
+    * retry loop re-resolves and re-stages until the rename wins. Two
+    * concurrent appenders therefore both land, in either order, and
+    * neither loses rows — unlike a full-snapshot rewrite, appends
+    * commute. (A concurrent FULL commit rebases the append onto the
+    * rewrite, which is the correct Delta semantics for blind appends.)
+    *
+    * Schema: the appended shard may add nullable columns; readers see
+    * them null-filled on older rows via mergeSchema ([[readVersion]]). */
+  def commitAppend(df: DataFrame, root: String, statsCols: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataRel = s"data/$uuid"
+    df.write.mode("overwrite").parquet(s"$root/$dataRel")
+    if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$dataRel", statsCols)
+    f.mkdirs(new Path(s"$root/_commits"))
+    var attempt = 0
+    while (true) {
+      val base = committedVersions(f, root).foldLeft(0L)(math.max)
+      require(base >= 1, s"append to uninitialized table at $root — commit first")
+      val dirs = manifestDirs(f, root, base) :+ dataRel
+      val tmp = new Path(s"$root/_tmp/$uuid-$attempt")
+      val out = f.create(tmp, false)
+      try out.write(manifestBody(dirs.mkString(","), meta).getBytes("UTF-8"))
+      finally out.close()
+      val target = new Path(s"$root/_commits/${base + 1}")
+      if (!f.exists(target) && f.rename(tmp, target)) return base + 1
+      attempt += 1 // racer took the slot: rebase onto the new tip
+    }
+    -1L // unreachable
   }
 
   /** OPTIMISTIC-CONCURRENCY commit: publish `df` as the next version
@@ -232,23 +295,27 @@ object Txn {
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** (file-basename, col) -> (min, max) from a snapshot's stats sidecar;
-    * empty when the version was committed without stats. */
+  /** (file-basename, col) -> (min, max) merged from every snapshot
+    * dir's stats sidecar (basenames are globally unique — Spark part
+    * files embed a write UUID); dirs committed without stats simply
+    * contribute nothing, so their files are never prunable. */
   def fileStats(spark: SparkSession, root: String,
       version: Long): Map[(String, String), (Option[Long], Option[Long])] = {
     val f = fs(spark, root)
-    val p = new Path(s"$root/${manifestTarget(f, root, version)}/_stats.tsv")
-    if (!f.exists(p)) Map.empty
-    else {
-      val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      text.split('\n').filter(_.nonEmpty).map { line =>
-        val Array(file, c, mn, mx) = line.split('\t')
-        def parse(s: String) = if (s == "-") None else Some(s.toLong)
-        (file, c) -> ((parse(mn), parse(mx)))
-      }.toMap
-    }
+    manifestDirs(f, root, version).flatMap { d =>
+      val p = new Path(s"$root/$d/_stats.tsv")
+      if (!f.exists(p)) Seq.empty
+      else {
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        text.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+          val Array(file, c, mn, mx) = line.split('\t')
+          def parse(s: String) = if (s == "-") None else Some(s.toLong)
+          (file, c) -> ((parse(mn), parse(mx)))
+        }
+      }
+    }.toMap
   }
 
   /** The file-skipping decision for `lo <= col <= hi` on the current
@@ -261,11 +328,12 @@ object Txn {
     val f = fs(spark, root)
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
-    val dataDir = s"$root/${manifestTarget(f, root, v)}"
     val stats = fileStats(spark, root, v)
-    val files = f.listStatus(new Path(dataDir)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
+    val files = manifestDirs(f, root, v).flatMap { d =>
+      f.listStatus(new Path(s"$root/$d")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
     val kept = files.filter { path =>
       val base = path.substring(path.lastIndexOf('/') + 1)
       stats.get((base, colName)) match {
@@ -299,32 +367,46 @@ object Txn {
     * v in (fromExclusive, toInclusive], rows present in v but not v-1
     * are emitted as `insert`@v and rows present in v-1 but not v as
     * `delete`@v — an update is its delete+insert pair, an untouched row
-    * appears in no step. With whole-snapshot versions the step diff is
-    * two `exceptAll`s (one hash exchange each, keyed on the full row —
-    * bag semantics, duplicate multiplicity respected); the production
-    * formats avoid the scan by logging file-level add/removes at commit
-    * time, which this layer's manifest granularity doesn't record —
-    * the TRADE is commit cost (theirs) vs changes-read cost (ours),
-    * and the feed is still one linear pass per step, no quadratic
-    * term. Schemas must match across the range (rewrites that evolve
-    * the schema should version the READER, not diff across the
-    * boundary). */
+    * appears in no step. Two cost regimes per step (r9): an APPEND
+    * version ([[commitAppend]] — its manifest extends the previous dir
+    * list) takes the file-level fast path — the added dirs read
+    * directly as inserts, O(appended data), no diff, exactly the
+    * commit-log CDC the production formats serve; a full-snapshot
+    * rewrite falls back to two `exceptAll`s (one hash exchange each,
+    * keyed on the full row — bag semantics, duplicate multiplicity
+    * respected), one linear pass per step, no quadratic term. Schemas
+    * must match across rewrite boundaries (rewrites that evolve the
+    * schema should version the READER, not diff across the boundary). */
   def changes(spark: SparkSession, root: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     require(fromExclusive < toInclusive,
       s"empty changes range ($fromExclusive, $toInclusive]")
+    val f = fs(spark, root)
     val steps = ((fromExclusive + 1) to toInclusive).map { v =>
-      val prev = readVersion(spark, root, v - 1)
-      val cur = readVersion(spark, root, v)
-      require(prev.schema.fieldNames.sorted.sameElements(
-        cur.schema.fieldNames.sorted),
-        s"schema changed between versions ${v - 1} and $v at $root")
-      cur.exceptAll(prev.select(cur.columns.map(col).toSeq: _*))
-        .withColumn("change_op", lit("insert")).withColumn("change_version", lit(v))
-        .unionByName(
-          prev.select(cur.columns.map(col).toSeq: _*).exceptAll(cur)
-            .withColumn("change_op", lit("delete"))
-            .withColumn("change_version", lit(v)))
+      val prevDirs = manifestDirs(f, root, v - 1)
+      val curDirs = manifestDirs(f, root, v)
+      if (curDirs.startsWith(prevDirs)) {
+        // FILE-LEVEL FAST PATH: version v is an append — its manifest
+        // extends v-1's dir list, so the change set is exactly the
+        // added dirs read as inserts. O(appended data), no exceptAll,
+        // no scan of the base — the production formats' commit-log CDC.
+        spark.read.parquet(curDirs.drop(prevDirs.size)
+            .map(d => s"$root/$d"): _*)
+          .withColumn("change_op", lit("insert"))
+          .withColumn("change_version", lit(v))
+      } else {
+        val prev = readVersion(spark, root, v - 1)
+        val cur = readVersion(spark, root, v)
+        require(prev.schema.fieldNames.sorted.sameElements(
+          cur.schema.fieldNames.sorted),
+          s"schema changed between versions ${v - 1} and $v at $root")
+        cur.exceptAll(prev.select(cur.columns.map(col).toSeq: _*))
+          .withColumn("change_op", lit("insert")).withColumn("change_version", lit(v))
+          .unionByName(
+            prev.select(cur.columns.map(col).toSeq: _*).exceptAll(cur)
+              .withColumn("change_op", lit("delete"))
+              .withColumn("change_version", lit(v)))
+      }
     }
     steps.reduce(_.unionByName(_))
   }
@@ -338,7 +420,7 @@ object Txn {
     val f = fs(spark, root)
     val versions = committedVersions(f, root).sorted
     val keep = versions.takeRight(keepLast)
-    val keepDirs = keep.map(n => manifestTarget(f, root, n)).toSet
+    val keepDirs = keep.flatMap(n => manifestDirs(f, root, n)).toSet
     versions.dropRight(keepLast)
       .foreach(n => f.delete(new Path(s"$root/_commits/$n"), false))
     val dataRoot = new Path(s"$root/data")

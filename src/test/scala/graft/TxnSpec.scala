@@ -262,6 +262,88 @@ class TxnSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append commits: O(shard) manifests, union reads, time travel per append") {
+    import spark.implicits._
+    val root = freshRoot("app")
+    Txn.commit((1L to 3L).toDF("id"), root)
+    val v2 = Txn.commitAppend((4L to 6L).toDF("id"), root)
+    val v3 = Txn.commitAppend((7L to 9L).toDF("id"), root)
+    assert(v2 == 2L && v3 == 3L)
+    assert(ids(Txn.read(spark, root)) == (1L to 9L).toSet)
+    assert(ids(Txn.readVersion(spark, root, 2L)) == (1L to 6L).toSet)
+    assert(ids(Txn.readVersion(spark, root, 1L)) == (1L to 3L).toSet)
+    // appending to an uninitialized table is a caller bug
+    intercept[IllegalArgumentException] {
+      Txn.commitAppend((1L to 2L).toDF("id"), freshRoot("app2"))
+    }
+  }
+
+  test("append rebase: a racer's version is absorbed, no rows lost") {
+    import spark.implicits._
+    val root = freshRoot("appr")
+    Txn.commit((1L to 3L).toDF("id"), root)
+    // racer publishes version 2 (a valid manifest reusing v1's dirs —
+    // i.e. a no-op rewrite) before our append's rename
+    val v1dirs = {
+      val in = fs(root).open(new Path(s"$root/_commits/1"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.split('\n').head
+      finally in.close()
+    }
+    val out = fs(root).create(new Path(s"$root/_commits/2"), false)
+    try out.write(v1dirs.getBytes("UTF-8")) finally out.close()
+    val v = Txn.commitAppend((10L to 12L).toDF("id"), root)
+    assert(v == 3L, s"append should rebase onto the racer's tip, landed at $v")
+    assert(ids(Txn.read(spark, root)) == ((1L to 3L) ++ (10L to 12L)).toSet)
+  }
+
+  test("append schema evolution: added nullable column null-fills older rows") {
+    import spark.implicits._
+    val root = freshRoot("appse")
+    Txn.commit(Seq((1L, "x")).toDF("id", "a"), root)
+    Txn.commitAppend(Seq((2L, "y", 99L)).toDF("id", "a", "extra"), root)
+    val cur = Txn.read(spark, root)
+    assert(cur.columns.toSet == Set("id", "a", "extra"))
+    val rows = cur.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("extra")))
+    assert(rows(1).getLong(rows(1).fieldIndex("extra")) == 99L)
+    // version 1 read alone keeps its original 2-column schema
+    assert(Txn.readVersion(spark, root, 1L).columns.toSet == Set("id", "a"))
+  }
+
+  test("CDC fast path: append steps serve inserts at file level, rewrites diff") {
+    import spark.implicits._
+    val root = freshRoot("appcdc")
+    Txn.commit((1L to 3L).toDF("id"), root)            // v1
+    Txn.commitAppend((4L to 5L).toDF("id"), root)      // v2 (append)
+    Txn.commit((2L to 5L).toDF("id"), root)            // v3 (rewrite: drops 1)
+    val ch = Txn.changes(spark, root, 1L, 3L)
+      .select("change_op", "id", "change_version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ch == Set(("insert", 4L, 2L), ("insert", 5L, 2L), ("delete", 1L, 3L)))
+    // the append step's plan reads ONLY the appended dir — no Except
+    val appendStep = Txn.changes(spark, root, 1L, 2L)
+    val plan = appendStep.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Except"), s"append CDC step must not diff:\n$plan")
+  }
+
+  test("stats pruning spans appended dirs; vacuum keeps every referenced dir") {
+    import spark.implicits._
+    val root = freshRoot("appst")
+    Txn.commit(spark.range(0, 1000).toDF("id")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, statsCols = Seq("id"))
+    Txn.commitAppend(spark.range(1000, 2000).toDF("id")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, statsCols = Seq("id"))
+    val (kept, total) = Txn.pruneFiles(spark, root, "id", 1200L, 1400L)
+    assert(total >= 8, s"expected >= 8 files across both dirs, got $total")
+    assert(kept.size <= 2, s"range in the appended dir should prune base files, got ${kept.size}")
+    assert(ids(Txn.readPruned(spark, root, "id", 1200L, 1400L)) == (1200L to 1400L).toSet)
+    Txn.vacuum(spark, root, keepLast = 1)
+    // the kept version references BOTH dirs — vacuum must retain both
+    assert(Txn.read(spark, root).count() == 2000L)
+  }
+
   test("vacuum drops unreferenced snapshots and keeps the current one readable") {
     import spark.implicits._
     val root = freshRoot("vac")
