@@ -219,6 +219,41 @@ object Txn {
     -1L // unreachable
   }
 
+  /** IDEMPOTENT streaming append (r9): the exactly-once foreachBatch
+    * sink contract. Structured Streaming guarantees at-least-once
+    * foreachBatch invocation — after a crash between the sink's write
+    * and the checkpoint commit, the SAME (queryId, batchId) is
+    * replayed — so a bare [[commitAppend]] would duplicate that
+    * batch's rows. This wrapper records `(txnAppId, txnVersion)` in
+    * the commit metadata and SKIPS the append when the table's history
+    * already holds a version with the same pair (Delta's idempotent-
+    * writes contract, reduced to the same manifest mechanism as
+    * [[history]]): replays become no-ops and the table sees each batch
+    * exactly once. Returns Some(version) when the append landed, None
+    * when it was a recognized replay. Usage:
+    * {{{
+    *   stream.writeStream.foreachBatch { (df, id) =>
+    *     Txn.appendIdempotent(df, root, appId = "my-query", batchId = id)
+    *     ()
+    *   }
+    * }}}
+    * One history scan per micro-batch — O(versions) small-file reads;
+    * vacuum keeps the last retained versions' metadata, so retention
+    * must exceed the longest possible replay window (checkpoint
+    * recovery replays only the LAST unfinished batch, so keepLast >= 2
+    * suffices in practice). */
+  def appendIdempotent(df: DataFrame, root: String, appId: String,
+      batchId: Long, statsCols: Seq[String] = Nil): Option[Long] = {
+    val spark = df.sparkSession
+    val already = history(spark, root).exists { case (_, _, m) =>
+      m.get("txnAppId").contains(appId) &&
+        m.get("txnVersion").contains(batchId.toString)
+    }
+    if (already) None
+    else Some(commitAppend(df, root, statsCols,
+      meta = Map("txnAppId" -> appId, "txnVersion" -> batchId.toString)))
+  }
+
   /** OPTIMISTIC-CONCURRENCY commit: publish `df` as the next version
     * only if the table is still at `expectedBase` (the version this
     * writer read before computing). A full-snapshot rewrite computed

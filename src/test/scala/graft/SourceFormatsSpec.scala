@@ -89,4 +89,25 @@ class SourceFormatsSpec extends SparkSpec {
     assert(good.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
     read.unpersist()
   }
+
+  test("parquet ingest: corrupt file fails loud by default, skippable by option") {
+    // the other ingest-robustness half (r9): at 100 TB a truncated or
+    // bit-rotted parquet FILE (not row) is a weekly event. Default
+    // behavior must be fail-loud — silently dropping a whole file is a
+    // data-loss bug — with ignoreCorruptFiles the explicit operator
+    // decision to trade completeness for availability.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqcorrupt").toString
+    docs.write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-zz-corrupt.snappy.parquet"),
+      "this is not a parquet footer".getBytes)
+    val n = docs.count()
+    intercept[Exception] {
+      spark.read.parquet(dir).count() // fail loud: corrupt data detected
+    }
+    val skipped = spark.read.option("ignoreCorruptFiles", "true").parquet(dir)
+    assert(skipped.count() == n, "healthy files must survive the skip")
+    // the option is per-read: the session default stays strict
+    intercept[Exception] { spark.read.parquet(dir).count() }
+  }
 }
