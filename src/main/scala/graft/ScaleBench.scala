@@ -375,6 +375,69 @@ object ScaleBench {
     println(s)
   }
 
+  /** Txn append-vs-rewrite point (r9, commitAppend's cost claim): a
+    * fixed shard lands in a table of growing size, once as
+    * [[graft.ops.Txn.commitAppend]] (manifest extension — cost must
+    * stay FLAT, O(shard)) and once as a full-snapshot
+    * [[graft.ops.Txn.commit]] of the grown table (cost must grow
+    * LINEARLY, O(table)). The gap at the top multiplier is the
+    * difference between ingesting into a 100 TB table in seconds and
+    * rewriting 100 TB per arriving shard. Also times the CDC read of
+    * the append step (file-level fast path — flat) at each scale. */
+  private def txnAppendCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.Txn
+    val shard = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val nShard = shard.count()
+    val out = mults.map { m =>
+      val base = (0 until m).map { k =>
+        shard.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+      }.reduce(_.unionByName(_))
+      var appendMin = Double.MaxValue
+      var rewriteMin = Double.MaxValue
+      var cdcMin = Double.MaxValue
+      var nTable = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        val root = s"/tmp/graft_txnapp_x$m"
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+        Txn.commit(base, root)
+        val sh = shard.withColumn("o_orderkey",
+          col("o_orderkey") + lit(900000000L))
+        val t0 = System.nanoTime()
+        Txn.commitAppend(sh, root)
+        val t1 = System.nanoTime()
+        cdcMin = math.min(cdcMin,
+          { val c0 = System.nanoTime()
+            Txn.changes(spark, root, 2L - 1, 2L).count()
+            (System.nanoTime() - c0) / 1e9 })
+        // the rewrite alternative: commit the WHOLE grown table again
+        val t2 = System.nanoTime()
+        Txn.commit(Txn.read(spark, root), root)
+        val t3 = System.nanoTime()
+        nTable = Txn.read(spark, root).count()
+        appendMin = math.min(appendMin, (t1 - t0) / 1e9)
+        rewriteMin = math.min(rewriteMin, (t3 - t2) / 1e9)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+      System.err.println(f"txnappend x$m (table=$nTable): append $appendMin%.2f s, " +
+        f"rewrite $rewriteMin%.2f s, cdc-read $cdcMin%.2f s")
+      (m, nTable, appendMin, rewriteMin, cdcMin)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, n, a, r, c) =>
+      s""""x$m":{"table_rows":$n,"append_sec":${f2(a)},"rewrite_sec":${f2(r)},"cdc_read_sec":${f2(c)}}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"fixed $nShard-row shard into a table grown nx: commitAppend (manifest extension, O(shard)) vs full-snapshot commit of the grown table (O(table)); cdc_read_sec = changes() over the append step (file-level fast path). The gap at the top multiplier is ingest-into-100TB vs rewrite-100TB-per-shard","shard_rows":$nShard,"passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("TXNAPPEND_r09.json"), s.getBytes)
+    println(s)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -403,6 +466,10 @@ object ScaleBench {
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_CELEBRITY").contains("1")) {
       celebrityCurve(spark, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_TXNAPPEND").contains("1")) {
+      txnAppendCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
     val ingest = sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")
