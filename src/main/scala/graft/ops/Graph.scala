@@ -52,6 +52,36 @@ object Graph {
     pr
   }
 
+  /** The τ=0.7 token-set-Jaccard similarity graph on the bounded doc
+    * prefix, shared by [[graphPagerank]] and [[graphTriangles]] (one
+    * definition on each surface — r9 review: a τ or tokenizer change
+    * must move both consumers together). SQL side: the `m` (tokenized
+    * prefix) and `e0` (src < dst half-edges) CTEs. */
+  private val SimGraphSql: String =
+    s"""m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      |           FROM documents WHERE doc_id < ${Llm.SampleBound}),
+      |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+      |  WHERE 10 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+      |     >= 7 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT))""".stripMargin
+
+  /** Spark side of [[SimGraphSql]]: (bounded vertex frame with token
+    * sets, src < dst half-edge frame). The vertex frame is Q.cached —
+    * both consumers iterate or join it repeatedly. */
+  private def simGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val m = Q.cached(documents(s, dir)
+      .where(col("doc_id") < Llm.SampleBound)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts")))
+    val a = m.select(col("doc_id").as("src"), col("ts").as("ats"))
+    val b = m.select(col("doc_id").as("dst"), col("ts").as("bts"))
+    val half = a.join(b, col("src") < col("dst"))
+      .withColumn("ni", size(array_intersect(col("ats"), col("bts"))).cast("bigint"))
+      .withColumn("nu", (size(col("ats")) + size(col("bts"))).cast("bigint") - col("ni"))
+      .where(col("ni") * 10 >= col("nu") * 7)
+      .select("src", "dst")
+    (m, half)
+  }
+
   /** PageRank over the τ=0.7 token-set-Jaccard similarity graph on the
     * bounded doc prefix. Lower τ than the near-dup rows (0.95) on
     * purpose: centrality is about the SIMILARITY NEIGHBORHOOD, not
@@ -59,12 +89,7 @@ object Graph {
     * edges, at 0.7 it is a real 1692-edge web. */
   val graphPagerank: Q = Q(
     "graph_pagerank",
-    s"""WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
-      |           FROM documents WHERE doc_id < ${Llm.SampleBound}),
-      |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
-      |  FROM m a JOIN m b ON a.doc_id < b.doc_id
-      |  WHERE 10 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
-      |     >= 7 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)),
+    s"""WITH $SimGraphSql,
       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
       |p0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS pr FROM m),
@@ -88,16 +113,7 @@ object Graph {
       |  GROUP BY p.id)
       |SELECT id AS doc_id, pr AS pr_micro FROM p3 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val m = Q.cached(documents(s, dir)
-      .where(col("doc_id") < Llm.SampleBound)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts")))
-    val a = m.select(col("doc_id").as("src"), col("ts").as("ats"))
-    val b = m.select(col("doc_id").as("dst"), col("ts").as("bts"))
-    val half = a.join(b, col("src") < col("dst"))
-      .withColumn("ni", size(array_intersect(col("ats"), col("bts"))).cast("bigint"))
-      .withColumn("nu", (size(col("ats")) + size(col("bts"))).cast("bigint") - col("ni"))
-      .where(col("ni") * 10 >= col("nu") * 7)
-      .select("src", "dst")
+    val (m, half) = simGraph(s, dir)
     val edges = half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
     pageRank(m.select(col("doc_id").as("id")), edges, iters = 3)
       .select(col("id").as("doc_id"), col("pr").as("pr_micro"))
@@ -123,12 +139,7 @@ object Graph {
     * triangle set, so the per-vertex counts must agree exactly. */
   val graphTriangles: Q = Q(
     "graph_triangles",
-    s"""WITH m AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
-      |           FROM documents WHERE doc_id < ${Llm.SampleBound}),
-      |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
-      |  FROM m a JOIN m b ON a.doc_id < b.doc_id
-      |  WHERE 10 * CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
-      |     >= 7 * CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT)),
+    s"""WITH $SimGraphSql,
       |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       |  FROM e0 e1
       |  JOIN e0 e2 ON e2.src = e1.dst
@@ -141,16 +152,8 @@ object Graph {
       |FROM m LEFT JOIN cnt ON cnt.id = m.doc_id
       |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val m = Q.cached(documents(s, dir)
-      .where(col("doc_id") < Llm.SampleBound)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts")))
-    val a = m.select(col("doc_id").as("src"), col("ts").as("ats"))
-    val b = m.select(col("doc_id").as("dst"), col("ts").as("bts"))
-    val half = Q.cached(a.join(b, col("src") < col("dst"))
-      .withColumn("ni", size(array_intersect(col("ats"), col("bts"))).cast("bigint"))
-      .withColumn("nu", (size(col("ats")) + size(col("bts"))).cast("bigint") - col("ni"))
-      .where(col("ni") * 10 >= col("nu") * 7)
-      .select("src", "dst"))
+    val (m, half0) = simGraph(s, dir)
+    val half = Q.cached(half0)
     m.select(col("doc_id"))
       .join(triangleCounts(half), col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))

@@ -67,10 +67,15 @@ object Txn {
   private def manifestLines(f: FileSystem, root: String, n: Long): Seq[String] = {
     val in = f.open(new Path(s"$root/_commits/$n"))
     try {
-      val bytes = new Array[Byte](65536)
-      val len = in.read(bytes)
-      new String(bytes, 0, math.max(len, 0), "UTF-8").trim
-        .split('\n').toSeq.map(_.trim)
+      // full drain, not one bounded read(): a single read() may legally
+      // return short, and an append-chain manifest grows ~43 bytes per
+      // shard — truncating either way would silently drop committed
+      // dirs from the snapshot (r9 review)
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var len = in.read(chunk)
+      while (len >= 0) { buf.write(chunk, 0, len); len = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8").trim.split('\n').toSeq.map(_.trim)
     } finally in.close()
   }
 
@@ -135,6 +140,31 @@ object Txn {
     readVersion(spark, root, n)
   }
 
+  /** Write `df` as a fresh immutable snapshot dir (plus its optional
+    * stats sidecar) and return its root-relative path — the shared
+    * first phase of every commit flavor (r9 review: previously
+    * triplicated across commit/commitIf/appendCore). */
+  private def writeSnapshot(df: DataFrame, root: String,
+      statsCols: Seq[String]): String = {
+    val spark = df.sparkSession
+    val dataRel = s"data/${java.util.UUID.randomUUID().toString}"
+    df.write.mode("overwrite").parquet(s"$root/$dataRel")
+    if (statsCols.nonEmpty)
+      writeStats(spark, fs(spark, root), s"$root/$dataRel", statsCols)
+    dataRel
+  }
+
+  /** Stage a manifest body under `_tmp/` (invisible to readers) and
+    * return its path, ready for the atomic publish rename. */
+  private def stageManifest(f: FileSystem, root: String, tag: String,
+      body: String): Path = {
+    val tmp = new Path(s"$root/_tmp/$tag")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    f.mkdirs(new Path(s"$root/_commits"))
+    tmp
+  }
+
   /** Commit `df` as the next version of the table at `root`; returns
     * the committed version number. The data write happens BEFORE any
     * publish step — a crash anywhere leaves the previous version
@@ -151,19 +181,13 @@ object Txn {
     * aggregation, no shuffle: the groupBy key IS the input file). */
   def commit(df: DataFrame, root: String, statsCols: Seq[String] = Nil,
       meta: Map[String, String] = Map.empty): Long = {
-    val spark = df.sparkSession
-    val f = fs(spark, root)
-    val uuid = java.util.UUID.randomUUID().toString
-    val dataRel = s"data/$uuid"
-    df.write.mode("overwrite").parquet(s"$root/$dataRel")
-    if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$dataRel", statsCols)
+    val f = fs(df.sparkSession, root)
+    val dataRel = writeSnapshot(df, root, statsCols)
     // stage the manifest, then CAS-publish: retry the rename at the
     // next version number until we win (rename-without-overwrite fails
     // if a concurrent writer took N first)
-    val tmp = new Path(s"$root/_tmp/$uuid")
-    val out = f.create(tmp, false)
-    try out.write(manifestBody(dataRel, meta).getBytes("UTF-8")) finally out.close()
-    f.mkdirs(new Path(s"$root/_commits"))
+    val tmp = stageManifest(f, root, dataRel.stripPrefix("data/"),
+      manifestBody(dataRel, meta))
     var n = committedVersions(f, root).foldLeft(0L)(math.max) + 1
     var published = false
     while (!published) {
@@ -195,28 +219,46 @@ object Txn {
     * Schema: the appended shard may add nullable columns; readers see
     * them null-filled on older rows via mergeSchema ([[readVersion]]). */
   def commitAppend(df: DataFrame, root: String, statsCols: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty): Long =
+    appendCore(df, root, statsCols, meta, dedupKey = None)
+      .getOrElse(sys.error("unreachable: dedup-free append cannot no-op"))
+
+  /** The rebase loop shared by [[commitAppend]] and [[appendIdempotent]].
+    * Per-iteration order is RESOLVE tip → CHECK dedup marker → RENAME
+    * to tip+1, and that order is what makes the idempotence check
+    * serializable (r9 review): a racer that published the marker
+    * before our resolve is seen by the check; a racer that published
+    * after our resolve holds a version ≥ our target, so our
+    * rename-without-overwrite FAILS and the next iteration re-resolves
+    * and sees the marker. Two replays of one batch therefore cannot
+    * both land — one of the two renames loses and its next check
+    * aborts. */
+  private def appendCore(df: DataFrame, root: String, statsCols: Seq[String],
+      meta: Map[String, String], dedupKey: Option[(String, String)]): Option[Long] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
-    val uuid = java.util.UUID.randomUUID().toString
-    val dataRel = s"data/$uuid"
-    df.write.mode("overwrite").parquet(s"$root/$dataRel")
-    if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$dataRel", statsCols)
+    lazy val written: String = // data written once, on first need
+      writeSnapshot(df, root, statsCols)
     f.mkdirs(new Path(s"$root/_commits"))
     var attempt = 0
     while (true) {
       val base = committedVersions(f, root).foldLeft(0L)(math.max)
       require(base >= 1, s"append to uninitialized table at $root — commit first")
+      val replayed = dedupKey.exists { case (app, bid) =>
+        history(spark, root).exists { case (_, _, m) =>
+          m.get("txnAppId").contains(app) && m.get("txnVersion").contains(bid) }
+      }
+      if (replayed) return None
+      val dataRel = written
       val dirs = manifestDirs(f, root, base) :+ dataRel
-      val tmp = new Path(s"$root/_tmp/$uuid-$attempt")
-      val out = f.create(tmp, false)
-      try out.write(manifestBody(dirs.mkString(","), meta).getBytes("UTF-8"))
-      finally out.close()
+      val tmp = stageManifest(f, root, s"${dataRel.stripPrefix("data/")}-$attempt",
+        manifestBody(dirs.mkString(","), meta))
       val target = new Path(s"$root/_commits/${base + 1}")
-      if (!f.exists(target) && f.rename(tmp, target)) return base + 1
+      if (!f.exists(target) && f.rename(tmp, target)) return Some(base + 1)
+      f.delete(tmp, false) // staged manifest of the lost round
       attempt += 1 // racer took the slot: rebase onto the new tip
     }
-    -1L // unreachable
+    None // unreachable
   }
 
   /** IDEMPOTENT streaming append (r9): the exactly-once foreachBatch
@@ -243,16 +285,10 @@ object Txn {
     * recovery replays only the LAST unfinished batch, so keepLast >= 2
     * suffices in practice). */
   def appendIdempotent(df: DataFrame, root: String, appId: String,
-      batchId: Long, statsCols: Seq[String] = Nil): Option[Long] = {
-    val spark = df.sparkSession
-    val already = history(spark, root).exists { case (_, _, m) =>
-      m.get("txnAppId").contains(appId) &&
-        m.get("txnVersion").contains(batchId.toString)
-    }
-    if (already) None
-    else Some(commitAppend(df, root, statsCols,
-      meta = Map("txnAppId" -> appId, "txnVersion" -> batchId.toString)))
-  }
+      batchId: Long, statsCols: Seq[String] = Nil): Option[Long] =
+    appendCore(df, root, statsCols,
+      meta = Map("txnAppId" -> appId, "txnVersion" -> batchId.toString),
+      dedupKey = Some((appId, batchId.toString)))
 
   /** OPTIMISTIC-CONCURRENCY commit: publish `df` as the next version
     * only if the table is still at `expectedBase` (the version this
@@ -280,19 +316,17 @@ object Txn {
             s"computed from $expectedBase; re-read and recompute")
     }
     check()
-    val uuid = java.util.UUID.randomUUID().toString
-    val dataRel = s"data/$uuid"
-    df.write.mode("overwrite").parquet(s"$root/$dataRel")
-    if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$dataRel", statsCols)
-    val tmp = new Path(s"$root/_tmp/$uuid")
-    val out = f.create(tmp, false)
-    try out.write(manifestBody(dataRel, meta).getBytes("UTF-8")) finally out.close()
-    f.mkdirs(new Path(s"$root/_commits"))
-    check()
+    val dataRel = writeSnapshot(df, root, statsCols)
+    val tmp = stageManifest(f, root, dataRel.stripPrefix("data/"),
+      manifestBody(dataRel, meta))
+    try check()
+    catch { case t: Throwable => f.delete(tmp, false); throw t }
     val target = new Path(s"$root/_commits/${expectedBase + 1}")
     if (f.exists(target) || !f.rename(tmp, target)) {
       // a racer published expectedBase+1 between the re-check and the
       // rename; the rename-without-overwrite failure IS the detection
+      // (staged manifest cleaned; the orphan snapshot is vacuum fodder)
+      f.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
         s"version ${expectedBase + 1} at $root was taken concurrently; " +
           "re-read and recompute")
@@ -391,10 +425,18 @@ object Txn {
     * O(matching files), not O(table). */
   def readPruned(spark: SparkSession, root: String, colName: String,
       lo: Long, hi: Long): DataFrame = {
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
     val (kept, _) = pruneFiles(spark, root, colName, lo, hi)
+    // impose the VERSION's schema on the pruned scan — footer merging
+    // over the surviving files would let the file subset decide which
+    // EVOLVED columns surface (a pruned read keeping only
+    // pre-evolution files would drop the evolved column), breaking the
+    // ≡ read().where(...) contract; with an explicit schema the
+    // parquet reader null-fills per file instead (r9 review)
     val base =
       if (kept.isEmpty) read(spark, root).limit(0)
-      else spark.read.parquet(kept: _*)
+      else spark.read.schema(readVersion(spark, root, v).schema).parquet(kept: _*)
     base.where(col(colName).cast("long").between(lo, hi))
   }
 
@@ -425,9 +467,14 @@ object Txn {
         // extends v-1's dir list, so the change set is exactly the
         // added dirs read as inserts. O(appended data), no exceptAll,
         // no scan of the base — the production formats' commit-log CDC.
-        spark.read.parquet(curDirs.drop(prevDirs.size)
-            .map(d => s"$root/$d"): _*)
-          .withColumn("change_op", lit("insert"))
+        // An identical dir list (a no-op rewrite, legal) is an empty
+        // step, not a zero-path read (r9 review).
+        val added = curDirs.drop(prevDirs.size).map(d => s"$root/$d")
+        val step =
+          if (added.isEmpty) readVersion(spark, root, v).limit(0)
+          else if (added.size == 1) spark.read.parquet(added.head)
+          else spark.read.option("mergeSchema", "true").parquet(added: _*)
+        step.withColumn("change_op", lit("insert"))
           .withColumn("change_version", lit(v))
       } else {
         val prev = readVersion(spark, root, v - 1)
@@ -443,7 +490,10 @@ object Txn {
               .withColumn("change_version", lit(v)))
       }
     }
-    steps.reduce(_.unionByName(_))
+    // allowMissingColumns: an appended shard may carry columns other
+    // steps lack (supported schema evolution) — null-fill across steps
+    // instead of dying on the union (r9 review)
+    steps.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Drop snapshots and staged manifests no committed version (among

@@ -376,6 +376,71 @@ class TxnSpec extends SparkSpec {
     assert(ch == Map(2L -> 3L, 3L -> 2L))
   }
 
+  test("manifest reads drain fully: an append-chain manifest past 8KB parses whole") {
+    import spark.implicits._
+    val root = freshRoot("bigman")
+    Txn.commit((1L to 3L).toDF("id"), root)
+    // plant a v2 manifest listing the v1 dir 400 times (~15KB line) +
+    // a metadata line — the short-read/truncation regression (r9
+    // review): a single bounded read() dropped committed dirs silently
+    val v1dir = {
+      val in = fs(root).open(new Path(s"$root/_commits/1"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.split('\n').head
+      finally in.close()
+    }
+    val body = Seq.fill(400)(v1dir).mkString(",") + "\nop\tplanted"
+    val out = fs(root).create(new Path(s"$root/_commits/2"), false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    assert(Txn.readVersion(spark, root, 2L).count() == 400L * 3,
+      "every one of the 400 manifest dirs must be read")
+    assert(Txn.history(spark, root).last._3 == Map("op" -> "planted"),
+      "the metadata line after a >8KB dir list must parse")
+  }
+
+  test("CDC over a no-op rewrite step (identical dir list) is empty, not a crash") {
+    import spark.implicits._
+    val root = freshRoot("noop")
+    Txn.commit((1L to 3L).toDF("id"), root)
+    val v1dir = {
+      val in = fs(root).open(new Path(s"$root/_commits/1"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val out = fs(root).create(new Path(s"$root/_commits/2"), false)
+    try out.write(v1dir.getBytes("UTF-8")) finally out.close()
+    Txn.commitAppend((4L to 5L).toDF("id"), root) // v3
+    val ch = Txn.changes(spark, root, 1L, 3L)
+      .select("change_op", "id", "change_version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ch == Set(("insert", 4L, 3L), ("insert", 5L, 3L)))
+  }
+
+  test("CDC and pruned reads respect schema evolution across append steps") {
+    import spark.implicits._
+    val root = freshRoot("evcdc")
+    Txn.commit(Seq((1L, "x")).toDF("id", "a"), root)
+    Txn.commitAppend(Seq((2L, "y", 99L)).toDF("id", "a", "extra"), root)
+    Txn.commitAppend(Seq((3L, "z")).toDF("id", "a"), root)
+    // the union across steps null-fills the evolved column (r9 review:
+    // strict unionByName died on it)
+    val ch = Txn.changes(spark, root, 1L, 3L)
+    assert(ch.columns.contains("extra"))
+    val rows = ch.orderBy("id").collect()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("id"))).toSeq == Seq(2L, 3L))
+    assert(rows(0).getLong(rows(0).fieldIndex("extra")) == 99L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("extra")))
+    // pruned read over the evolved multi-dir version keeps the merged
+    // schema regardless of which files survive pruning
+    val root2 = freshRoot("evprune")
+    Txn.commit(spark.range(0, 100).toDF("id"), root2, statsCols = Seq("id"))
+    Txn.commitAppend(spark.range(100, 200).toDF("id")
+      .withColumn("extra", col("id") * 2), root2, statsCols = Seq("id"))
+    val prunedOld = Txn.readPruned(spark, root2, "id", 10L, 20L)
+    assert(prunedOld.columns.contains("extra"),
+      "a pruned read that keeps only pre-evolution files must still surface the evolved column")
+    assert(prunedOld.where(col("extra").isNull).count() == 11L)
+  }
+
   test("vacuum drops unreferenced snapshots and keeps the current one readable") {
     import spark.implicits._
     val root = freshRoot("vac")
