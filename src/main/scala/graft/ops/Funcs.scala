@@ -329,14 +329,24 @@ object Funcs {
     * literals inside the anchor when the CTE uses an explicit column
     * list (`spine(m) AS ...` → UNRESOLVED_COLUMN on 'MONTH'); alias in
     * the SELECT instead. Both engines cap runaway recursion (Spark
-    * errors past spark.sql.cteRecursionLevelLimit, default 100). */
+    * errors past spark.sql.cteRecursionLevelLimit, default 100).
+    *
+    * Perf note baked into the shape: the recursion CARRIES the upper
+    * bound computed once in the anchor — a scalar subquery in the
+    * recursive WHERE would re-scan the fact table on EVERY step (80
+    * iterations × full orders scan; measured 11 s vs ~1 s at sf0.1).
+    * Each recursive step is still its own Spark job, so iteration
+    * count — not data size — dominates; recursion is for genuinely
+    * iterative logic, spines past ~100 steps belong to sequence(). */
   val sqlSurfaceRecursive: Q = Q(
     "sql_surface_recursive",
-    """WITH RECURSIVE spine AS (
-      |  SELECT date_trunc('MONTH', (SELECT min(o_orderdate) FROM orders)) AS m
+    """WITH RECURSIVE bounds AS (
+      |  SELECT date_trunc('MONTH', min(o_orderdate)) AS lo,
+      |         date_trunc('MONTH', max(o_orderdate)) AS hi FROM orders),
+      |spine AS (
+      |  SELECT lo AS m, hi FROM bounds
       |  UNION ALL
-      |  SELECT m + INTERVAL 1 MONTH AS m FROM spine
-      |  WHERE m < date_trunc('MONTH', (SELECT max(o_orderdate) FROM orders)))
+      |  SELECT m + INTERVAL 1 MONTH AS m, hi FROM spine WHERE m < hi)
       |SELECT CAST(m AS TIMESTAMP) AS month_start,
       |  CAST(coalesce(n, 0) AS BIGINT) AS n_orders
       |FROM spine LEFT JOIN (
@@ -346,11 +356,13 @@ object Funcs {
   ) { (s, dir) =>
     orders(s, dir).createOrReplaceTempView("graft_orders_rec_v")
     s.sql(
-      """WITH RECURSIVE spine AS (
-        |  SELECT date_trunc('MONTH', (SELECT min(o_orderdate) FROM graft_orders_rec_v)) AS m
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('MONTH', min(o_orderdate)) AS lo,
+        |         date_trunc('MONTH', max(o_orderdate)) AS hi FROM graft_orders_rec_v),
+        |spine AS (
+        |  SELECT lo AS m, hi FROM bounds
         |  UNION ALL
-        |  SELECT m + INTERVAL 1 MONTH AS m FROM spine
-        |  WHERE m < date_trunc('MONTH', (SELECT max(o_orderdate) FROM graft_orders_rec_v)))
+        |  SELECT m + INTERVAL 1 MONTH AS m, hi FROM spine WHERE m < hi)
         |SELECT CAST(m AS TIMESTAMP) AS month_start,
         |  CAST(coalesce(n, 0) AS BIGINT) AS n_orders
         |FROM spine LEFT JOIN (
