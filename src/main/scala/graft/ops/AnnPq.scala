@@ -123,22 +123,49 @@ object AnnPq {
     }
   }
 
+  /** Deterministic training slice: ~`trainSample` vectors picked by
+    * vec_id hash (partition-layout independent, stable across runs).
+    * 0 (the default) = train on everything — the registered rows'
+    * behavior, which the recall floors and drift ladders calibrate.
+    * At 100 TB training on the corpus is neither feasible nor useful
+    * (k-means quality saturates at ~10²-10³ points per centroid — the
+    * FAISS guidance), so production builds pass a bound and only the
+    * ENCODE pass touches every vector; AnnPqSpec pins the recall
+    * floors under a 4× subsample (measured: flat PQ 0.98, IVFADC 0.76
+    * at trainSample=128 of 500 — the coarse quantizer thins first, at
+    * ~13 points per centroid) so the claim is measured, not asserted. */
+  private def trainSlice(embC: DataFrame, trainSample: Int): DataFrame = {
+    if (trainSample <= 0) embC
+    else {
+      val total = embC.count()
+      if (total <= trainSample) embC
+      else {
+        val den = math.max(2L, total / trainSample)
+        embC.where(pmod(xxhash64(col("vec_id")), lit(den)) === 0)
+      }
+    }
+  }
+
   /** Train codebooks and encode a (vec_id, e, n2) scaled-embedding
     * frame. Seed = (vec_id+sub_id) mod ksub so sibling subspaces start
     * from different partitions of the same ids; `iters` assign+mean
     * refinements per subspace (all m subspaces train in the SAME two
     * shuffles per iteration — sub_id is just another group key). At
-    * 100 TB the refinements run on a sample; encoding is the only full
-    * pass, and it is one broadcast join + one window per vector. */
+    * 100 TB the refinements run on a [[trainSlice]] sample; encoding
+    * is the only full pass, and it is one broadcast join + one window
+    * per vector. */
   def buildAnnPqIndex(emb: DataFrame, m: Int = 8, ksub: Int = 32,
-      iters: Int = 2): AnnPqIndex = {
+      iters: Int = 2, trainSample: Int = 0): AnnPqIndex = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val embC = Q.cached(emb.select(col("vec_id"), col("e"), col("n2")))
     val subs = Q.cached(subVectors(embC, m))
-    var cb = codeCentroids(subs
+    val subsTrain =
+      if (trainSample <= 0) subs
+      else Q.cached(subVectors(trainSlice(embC, trainSample), m))
+    var cb = codeCentroids(subsTrain
       .withColumn("code", ((col("vec_id") + col("sub_id")) % ksub).cast("int"))
       .select("sub_id", "code", "sv"))
-    (1 to iters).foreach { _ => cb = codeCentroids(assignCodes(subs, cb)) }
+    (1 to iters).foreach { _ => cb = codeCentroids(assignCodes(subsTrain, cb)) }
     val cbC = Q.cached(cb)
     val codes = Q.cached(encode(subs, cbC)
       .join(embC.select("vec_id", "n2"), "vec_id"))
@@ -335,17 +362,22 @@ object AnnPq {
 
   /** Train both quantizers over one cached embedding frame: the coarse
     * k-means (shared trainer with AnnIvfIndex) and the PQ codebooks,
-    * then one assignment pass each — codes carry (list_id, codes, n2). */
+    * then one assignment pass each — codes carry (list_id, codes, n2).
+    * `trainSample` bounds BOTH trainers' input ([[trainSlice]]); the
+    * assignment/encode passes always cover every vector. */
   def buildAnnIvfPqIndex(emb: DataFrame, nlist: Int = 10, m: Int = 8,
-      ksub: Int = 32, iters: Int = 2): AnnIvfPqIndex = {
+      ksub: Int = 32, iters: Int = 2, trainSample: Int = 0): AnnIvfPqIndex = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val embC = Q.cached(emb.select(col("vec_id"), col("e"), col("n2")))
-    val centsC = Q.cached(Llm.trainIvfCentroids(embC, nlist, iters))
+    val trainC =
+      if (trainSample <= 0) embC else Q.cached(trainSlice(embC, trainSample))
+    val centsC = Q.cached(Llm.trainIvfCentroids(trainC, nlist, iters))
     val subs = Q.cached(subVectors(embC, m))
-    var cb = codeCentroids(subs
+    val subsTrain = if (trainSample <= 0) subs else Q.cached(subVectors(trainC, m))
+    var cb = codeCentroids(subsTrain
       .withColumn("code", ((col("vec_id") + col("sub_id")) % ksub).cast("int"))
       .select("sub_id", "code", "sv"))
-    (1 to iters).foreach { _ => cb = codeCentroids(assignCodes(subs, cb)) }
+    (1 to iters).foreach { _ => cb = codeCentroids(assignCodes(subsTrain, cb)) }
     val cbC = Q.cached(cb)
     val assigned = Llm.nearestLists(embC, centsC, 1)
       .select(col("vec_id"), col("c_label").as("list_id"))

@@ -27,6 +27,31 @@ class AnnPqSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall below floor")
   }
 
+  test("ann PQ/IVFPQ: sampled-trainer builds clear the floor (the 100 TB claim)") {
+    // "at 100 TB the refinements run on a sample" — measured, not
+    // asserted: quantizers trained on a ~4x subsample (trainSample=128
+    // of 500), encode/search over everything, recall floor holds.
+    val emb = graft.ops.Llm.scaledEmb(spark, dir)
+    val exact = pairs(graft.ops.Llm.bruteForceTopk(emb, lit(true)))
+    val q = graft.ops.Llm.scaledEmb(spark, dir).where(col("vec_id") < 10)
+    graft.ops.Q.withCached {
+      val idx = graft.ops.AnnPq.buildAnnPqIndex(emb, trainSample = 128)
+      graft.ops.AnnPq.pqQueryTopk(idx, q)
+    } { df =>
+      val recall = (pairs(df) intersect exact).size.toDouble / exact.size
+      info(s"sampled-trainer PQ recall@5 = $recall")
+      assert(recall >= 0.8, s"sampled-trainer PQ recall $recall below floor")
+    }
+    graft.ops.Q.withCached {
+      val idx = graft.ops.AnnPq.buildAnnIvfPqIndex(emb, trainSample = 128)
+      graft.ops.AnnPq.ivfPqQueryTopk(idx, q)
+    } { df =>
+      val recall = (pairs(df) intersect exact).size.toDouble / exact.size
+      info(s"sampled-trainer IVFPQ recall@5 = $recall")
+      assert(recall >= 0.7, s"sampled-trainer IVFPQ recall $recall below floor")
+    }
+  }
+
   test("ann PQ codes are the compact shape the memory argument claims") {
     val idx = graft.ops.AnnPq.buildAnnPqIndex(
       graft.ops.Llm.scaledEmb(spark, dir))
