@@ -641,7 +641,32 @@ object Rewrite {
     Txn.read(s, root).orderBy("o_orderkey")
   }
 
+  /** TOMBSTONE delete (r9): commit orders, `commitDelete` every 7th
+    * order key (the GDPR-erasure shape — O(deleted keys), no table
+    * rewrite), then RE-APPEND two of the deleted orders and read: the
+    * oracle keeps non-deleted rows plus exactly the re-inserted ones,
+    * so the driver hash pins the log-order replay semantics (a key
+    * appended after its tombstone survives) — the case a naive global
+    * anti-join gets wrong. */
+  val txnDelete: Q = Q(
+    "txn_delete",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 7 <> 0 OR o_orderkey IN (7, 14)
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "orders_delete")
+    val o = orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Txn.commit(o, root)
+    Txn.commitDelete(s, root, "o_orderkey",
+      o.where(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+      meta = Map("op" -> "erasure"))
+    Txn.commitAppend(o.where(col("o_orderkey").isin(7L, 14L)), root)
+    Txn.read(s, root).orderBy("o_orderkey")
+  }
+
   def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeUpsertTxn, mergeScd2,
     llmPipelineEnd2end, txnChanges, txnSkipping, txnTimeTravel,
-    txnIncrementalAgg, txnAppend)
+    txnIncrementalAgg, txnAppend, txnDelete)
 }

@@ -38,10 +38,14 @@ import org.apache.spark.sql.functions._
   * design carried: [[commitAppend]] gives incremental ADD-file commits
   * (a version's manifest lists many dirs; appending a shard to a
   * 100 TB table costs O(shard), and the CDC feed serves appends at
-  * file level without diffing), and [[commitIf]] gives serializable
-  * conflict detection for rewrites. The remaining simplification vs
-  * Delta: REMOVE is always a full-snapshot rewrite (no per-file
-  * delete vectors). */
+  * file level without diffing), [[commitIf]] gives serializable
+  * conflict detection for rewrites, and [[commitDelete]] gives
+  * O(deleted-keys) row-level deletes via tombstone entries (Delta's
+  * deletion-vector role; readers fold entries in log order, and a
+  * periodic compacting [[commit]] collapses the chain). The remaining
+  * simplification vs Delta: tombstones are key-level, not per-file
+  * row bitmaps, so a tombstoned version disables file-stats pruning
+  * until compaction. */
 object Txn {
 
   private def fs(spark: SparkSession, root: String): FileSystem =
@@ -85,9 +89,23 @@ object Txn {
   /** The snapshot dirs of version `n` — line 1 is a comma-separated
     * list since [[commitAppend]] (r9); full-snapshot commits write one
     * dir, appends extend the previous version's list, so v1 manifests
-    * parse unchanged. */
+    * parse unchanged. Entries are either `data/<uuid>` (rows added) or
+    * `~data/<uuid>@<keyCol>` (a [[commitDelete]] tombstone: keys in
+    * that dir delete matching rows from everything BEFORE it in the
+    * list). */
   private def manifestDirs(f: FileSystem, root: String, n: Long): Seq[String] =
     manifestTarget(f, root, n).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** A parsed manifest entry: (dir, tombstone key column or None). */
+  private def parseEntry(e: String): (String, Option[String]) =
+    if (e.startsWith("~")) {
+      val at = e.lastIndexOf('@')
+      require(at > 0, s"malformed tombstone entry: $e")
+      (e.substring(1, at), Some(e.substring(at + 1)))
+    } else (e, None)
+
+  private def hasTombstones(entries: Seq[String]): Boolean =
+    entries.exists(_.startsWith("~"))
 
   private def manifestBody(dataRel: String, meta: Map[String, String]): String = {
     meta.foreach { case (k, v) =>
@@ -126,9 +144,27 @@ object Txn {
     val f = fs(spark, root)
     require(f.exists(new Path(s"$root/_commits/$n")),
       s"version $n was never committed at $root")
-    val dirs = manifestDirs(f, root, n).map(d => s"$root/$d")
-    if (dirs.size == 1) spark.read.parquet(dirs.head)
-    else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val entries = manifestDirs(f, root, n)
+    if (!hasTombstones(entries)) {
+      val dirs = entries.map(d => s"$root/$d")
+      if (dirs.size == 1) spark.read.parquet(dirs.head)
+      else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    } else {
+      // ordered fold: a tombstone deletes its keys from everything
+      // BEFORE it in the entry list; rows appended AFTER the tombstone
+      // (a re-insert of a deleted key) survive. This is the order
+      // Delta's log replay gives remove/add actions.
+      entries.map(parseEntry).foldLeft(Option.empty[DataFrame]) {
+        case (acc, (dir, None)) =>
+          val d = spark.read.parquet(s"$root/$dir")
+          Some(acc.fold(d)(_.unionByName(d, allowMissingColumns = true)))
+        case (acc, (dir, Some(keyCol))) =>
+          val keys = spark.read.parquet(s"$root/$dir").select(keyCol).distinct()
+          Some(acc.getOrElse(sys.error(
+              s"tombstone $dir precedes any data dir at $root"))
+            .join(keys, Seq(keyCol), "left_anti"))
+      }.getOrElse(sys.error(s"empty manifest for version $n at $root"))
+    }
   }
 
   /** Read the current committed snapshot. Fails loud on a table with no
@@ -261,6 +297,43 @@ object Txn {
     None // unreachable
   }
 
+  /** ROW-LEVEL DELETE without rewriting the table (r9): commit the
+    * DELETED KEYS as a tombstone entry (`~data/<uuid>@<keyCol>`) that
+    * extends the manifest exactly like an append — cost O(deleted
+    * keys), never O(table), the same economics [[commitAppend]] gives
+    * inserts and the gap Delta fills with deletion vectors. Readers
+    * fold entries in order, so a key re-appended AFTER its tombstone
+    * survives (log-replay semantics); every read of a tombstoned
+    * version pays one anti-join per tombstone, and a periodic full
+    * [[commit]] of `read(...)` (compaction) collapses the chain back
+    * to a single clean dir. [[readPruned]] refuses tombstoned
+    * versions (file stats cannot see row deletions — the same reason
+    * Delta gates deletion vectors behind a reader-version bump);
+    * compact first. The CDC slow path handles tombstone steps (the
+    * file-level fast path is gated to pure data-dir extensions). */
+  def commitDelete(spark: SparkSession, root: String, keyCol: String,
+      keys: DataFrame, meta: Map[String, String] = Map.empty): Long = {
+    require(keys.schema.fieldNames.contains(keyCol),
+      s"keys frame must carry the key column $keyCol")
+    val f = fs(spark, root)
+    val dataRel = writeSnapshot(keys.select(keyCol).distinct(), root, Nil)
+    f.mkdirs(new Path(s"$root/_commits"))
+    var attempt = 0
+    while (true) {
+      val base = committedVersions(f, root).foldLeft(0L)(math.max)
+      require(base >= 1, s"delete from uninitialized table at $root")
+      val dirs = manifestDirs(f, root, base) :+ s"~$dataRel@$keyCol"
+      val tmp = stageManifest(f, root,
+        s"${dataRel.stripPrefix("data/")}-$attempt",
+        manifestBody(dirs.mkString(","), meta))
+      val target = new Path(s"$root/_commits/${base + 1}")
+      if (!f.exists(target) && f.rename(tmp, target)) return base + 1
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    -1L // unreachable
+  }
+
   /** IDEMPOTENT streaming append (r9): the exactly-once foreachBatch
     * sink contract. Structured Streaming guarantees at-least-once
     * foreachBatch invocation — after a crash between the sink's write
@@ -371,7 +444,8 @@ object Txn {
   def fileStats(spark: SparkSession, root: String,
       version: Long): Map[(String, String), (Option[Long], Option[Long])] = {
     val f = fs(spark, root)
-    manifestDirs(f, root, version).flatMap { d =>
+    manifestDirs(f, root, version)
+      .filter(!_.startsWith("~")).flatMap { d =>
       val p = new Path(s"$root/$d/_stats.tsv")
       if (!f.exists(p)) Seq.empty
       else {
@@ -397,8 +471,12 @@ object Txn {
     val f = fs(spark, root)
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
+    val entries = manifestDirs(f, root, v)
+    require(!hasTombstones(entries),
+      s"data-skipping reads are not supported on a tombstoned version " +
+        s"(file stats cannot see row deletions) — compact $root first")
     val stats = fileStats(spark, root, v)
-    val files = manifestDirs(f, root, v).flatMap { d =>
+    val files = entries.flatMap { d =>
       f.listStatus(new Path(s"$root/$d")).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString)
@@ -462,7 +540,8 @@ object Txn {
     val steps = ((fromExclusive + 1) to toInclusive).map { v =>
       val prevDirs = manifestDirs(f, root, v - 1)
       val curDirs = manifestDirs(f, root, v)
-      if (curDirs.startsWith(prevDirs)) {
+      if (curDirs.startsWith(prevDirs) &&
+          !hasTombstones(curDirs.drop(prevDirs.size))) {
         // FILE-LEVEL FAST PATH: version v is an append — its manifest
         // extends v-1's dir list, so the change set is exactly the
         // added dirs read as inserts. O(appended data), no exceptAll,
@@ -505,7 +584,8 @@ object Txn {
     val f = fs(spark, root)
     val versions = committedVersions(f, root).sorted
     val keep = versions.takeRight(keepLast)
-    val keepDirs = keep.flatMap(n => manifestDirs(f, root, n)).toSet
+    val keepDirs = keep.flatMap(n =>
+      manifestDirs(f, root, n).map(e => parseEntry(e)._1)).toSet
     versions.dropRight(keepLast)
       .foreach(n => f.delete(new Path(s"$root/_commits/$n"), false))
     val dataRoot = new Path(s"$root/data")

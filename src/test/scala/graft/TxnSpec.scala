@@ -441,6 +441,44 @@ class TxnSpec extends SparkSpec {
     assert(prunedOld.where(col("extra").isNull).count() == 11L)
   }
 
+  test("tombstone deletes: O(keys) commit, log-order replay, compaction clears") {
+    import spark.implicits._
+    val root = freshRoot("del")
+    Txn.commit((1L to 10L).toDF("id"), root)                      // v1
+    Txn.commitDelete(spark, root, "id", Seq(3L, 7L, 99L).toDF("id"), // v2
+      meta = Map("op" -> "gdpr-erasure"))
+    assert(ids(Txn.read(spark, root)) == ((1L to 10L).toSet -- Set(3L, 7L)))
+    // v1 time travel unaffected by the tombstone
+    assert(ids(Txn.readVersion(spark, root, 1L)) == (1L to 10L).toSet)
+    // re-insert AFTER the tombstone survives (log-order replay)
+    Txn.commitAppend(Seq(3L).toDF("id"), root)                    // v3
+    assert(ids(Txn.read(spark, root)) == ((1L to 10L).toSet - 7L))
+    // CDC across the tombstone step: generic diff emits the deletes
+    val ch = Txn.changes(spark, root, 1L, 2L)
+      .select("change_op", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ch == Set(("delete", 3L), ("delete", 7L)))
+    // data-skipping reads refuse the tombstoned version, loudly...
+    Txn.commit(spark.range(0, 100).toDF("id"), root, statsCols = Seq("id"))
+    Txn.commitDelete(spark, root, "id", Seq(5L).toDF("id"))
+    intercept[IllegalArgumentException] {
+      Txn.pruneFiles(spark, root, "id", 0L, 10L)
+    }
+    // ...and compaction (a full commit of the folded read) restores them
+    Txn.commit(Txn.read(spark, root).repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id"), root, statsCols = Seq("id"))
+    val (kept, total) = Txn.pruneFiles(spark, root, "id", 0L, 10L)
+    assert(kept.size < total)
+    assert(ids(Txn.readPruned(spark, root, "id", 0L, 10L)) ==
+      ((0L to 10L).toSet - 5L))
+    // vacuum keeps tombstone dirs the retained version references
+    val root2 = freshRoot("delvac")
+    Txn.commit((1L to 5L).toDF("id"), root2)
+    Txn.commitDelete(spark, root2, "id", Seq(2L).toDF("id"))
+    Txn.vacuum(spark, root2, keepLast = 1)
+    assert(ids(Txn.read(spark, root2)) == Set(1L, 3L, 4L, 5L))
+  }
+
   test("vacuum drops unreferenced snapshots and keeps the current one readable") {
     import spark.implicits._
     val root = freshRoot("vac")
