@@ -438,6 +438,66 @@ object ScaleBench {
     println(s)
   }
 
+  /** Txn tombstone-delete point (r9, commitDelete's cost claim): a
+    * fixed 1000-key erasure against a table grown n×, once as a
+    * tombstone commit (O(keys) — flat) and once as the rewrite
+    * alternative (full commit of read().anti-join — O(table), linear).
+    * Also times the post-tombstone READ (the anti-join tax every
+    * reader pays until compaction) — it grows with the table, which
+    * is exactly why the API documents periodic compaction. */
+  private def txnDeleteCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.Txn
+    val shard = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val out = mults.map { m =>
+      val base = (0 until m).map { k =>
+        shard.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+      }.reduce(_.unionByName(_))
+      val keys = shard.where(col("o_orderkey") % 150 === 0)
+        .select("o_orderkey")
+      var tombMin = Double.MaxValue
+      var rewriteMin = Double.MaxValue
+      var readMin = Double.MaxValue
+      var nTable = -1L
+      var nAfter = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        val root = s"/tmp/graft_txndel_x$m"
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+        Txn.commit(base, root)
+        nTable = Txn.read(spark, root).count()
+        val t0 = System.nanoTime()
+        Txn.commitDelete(spark, root, "o_orderkey", keys)
+        val t1 = System.nanoTime()
+        nAfter = Txn.read(spark, root).count()
+        val t2 = System.nanoTime()
+        // the rewrite alternative a tombstone-less layer would need
+        Txn.commit(Txn.readVersion(spark, root, 1L)
+          .join(keys, Seq("o_orderkey"), "left_anti"), root)
+        val t3 = System.nanoTime()
+        tombMin = math.min(tombMin, (t1 - t0) / 1e9)
+        readMin = math.min(readMin, (t2 - t1) / 1e9)
+        rewriteMin = math.min(rewriteMin, (t3 - t2) / 1e9)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+      System.err.println(f"txndelete x$m (table=$nTable, after=$nAfter): " +
+        f"tombstone $tombMin%.2f s, folded-read $readMin%.2f s, rewrite $rewriteMin%.2f s")
+      (m, nTable, tombMin, readMin, rewriteMin)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, n, t, r, w) =>
+      s""""x$m":{"table_rows":$n,"tombstone_sec":${f2(t)},"folded_read_sec":${f2(r)},"rewrite_sec":${f2(w)}}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"fixed 1000-key erasure against a table grown nx: commitDelete (tombstone entry, O(keys)) vs the rewrite alternative (full commit of the anti-joined table, O(table)); folded_read_sec is the per-read anti-join tax a tombstoned version carries until compaction","passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("TXNDELETE_r09.json"), s.getBytes)
+    println(s)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -470,6 +530,10 @@ object ScaleBench {
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_TXNAPPEND").contains("1")) {
       txnAppendCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_TXNDELETE").contains("1")) {
+      txnDeleteCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
     val ingest = sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")
