@@ -559,7 +559,10 @@ object Rewrite {
     val root = txnRoot(s, dir, "customer_tt")
     Txn.commit(baseSnapshot(s, dir), root)
     Txn.commit(upsertResult(s, dir).drop("op"), root)
-    Txn.vacuum(s, root, keepLast = 2)
+    // retention 0: this row IS the drained-writer maintenance window
+    // (both commits above are this query's own); default retention
+    // would make the vacuum a no-op on fresh dirs (r10)
+    Txn.vacuum(s, root, keepLast = 2, retentionMs = 0L)
     Txn.readVersion(s, root, 1L).orderBy("custkey")
   }
 

@@ -44,8 +44,9 @@ import org.apache.spark.sql.functions._
   * deletion-vector role; readers fold entries in log order, and a
   * periodic compacting [[commit]] collapses the chain). The remaining
   * simplification vs Delta: tombstones are key-level, not per-file
-  * row bitmaps, so a tombstoned version disables file-stats pruning
-  * until compaction. */
+  * row bitmaps — [[readPruned]] still skips files by stats and folds
+  * the tombstone anti-joins over the pruned scan (r10), paying one
+  * O(deleted-keys) join per tombstone until compaction. */
 object Txn {
 
   private def fs(spark: SparkSession, root: String): FileSystem =
@@ -222,14 +223,29 @@ object Txn {
     // stage the manifest, then CAS-publish: retry the rename at the
     // next version number until we win (rename-without-overwrite fails
     // if a concurrent writer took N first)
-    val tmp = stageManifest(f, root, dataRel.stripPrefix("data/"),
-      manifestBody(dataRel, meta))
+    val body = manifestBody(dataRel, meta)
+    var tmp = stageManifest(f, root, dataRel.stripPrefix("data/"), body)
     var n = committedVersions(f, root).foldLeft(0L)(math.max) + 1
     var published = false
+    var attempt = 0
     while (!published) {
+      // a failed rename does NOT always mean the version was taken: the
+      // staged manifest may be gone (concurrent vacuum of _tmp, transient
+      // FS fault) — re-stage it before retrying, and bound the loop so a
+      // persistent fault fails loud instead of spinning on n forever
+      // (r10 advice)
+      attempt += 1
+      require(attempt <= 10000,
+        s"commit at $root failed to publish after $attempt attempts " +
+          s"(last tried version $n) — filesystem fault or runaway contention")
+      if (!f.exists(tmp))
+        tmp = stageManifest(f, root,
+          s"${dataRel.stripPrefix("data/")}-$attempt", body)
       val target = new Path(s"$root/_commits/$n")
-      if (f.exists(target) || !f.rename(tmp, target)) n += 1
-      else published = true
+      if (f.exists(target)) n += 1
+      else if (f.rename(tmp, target)) published = true
+      else if (f.exists(target)) n += 1
+      // else: rename failed with the slot still free — loop re-stages
     }
     n
   }
@@ -306,15 +322,22 @@ object Txn {
     * survives (log-replay semantics); every read of a tombstoned
     * version pays one anti-join per tombstone, and a periodic full
     * [[commit]] of `read(...)` (compaction) collapses the chain back
-    * to a single clean dir. [[readPruned]] refuses tombstoned
-    * versions (file stats cannot see row deletions — the same reason
-    * Delta gates deletion vectors behind a reader-version bump);
-    * compact first. The CDC slow path handles tombstone steps (the
+    * to a single clean dir. [[readPruned]] on a tombstoned version
+    * prunes by stats first, then folds the tombstone anti-joins over
+    * the pruned scan (r10 — the deletion-vector read shape).
+    * The CDC slow path handles tombstone steps (the
     * file-level fast path is gated to pure data-dir extensions). */
   def commitDelete(spark: SparkSession, root: String, keyCol: String,
       keys: DataFrame, meta: Map[String, String] = Map.empty): Long = {
     require(keys.schema.fieldNames.contains(keyCol),
       s"keys frame must carry the key column $keyCol")
+    // the tombstone entry is parsed as `~<dir>@<keyCol>` inside a
+    // comma-separated manifest line — a metacharacter in the column name
+    // would corrupt the manifest for every future reader (r10 advice;
+    // mirrors manifestBody's metadata validation)
+    require(!keyCol.contains(',') && !keyCol.contains('\n') &&
+      !keyCol.contains('@'),
+      s"tombstone key column must be free of ',', '@' and newlines: $keyCol")
     val f = fs(spark, root)
     val dataRel = writeSnapshot(keys.select(keyCol).distinct(), root, Nil)
     f.mkdirs(new Path(s"$root/_commits"))
@@ -461,35 +484,55 @@ object Txn {
     }.toMap
   }
 
-  /** The file-skipping decision for `lo <= col <= hi` on the current
-    * version: (files to read, total data files). A file is skipped only
-    * when its recorded range provably misses the predicate; files with
-    * no stats row or null bounds are always kept (pruning must be an
-    * optimization, never a filter). */
-  def pruneFiles(spark: SparkSession, root: String, colName: String,
-      lo: Long, hi: Long): (Seq[String], Int) = {
+  /** Per-manifest-entry pruning decision for version `version`: each
+    * data-dir entry resolves to its KEPT parquet files (those whose
+    * recorded `colName` range may overlap [lo, hi] — no stats row or
+    * null bounds means always kept: pruning must be an optimization,
+    * never a filter), tombstone entries pass through for the reader's
+    * log-order fold. Also returns the total data-file count. The
+    * version is an explicit parameter so one resolve feeds both the
+    * file list and the schema (r10 advice: resolving twice let a
+    * concurrent commit mix two versions' views). */
+  private def prunePlan(spark: SparkSession, root: String, version: Long,
+      colName: String, lo: Long,
+      hi: Long): (Seq[Either[Seq[String], (String, String)]], Int) = {
     val f = fs(spark, root)
-    val v = currentVersion(spark, root).getOrElse(
-      sys.error(s"no committed version at $root"))
-    val entries = manifestDirs(f, root, v)
-    require(!hasTombstones(entries),
-      s"data-skipping reads are not supported on a tombstoned version " +
-        s"(file stats cannot see row deletions) — compact $root first")
-    val stats = fileStats(spark, root, v)
-    val files = entries.flatMap { d =>
-      f.listStatus(new Path(s"$root/$d")).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString)
+    val stats = fileStats(spark, root, version)
+    var total = 0
+    val plan = manifestDirs(f, root, version).map(parseEntry).map {
+      case (dir, None) =>
+        val files = f.listStatus(new Path(s"$root/$dir")).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+        total += files.size
+        Left(files.filter { path =>
+          val base = path.substring(path.lastIndexOf('/') + 1)
+          stats.get((base, colName)) match {
+            case Some((Some(mn), Some(mx))) => mx >= lo && mn <= hi
+            case _                          => true
+          }
+        })
+      case (dir, Some(keyCol)) => Right((dir, keyCol))
     }
-    val kept = files.filter { path =>
-      val base = path.substring(path.lastIndexOf('/') + 1)
-      stats.get((base, colName)) match {
-        case Some((Some(mn), Some(mx))) => mx >= lo && mn <= hi
-        case _                          => true
-      }
-    }
-    (kept, files.size)
+    (plan, total)
   }
+
+  /** The file-skipping decision for `lo <= col <= hi` on version
+    * `version`: (data files to read, total data files). Tombstone key
+    * dirs are not data files and appear in neither count; [[readPruned]]
+    * folds their anti-joins over the pruned scan. */
+  def pruneFiles(spark: SparkSession, root: String, version: Long,
+      colName: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    val (plan, total) = prunePlan(spark, root, version, colName, lo, hi)
+    (plan.collect { case Left(files) => files }.flatten, total)
+  }
+
+  /** [[pruneFiles]] against the current version (one resolve, then the
+    * pinned path). */
+  def pruneFiles(spark: SparkSession, root: String, colName: String,
+      lo: Long, hi: Long): (Seq[String], Int) =
+    pruneFiles(spark, root, currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root")), colName, lo, hi)
 
   /** Data-skipping read of `lo <= col <= hi` on the current version:
     * opens only the files [[pruneFiles]] keeps and applies the residual
@@ -500,21 +543,45 @@ object Txn {
     * `txn_skipping` row hash-gates it against DuckDB. On a clustered
     * commit (range-partitioned + sorted, e.g. [[compactCommit]] output
     * or `compactParquetZorder`) this is the 100 TB point-query path:
-    * O(matching files), not O(table). */
+    * O(matching files), not O(table).
+    *
+    * Tombstoned versions (r10, closing the r9 "blunt refusal"): file
+    * stats cannot see row deletions, but they don't need to — the
+    * tombstone anti-joins fold over the PRUNED scan in log order, the
+    * deletion-vector shape Delta uses (prune by stats, then filter
+    * deleted rows). Pruning only drops files whose every row the
+    * residual predicate would reject, and the anti-join only ever
+    * REMOVES rows, so prune-then-delete ≡ delete-then-filter; one GDPR
+    * erasure no longer disables the point-query path until compaction
+    * (it costs one O(deleted-keys) anti-join per tombstone until then).
+    * The version is resolved ONCE and pins file list, schema, and
+    * tombstone fold alike. */
   def readPruned(spark: SparkSession, root: String, colName: String,
       lo: Long, hi: Long): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
-    val (kept, _) = pruneFiles(spark, root, colName, lo, hi)
+    val (plan, _) = prunePlan(spark, root, v, colName, lo, hi)
     // impose the VERSION's schema on the pruned scan — footer merging
     // over the surviving files would let the file subset decide which
     // EVOLVED columns surface (a pruned read keeping only
     // pre-evolution files would drop the evolved column), breaking the
     // ≡ read().where(...) contract; with an explicit schema the
     // parquet reader null-fills per file instead (r9 review)
-    val base =
-      if (kept.isEmpty) read(spark, root).limit(0)
-      else spark.read.schema(readVersion(spark, root, v).schema).parquet(kept: _*)
+    val schema = readVersion(spark, root, v).schema
+    def scan(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    val base = plan.foldLeft(Option.empty[DataFrame]) {
+      case (acc, Left(files)) =>
+        val d = scan(files)
+        Some(acc.fold(d)(_.unionByName(d)))
+      case (acc, Right((dir, keyCol))) =>
+        val keys = spark.read.parquet(s"$root/$dir").select(keyCol).distinct()
+        Some(acc.getOrElse(sys.error(
+            s"tombstone $dir precedes any data dir at $root"))
+          .join(keys, Seq(keyCol), "left_anti"))
+    }.getOrElse(scan(Nil))
     base.where(col(colName).cast("long").between(lo, hi))
   }
 
@@ -529,9 +596,9 @@ object Txn {
     * commit-log CDC the production formats serve; a full-snapshot
     * rewrite falls back to two `exceptAll`s (one hash exchange each,
     * keyed on the full row — bag semantics, duplicate multiplicity
-    * respected), one linear pass per step, no quadratic term. Schemas
-    * must match across rewrite boundaries (rewrites that evolve the
-    * schema should version the READER, not diff across the boundary). */
+    * respected), one linear pass per step, no quadratic term. Rewrites
+    * that ADD or DROP nullable columns diff null-filled across the
+    * boundary (r10); only a column changing TYPE still fails loud. */
   def changes(spark: SparkSession, root: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     require(fromExclusive < toInclusive,
@@ -558,13 +625,37 @@ object Txn {
       } else {
         val prev = readVersion(spark, root, v - 1)
         val cur = readVersion(spark, root, v)
-        require(prev.schema.fieldNames.sorted.sameElements(
-          cur.schema.fieldNames.sorted),
-          s"schema changed between versions ${v - 1} and $v at $root")
-        cur.exceptAll(prev.select(cur.columns.map(col).toSeq: _*))
+        // SCHEMA-EVOLVING REWRITES (r10, closing the r9 fail-loud): a
+        // rewrite may add or drop nullable columns; diff on the UNION
+        // of the two schemas with the missing side null-filled — the
+        // same contract readVersion's mergeSchema already gives
+        // appends. A carried-over row whose added column is null
+        // compares equal to its null-filled prior self and emits no
+        // change; a backfilled value emits the delete+insert pair. A
+        // column changing TYPE stays fail-loud (that genuinely needs
+        // reader versioning, not a silent cast).
+        val curFields = cur.schema.fields
+        val prevFields = prev.schema.fields
+        prevFields.foreach { pf =>
+          curFields.find(_.name == pf.name).foreach { cf =>
+            require(cf.dataType == pf.dataType,
+              s"column ${pf.name} changed type between versions ${v - 1} " +
+                s"and $v at $root (${pf.dataType} -> ${cf.dataType}); " +
+                "CDC across a type change requires reader versioning")
+          }
+        }
+        val allFields =
+          curFields ++ prevFields.filterNot(pf => curFields.exists(_.name == pf.name))
+        def align(df: DataFrame): DataFrame =
+          df.select(allFields.toSeq.map { fl =>
+            if (df.columns.contains(fl.name)) col(fl.name)
+            else lit(null).cast(fl.dataType).as(fl.name)
+          }: _*)
+        val (pa, ca) = (align(prev), align(cur))
+        ca.exceptAll(pa)
           .withColumn("change_op", lit("insert")).withColumn("change_version", lit(v))
           .unionByName(
-            prev.select(cur.columns.map(col).toSeq: _*).exceptAll(cur)
+            pa.exceptAll(ca)
               .withColumn("change_op", lit("delete"))
               .withColumn("change_version", lit(v)))
       }
@@ -575,13 +666,33 @@ object Txn {
     steps.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Default vacuum retention: unreferenced artifacts younger than this
+    * are presumed to belong to an IN-FLIGHT writer and survive the GC
+    * (Delta's `delta.deletedFileRetentionDuration` role). */
+  val DefaultVacuumRetentionMs: Long = 24L * 60 * 60 * 1000
+
   /** Drop snapshots and staged manifests no committed version (among
     * the retained `keepLast`) references, and the manifests of dropped
     * versions — the GC that bounds storage once readers of old
-    * snapshots have drained. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Unit = {
+    * snapshots have drained.
+    *
+    * Retention guard (r10 advice): an unreferenced `data/` dir or
+    * `_tmp/` manifest is NOT necessarily garbage — a concurrent writer
+    * stages both BEFORE its publish rename, so deleting them wholesale
+    * could yank data out from under a commit that then wins its rename
+    * (the committed version would point at deleted files: the torn
+    * table the protocol exists to prevent). Like Delta's VACUUM, only
+    * artifacts whose modification time is older than `retentionMs` are
+    * deleted; set it to 0 only when no writer can be in flight (e.g.
+    * tests, or a single-writer maintenance window). Readers of dropped
+    * VERSIONS still need to have drained — that part is inherently a
+    * retention policy, not detectable from the log. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
+      retentionMs: Long = DefaultVacuumRetentionMs): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    require(retentionMs >= 0, s"retentionMs must be >= 0, got $retentionMs")
     val f = fs(spark, root)
+    val cutoff = System.currentTimeMillis() - retentionMs
     val versions = committedVersions(f, root).sorted
     val keep = versions.takeRight(keepLast)
     val keepDirs = keep.flatMap(n =>
@@ -590,10 +701,19 @@ object Txn {
       .foreach(n => f.delete(new Path(s"$root/_commits/$n"), false))
     val dataRoot = new Path(s"$root/data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
-      if (!keepDirs.contains(s"data/${st.getPath.getName}"))
+      if (!keepDirs.contains(s"data/${st.getPath.getName}") &&
+          st.getModificationTime < cutoff)
         f.delete(st.getPath, true)
     }
-    f.delete(new Path(s"$root/_tmp"), true)
+    val tmpRoot = new Path(s"$root/_tmp")
+    if (f.exists(tmpRoot)) {
+      // per-entry, age-gated — never the wholesale directory delete: a
+      // writer's freshly-staged manifest must survive until its rename
+      f.listStatus(tmpRoot).foreach { st =>
+        if (st.getModificationTime < cutoff) f.delete(st.getPath, true)
+      }
+      if (f.listStatus(tmpRoot).isEmpty) f.delete(tmpRoot, false)
+    }
   }
 
   /** Transactional compaction: [[Layout.compactParquet]]'s rewrite,

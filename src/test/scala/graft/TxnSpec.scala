@@ -458,13 +458,22 @@ class TxnSpec extends SparkSpec {
       .select("change_op", "id").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(ch == Set(("delete", 3L), ("delete", 7L)))
-    // data-skipping reads refuse the tombstoned version, loudly...
-    Txn.commit(spark.range(0, 100).toDF("id"), root, statsCols = Seq("id"))
-    Txn.commitDelete(spark, root, "id", Seq(5L).toDF("id"))
-    intercept[IllegalArgumentException] {
-      Txn.pruneFiles(spark, root, "id", 0L, 10L)
-    }
-    // ...and compaction (a full commit of the folded read) restores them
+    // data-skipping reads WORK on the tombstoned version (r10): files
+    // prune by stats first, then the tombstone anti-join folds over the
+    // pruned scan — prunedRead ≡ read().where(...) with fewer files
+    Txn.commit(spark.range(0, 8000).toDF("id")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      root, statsCols = Seq("id"))
+    Txn.commitDelete(spark, root, "id", Seq(5L, 4000L).toDF("id"))
+    val (keptT, totalT) = Txn.pruneFiles(spark, root, "id", 0L, 10L)
+    assert(keptT.size < totalT,
+      s"tombstoned version must still prune: kept ${keptT.size} of $totalT")
+    assert(ids(Txn.readPruned(spark, root, "id", 0L, 10L)) ==
+      ((0L to 10L).toSet - 5L))
+    assert(ids(Txn.readPruned(spark, root, "id", 3995L, 4005L)) ==
+      ((3995L to 4005L).toSet - 4000L))
+    // ...and compaction (a full commit of the folded read) restores the
+    // join-free path
     Txn.commit(Txn.read(spark, root).repartitionByRange(4, col("id"))
       .sortWithinPartitions("id"), root, statsCols = Seq("id"))
     val (kept, total) = Txn.pruneFiles(spark, root, "id", 0L, 10L)
@@ -475,7 +484,7 @@ class TxnSpec extends SparkSpec {
     val root2 = freshRoot("delvac")
     Txn.commit((1L to 5L).toDF("id"), root2)
     Txn.commitDelete(spark, root2, "id", Seq(2L).toDF("id"))
-    Txn.vacuum(spark, root2, keepLast = 1)
+    Txn.vacuum(spark, root2, keepLast = 1, retentionMs = 0L)
     assert(ids(Txn.read(spark, root2)) == Set(1L, 3L, 4L, 5L))
   }
 
@@ -484,14 +493,78 @@ class TxnSpec extends SparkSpec {
     val root = freshRoot("vac")
     Txn.commit((1L to 4L).toDF("id"), root)
     Txn.commit((5L to 9L).toDF("id"), root)
-    // orphan from a crashed writer — vacuum's other target
+    // orphan from a crashed writer — vacuum's other target (retention 0
+    // = the drained single-writer maintenance window)
     (0L to 2L).toDF("id").write.parquet(s"$root/data/orphan")
-    Txn.vacuum(spark, root, keepLast = 1)
+    Txn.vacuum(spark, root, keepLast = 1, retentionMs = 0L)
     assert(ids(Txn.read(spark, root)) == (5L to 9L).toSet)
     assert(Txn.currentVersion(spark, root).contains(2L))
     intercept[IllegalArgumentException] { Txn.readVersion(spark, root, 1) }
     val dataDirs = fs(root).listStatus(new Path(s"$root/data")).length
     assert(dataDirs == 1, s"vacuum left $dataDirs snapshots, expected 1")
     assert(!fs(root).exists(new Path(s"$root/_tmp")))
+  }
+
+  test("vacuum retention protects an in-flight writer's staged artifacts") {
+    import spark.implicits._
+    val root = freshRoot("vret")
+    Txn.commit((1L to 4L).toDF("id"), root)
+    Txn.commit((5L to 9L).toDF("id"), root)
+    // a concurrent writer mid-commit: snapshot written, manifest staged,
+    // publish rename not yet run — both are FRESH (mtime = now)
+    (100L to 110L).toDF("id").write.parquet(s"$root/data/inflight")
+    val out = fs(root).create(new Path(s"$root/_tmp/staged-inflight"), false)
+    try out.write("data/inflight".getBytes("UTF-8")) finally out.close()
+    // default retention: neither fresh artifact may be deleted, while
+    // the old version's manifest still drops (manifests are the log,
+    // not writer state)
+    Txn.vacuum(spark, root, keepLast = 1)
+    assert(fs(root).exists(new Path(s"$root/data/inflight")),
+      "vacuum deleted a fresh unpublished snapshot — the torn-table hole")
+    assert(fs(root).exists(new Path(s"$root/_tmp/staged-inflight")),
+      "vacuum deleted a fresh staged manifest out from under its writer")
+    // the writer's publish still succeeds and its data is intact
+    assert(fs(root).rename(new Path(s"$root/_tmp/staged-inflight"),
+      new Path(s"$root/_commits/3")))
+    assert(ids(Txn.read(spark, root)) == (100L to 110L).toSet)
+  }
+
+  test("commitDelete rejects manifest-metacharacter key columns") {
+    import spark.implicits._
+    val root = freshRoot("badkey")
+    Txn.commit((1L to 3L).toDF("a,b"), root)
+    intercept[IllegalArgumentException] {
+      Txn.commitDelete(spark, root, "a,b", Seq(1L).toDF("a,b"))
+    }
+  }
+
+  test("CDC across a schema-evolving rewrite: null-filled diffs") {
+    import spark.implicits._
+    val root = freshRoot("cdcev")
+    Txn.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), root) // v1
+    // rewrite v2 ADDS a nullable column: row 1 carried over (extra
+    // null), row 2 backfilled, row 3 inserted
+    Txn.commit(Seq((1L, "a", null.asInstanceOf[java.lang.Long]),
+      (2L, "b", java.lang.Long.valueOf(20L)),
+      (3L, "c", java.lang.Long.valueOf(30L))).toDF("id", "grp", "extra"),
+      root) // v2
+    val ch = Txn.changes(spark, root, 1L, 2L)
+      .select("change_op", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // row 1's null-filled prior self compares equal → no change event
+    assert(ch == Set(("insert", 2L), ("insert", 3L), ("delete", 2L)))
+    // rewrite v3 DROPS the column again — diff still serves, null-filled
+    Txn.commit(Seq((2L, "b"), (3L, "c")).toDF("id", "grp"), root) // v3
+    val ch2 = Txn.changes(spark, root, 2L, 3L)
+      .select("change_op", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ch2 == Set(("delete", 1L), ("delete", 2L), ("delete", 3L),
+      ("insert", 2L), ("insert", 3L)))
+    // a TYPE change stays fail-loud
+    Txn.commit(Seq(("2", "b")).toDF("id", "grp"), root) // v4: id now string
+    val err = intercept[IllegalArgumentException] {
+      Txn.changes(spark, root, 3L, 4L).collect()
+    }
+    assert(err.getMessage.contains("changed type"))
   }
 }
