@@ -309,6 +309,111 @@ object ScaleBench {
     println(s)
   }
 
+  /** Planted-boilerplate point for CHUNK dedup (r10 verdict item 1's
+    * done-condition): the same bpRepeat planting opens every doc with
+    * 128 identical tokens, so chunks 0..2 (40 tokens, stride 32) hash
+    * identically across the WHOLE corpus — hot chunk hashes whose
+    * frequency is the doc count, growing linearly with the multiplier.
+    * Times the registered aggregate-election llm_chunk_dedup against
+    * the r9 row_number-window form on identical inputs (outputs
+    * asserted equal); max_chunk_df is the single-task window partition
+    * the window form sorts. Writes CHUNKBOILER_r10.json. Enabled with
+    * SPARK_GRAFT_SCALE_CHUNKBOILER=1. */
+  private def chunkBoilerCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.TextOps
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_SCALE_BP_REPEAT", "16").toInt
+    val out = mults.map { m =>
+      val d = s"/tmp/graft_scale_cbp_x$m"
+      synthesize(spark, baseDir, m, d, bpRepeat = repeat)
+      val docs = Tables.documents(spark, d).select("doc_id", "text")
+      val maxDf = TextOps.chunkHashes(docs)
+        .groupBy("chunk_hash").count().agg(max("count")).head().getLong(0)
+      val agg = TextOps.llmChunkDedup.build(spark, d)
+      val win = TextOps.llmChunkDedupWindowForm(docs)
+      val diff = agg.unionByName(win)
+        .groupBy("doc_id", "n_chunks", "n_dup_chunks", "dup_ratio_micro")
+        .count().where(col("count") =!= 2).count()
+      require(diff == 0, s"election forms diverge on $diff rows at x$m")
+      var aggMin = Double.MaxValue
+      var winMin = Double.MaxValue
+      var nRows = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        var t0 = System.nanoTime()
+        nRows = graft.ops.Q.withCached(TextOps.llmChunkDedup.build(spark, d))(_.count())
+        aggMin = math.min(aggMin, (System.nanoTime() - t0) / 1e9)
+        t0 = System.nanoTime()
+        graft.ops.Q.withCached(TextOps.llmChunkDedupWindowForm(docs))(_.count())
+        winMin = math.min(winMin, (System.nanoTime() - t0) / 1e9)
+      }
+      System.err.println(f"chunkboiler x$m: agg $aggMin%.2f s, window $winMin%.2f s, " +
+        f"$nRows rows, max chunk df $maxDf")
+      (m, aggMin, winMin, nRows, maxDf)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, a, w, n, df) =>
+      s""""x$m":{"agg_sec":${f2(a)},"window_sec":${f2(w)},"rows":$n,"max_chunk_df":$df}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"every doc opens with $repeat planted copies of one 8-token boilerplate line => chunks 0..2 identical across the corpus; registered min(struct) aggregate-election llm_chunk_dedup vs the r9 row_number-window form on identical inputs (outputs asserted equal); max_chunk_df is the single-task window partition the window form sorts -- linear in corpus, unsplittable by AQE -- while the aggregate form map-side-combines every hot hash to one struct per map task","bp_repeat":$repeat,"passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("CHUNKBOILER_r10.json"), s.getBytes)
+    println(s)
+  }
+
+  /** Dominant-source packing point (r10 verdict item 2's
+    * done-condition): corpora rewritten to ONE source — the input
+    * shape a real training mix hits whenever a single crawl dominates
+    * — comparing the registered hierarchical two-pass prefix sum
+    * against the r9 single-window form on identical inputs (outputs
+    * asserted equal). The window form's one source = one full-corpus
+    * single-task sort, linear in the multiplier and AQE-unsplittable;
+    * the hierarchical form's largest partition is PackBucketDocs rows
+    * at level 1 and corpus/PackBucketDocs 24-byte rows at level 2.
+    * Writes PACK_r10.json. Enabled with SPARK_GRAFT_SCALE_PACK=1. */
+  private def packCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.TextOps
+    val out = mults.map { m =>
+      val d = s"/tmp/graft_scale_pack_x$m"
+      synthesize(spark, baseDir, m, d)
+      // one dominant source; the token frame is shared by both forms
+      val t = Tables.documents(spark, d)
+        .select(col("doc_id"), lit("the_crawl").as("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      val diff = TextOps.packSequencesHierarchical(t)
+        .unionByName(TextOps.llmPackSequencesWindowForm(t))
+        .groupBy("doc_id", "source", "n_tokens", "start_off", "seq_no", "seq_off")
+        .count().where(col("count") =!= 2).count()
+      require(diff == 0, s"prefix-sum forms diverge on $diff rows at x$m")
+      var hierMin = Double.MaxValue
+      var winMin = Double.MaxValue
+      var nRows = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        var t0 = System.nanoTime()
+        nRows = graft.ops.Q.withCached(TextOps.packSequencesHierarchical(t))(_.count())
+        hierMin = math.min(hierMin, (System.nanoTime() - t0) / 1e9)
+        t0 = System.nanoTime()
+        graft.ops.Q.withCached(TextOps.llmPackSequencesWindowForm(t))(_.count())
+        winMin = math.min(winMin, (System.nanoTime() - t0) / 1e9)
+      }
+      System.err.println(f"pack x$m: hierarchical $hierMin%.2f s, window $winMin%.2f s, " +
+        f"$nRows rows")
+      (m, hierMin, winMin, nRows)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, h, w, n) =>
+      s""""x$m":{"hier_sec":${f2(h)},"window_sec":${f2(w)},"rows":$n}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"single-source corpora (one dominant crawl -- the common real mix): registered hierarchical two-pass prefix sum (bucket B=${TextOps.PackBucketDocs}: bounded level-1 windows + 1/B-size level-2 subtotal window) vs the r9 one-window-per-source form on identical inputs (outputs asserted equal); the window form's hot source is one full-corpus single-task sort, linear in the multiplier and AQE-unsplittable","passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("PACK_r10.json"), s.getBytes)
+    println(s)
+  }
+
   /** Celebrity-vertex point (r9, graph_triangles' skew claim): a star
     * graph — one hub adjacent to every spoke, plus a spoke path so real
     * triangles (hub, i, i+1) exist — is the adversarial input for
@@ -522,6 +627,14 @@ object ScaleBench {
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_BOILERPLATE").contains("1")) {
       boilerplateCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_CHUNKBOILER").contains("1")) {
+      chunkBoilerCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_PACK").contains("1")) {
+      packCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_CELEBRITY").contains("1")) {

@@ -982,16 +982,22 @@ object DedupOps {
       .where(col("quality_micro") >= 500000)
       .select("doc_id", "lang", "n_chars", "quality_micro", "text")
     // stage 2: exact dedup among quality survivors — ONE digest-keyed
-    // shuffle (row_number window), replacing r4's persist + hash-agg +
-    // semi-join-back triple (two shuffles plus a full re-read; part of
-    // the 14.9 s driver regression, r4 verdict item 1). s2 is cached:
-    // the contraction, the survivor semi-join, and the output projection
-    // all read it.
+    // shuffle, r10: the PARTIAL-AGGREGATABLE min(struct(doc_id, ...))
+    // election (Rewrite.scala lineDedup's form, closing the r9
+    // verdict's hash-frequency gap): doc_id leads the struct and is
+    // unique, so the min IS the min-doc_id survivor and CARRIES its
+    // row — join-free, and a template page exact-duplicated in f docs
+    // reduces map-side to one candidate per task where the old
+    // row_number window sorted all f rows in one task. s2 is cached:
+    // the contraction, the survivor semi-join, and the output
+    // projection all read it.
     val s2 = Q.cached(scored
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
-      .where(col("__rn") === 1)
-      .drop("__rn"))
+      .groupBy(sha2(col("text"), 256).as("__digest"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_chars"),
+        col("quality_micro"), col("text"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"),
+        col("w.n_chars").as("n_chars"),
+        col("w.quality_micro").as("quality_micro"), col("w.text").as("text")))
     // stage 3: near-dup pairs among the remaining docs via token-set
     // contraction + the MinHash LSH candidate path (llm_minhash_lsh's
     // machinery, exact-verified so the pair set — and hence the oracle —
