@@ -14,6 +14,9 @@ import graft.stream.StreamOps.Ev
   * TypeTag (a method-local case class has none). */
 case class NdDoc(doc_id: Long, text: String)
 
+/** Rows for the streaming-IVM loop test (same TypeTag rule). */
+case class IvmRow(grp: String, v: Long)
+
 /** Proof that stream ≡ batch for the H-operators: each test drives the
   * SAME StreamOps code once as a MemoryStream micro-batch query and once
   * as a batch frame over identical rows, and asserts identical results.
@@ -486,6 +489,88 @@ class StreamingSpec extends SparkSpec {
       (1L, "click", 11L, ts(12).getTime * 1000L),
       (2L, "view", 20L, ts(18).getTime * 1000L)),
       s"restored state did not survive the restart: $got")
+  }
+
+  test("streaming IVM loop: exactly-once ingest + CDC-fold maintainer, " +
+      "MV ≡ recompute at every cycle across a kill/restart (r10)") {
+    // r9 verdict item 6: compose the proven pieces into the production
+    // shape — a LIVE MemoryStream query lands micro-batches into a Txn
+    // table via appendIdempotent (exactly-once), while an independent
+    // MAINTAINER process folds Txn.changes into a materialized
+    // aggregate (txn_incremental_agg's fold, driven incrementally: MV
+    // + base_version checkpoint both live in the MV table's commit
+    // metadata). The invariant, checked after every maintenance cycle:
+    // MV ≡ full recompute of the base version it claims. The stream is
+    // killed with the maintainer BEHIND (pending un-maintained
+    // versions) and restarted; the next cycle must catch up over every
+    // pending version in one fold, off the restarted query's appends.
+    import graft.ops.Txn
+    def freshRoot(tag: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(s"ivm_${tag}_").toString
+      new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p), true)
+      p
+    }
+    val base = freshRoot("base")
+    val mv = freshRoot("mv")
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_ckpt").toString
+    Txn.commit(Seq.empty[IvmRow].toDF(), base)
+    Txn.commit(
+      Seq.empty[(String, Long, Long)].toDF("grp", "n", "sum_v"),
+      mv, meta = Map("base_version" -> "1"))
+
+    def maintainedVersion(): Long =
+      Txn.history(spark, mv).last._3("base_version").toLong
+    def maintain(): Unit = {
+      val cur = Txn.currentVersion(spark, base).get
+      val seen = maintainedVersion()
+      if (cur > seen) {
+        val delta = Txn.changes(spark, base, seen, cur)
+          .withColumn("sgn",
+            when(col("change_op") === "insert", lit(1L)).otherwise(lit(-1L)))
+          .groupBy("grp")
+          .agg(sum(col("sgn")).as("d_n"), sum(col("sgn") * col("v")).as("d_sum"))
+        val next = Txn.read(spark, mv).join(delta, Seq("grp"), "full_outer")
+          .select(col("grp"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+            (coalesce(col("sum_v"), lit(0L)) + coalesce(col("d_sum"), lit(0L))).as("sum_v"))
+          .where(col("n") > 0)
+        Txn.commit(next, mv, meta = Map("base_version" -> cur.toString))
+      }
+    }
+    def assertMvMatchesRecompute(): Unit = {
+      val v = maintainedVersion()
+      val recomputed = Txn.readVersion(spark, base, v)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      assertSame(Txn.read(spark, mv), recomputed, Seq("grp"))
+    }
+
+    val ms = MemoryStream[IvmRow]
+    def start() = ms.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[IvmRow], id: Long) =>
+        Txn.appendIdempotent(ds.toDF(), base, "ivm-ingest", id); ()
+      }.start()
+    val q1 = start()
+    ms.addData(IvmRow("a", 1), IvmRow("b", 10)); q1.processAllAvailable()
+    maintain(); assertMvMatchesRecompute()         // cycle 1: catches v2
+    ms.addData(IvmRow("a", 2), IvmRow("c", 100)); q1.processAllAvailable()
+    q1.stop()                                      // killed, maintainer BEHIND
+    assert(Txn.currentVersion(spark, base).get > maintainedVersion(),
+      "kill point must leave a pending un-maintained version")
+    val q2 = start()                               // exactly-once restart
+    ms.addData(IvmRow("b", 20), IvmRow("a", 3)); q2.processAllAvailable()
+    q2.stop()
+    maintain(); assertMvMatchesRecompute()         // one fold catches v3+v4
+    // the MV agrees with a direct aggregate of everything ever fed
+    val want = Seq(("a", 3L, 6L), ("b", 2L, 30L), ("c", 1L, 100L))
+      .toDF("grp", "n", "sum_v")
+    assertSame(Txn.read(spark, mv), want, Seq("grp"))
+    // and the maintainer is idempotent at tip: another cycle no-ops
+    val mvVer = Txn.currentVersion(spark, mv).get
+    maintain()
+    assert(Txn.currentVersion(spark, mv).get == mvVer)
   }
 
   test("checkpoint restart: no loss, no duplicates") {
