@@ -30,7 +30,9 @@ object Plans {
       "graph_pagerank", "merge_upsert", "ts_interpolate",
       "llm_ann_pq", "sql_surface_window", "sql_surface_join",
       "merge_upsert_txn", "compact_zorder", "llm_pipeline_end2end",
-      "txn_skipping", "txn_changes", "txn_incremental_agg", "txn_delete")
+      "txn_skipping", "txn_changes", "txn_incremental_agg", "txn_delete",
+      "txn_catalog", "llm_dedup_windowed", "txn_skipping_tombstone",
+      "txn_changes_evolve")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

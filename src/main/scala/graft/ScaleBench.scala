@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Env knobs: SPARK_GRAFT_SCALE_MULTS (default "1,10"),
   * SPARK_GRAFT_SCALE_PASSES (default 2, min-of-passes like Bench),
   * SPARK_GRAFT_SCALE_ONLY (comma-filter on query keys).
-  * Writes SCALING_r09.json (per-query seconds and output rows per
+  * Writes SCALING_r10.json (per-query seconds and output rows per
   * multiplier, plus the x10/x1 ratio).
   */
 object ScaleBench {
@@ -539,7 +539,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed $nShard-row shard into a table grown nx: commitAppend (manifest extension, O(shard)) vs full-snapshot commit of the grown table (O(table)); cdc_read_sec = changes() over the append step (file-level fast path). The gap at the top multiplier is ingest-into-100TB vs rewrite-100TB-per-shard","shard_rows":$nShard,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("TXNAPPEND_r09.json"), s.getBytes)
+      java.nio.file.Paths.get("TXNAPPEND_r10.json"), s.getBytes)
     println(s)
   }
 
@@ -599,7 +599,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed 1000-key erasure against a table grown nx: commitDelete (tombstone entry, O(keys)) vs the rewrite alternative (full commit of the anti-joined table, O(table)); folded_read_sec is the per-read anti-join tax a tombstoned version carries until compaction","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("TXNDELETE_r09.json"), s.getBytes)
+      java.nio.file.Paths.get("TXNDELETE_r10.json"), s.getBytes)
     println(s)
   }
 
@@ -712,7 +712,7 @@ object ScaleBench {
     val out =
       s"""{"base":"$baseDir","multipliers":[${mults.mkString(",")}],"passes":$passes,"docs":$docsJson,"queries":$qJson}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALING_r09.json"), out.getBytes)
+      java.nio.file.Paths.get("SCALING_r10.json"), out.getBytes)
     println(out)
     spark.stop()
   }

@@ -542,6 +542,73 @@ object Rewrite {
       .orderBy("o_orderstatus")
   }
 
+  /** DATA SKIPPING on a TOMBSTONED version (r10, closing the r9 "blunt
+    * refusal"): the same clustered-commit-with-stats shape as
+    * txn_skipping, then a `commitDelete` GDPR-erases every 10th order
+    * key BEFORE the pruned read — `Txn.readPruned` must still skip
+    * files by stats and fold the tombstone anti-join over the pruned
+    * scan (the deletion-vector read shape: prune first, filter deleted
+    * rows after). The oracle is the range filter minus the erased
+    * keys, so the driver hash fails if pruning ever drops a surviving
+    * row, resurrects a deleted one, or the fold runs out of log order.
+    * At 100 TB this is the difference between "one erasure disables
+    * the point-query path until compaction" (r9) and "one erasure
+    * costs each read one O(deleted-keys) anti-join until compaction"
+    * (r10). */
+  val txnSkippingTombstone: Q = Q(
+    "txn_skipping_tombstone",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_custkey BETWEEN 301 AND 600 AND o_orderkey % 10 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "orders_skip_ts")
+    val o = orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Txn.commit(
+      o.repartitionByRange(8, col("o_custkey")).sortWithinPartitions("o_custkey"),
+      root, statsCols = Seq("o_custkey"))
+    Txn.commitDelete(s, root, "o_orderkey",
+      o.where(col("o_orderkey") % 10 === 0).select("o_orderkey"),
+      meta = Map("op" -> "erasure"))
+    Txn.readPruned(s, root, "o_custkey", 301L, 600L).orderBy("o_orderkey")
+  }
+
+  /** CDC across a SCHEMA-EVOLVING rewrite (r10): version 2 rewrites the
+    * customer base ADDING a nullable `seg` column (backfilled for every
+    * 5th customer, NULL elsewhere) with all other values untouched;
+    * `Txn.changes(1→2)` diffs null-filled on the union of schemas, so
+    * the carried-over rows (added column NULL ≡ their null-filled prior
+    * selves) emit NOTHING and exactly the backfilled customers surface
+    * as delete+insert pairs. The oracle constructs that pair set
+    * directly, so the driver hash pins both the null-fill equivalence
+    * (a false diff on an untouched row breaks it) and the pair
+    * semantics on the changed ones. Type changes remain fail-loud
+    * (reader versioning, not silent casts) — TxnSpec pins that. */
+  val txnChangesEvolve: Q = Q(
+    "txn_changes_evolve",
+    """WITH changed AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 5 = 0)
+      |SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+      |  c_mktsegment AS seg, 'insert' AS change_op,
+      |  CAST(2 AS BIGINT) AS change_version
+      |FROM changed
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal, NULL, 'delete', CAST(2 AS BIGINT)
+      |FROM changed
+      |ORDER BY custkey, change_op""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "customer_cdc_ev")
+    val base = customer(s, dir).select(col("c_custkey").as("custkey"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    Txn.commit(base, root)
+    val evolved = customer(s, dir).select(col("c_custkey").as("custkey"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      when(col("c_custkey") % 5 === 0, col("c_mktsegment")).as("seg"))
+    Txn.commit(evolved, root)
+    Txn.changes(s, root, 1L, 2L).orderBy("custkey", "change_op")
+  }
+
   /** TIME TRAVEL as a registered row (r9): commit base as v1, the MERGE
     * output as v2, vacuum with keepLast=2 (exercising retention around a
     * pinned read), then read VERSION 1 — the oracle is the plain base
@@ -670,6 +737,6 @@ object Rewrite {
   }
 
   def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeUpsertTxn, mergeScd2,
-    llmPipelineEnd2end, txnChanges, txnSkipping, txnTimeTravel,
-    txnIncrementalAgg, txnAppend, txnDelete)
+    llmPipelineEnd2end, txnChanges, txnSkipping, txnSkippingTombstone,
+    txnChangesEvolve, txnTimeTravel, txnIncrementalAgg, txnAppend, txnDelete)
 }
