@@ -609,6 +609,167 @@ object Rewrite {
     Txn.changes(s, root, 1L, 2L).orderBy("custkey", "change_op")
   }
 
+  /** O(batch) TRANSACTIONAL UPSERT (r10): `Txn.commitUpsert` publishes
+    * the batch as ONE manifest extension `~keys@o_orderkey, data/<new>`
+    * — matched keys replaced whole-row, unmatched keys inserted, both
+    * visible atomically (no reader can see the delete without the
+    * insert). The update batch re-statuses every 7th order; the insert
+    * batch lands every 13th order under an offset key. Delta's MERGE
+    * pays a rewrite of every FILE containing a matched key; this is
+    * the tombstone+append economics instead — O(batch) commit, an
+    * anti-join read tax until compaction (UPSERT_r10.json measures
+    * both sides). The oracle rebuilds the post-upsert table directly,
+    * so the hash fails if a replaced row survives, an unmatched row is
+    * lost, or the fold applies the tombstone to the NEW dir too. */
+  val txnUpsertIncremental: Q = Q(
+    "txn_upsert_incremental",
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+      |    AS o_orderstatus,
+      |  o_totalprice
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+      |FROM orders WHERE o_orderkey % 13 = 0
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "orders_upsert_inc")
+    val o = orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Txn.commit(o, root)
+    val updates = o.where(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    val inserts = o.where(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+    Txn.commitUpsert(updates.unionByName(inserts), root, "o_orderkey",
+      meta = Map("op" -> "upsert"))
+    Txn.read(s, root).orderBy("o_orderkey")
+  }
+
+  /** RESTORE (r10): version 2 is a bad deploy (half the customers
+    * dropped, balances sign-flipped); `Txn.restore(1)` publishes v1's
+    * manifest as v3 — O(manifest), no data read or moved — and the
+    * table reads back bit-identical to the base. The oracle IS the
+    * base query, so the hash fails if the restore leaked any v2 row,
+    * missed one v1 row, or restored the wrong version. The bad version
+    * stays in history for audit (and time travel) until vacuum. */
+  val txnRestore: Q = Q(
+    "txn_restore",
+    """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+      |  c_mktsegment AS mktsegment
+      |FROM customer ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "customer_restore")
+    Txn.commit(baseSnapshot(s, dir), root)
+    Txn.commit(baseSnapshot(s, dir) // the bad deploy
+      .where(col("custkey") % 2 === 0)
+      .withColumn("acctbal", -col("acctbal")), root,
+      meta = Map("op" -> "bad-deploy"))
+    Txn.restore(s, root, 1L, meta = Map("op" -> "rollback"))
+    Txn.read(s, root).orderBy("custkey")
+  }
+
+  /** Zero-copy SHALLOW CLONE (r10): `Txn.cloneTable` initializes a new
+    * table whose v1 manifest references the source's snapshot dirs
+    * ABSOLUTELY — no data copied, O(manifest) regardless of table
+    * size. The clone then diverges copy-on-write: a shard appended to
+    * the CLONE lands in the clone's own data/, and a poison full
+    * rewrite committed to the SOURCE after the clone (here: the table
+    * halved) must NOT leak into the clone read — snapshots are
+    * immutable, the clone pinned the dirs, and the driver hash breaks
+    * if either direction of isolation fails. The one real coupling is
+    * source VACUUM (it cannot see clone references) — documented and
+    * spec-pinned, same caveat Delta ships. */
+  val txnClone: Q = Q(
+    "txn_clone",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 20000000, o_custkey, 'C', o_totalprice
+      |FROM orders WHERE o_orderkey % 11 = 0
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val src = txnRoot(s, dir, "orders_clone_src")
+    val dst = txnRoot(s, dir, "orders_clone_dst")
+    val o = orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Txn.commit(o, src)
+    Txn.cloneTable(s, src, dst)
+    Txn.commitAppend(o.where(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+        col("o_custkey"), lit("C").as("o_orderstatus"), col("o_totalprice")),
+      dst)
+    // poison the SOURCE after the clone: if the clone read re-resolved
+    // the source tip instead of its pinned dirs, half the rows vanish
+    Txn.commit(o.where(col("o_custkey") % 2 === 0), src,
+      meta = Map("op" -> "post-clone-rewrite"))
+    Txn.read(s, dst).orderBy("o_orderkey")
+  }
+
+  /** BLOOM point-lookup skipping (r10): the table is clustered by
+    * o_custkey (range partition + sort), so per-file min/max on the
+    * UNCLUSTERED o_orderkey spans ~the whole key domain in every file —
+    * range stats cannot skip anything for a point probe. The per-file
+    * BLOOM sidecar (`Txn.commitIndexed(bloomCols = o_orderkey)`) can:
+    * `readPoint` keeps only files whose filter may contain a probe key
+    * (one-sided — never drops a file holding a match), the skipping
+    * story Delta's bloom filter index tells. Probes are every order key
+    * divisible by 997 (collected bounded, ~dozens) plus two absent
+    * keys that must return nothing; the oracle is the plain IN-filter,
+    * so the hash fails on any dropped match or bloom-resurrected row.
+    * TxnSpec measures the claim: bloom keeps a small file fraction
+    * where o_orderkey min/max keeps 100%. */
+  val txnBloomPoint: Q = Q(
+    "txn_bloom_point",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 997 = 0
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "orders_bloom")
+    val o = orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Txn.commitIndexed(
+      o.repartitionByRange(8, col("o_custkey")).sortWithinPartitions("o_custkey"),
+      root, statsCols = Seq("o_custkey"), bloomCols = Seq("o_orderkey"),
+      bloomBits = 1 << 18)
+    val probes = o.where(col("o_orderkey") % 997 === 0)
+      .select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0)).toSeq // bounded: ~|orders|/997 keys
+    Txn.readPoint(s, root, "o_orderkey",
+      probes ++ Seq(999999941L, 999999943L)) // absent probes: must miss
+      .orderBy("o_orderkey")
+  }
+
+  /** CHECK constraints on commit (r10, Delta's table constraints): a
+    * commit whose snapshot violates any check publishes NOTHING — the
+    * row plants a violating commit first (nulls injected into acctbal,
+    * `acctbal IS NOT NULL` trips, the failure is caught in-row and the
+    * table must still be uninitialized), then lands the valid commit
+    * under the same checks. The oracle is the base query, so the hash
+    * fails if the violating snapshot leaked or the valid commit was
+    * mangled. Validation reads the snapshot AS WRITTEN (what readers
+    * would see), one distributed scan per check, nothing collected but
+    * a 3-row violation sample. */
+  val txnConstraints: Q = Q(
+    "txn_constraints",
+    """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+      |  c_mktsegment AS mktsegment
+      |FROM customer ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "customer_checked")
+    val violating = baseSnapshot(s, dir).withColumn("acctbal",
+      when(col("custkey") % 100 === 0, lit(null)).otherwise(col("acctbal")))
+    val failed =
+      try { Txn.commitChecked(violating, root, Seq("acctbal IS NOT NULL")); false }
+      catch { case _: IllegalStateException => true }
+    require(failed, "violating commit must fail loud")
+    require(Txn.currentVersion(s, root).isEmpty,
+      "violating commit must publish nothing")
+    Txn.commitChecked(baseSnapshot(s, dir), root,
+      Seq("acctbal IS NOT NULL", "custkey >= 0"))
+    Txn.read(s, root).orderBy("custkey")
+  }
+
   /** TIME TRAVEL as a registered row (r9): commit base as v1, the MERGE
     * output as v2, vacuum with keepLast=2 (exercising retention around a
     * pinned read), then read VERSION 1 — the oracle is the plain base
@@ -738,5 +899,7 @@ object Rewrite {
 
   def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeUpsertTxn, mergeScd2,
     llmPipelineEnd2end, txnChanges, txnSkipping, txnSkippingTombstone,
-    txnChangesEvolve, txnTimeTravel, txnIncrementalAgg, txnAppend, txnDelete)
+    txnChangesEvolve, txnUpsertIncremental, txnRestore, txnClone,
+    txnBloomPoint, txnConstraints, txnTimeTravel, txnIncrementalAgg,
+    txnAppend, txnDelete)
 }

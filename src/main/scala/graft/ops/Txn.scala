@@ -97,6 +97,13 @@ object Txn {
   private def manifestDirs(f: FileSystem, root: String, n: Long): Seq[String] =
     manifestTarget(f, root, n).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
 
+  /** Resolve a manifest entry's dir to a readable path: entries are
+    * normally ROOT-RELATIVE (`data/<uuid>`), but a [[cloneTable]]
+    * manifest references the SOURCE table's dirs ABSOLUTELY (leading
+    * `/` or a URI scheme) — the zero-copy clone mechanism. */
+  private def resolveDir(root: String, dir: String): String =
+    if (dir.startsWith("/") || dir.contains("://")) dir else s"$root/$dir"
+
   /** A parsed manifest entry: (dir, tombstone key column or None). */
   private def parseEntry(e: String): (String, Option[String]) =
     if (e.startsWith("~")) {
@@ -147,7 +154,7 @@ object Txn {
       s"version $n was never committed at $root")
     val entries = manifestDirs(f, root, n)
     if (!hasTombstones(entries)) {
-      val dirs = entries.map(d => s"$root/$d")
+      val dirs = entries.map(d => resolveDir(root, d))
       if (dirs.size == 1) spark.read.parquet(dirs.head)
       else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     } else {
@@ -157,10 +164,10 @@ object Txn {
       // Delta's log replay gives remove/add actions.
       entries.map(parseEntry).foldLeft(Option.empty[DataFrame]) {
         case (acc, (dir, None)) =>
-          val d = spark.read.parquet(s"$root/$dir")
+          val d = spark.read.parquet(resolveDir(root, dir))
           Some(acc.fold(d)(_.unionByName(d, allowMissingColumns = true)))
         case (acc, (dir, Some(keyCol))) =>
-          val keys = spark.read.parquet(s"$root/$dir").select(keyCol).distinct()
+          val keys = spark.read.parquet(resolveDir(root, dir)).select(keyCol).distinct()
           Some(acc.getOrElse(sys.error(
               s"tombstone $dir precedes any data dir at $root"))
             .join(keys, Seq(keyCol), "left_anti"))
@@ -220,10 +227,14 @@ object Txn {
       meta: Map[String, String] = Map.empty): Long = {
     val f = fs(df.sparkSession, root)
     val dataRel = writeSnapshot(df, root, statsCols)
-    // stage the manifest, then CAS-publish: retry the rename at the
-    // next version number until we win (rename-without-overwrite fails
-    // if a concurrent writer took N first)
-    val body = manifestBody(dataRel, meta)
+    publishFull(f, root, dataRel, manifestBody(dataRel, meta))
+  }
+
+  /** CAS-publish a staged full-snapshot manifest: retry the rename at
+    * the next version number until we win (rename-without-overwrite
+    * fails if a concurrent writer took N first). */
+  private def publishFull(f: FileSystem, root: String, dataRel: String,
+      body: String): Long = {
     var tmp = stageManifest(f, root, dataRel.stripPrefix("data/"), body)
     var n = committedVersions(f, root).foldLeft(0L)(math.max) + 1
     var published = false
@@ -286,11 +297,20 @@ object Txn {
     * both land — one of the two renames loses and its next check
     * aborts. */
   private def appendCore(df: DataFrame, root: String, statsCols: Seq[String],
-      meta: Map[String, String], dedupKey: Option[(String, String)]): Option[Long] = {
+      meta: Map[String, String], dedupKey: Option[(String, String)],
+      upsertKey: Option[String] = None): Option[Long] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
+    upsertKey.foreach { k =>
+      require(df.schema.fieldNames.contains(k),
+        s"upsert key column $k absent from the batch schema")
+      require(!k.contains(',') && !k.contains('\n') && !k.contains('@'),
+        s"upsert key column must be free of ',', '@' and newlines: $k")
+    }
     lazy val written: String = // data written once, on first need
       writeSnapshot(df, root, statsCols)
+    lazy val keysWritten: String = // upsert tombstone keys, written once
+      writeSnapshot(df.select(upsertKey.get).distinct(), root, Nil)
     f.mkdirs(new Path(s"$root/_commits"))
     var attempt = 0
     while (true) {
@@ -302,7 +322,12 @@ object Txn {
       }
       if (replayed) return None
       val dataRel = written
-      val dirs = manifestDirs(f, root, base) :+ dataRel
+      // an upsert's manifest extension is tombstone-then-data: the keys
+      // delete every prior copy, the fresh dir re-inserts the new rows —
+      // ONE atomic publish, so no reader ever sees the delete without
+      // the insert
+      val dirs = manifestDirs(f, root, base) ++
+        upsertKey.map(k => s"~$keysWritten@$k").toSeq :+ dataRel
       val tmp = stageManifest(f, root, s"${dataRel.stripPrefix("data/")}-$attempt",
         manifestBody(dirs.mkString(","), meta))
       val target = new Path(s"$root/_commits/${base + 1}")
@@ -385,6 +410,123 @@ object Txn {
     appendCore(df, root, statsCols,
       meta = Map("txnAppId" -> appId, "txnVersion" -> batchId.toString),
       dedupKey = Some((appId, batchId.toString)))
+
+  /** O(batch) transactional UPSERT (r10): publish `updates` as a ONE-
+    * manifest extension `... ~keys@keyCol, data/<new>` — the tombstone
+    * deletes every prior copy of the batch's keys, the fresh dir
+    * re-inserts the new rows, and because both land in a single
+    * rename-published manifest no reader can ever see the delete
+    * without the insert (unlike chaining [[commitDelete]] +
+    * [[commitAppend]], which exposes a keys-missing intermediate
+    * version and can be torn by a crash between the two). Matched keys
+    * are replaced whole-row, unmatched keys insert — MERGE upsert
+    * semantics at O(batch) cost: Delta's MERGE rewrites every FILE
+    * containing a matched key (read-match-rewrite), so upserting 1k
+    * rows into a 100 TB table costs it a file rewrite wave; here it
+    * costs the batch write + two small snapshots, with the read-side
+    * anti-join tax accruing per upsert until a compacting [[commit]]
+    * collapses the chain (same economics as [[commitDelete]] —
+    * measured in UPSERT_r10.json). Concurrent upserts rebase like
+    * appends; ordering between racers is the publish order, matching
+    * last-writer-wins per key. */
+  def commitUpsert(updates: DataFrame, root: String, keyCol: String,
+      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty): Long =
+    appendCore(updates, root, statsCols, meta, dedupKey = None,
+      upsertKey = Some(keyCol))
+      .getOrElse(sys.error("unreachable: dedup-free upsert cannot no-op"))
+
+  /** EXACTLY-ONCE streaming MERGE (r10): [[commitUpsert]] with the
+    * [[appendIdempotent]] replay guard — the foreachBatch upsert-sink
+    * contract for a CDC stream landing in a Txn table. A replayed
+    * (appId, batchId) is recognized against history inside the rebase
+    * loop (same serializable check as appendIdempotent) and no-ops, so
+    * at-least-once foreachBatch delivery becomes exactly-once MERGE:
+    * re-upserting the same batch would not corrupt the final state
+    * (upserts of identical rows are idempotent in value) but WOULD
+    * stack redundant tombstone+dir pairs on the manifest and emit the
+    * batch twice on the CDC feed — the guard keeps history and the
+    * changes feed truthful. StreamingSpec drives it from a live
+    * MemoryStream with every batch replayed. */
+  def mergeIdempotent(updates: DataFrame, root: String, keyCol: String,
+      appId: String, batchId: Long, statsCols: Seq[String] = Nil): Option[Long] =
+    appendCore(updates, root, statsCols,
+      meta = Map("txnAppId" -> appId, "txnVersion" -> batchId.toString),
+      dedupKey = Some((appId, batchId.toString)), upsertKey = Some(keyCol))
+
+  /** RESTORE (r10): roll the table back to retained version `toVersion`
+    * by publishing that version's EXACT manifest entry list as the next
+    * version — Delta's RESTORE. O(manifest): no data moves, no data is
+    * read; the bad versions stay in history (an audit trail, and
+    * time-travel to them still works until vacuum) but the current
+    * snapshot is bit-identical to `toVersion`. The restore commit
+    * itself re-references the old dirs, so a later [[vacuum]] keeps
+    * them alive through the restored version — restoring is also how
+    * you RESCUE data from a version about to age out. Fails loud if
+    * `toVersion` was already vacuumed (its manifest is gone — nothing
+    * left to restore). CDC across a restore diffs as a full rewrite
+    * (delete the bad rows, re-insert the restored ones), which is the
+    * truthful feed for a rollback. */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+      meta: Map[String, String] = Map.empty): Long = {
+    val f = fs(spark, root)
+    require(f.exists(new Path(s"$root/_commits/$toVersion")),
+      s"version $toVersion at $root was never committed or was vacuumed")
+    val dirs = manifestDirs(f, root, toVersion)
+    val body = manifestBody(dirs.mkString(","),
+      meta + ("restoredFrom" -> toVersion.toString))
+    f.mkdirs(new Path(s"$root/_commits"))
+    var attempt = 0
+    while (true) {
+      val base = committedVersions(f, root).foldLeft(0L)(math.max)
+      val tmp = stageManifest(f, root, s"restore-$toVersion-$attempt", body)
+      val target = new Path(s"$root/_commits/${base + 1}")
+      if (!f.exists(target) && f.rename(tmp, target)) return base + 1
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    -1L // unreachable
+  }
+
+  /** Zero-copy SHALLOW CLONE (r10): initialize `dstRoot` as version 1
+    * of a NEW table whose manifest references `srcRoot`'s current
+    * snapshot dirs ABSOLUTELY — no data is copied, the clone of a
+    * 100 TB table costs one manifest write (Delta SHALLOW CLONE).
+    * The clone then diverges copy-on-write: appends/upserts/deletes on
+    * the clone land in the CLONE's own `data/` and extend the CLONE's
+    * manifest; the source never observes them, and rewrites of the
+    * source never touch dirs the clone references (snapshots are
+    * immutable). The one coupling — same as Delta's — is VACUUM of the
+    * SOURCE: it cannot see the clone's references, so aggressive source
+    * vacuum can delete dirs a clone still reads. Keep source retention
+    * above clone lifetime, or deep-copy (a plain [[commit]] of
+    * `read(clone)`) to sever the link. `srcRoot` must be absolute (or
+    * a URI) so the references resolve from anywhere. */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+      meta: Map[String, String] = Map.empty): Long = {
+    require(srcRoot.startsWith("/") || srcRoot.contains("://"),
+      s"clone source root must be an absolute path or URI: $srcRoot")
+    require(!srcRoot.contains(',') && !srcRoot.contains('@'),
+      s"clone source root must be free of ',' and '@': $srcRoot")
+    val srcV = currentVersion(spark, srcRoot).getOrElse(
+      sys.error(s"no committed version to clone at $srcRoot"))
+    val f = fs(spark, dstRoot)
+    require(committedVersions(f, dstRoot).isEmpty,
+      s"clone target $dstRoot already has commits — refusing to overlay")
+    val absEntries = manifestDirs(fs(spark, srcRoot), srcRoot, srcV).map { e =>
+      val (dir, key) = parseEntry(e)
+      val abs = resolveDir(srcRoot, dir)
+      key.fold(abs)(k => s"~$abs@$k")
+    }
+    val body = manifestBody(absEntries.mkString(","),
+      meta + ("clonedFrom" -> s"$srcRoot#$srcV"))
+    val tmp = stageManifest(f, dstRoot, "clone-v1", body)
+    val target = new Path(s"$dstRoot/_commits/1")
+    require(f.rename(tmp, target), {
+      f.delete(tmp, false)
+      s"clone target $dstRoot was initialized concurrently"
+    })
+    1L
+  }
 
   /** OPTIMISTIC-CONCURRENCY commit: publish `df` as the next version
     * only if the table is still at `expectedBase` (the version this
@@ -469,7 +611,7 @@ object Txn {
     val f = fs(spark, root)
     manifestDirs(f, root, version)
       .filter(!_.startsWith("~")).flatMap { d =>
-      val p = new Path(s"$root/$d/_stats.tsv")
+      val p = new Path(s"${resolveDir(root, d)}/_stats.tsv")
       if (!f.exists(p)) Seq.empty
       else {
         val in = f.open(p)
@@ -484,6 +626,117 @@ object Txn {
     }.toMap
   }
 
+  /** Per-file BLOOM sidecar (r10): for each named LONG-castable column,
+    * one fixed-size bloom filter per data file over that file's values,
+    * stored as `_bloom.tsv` lines `basename TAB col TAB base64(bits)`
+    * inside the snapshot dir (published atomically with the data, like
+    * `_stats.tsv`). Built by the same mergeable
+    * [[graft.functions.BloomGramAgg]] the decontamination path uses —
+    * partial aggregation per input split, a bitwise-OR merge per file,
+    * no shuffle wider than one fixed-size array per file. `mBits` is a
+    * per-file constant: at the default 2^20 bits / K=7 a 128 KiB
+    * sidecar per file holds ~100k keys under 1% FP; size it to the
+    * file row count, not the table. Null values contribute nothing (a
+    * null never matches a point probe). */
+  private def writeBloom(spark: SparkSession, f: FileSystem,
+      dataDir: String, bloomCols: Seq[String], mBits: Int): Unit = {
+    val snap = spark.read.parquet(dataDir)
+    bloomCols.foreach { c => require(snap.schema.fieldNames.contains(c),
+      s"bloom column $c absent from committed schema") }
+    val agg = udaf(new graft.functions.BloomGramAgg(mBits))
+    val sb = new StringBuilder
+    bloomCols.foreach { c =>
+      val rows = snap
+        .where(col(c).cast("long").isNotNull)
+        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+        .agg(agg(col(c).cast("long")).as("bits"))
+        .collect() // one row per data FILE — bounded by snapshot file count
+      rows.foreach { r =>
+        val bits = r.getSeq[Long](1).toArray
+        val bytes = java.nio.ByteBuffer.allocate(bits.length * 8)
+        bits.foreach(bytes.putLong)
+        val b64 = java.util.Base64.getEncoder.encodeToString(bytes.array())
+        sb.append(s"${r.getString(0)}\t$c\t$b64\n")
+      }
+    }
+    val out = f.create(new Path(s"$dataDir/_bloom.tsv"), false)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** (file-basename, col) -> bloom bit array, merged from every
+    * snapshot dir's `_bloom.tsv`; dirs committed without blooms
+    * contribute nothing (their files are never point-prunable). */
+  def fileBlooms(spark: SparkSession, root: String,
+      version: Long): Map[(String, String), Array[Long]] = {
+    val f = fs(spark, root)
+    manifestDirs(f, root, version)
+      .filter(!_.startsWith("~")).flatMap { d =>
+      val p = new Path(s"${resolveDir(root, d)}/_bloom.tsv")
+      if (!f.exists(p)) Seq.empty
+      else {
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        text.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+          val Array(file, c, b64) = line.split('\t')
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val bits = new Array[Long](bytes.length / 8)
+          var i = 0
+          while (i < bits.length) { bits(i) = bb.getLong(); i += 1 }
+          (file, c) -> bits
+        }
+      }
+    }.toMap
+  }
+
+  /** [[commit]] that also writes BLOOM sidecars: full-snapshot publish
+    * with `_stats.tsv` for `statsCols` (range skipping) and
+    * `_bloom.tsv` for `bloomCols` (point skipping via [[readPoint]]).
+    * Sidecars cost one extra scan of the fresh snapshot each and are
+    * invisible to plain parquet readers. */
+  def commitIndexed(df: DataFrame, root: String, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 20,
+      meta: Map[String, String] = Map.empty): Long = {
+    require(bloomBits % 64 == 0 && bloomBits > 0,
+      s"bloomBits must be a positive multiple of 64, got $bloomBits")
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val dataRel = writeSnapshot(df, root, statsCols)
+    if (bloomCols.nonEmpty)
+      writeBloom(spark, f, s"$root/$dataRel", bloomCols, bloomBits)
+    publishFull(f, root, dataRel, manifestBody(dataRel, meta))
+  }
+
+  /** CHECK-constrained commit (r10, Delta's table constraints): every
+    * expression in `checks` must hold on EVERY row or nothing is
+    * published — the snapshot is validated AS WRITTEN (read back from
+    * the fresh dir, so what's checked is exactly what readers would
+    * see) before the manifest rename, and a violation fails loud with
+    * a sample of offending rows while the table stays at its previous
+    * version (the orphan snapshot is vacuum fodder, never visible).
+    * Validation costs one scan of the new snapshot — same bill as a
+    * stats sidecar — and runs distributed (a count + limited sample,
+    * no collect of the data). NOT NULL is just `col IS NOT NULL` as a
+    * check. */
+  def commitChecked(df: DataFrame, root: String, checks: Seq[String],
+      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty): Long = {
+    require(checks.nonEmpty, "commitChecked needs at least one check")
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val dataRel = writeSnapshot(df, root, statsCols)
+    val snap = spark.read.parquet(s"$root/$dataRel")
+    checks.foreach { c =>
+      val bad = snap.where(!expr(c))
+      val sample = bad.limit(3).collect()
+      if (sample.nonEmpty)
+        throw new IllegalStateException(
+          s"constraint violated, commit aborted (table unchanged): CHECK ($c) " +
+            s"fails on rows like ${sample.mkString("; ")}")
+    }
+    publishFull(f, root, dataRel, manifestBody(dataRel, meta))
+  }
+
   /** Per-manifest-entry pruning decision for version `version`: each
     * data-dir entry resolves to its KEPT parquet files (those whose
     * recorded `colName` range may overlap [lo, hi] — no stats row or
@@ -493,29 +746,46 @@ object Txn {
     * version is an explicit parameter so one resolve feeds both the
     * file list and the schema (r10 advice: resolving twice let a
     * concurrent commit mix two versions' views). */
-  private def prunePlan(spark: SparkSession, root: String, version: Long,
-      colName: String, lo: Long,
-      hi: Long): (Seq[Either[Seq[String], (String, String)]], Int) = {
+  /** Shared file-skipping walk: every data file in version `version`
+    * passes through `keepFile` (by basename); tombstone entries pass
+    * through for the reader's log-order fold. `keepFile` must be
+    * one-sided — it may keep a file the predicate rejects (read +
+    * filtered later) but must never drop one containing a matching
+    * row. */
+  private def prunePlanBy(spark: SparkSession, root: String, version: Long,
+      keepFile: String => Boolean): (Seq[Either[Seq[String], (String, String)]], Int) = {
     val f = fs(spark, root)
-    val stats = fileStats(spark, root, version)
     var total = 0
     val plan = manifestDirs(f, root, version).map(parseEntry).map {
       case (dir, None) =>
-        val files = f.listStatus(new Path(s"$root/$dir")).toSeq
+        val files = f.listStatus(new Path(resolveDir(root, dir))).toSeq
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toString)
         total += files.size
         Left(files.filter { path =>
-          val base = path.substring(path.lastIndexOf('/') + 1)
-          stats.get((base, colName)) match {
-            case Some((Some(mn), Some(mx))) => mx >= lo && mn <= hi
-            case _                          => true
-          }
+          keepFile(path.substring(path.lastIndexOf('/') + 1))
         })
       case (dir, Some(keyCol)) => Right((dir, keyCol))
     }
     (plan, total)
   }
+
+  /** The min/max-stats keep decision for `lo <= col <= hi`: a file
+    * survives unless its recorded range provably misses the interval
+    * (no stats row or null bounds = always kept — pruning is an
+    * optimization, never a filter). */
+  private def statsKeep(stats: Map[(String, String), (Option[Long], Option[Long])],
+      colName: String, lo: Long, hi: Long)(base: String): Boolean =
+    stats.get((base, colName)) match {
+      case Some((Some(mn), Some(mx))) => mx >= lo && mn <= hi
+      case _                          => true
+    }
+
+  private def prunePlan(spark: SparkSession, root: String, version: Long,
+      colName: String, lo: Long,
+      hi: Long): (Seq[Either[Seq[String], (String, String)]], Int) =
+    prunePlanBy(spark, root, version,
+      statsKeep(fileStats(spark, root, version), colName, lo, hi))
 
   /** The file-skipping decision for `lo <= col <= hi` on version
     * `version`: (data files to read, total data files). Tombstone key
@@ -561,28 +831,99 @@ object Txn {
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
     val (plan, _) = prunePlan(spark, root, v, colName, lo, hi)
-    // impose the VERSION's schema on the pruned scan — footer merging
-    // over the surviving files would let the file subset decide which
-    // EVOLVED columns surface (a pruned read keeping only
-    // pre-evolution files would drop the evolved column), breaking the
-    // ≡ read().where(...) contract; with an explicit schema the
-    // parquet reader null-fills per file instead (r9 review)
-    val schema = readVersion(spark, root, v).schema
+    scanPruned(spark, root, v, plan)
+      .where(col(colName).cast("long").between(lo, hi))
+  }
+
+  /** Assemble a pruned plan into a DataFrame: kept files scanned under
+    * the VERSION's schema, tombstone anti-joins folded in log order.
+    * The version's schema is imposed explicitly — footer merging over
+    * the surviving files would let the file SUBSET decide which evolved
+    * columns surface (a pruned read keeping only pre-evolution files
+    * would drop the evolved column), breaking the ≡ read().where(...)
+    * contract; with an explicit schema the parquet reader null-fills
+    * per file instead (r9 review). */
+  private def scanPruned(spark: SparkSession, root: String, version: Long,
+      plan: Seq[Either[Seq[String], (String, String)]]): DataFrame = {
+    val schema = readVersion(spark, root, version).schema
     def scan(files: Seq[String]): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(files: _*)
-    val base = plan.foldLeft(Option.empty[DataFrame]) {
+    plan.foldLeft(Option.empty[DataFrame]) {
       case (acc, Left(files)) =>
         val d = scan(files)
         Some(acc.fold(d)(_.unionByName(d)))
       case (acc, Right((dir, keyCol))) =>
-        val keys = spark.read.parquet(s"$root/$dir").select(keyCol).distinct()
+        val keys = spark.read.parquet(resolveDir(root, dir)).select(keyCol).distinct()
         Some(acc.getOrElse(sys.error(
             s"tombstone $dir precedes any data dir at $root"))
           .join(keys, Seq(keyCol), "left_anti"))
     }.getOrElse(scan(Nil))
-    base.where(col(colName).cast("long").between(lo, hi))
+  }
+
+  /** POINT-LOOKUP read `col IN (values)` via the BLOOM sidecar (r10):
+    * keeps only the files whose bloom filter may contain at least one
+    * probe value (min/max stats, when also present, prune first). This
+    * is the skipping story min/max CANNOT tell: on a table clustered by
+    * some OTHER column (time, tenant, z-order on two dims), every
+    * file's range over an unclustered high-cardinality key spans
+    * ~everything — range stats keep 100% of files — while a bloom keeps
+    * ~(matching files + FP%). Delta ships the same trade as its bloom
+    * filter index. One-sided by construction (a bloom never rejects a
+    * present key), so readPoint ≡ read().where(col.isin(values)) —
+    * TxnSpec pins the equivalence and the registered txn_bloom_point
+    * row hash-gates it; files without a bloom row are always read.
+    * Tombstoned versions fold their anti-joins over the pruned scan
+    * exactly like [[readPruned]]. */
+  def readPoint(spark: SparkSession, root: String, colName: String,
+      values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "readPoint needs at least one probe value")
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val stats = fileStats(spark, root, v)
+    val blooms = fileBlooms(spark, root, v)
+    def keep(base: String): Boolean = values.exists { value =>
+      statsKeep(stats, colName, value, value)(base) &&
+        (blooms.get((base, colName)) match {
+          case Some(bits) => bloomMayContain(bits, value)
+          case None       => true
+        })
+    }
+    val (plan, _) = prunePlanBy(spark, root, v, keep)
+    scanPruned(spark, root, v, plan)
+      .where(col(colName).cast("long").isin(values: _*))
+  }
+
+  /** The file-count decision [[readPoint]] would make: (kept, total)
+    * data files for probing `values` on `colName` — the measurable
+    * skipping claim without executing the scan. */
+  def probeFiles(spark: SparkSession, root: String, colName: String,
+      values: Seq[Long]): (Int, Int) = {
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val stats = fileStats(spark, root, v)
+    val blooms = fileBlooms(spark, root, v)
+    def keep(base: String): Boolean = values.exists { value =>
+      statsKeep(stats, colName, value, value)(base) &&
+        (blooms.get((base, colName)) match {
+          case Some(bits) => bloomMayContain(bits, value)
+          case None       => true
+        })
+    }
+    val (plan, total) = prunePlanBy(spark, root, v, keep)
+    (plan.collect { case Left(fl) => fl.size }.sum, total)
+  }
+
+  private def bloomMayContain(bits: Array[Long], value: Long): Boolean = {
+    val m = bits.length * 64
+    var i = 0
+    while (i < graft.functions.BloomHash.K) {
+      val p = graft.functions.BloomHash.pos(value, i, m)
+      if ((bits(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
   }
 
   /** Row-level CHANGES FEED between versions (CDC): for each step
@@ -615,7 +956,7 @@ object Txn {
         // no scan of the base — the production formats' commit-log CDC.
         // An identical dir list (a no-op rewrite, legal) is an empty
         // step, not a zero-path read (r9 review).
-        val added = curDirs.drop(prevDirs.size).map(d => s"$root/$d")
+        val added = curDirs.drop(prevDirs.size).map(d => resolveDir(root, d))
         val step =
           if (added.isEmpty) readVersion(spark, root, v).limit(0)
           else if (added.size == 1) spark.read.parquet(added.head)

@@ -567,4 +567,168 @@ class TxnSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("changed type"))
   }
+
+  test("upsert: one atomic tombstone+insert extension, last writer wins per key") {
+    import spark.implicits._
+    val root = freshRoot("ups")
+    def kv(df: org.apache.spark.sql.DataFrame) = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Txn.commit((1L to 10L).map(i => (i, s"old$i")).toDF("id", "v"), root) // v1
+    // matched keys 5..10 replaced, unmatched 11..12 inserted — ONE commit
+    val v2 = Txn.commitUpsert(
+      (5L to 12L).map(i => (i, s"new$i")).toDF("id", "v"), root, "id")
+    assert(v2 == 2L)
+    val expect = ((1L to 4L).map(i => i -> s"old$i") ++
+      (5L to 12L).map(i => i -> s"new$i")).toMap
+    assert(kv(Txn.read(spark, root)) == expect)
+    // no intermediate keys-deleted version exists: v1 intact, v2 whole
+    assert(kv(Txn.readVersion(spark, root, 1)) ==
+      (1L to 10L).map(i => i -> s"old$i").toMap)
+    // a second upsert of an already-upserted key: newest value wins
+    Txn.commitUpsert(Seq((5L, "newer5")).toDF("id", "v"), root, "id")
+    assert(kv(Txn.read(spark, root)) == (expect + (5L -> "newer5")))
+    // CDC across the upsert step is truthful: replaced rows emit
+    // delete+insert pairs, inserts bare inserts, untouched rows nothing
+    val ch = Txn.changes(spark, root, 1L, 2L)
+      .select("change_op", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ch == ((5L to 10L).map(i => ("delete", i)) ++
+      (5L to 12L).map(i => ("insert", i))).toSet)
+  }
+
+  test("mergeIdempotent: live CDC stream upserts exactly once across replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("eomerge")
+    Txn.commit(Seq((1L, "base1"), (2L, "base2")).toDF("id", "v"), root)
+    val source = MemoryStream[(Long, String)]
+    val landed = scala.collection.mutable.ArrayBuffer.empty[Option[Long]]
+    val q = source.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        // replay every batch — at-least-once delivery absorbed to
+        // exactly-once MERGE
+        landed += Txn.mergeIdempotent(df, root, "id", "merge-query", id)
+        landed += Txn.mergeIdempotent(df, root, "id", "merge-query", id)
+        ()
+      }.start()
+    try {
+      source.addData((2L, "upd2"), (3L, "ins3")); q.processAllAvailable()
+      source.addData((3L, "upd3")); q.processAllAvailable()
+    } finally q.stop()
+    assert(landed.count(_.isDefined) == 2 && landed.count(_.isEmpty) == 2,
+      s"landed: $landed")
+    val got = Txn.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "base1", 2L -> "upd2", 3L -> "upd3"))
+    // history is truthful: exactly one version per batch, no replay stack
+    assert(Txn.currentVersion(spark, root).contains(3L))
+  }
+
+  test("restore: O(manifest) rollback, restored dirs survive vacuum") {
+    import spark.implicits._
+    val root = freshRoot("restore")
+    Txn.commit((1L to 10L).toDF("id"), root)   // v1
+    Txn.commit((100L to 105L).toDF("id"), root) // v2: the bad deploy
+    val v3 = Txn.restore(spark, root, 1L)
+    assert(v3 == 3L)
+    assert(ids(Txn.read(spark, root)) == (1L to 10L).toSet)
+    // zero data moved: still exactly the two committed snapshot dirs
+    assert(fs(root).listStatus(new Path(s"$root/data")).length == 2)
+    // audit trail: the restore records its source version
+    val (_, _, meta) = Txn.history(spark, root).last
+    assert(meta.get("restoredFrom").contains("1"))
+    // vacuum keeps the restored version's dirs alive (they are
+    // referenced by the retained tip) and drops the bad deploy's
+    Txn.vacuum(spark, root, keepLast = 1, retentionMs = 0L)
+    assert(ids(Txn.read(spark, root)) == (1L to 10L).toSet)
+    assert(intercept[IllegalArgumentException] {
+      Txn.readVersion(spark, root, 2L)
+    }.getMessage.contains("never committed"))
+    // restoring a vacuumed version fails loud — nothing left to restore
+    assert(intercept[IllegalArgumentException] {
+      Txn.restore(spark, root, 2L)
+    }.getMessage.contains("vacuumed"))
+  }
+
+  test("clone: zero-copy init, copy-on-write divergence, source-vacuum caveat") {
+    import spark.implicits._
+    val src = freshRoot("clsrc")
+    val dst = freshRoot("cldst")
+    Txn.commit((1L to 10L).toDF("id"), src)
+    Txn.cloneTable(spark, src, dst)
+    assert(ids(Txn.read(spark, dst)) == (1L to 10L).toSet)
+    // zero-copy: the clone holds NO data of its own yet
+    assert(!fs(dst).exists(new Path(s"$dst/data")))
+    // copy-on-write: appends to the clone land in the CLONE's data/
+    Txn.commitAppend((11L to 12L).toDF("id"), dst)
+    assert(ids(Txn.read(spark, dst)) == (1L to 12L).toSet)
+    assert(ids(Txn.read(spark, src)) == (1L to 10L).toSet)
+    assert(fs(dst).listStatus(new Path(s"$dst/data")).length == 1)
+    // source rewrites never leak into the clone (snapshots immutable)
+    Txn.commit((50L to 60L).toDF("id"), src)
+    assert(ids(Txn.read(spark, dst)) == (1L to 12L).toSet)
+    // refuse to overlay an initialized table
+    assert(intercept[IllegalArgumentException] {
+      Txn.cloneTable(spark, src, dst)
+    }.getMessage.contains("refusing"))
+    // the documented caveat is REAL: aggressive source vacuum deletes
+    // dirs the clone still references — reads break until a deep copy
+    Txn.vacuum(spark, src, keepLast = 1, retentionMs = 0L)
+    intercept[Exception] { Txn.read(spark, dst).collect() }
+  }
+
+  test("bloom point skipping: prunes where min/max cannot, one-sided") {
+    import spark.implicits._
+    val root = freshRoot("bloom")
+    // clustered by grp; key is a permutation spread over the whole
+    // domain, so every file's key min/max spans ~everything
+    val n = 8000L
+    val df = (1L to n).map { i =>
+      (i / 1000L, (i * 2654435761L) % 1000003L)
+    }.toDF("grp", "key")
+    Txn.commitIndexed(
+      df.repartitionByRange(8, col("grp")).sortWithinPartitions("grp"),
+      root, statsCols = Seq("key"), bloomCols = Seq("key"),
+      bloomBits = 1 << 17)
+    val probe = (4321L * 2654435761L) % 1000003L // an existing key
+    // min/max on the unclustered key keeps ~EVERY file for the point
+    // (a permuted key's per-file range spans nearly the whole domain;
+    // allow one lucky miss at the domain edges)…
+    val (mmKept, total) = Txn.pruneFiles(spark, root, "key", probe, probe)
+    assert(total >= 8 && mmKept.size >= total - 1,
+      s"range stats should keep ~all $total files, kept ${mmKept.size}")
+    // …the bloom keeps a small fraction
+    val (bKept, bTotal) = Txn.probeFiles(spark, root, "key", Seq(probe))
+    assert(bTotal == total && bKept <= math.max(2, total / 4),
+      s"bloom kept $bKept of $bTotal")
+    // content ≡ the plain filter (one-sidedness means no lost match)
+    val got = Txn.readPoint(spark, root, "key", Seq(probe))
+      .select("grp").collect().map(_.getLong(0)).sorted.toSeq
+    val want = df.where(col("key") === probe)
+      .select("grp").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // an absent key returns nothing (and prunes to ~nothing)
+    assert(Txn.readPoint(spark, root, "key", Seq(999999937L)).count() == 0L)
+  }
+
+  test("commitChecked: violation publishes nothing, SQL NULL-check semantics") {
+    import spark.implicits._
+    val root = freshRoot("check")
+    val bad = Seq((1L, -5L), (2L, 3L)).toDF("id", "v")
+    val err = intercept[IllegalStateException] {
+      Txn.commitChecked(bad, root, Seq("v >= 0"))
+    }
+    assert(err.getMessage.contains("CHECK (v >= 0)"))
+    assert(Txn.currentVersion(spark, root).isEmpty) // nothing published
+    // SQL CHECK semantics: a NULL comparison is not a violation
+    val withNull = Seq((1L, java.lang.Long.valueOf(5L)),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("id", "v")
+    Txn.commitChecked(withNull, root, Seq("v >= 0"))
+    assert(Txn.currentVersion(spark, root).contains(1L))
+    // NOT NULL is an explicit check when wanted
+    intercept[IllegalStateException] {
+      Txn.commitChecked(withNull, root, Seq("v IS NOT NULL"))
+    }
+    assert(Txn.currentVersion(spark, root).contains(1L))
+  }
 }
