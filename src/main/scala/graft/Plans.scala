@@ -32,7 +32,8 @@ object Plans {
       "merge_upsert_txn", "compact_zorder", "llm_pipeline_end2end",
       "txn_skipping", "txn_changes", "txn_incremental_agg", "txn_delete",
       "txn_catalog", "llm_dedup_windowed", "txn_skipping_tombstone",
-      "txn_changes_evolve")
+      "txn_changes_evolve", "txn_upsert_incremental", "txn_restore",
+      "txn_clone", "txn_bloom_point", "txn_constraints", "txn_partitioned")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

@@ -550,6 +550,208 @@ object ScaleBench {
     * Also times the post-tombstone READ (the anti-join tax every
     * reader pays until compaction) — it grows with the table, which
     * is exactly why the API documents periodic compaction. */
+  /** UPSERT economics (r10): a FIXED update batch (≈1k updates + 1k
+    * inserts) lands in a table grown n× three ways — [[Txn.commitUpsert]]
+    * (one tombstone+dir manifest extension, O(batch)), the per-read
+    * anti-join tax that choice accrues, and the MERGE-rewrite
+    * alternative (full commit of the anti-joined base + batch,
+    * O(table)). The claim: upsert commit time is FLAT in table size
+    * while the rewrite is linear — at 100 TB that is the difference
+    * between a CDC sink that keeps up and one that rewrites the world
+    * per batch. Writes UPSERT_r10.json. Enabled with
+    * SPARK_GRAFT_SCALE_UPSERT=1. */
+  private def upsertCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.Txn
+    val shard = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val batch = shard.where(col("o_orderkey") % 150 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .unionByName(shard.where(col("o_orderkey") % 151 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L)))
+    val out = mults.map { m =>
+      val base = (0 until m).map { k =>
+        shard.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+      }.reduce(_.unionByName(_))
+      var upsMin = Double.MaxValue
+      var readMin = Double.MaxValue
+      var rewriteMin = Double.MaxValue
+      var nTable = -1L
+      var nBatch = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        val root = s"/tmp/graft_txnups_x$m"
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+        Txn.commit(base, root)
+        nTable = Txn.read(spark, root).count()
+        nBatch = batch.count()
+        val t0 = System.nanoTime()
+        Txn.commitUpsert(batch, root, "o_orderkey")
+        val t1 = System.nanoTime()
+        Txn.read(spark, root).count()
+        val t2 = System.nanoTime()
+        // the MERGE-rewrite alternative: anti-join the base, re-add the
+        // batch, commit the whole table
+        Txn.commit(Txn.readVersion(spark, root, 1L)
+          .join(batch.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .unionByName(batch), root)
+        val t3 = System.nanoTime()
+        upsMin = math.min(upsMin, (t1 - t0) / 1e9)
+        readMin = math.min(readMin, (t2 - t1) / 1e9)
+        rewriteMin = math.min(rewriteMin, (t3 - t2) / 1e9)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+      System.err.println(f"upsert x$m (table=$nTable, batch=$nBatch): " +
+        f"upsert $upsMin%.2f s, folded-read $readMin%.2f s, rewrite $rewriteMin%.2f s")
+      (m, nTable, nBatch, upsMin, readMin, rewriteMin)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, n, b, u, r, w) =>
+      s""""x$m":{"table_rows":$n,"batch_rows":$b,"upsert_sec":${f2(u)},"folded_read_sec":${f2(r)},"merge_rewrite_sec":${f2(w)}}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"fixed ~2k-row upsert batch (updates + inserts) into a table grown nx: commitUpsert (one tombstone+dir manifest extension, O(batch)) vs the MERGE-rewrite alternative (anti-join + full commit, O(table)); folded_read_sec is the per-read anti-join tax until compaction","passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("UPSERT_r10.json"), s.getBytes)
+    println(s)
+  }
+
+  /** BLOOM point-skipping economics (r10): a table clustered by
+    * o_custkey grown n× (file count grows with the table), per-file
+    * bloom sidecars on the UNCLUSTERED o_orderkey; a fixed 8-key point
+    * probe measured three ways — files kept by the bloom vs total
+    * (min/max keeps ~all: every file's unclustered-key range spans the
+    * domain), [[Txn.readPoint]] wall time, and the full-scan filter
+    * alternative. The claim: kept-file fraction FALLS as the table
+    * grows (probe cost tracks matching files, not table size) while
+    * the full scan is linear — the Delta bloom-index story measured.
+    * Writes BLOOM_r10.json. Enabled with SPARK_GRAFT_SCALE_BLOOM=1. */
+  private def bloomCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.Txn
+    val shard = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val probes = shard.where(col("o_orderkey") % 4999 === 0)
+      .select("o_orderkey").orderBy("o_orderkey").limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    val out = mults.map { m =>
+      // each replica shifts BOTH keys: custkey so the clustering keeps
+      // spreading across files, orderkey so the probe keys stay unique
+      // (a corpus grown nx does not grow nx copies of one order)
+      val base = (0 until m).map { k =>
+        shard.withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L))
+          .withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+      }.reduce(_.unionByName(_))
+      var buildMin = Double.MaxValue
+      var pointMin = Double.MaxValue
+      var scanMin = Double.MaxValue
+      var kept = -1
+      var total = -1
+      var nHits = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        val root = s"/tmp/graft_txnbloom_x$m"
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+        val t0 = System.nanoTime()
+        Txn.commitIndexed(
+          base.repartitionByRange(8 * m, col("o_custkey"))
+            .sortWithinPartitions("o_custkey"),
+          root, statsCols = Seq("o_custkey"), bloomCols = Seq("o_orderkey"),
+          bloomBits = 1 << 18)
+        val t1 = System.nanoTime()
+        val pf = Txn.probeFiles(spark, root, "o_orderkey", probes)
+        kept = pf._1; total = pf._2
+        nHits = Txn.readPoint(spark, root, "o_orderkey", probes).count()
+        val t2 = System.nanoTime()
+        Txn.read(spark, root)
+          .where(col("o_orderkey").isin(probes: _*)).count()
+        val t3 = System.nanoTime()
+        buildMin = math.min(buildMin, (t1 - t0) / 1e9)
+        pointMin = math.min(pointMin, (t2 - t1) / 1e9)
+        scanMin = math.min(scanMin, (t3 - t2) / 1e9)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+      System.err.println(f"bloom x$m (files $kept/$total, hits=$nHits): " +
+        f"build $buildMin%.2f s, point $pointMin%.2f s, scan $scanMin%.2f s")
+      (m, kept, total, nHits, buildMin, pointMin, scanMin)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, k, t, h, b, p, sc) =>
+      s""""x$m":{"files_kept":$k,"files_total":$t,"probe_hits":$h,"build_sec":${f2(b)},"point_read_sec":${f2(p)},"full_scan_sec":${f2(sc)}}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"table clustered by o_custkey grown nx with per-file bloom sidecars on the UNCLUSTERED o_orderkey; fixed 8-key point probe: files_kept/files_total is the bloom skipping decision (min/max keeps ~all files for an unclustered key). The CLAIM is files_kept staying ~constant as files_total grows nx -- at 100 TB that is 6 file opens vs 400; local wall times tie because the page cache hides the IO a cluster would pay","passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BLOOM_r10.json"), s.getBytes)
+    println(s)
+  }
+
+  /** PARTITION-PRUNING economics (r10): the table grows n× by adding
+    * YEARS (replica k shifts o_year by +100k — new partitions of
+    * constant size, the time-partitioned ingest shape), and a fixed
+    * one-year query runs via [[Txn.readPartitionPruned]] (opens 1
+    * partition dir) vs the full-scan filter. The claim: partition-read
+    * cost tracks PARTITION size (flat as the table grows) while the
+    * scan is linear — the one skipping mechanism that needs no sidecar
+    * because the directory listing is the index. Writes
+    * PARTITION_r10.json. Enabled with SPARK_GRAFT_SCALE_PARTITION=1. */
+  private def partitionCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.Txn
+    val shard = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val out = mults.map { m =>
+      val base = (0 until m).map { k =>
+        shard.withColumn("o_year", col("o_year") + lit(k * 100L))
+          .withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+      }.reduce(_.unionByName(_))
+      var buildMin = Double.MaxValue
+      var pruneMin = Double.MaxValue
+      var scanMin = Double.MaxValue
+      var kept = -1
+      var total = -1
+      var nHits = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        val root = s"/tmp/graft_txnpart_x$m"
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+        val t0 = System.nanoTime()
+        Txn.commitPartitioned(base, root, "o_year")
+        val t1 = System.nanoTime()
+        val pp = Txn.partitionProbe(spark, root, "o_year", Seq(1995L))
+        kept = pp._1; total = pp._2
+        nHits = Txn.readPartitionPruned(spark, root, "o_year", Seq(1995L))
+          .count()
+        val t2 = System.nanoTime()
+        Txn.read(spark, root).where(col("o_year") === 1995L).count()
+        val t3 = System.nanoTime()
+        buildMin = math.min(buildMin, (t1 - t0) / 1e9)
+        pruneMin = math.min(pruneMin, (t2 - t1) / 1e9)
+        scanMin = math.min(scanMin, (t3 - t2) / 1e9)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+      System.err.println(f"partition x$m (dirs $kept/$total, hits=$nHits): " +
+        f"build $buildMin%.2f s, pruned $pruneMin%.2f s, scan $scanMin%.2f s")
+      (m, kept, total, nHits, buildMin, pruneMin, scanMin)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, k, t, h, b, p, sc) =>
+      s""""x$m":{"dirs_kept":$k,"dirs_total":$t,"year_rows":$h,"build_sec":${f2(b)},"pruned_read_sec":${f2(p)},"full_scan_sec":${f2(sc)}}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"table grown nx by ADDING years (new partitions of constant size -- the time-partitioned ingest shape); fixed one-year query: readPartitionPruned opens dirs_kept of dirs_total partition dirs straight off the directory listing (no sidecar). The claim is pruned_read_sec flat in table size (tracks the partition, 1/nx of the table) vs the full scan linear","passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("PARTITION_r10.json"), s.getBytes)
+    println(s)
+  }
+
   private def txnDeleteCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.Txn
@@ -647,6 +849,18 @@ object ScaleBench {
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_TXNDELETE").contains("1")) {
       txnDeleteCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_UPSERT").contains("1")) {
+      upsertCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_BLOOM").contains("1")) {
+      bloomCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_PARTITION").contains("1")) {
+      partitionCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
     val ingest = sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")

@@ -770,6 +770,43 @@ object Rewrite {
     Txn.read(s, root).orderBy("custkey")
   }
 
+  /** HIVE-PARTITIONED table layout (r10): orders committed as
+    * `data/<uuid>/o_year=YYYY/` partition dirs, a 2099 shard appended
+    * partition-wise (`commitAppendPartitioned` — the O(shard)
+    * ingest-one-day loop), then a three-year query answered by
+    * `readPartitionPruned`, which opens only the matching partition
+    * DIRECTORIES (the listing is the index — no sidecar, no file
+    * stats). The oracle filters the raw table by year and unions the
+    * shard, so the driver hash fails if pruning drops a partition,
+    * leaks a non-matching year, or the appended dir's partition values
+    * don't materialize from the dir names. At 100 TB this is the
+    * canonical time-partitioned corpus: a day's query opens a day's
+    * directories. TxnSpec pins the (kept, total) directory decision
+    * and that deletes/flat dirs compose in the same log-order fold. */
+  val txnPartitioned: Q = Q(
+    "txn_partitioned",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(year(o_orderdate) AS BIGINT) AS o_year
+      |FROM orders WHERE year(o_orderdate) IN (1993, 1995)
+      |UNION ALL
+      |SELECT o_orderkey + 30000000, o_custkey, o_totalprice,
+      |  CAST(2099 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 17 = 0
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "orders_part")
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).cast("long").as("o_year"))
+    Txn.commitPartitioned(o, root, "o_year")
+    Txn.commitAppendPartitioned(
+      o.where(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+        .withColumn("o_year", lit(2099L)), root, "o_year")
+    Txn.readPartitionPruned(s, root, "o_year", Seq(1993L, 1995L, 2099L))
+      .withColumn("o_year", col("o_year").cast("long"))
+      .orderBy("o_orderkey")
+  }
+
   /** TIME TRAVEL as a registered row (r9): commit base as v1, the MERGE
     * output as v2, vacuum with keepLast=2 (exercising retention around a
     * pinned read), then read VERSION 1 — the oracle is the plain base
@@ -900,6 +937,6 @@ object Rewrite {
   def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeUpsertTxn, mergeScd2,
     llmPipelineEnd2end, txnChanges, txnSkipping, txnSkippingTombstone,
     txnChangesEvolve, txnUpsertIncremental, txnRestore, txnClone,
-    txnBloomPoint, txnConstraints, txnTimeTravel, txnIncrementalAgg,
-    txnAppend, txnDelete)
+    txnBloomPoint, txnConstraints, txnPartitioned, txnTimeTravel,
+    txnIncrementalAgg, txnAppend, txnDelete)
 }

@@ -155,7 +155,12 @@ object Txn {
     val entries = manifestDirs(f, root, n)
     if (!hasTombstones(entries)) {
       val dirs = entries.map(d => resolveDir(root, d))
-      if (dirs.size == 1) spark.read.parquet(dirs.head)
+      if (dirs.size == 1) readDir(spark, f, dirs.head)
+      else if (dirs.exists(isPartitionedDir(f, _)))
+        // partitioned dirs need per-dir basePath — a multi-path read
+        // cannot resolve partition columns across distinct roots
+        dirs.map(readDir(spark, f, _))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
       else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     } else {
       // ordered fold: a tombstone deletes its keys from everything
@@ -164,7 +169,7 @@ object Txn {
       // Delta's log replay gives remove/add actions.
       entries.map(parseEntry).foldLeft(Option.empty[DataFrame]) {
         case (acc, (dir, None)) =>
-          val d = spark.read.parquet(resolveDir(root, dir))
+          val d = readDir(spark, f, resolveDir(root, dir))
           Some(acc.fold(d)(_.unionByName(d, allowMissingColumns = true)))
         case (acc, (dir, Some(keyCol))) =>
           val keys = spark.read.parquet(resolveDir(root, dir)).select(keyCol).distinct()
@@ -189,14 +194,34 @@ object Txn {
     * first phase of every commit flavor (r9 review: previously
     * triplicated across commit/commitIf/appendCore). */
   private def writeSnapshot(df: DataFrame, root: String,
-      statsCols: Seq[String]): String = {
+      statsCols: Seq[String], partitionBy: Option[String] = None): String = {
     val spark = df.sparkSession
     val dataRel = s"data/${java.util.UUID.randomUUID().toString}"
-    df.write.mode("overwrite").parquet(s"$root/$dataRel")
+    val w = df.write.mode("overwrite")
+    partitionBy.fold(w)(c => w.partitionBy(c)).parquet(s"$root/$dataRel")
     if (statsCols.nonEmpty)
       writeStats(spark, fs(spark, root), s"$root/$dataRel", statsCols)
     dataRel
   }
+
+  /** A snapshot dir is HIVE-PARTITIONED iff its immediate children are
+    * `col=value` subdirectories — self-describing, so readers never
+    * depend on commit metadata to pick the right scan shape (a delete
+    * or append on a partitioned table needs no special flags). */
+  private def isPartitionedDir(f: FileSystem, path: String): Boolean = {
+    val p = new Path(path)
+    f.exists(p) && f.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+  }
+
+  /** Read one snapshot dir, partition-aware: a partitioned dir reads
+    * with itself as basePath (partition columns materialize from the
+    * dir names), a flat dir reads plainly. */
+  private def readDir(spark: SparkSession, f: FileSystem,
+      dir: String): DataFrame =
+    if (isPartitionedDir(f, dir))
+      spark.read.option("basePath", dir).parquet(dir)
+    else spark.read.parquet(dir)
 
   /** Stage a manifest body under `_tmp/` (invisible to readers) and
     * return its path, ready for the atomic publish rename. */
@@ -298,7 +323,8 @@ object Txn {
     * aborts. */
   private def appendCore(df: DataFrame, root: String, statsCols: Seq[String],
       meta: Map[String, String], dedupKey: Option[(String, String)],
-      upsertKey: Option[String] = None): Option[Long] = {
+      upsertKey: Option[String] = None,
+      partitionBy: Option[String] = None): Option[Long] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     upsertKey.foreach { k =>
@@ -308,7 +334,7 @@ object Txn {
         s"upsert key column must be free of ',', '@' and newlines: $k")
     }
     lazy val written: String = // data written once, on first need
-      writeSnapshot(df, root, statsCols)
+      writeSnapshot(df, root, statsCols, partitionBy)
     lazy val keysWritten: String = // upsert tombstone keys, written once
       writeSnapshot(df.select(upsertKey.get).distinct(), root, Nil)
     f.mkdirs(new Path(s"$root/_commits"))
@@ -526,6 +552,111 @@ object Txn {
       s"clone target $dstRoot was initialized concurrently"
     })
     1L
+  }
+
+  /** HIVE-PARTITIONED commit (r10): the snapshot dir is laid out as
+    * `data/<uuid>/<partCol>=<value>/part-*.parquet` — the standard
+    * warehouse idiom for time/tenant-keyed 100 TB corpora. The
+    * partition column materializes from the directory names on read
+    * (one column of storage saved per row), and partition-level
+    * skipping ([[readPartitionPruned]]) needs no sidecar at all: the
+    * directory listing IS the index. Layout is self-describing
+    * (readers detect `col=` children), so deletes, upserts, restores,
+    * clones and CDC all compose with partitioned snapshots unchanged.
+    * Pair with [[commitAppendPartitioned]] for the canonical
+    * ingest-one-day-at-a-time loop. */
+  def commitPartitioned(df: DataFrame, root: String, partCol: String,
+      meta: Map[String, String] = Map.empty): Long = {
+    require(df.schema.fieldNames.contains(partCol),
+      s"partition column $partCol absent from the schema")
+    val f = fs(df.sparkSession, root)
+    val dataRel = writeSnapshot(df, root, Nil, partitionBy = Some(partCol))
+    publishFull(f, root, dataRel,
+      manifestBody(dataRel, meta + ("partitionCol" -> partCol)))
+  }
+
+  /** [[commitAppend]] writing the shard hive-partitioned: one day's (or
+    * tenant's) data lands as `<partCol>=<value>` subdirs of a fresh
+    * manifest-appended dir — O(shard) commit into a partitioned table
+    * of any size, the production ingest loop. */
+  def commitAppendPartitioned(df: DataFrame, root: String, partCol: String,
+      meta: Map[String, String] = Map.empty): Long = {
+    require(df.schema.fieldNames.contains(partCol),
+      s"partition column $partCol absent from the shard schema")
+    appendCore(df, root, Nil, meta + ("partitionCol" -> partCol),
+      dedupKey = None, partitionBy = Some(partCol))
+      .getOrElse(sys.error("unreachable: dedup-free append cannot no-op"))
+  }
+
+  /** PARTITION-PRUNED read `partCol IN (values)` on the current
+    * version: each partitioned snapshot dir contributes only its
+    * matching `partCol=value` subdirectories — the scan opens
+    * O(matching partitions), never O(table), straight off the
+    * directory listing (Hive/Spark static partition pruning, served
+    * through the Txn manifest). Flat dirs in a mixed chain are read
+    * whole (one-sided: the trailing filter still applies), tombstones
+    * fold in log order, and the final `where` keeps semantics ≡
+    * `read(...).where(partCol isin values)` — the registered
+    * txn_partitioned row hash-gates that equivalence. */
+  def readPartitionPruned(spark: SparkSession, root: String,
+      partCol: String, values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "readPartitionPruned needs at least one value")
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val f = fs(spark, root)
+    val wanted = values.map(x => s"$partCol=$x").toSet
+    val base = manifestDirs(f, root, v).map(parseEntry)
+      .foldLeft(Option.empty[DataFrame]) {
+        case (acc, (dir, None)) =>
+          val abs = resolveDir(root, dir)
+          val d: Option[DataFrame] =
+            if (isPartitionedDir(f, abs)) {
+              val kept = f.listStatus(new Path(abs)).toSeq
+                .filter(st => st.isDirectory && wanted(st.getPath.getName))
+                .map(_.getPath.toString)
+              if (kept.isEmpty) None
+              else Some(spark.read.option("basePath", abs).parquet(kept: _*))
+            } else Some(readDir(spark, f, abs)) // flat dir: read whole
+          d match {
+            case None => acc
+            case Some(df) =>
+              Some(acc.fold(df)(_.unionByName(df, allowMissingColumns = true)))
+          }
+        case (acc, (dir, Some(keyCol))) =>
+          acc.map { a =>
+            val keys = spark.read.parquet(resolveDir(root, dir))
+              .select(keyCol).distinct()
+            a.join(keys, Seq(keyCol), "left_anti")
+          }
+      }
+    base.fold(readVersion(spark, root, v).limit(0))(identity)
+      .where(col(partCol).isin(values: _*))
+  }
+
+  /** The directory-level decision [[readPartitionPruned]] would make:
+    * (kept, total) partition dirs across the version's partitioned
+    * snapshot dirs — the measurable skipping claim. */
+  def partitionProbe(spark: SparkSession, root: String, partCol: String,
+      values: Seq[Long]): (Int, Int) = {
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val f = fs(spark, root)
+    val wanted = values.map(x => s"$partCol=$x").toSet
+    var kept = 0
+    var total = 0
+    manifestDirs(f, root, v).map(parseEntry).foreach {
+      case (dir, None) =>
+        val abs = resolveDir(root, dir)
+        if (isPartitionedDir(f, abs))
+          f.listStatus(new Path(abs)).foreach { st =>
+            if (st.isDirectory && st.getPath.getName.contains("=")) {
+              total += 1
+              if (wanted(st.getPath.getName)) kept += 1
+            }
+          }
+      case _ => ()
+    }
+    (kept, total)
   }
 
   /** OPTIMISTIC-CONCURRENCY commit: publish `df` as the next version
@@ -758,7 +889,17 @@ object Txn {
     var total = 0
     val plan = manifestDirs(f, root, version).map(parseEntry).map {
       case (dir, None) =>
-        val files = f.listStatus(new Path(resolveDir(root, dir))).toSeq
+        val abs = resolveDir(root, dir)
+        // file-level skipping reads kept files under the version's FLAT
+        // schema; a hive-partitioned dir's files lack the partition
+        // column (it lives in the dir names), so an explicit-schema
+        // scan would null-fill it — silently wrong rows, not a missed
+        // optimization. Partitioned snapshots skip at DIRECTORY level
+        // instead ([[readPartitionPruned]]).
+        require(!isPartitionedDir(f, abs),
+          s"$abs is hive-partitioned - file-level skipping does not " +
+            "apply; use readPartitionPruned for partition-level skipping")
+        val files = f.listStatus(new Path(abs)).toSeq
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toString)
         total += files.size
@@ -1061,9 +1202,18 @@ object Txn {
     * committed as a new version of `root` instead of overwriting in
     * place — the compacted layout becomes visible atomically, and a
     * reader mid-query on the fragmented snapshot keeps it. Returns
-    * (version, output file count). */
+    * (version, output file count).
+    *
+    * Index lifecycle (r10): compaction is also what collapses a
+    * tombstone/upsert chain back to one clean dir — but a compacted
+    * snapshot committed WITHOUT its skipping sidecars silently turns
+    * the 100 TB point-query path back into a full scan. `statsCols` /
+    * `bloomCols` re-derive `_stats.tsv` / `_bloom.tsv` on the
+    * compacted layout (where they are TIGHTER than before: fewer,
+    * larger, better-clustered files). */
   def compactCommit(spark: SparkSession, inDir: String, root: String,
-      targetBytes: Long): (Long, Int) = {
+      targetBytes: Long, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 20): (Long, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val in = new Path(inDir)
     val f = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1074,7 +1224,9 @@ object Txn {
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) total += st.getLen
     }
     val nFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val v = commit(spark.read.parquet(inDir).repartition(nFiles), root)
+    val v = commitIndexed(spark.read.parquet(inDir).repartition(nFiles),
+      root, statsCols = statsCols, bloomCols = bloomCols,
+      bloomBits = bloomBits)
     val dataDir = s"$root/${manifestTarget(fs(spark, root), root, v)}"
     val outCount = f.listStatus(new Path(dataDir))
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

@@ -709,6 +709,46 @@ class TxnSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
     // an absent key returns nothing (and prunes to ~nothing)
     assert(Txn.readPoint(spark, root, "key", Seq(999999937L)).count() == 0L)
+    // compaction RE-DERIVES the sidecars on the compacted layout — the
+    // point-query path survives the chain-collapsing rewrite
+    val flat = freshRoot("bloomflat")
+    df.write.parquet(s"$flat/in")
+    Txn.compactCommit(spark, s"$flat/in", root, targetBytes = 16L * 1024,
+      bloomCols = Seq("key"), bloomBits = 1 << 17)
+    val (k3, t3) = Txn.probeFiles(spark, root, "key", Seq(probe))
+    assert(t3 >= 3 && k3 < t3, s"compacted bloom kept $k3 of $t3")
+    assert(Txn.readPoint(spark, root, "key", Seq(probe))
+      .select("grp").collect().map(_.getLong(0)).sorted.toSeq == want)
+  }
+
+  test("partitioned layout: dir-level pruning, O(shard) appends, deletes compose") {
+    import spark.implicits._
+    val root = freshRoot("part")
+    val df = (1L to 4000L).map(i => (i, i % 8L)).toDF("id", "day")
+    Txn.commitPartitioned(df, root, "day")
+    // the directory listing IS the index: 1 of 8 partitions opened
+    assert(Txn.partitionProbe(spark, root, "day", Seq(3L)) == ((1, 8)))
+    assert(ids(Txn.readPartitionPruned(spark, root, "day", Seq(3L))) ==
+      (1L to 4000L).filter(_ % 8 == 3).toSet)
+    // partition column materializes from dir names on a full read
+    assert(Txn.read(spark, root).count() == 4000L)
+    // O(shard) partitioned append: a new day lands as one more dir
+    Txn.commitAppendPartitioned(
+      (5001L to 5100L).map(i => (i, 9L)).toDF("id", "day"), root, "day")
+    assert(Txn.partitionProbe(spark, root, "day", Seq(9L)) == ((1, 9)))
+    assert(ids(Txn.readPartitionPruned(spark, root, "day", Seq(9L))) ==
+      (5001L to 5100L).toSet)
+    // tombstone deletes fold over the pruned partition scan
+    Txn.commitDelete(spark, root, "id", Seq(3L, 11L, 5001L).toDF("id"))
+    assert(ids(Txn.readPartitionPruned(spark, root, "day", Seq(3L, 9L))) ==
+      ((1L to 4000L).filter(_ % 8 == 3).toSet -- Set(3L, 11L)) ++
+        (5002L to 5100L).toSet)
+    // file-level skipping refuses partitioned dirs (it would null-fill
+    // the partition column) and points at the partition path instead
+    val err = intercept[IllegalArgumentException] {
+      Txn.readPruned(spark, root, "id", 1L, 10L).collect()
+    }
+    assert(err.getMessage.contains("readPartitionPruned"))
   }
 
   test("commitChecked: violation publishes nothing, SQL NULL-check semantics") {
