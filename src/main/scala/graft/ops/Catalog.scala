@@ -21,9 +21,10 @@ import graft.Tables._
   *
   * The catalog maps NAMES, it does not own data: DROP unmaps (the
   * Delta-on-path "external table" contract — data outlives the name;
-  * erase data via [[Txn.vacuum]]/FS removal on the root). Renames are
-  * create(new)+drop(old); the name file is immutable while it exists,
-  * so readers never see a half-written mapping. Cost model at 100 TB:
+  * erase data via [[Txn.vacuum]]/FS removal on the root).
+  * [[renameTable]] is ONE atomic rename of the name file; the file is
+  * immutable while it exists, so readers never see a half-written
+  * mapping. Cost model at 100 TB:
   * resolution is one small-file read per query — the same O(1)
   * metadata hop as a metastore lookup — and never touches data.
   *
@@ -88,6 +89,24 @@ object GraftCatalog {
     val f = fs(spark, catalogRoot)
     require(f.delete(entryPath(catalogRoot, name), false),
       s"no table named '$name' in catalog $catalogRoot")
+  }
+
+  /** ATOMIC rename `from` -> `to` (r10): ONE rename-without-overwrite
+    * of the name file — unlike create(to)+drop(from) there is no
+    * instant where both names exist, no instant where neither does,
+    * and a concurrent CREATE of `to` makes the rename fail loud
+    * instead of silently remapping. The table root never moves (names
+    * map, data stays). */
+  def renameTable(spark: SparkSession, catalogRoot: String,
+      from: String, to: String): Unit = {
+    val f = fs(spark, catalogRoot)
+    val src = entryPath(catalogRoot, from)
+    val dst = entryPath(catalogRoot, to)
+    require(f.exists(src), s"no table named '$from' in catalog $catalogRoot")
+    require(!f.exists(dst),
+      s"table '$to' already exists in catalog $catalogRoot")
+    require(f.rename(src, dst),
+      s"rename '$from' -> '$to' lost a race in catalog $catalogRoot")
   }
 
   /** Read the current snapshot of the table named `name`. */

@@ -307,8 +307,10 @@ object Txn {
     * Schema: the appended shard may add nullable columns; readers see
     * them null-filled on older rows via mergeSchema ([[readVersion]]). */
   def commitAppend(df: DataFrame, root: String, statsCols: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Long =
-    appendCore(df, root, statsCols, meta, dedupKey = None)
+      meta: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 20): Long =
+    appendCore(df, root, statsCols, meta, dedupKey = None,
+      bloomCols = bloomCols, bloomBits = bloomBits)
       .getOrElse(sys.error("unreachable: dedup-free append cannot no-op"))
 
   /** The rebase loop shared by [[commitAppend]] and [[appendIdempotent]].
@@ -324,7 +326,8 @@ object Txn {
   private def appendCore(df: DataFrame, root: String, statsCols: Seq[String],
       meta: Map[String, String], dedupKey: Option[(String, String)],
       upsertKey: Option[String] = None,
-      partitionBy: Option[String] = None): Option[Long] = {
+      partitionBy: Option[String] = None,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 20): Option[Long] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     upsertKey.foreach { k =>
@@ -333,8 +336,12 @@ object Txn {
       require(!k.contains(',') && !k.contains('\n') && !k.contains('@'),
         s"upsert key column must be free of ',', '@' and newlines: $k")
     }
-    lazy val written: String = // data written once, on first need
-      writeSnapshot(df, root, statsCols, partitionBy)
+    lazy val written: String = { // data written once, on first need
+      val rel = writeSnapshot(df, root, statsCols, partitionBy)
+      if (bloomCols.nonEmpty)
+        writeBloom(df.sparkSession, f, s"$root/$rel", bloomCols, bloomBits)
+      rel
+    }
     lazy val keysWritten: String = // upsert tombstone keys, written once
       writeSnapshot(df.select(upsertKey.get).distinct(), root, Nil)
     f.mkdirs(new Path(s"$root/_commits"))
@@ -432,10 +439,12 @@ object Txn {
     * recovery replays only the LAST unfinished batch, so keepLast >= 2
     * suffices in practice). */
   def appendIdempotent(df: DataFrame, root: String, appId: String,
-      batchId: Long, statsCols: Seq[String] = Nil): Option[Long] =
+      batchId: Long, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 20): Option[Long] =
     appendCore(df, root, statsCols,
       meta = Map("txnAppId" -> appId, "txnVersion" -> batchId.toString),
-      dedupKey = Some((appId, batchId.toString)))
+      dedupKey = Some((appId, batchId.toString)),
+      bloomCols = bloomCols, bloomBits = bloomBits)
 
   /** O(batch) transactional UPSERT (r10): publish `updates` as a ONE-
     * manifest extension `... ~keys@keyCol, data/<new>` — the tombstone

@@ -79,4 +79,28 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM cat_spec_tv").head().getLong(0) == 6L)
     assert(ids(GraftCatalog.read(spark, cat, "tv")) == (1L to 7L).toSet)
   }
+
+  test("atomic rename: one mapping at every instant, no silent remap") {
+    import spark.implicits._
+    val cat = fresh("ren")
+    val rootA = fresh("ren_a")
+    val rootB = fresh("ren_b")
+    Txn.commit((1L to 3L).toDF("id"), rootA)
+    Txn.commit((10L to 12L).toDF("id"), rootB)
+    GraftCatalog.create(spark, cat, "olda", rootA)
+    GraftCatalog.renameTable(spark, cat, "olda", "newa")
+    assert(!GraftCatalog.tableExists(spark, cat, "olda"))
+    assert(ids(GraftCatalog.read(spark, cat, "newa")) == (1L to 3L).toSet)
+    // the root never moved — only the name did
+    assert(GraftCatalog.resolve(spark, cat, "newa") == rootA)
+    // renaming onto an existing name fails loud (no silent remap)
+    GraftCatalog.create(spark, cat, "other", rootB)
+    assert(intercept[IllegalArgumentException] {
+      GraftCatalog.renameTable(spark, cat, "newa", "other")
+    }.getMessage.contains("already exists"))
+    // renaming a missing name fails loud
+    assert(intercept[IllegalArgumentException] {
+      GraftCatalog.renameTable(spark, cat, "ghost", "x1")
+    }.getMessage.contains("no table"))
+  }
 }

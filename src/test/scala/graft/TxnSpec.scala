@@ -738,6 +738,13 @@ class TxnSpec extends SparkSpec {
     assert(Txn.partitionProbe(spark, root, "day", Seq(9L)) == ((1, 9)))
     assert(ids(Txn.readPartitionPruned(spark, root, "day", Seq(9L))) ==
       (5001L to 5100L).toSet)
+    // the CDC fast path serves a partitioned append at file level WITH
+    // the partition column materialized from the dir names
+    val ch = Txn.changes(spark, root, 1L, 2L)
+      .select("change_op", "id", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Number](2).longValue())) // partition col type is inferred
+    assert(ch.length == 100 && ch.forall(c => c._1 == "insert" && c._3 == 9L))
     // tombstone deletes fold over the pruned partition scan
     Txn.commitDelete(spark, root, "id", Seq(3L, 11L, 5001L).toDF("id"))
     assert(ids(Txn.readPartitionPruned(spark, root, "day", Seq(3L, 9L))) ==
@@ -749,6 +756,29 @@ class TxnSpec extends SparkSpec {
       Txn.readPruned(spark, root, "id", 1L, 10L).collect()
     }
     assert(err.getMessage.contains("readPartitionPruned"))
+  }
+
+  test("bloom sidecars on appended shards: point skipping spans the chain") {
+    import spark.implicits._
+    val root = freshRoot("bloomapp")
+    def shard(lo: Long, hi: Long) = (lo to hi).map { i =>
+      (i / 500L, (i * 2654435761L) % 1000003L)
+    }.toDF("grp", "key").repartitionByRange(4, col("grp"))
+      .sortWithinPartitions("grp")
+    Txn.commitIndexed(shard(1L, 2000L), root,
+      bloomCols = Seq("key"), bloomBits = 1 << 16)
+    // the ingest loop: appended shards carry their own bloom sidecars
+    Txn.commitAppend(shard(2001L, 4000L), root,
+      bloomCols = Seq("key"), bloomBits = 1 << 16)
+    val probe = (3456L * 2654435761L) % 1000003L // lives in the APPENDED shard
+    val (kept, total) = Txn.probeFiles(spark, root, "key", Seq(probe))
+    assert(total >= 8 && kept <= total / 2,
+      s"bloom should prune across the chain: kept $kept of $total")
+    val got = Txn.readPoint(spark, root, "key", Seq(probe))
+      .select("grp").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got.nonEmpty && got == Txn.read(spark, root)
+      .where(col("key") === probe)
+      .select("grp").collect().map(_.getLong(0)).toSeq.sorted)
   }
 
   test("commitChecked: violation publishes nothing, SQL NULL-check semantics") {
