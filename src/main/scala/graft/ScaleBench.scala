@@ -752,6 +752,67 @@ object ScaleBench {
     println(s)
   }
 
+  /** CLONE economics (r10): shallow-clone a table grown n× vs the
+    * deep-copy alternative (a full [[Txn.commit]] of `read(src)` into
+    * the new root). The claim: cloneTable is O(manifest) — FLAT
+    * milliseconds regardless of table size (a 100 TB dev/test branch
+    * for free) — while the deep copy is O(table); first-read-from-clone
+    * included to show the clone read costs the same as reading the
+    * source (it IS the source's files). Writes CLONE_r10.json.
+    * Enabled with SPARK_GRAFT_SCALE_CLONE=1. */
+  private def cloneCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.Txn
+    val shard = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val out = mults.map { m =>
+      val base = (0 until m).map { k =>
+        shard.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+      }.reduce(_.unionByName(_))
+      var cloneMin = Double.MaxValue
+      var readMin = Double.MaxValue
+      var deepMin = Double.MaxValue
+      var nTable = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        val src = s"/tmp/graft_txnclone_src_x$m"
+        val dst = s"/tmp/graft_txnclone_dst_x$m"
+        val deep = s"/tmp/graft_txnclone_deep_x$m"
+        val f = new org.apache.hadoop.fs.Path(src)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq(src, dst, deep).foreach(p =>
+          f.delete(new org.apache.hadoop.fs.Path(p), true))
+        Txn.commit(base, src)
+        nTable = Txn.read(spark, src).count()
+        val t0 = System.nanoTime()
+        Txn.cloneTable(spark, src, dst)
+        val t1 = System.nanoTime()
+        Txn.read(spark, dst).count()
+        val t2 = System.nanoTime()
+        Txn.commit(Txn.read(spark, src), deep) // the deep-copy alternative
+        val t3 = System.nanoTime()
+        cloneMin = math.min(cloneMin, (t1 - t0) / 1e9)
+        readMin = math.min(readMin, (t2 - t1) / 1e9)
+        deepMin = math.min(deepMin, (t3 - t2) / 1e9)
+        Seq(src, dst, deep).foreach(p =>
+          f.delete(new org.apache.hadoop.fs.Path(p), true))
+      }
+      System.err.println(f"clone x$m (table=$nTable): " +
+        f"clone $cloneMin%.3f s, first-read $readMin%.2f s, deep-copy $deepMin%.2f s")
+      (m, nTable, cloneMin, readMin, deepMin)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, n, c, r, d) =>
+      s""""x$m":{"table_rows":$n,"clone_sec":${f3(c)},"first_read_sec":${f2(r)},"deep_copy_sec":${f2(d)}}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"shallow clone of a table grown nx vs the deep-copy alternative (full commit of read(src)): cloneTable is O(manifest) -- flat milliseconds at any table size (the free dev/test branch) -- while deep copy is O(table); first_read_sec shows the clone read costs what reading the source costs (same files)","passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("CLONE_r10.json"), s.getBytes)
+    println(s)
+  }
+
   private def txnDeleteCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.Txn
@@ -861,6 +922,10 @@ object ScaleBench {
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_PARTITION").contains("1")) {
       partitionCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_CLONE").contains("1")) {
+      cloneCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
     val ingest = sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")

@@ -354,6 +354,22 @@ object Txn {
           m.get("txnAppId").contains(app) && m.get("txnVersion").contains(bid) }
       }
       if (replayed) return None
+      // SCHEMA ENFORCEMENT at write time (r10, Delta's contract): a
+      // shard may ADD nullable columns (mergeSchema null-fills older
+      // rows) but a shared column changing TYPE would poison the table
+      // — every subsequent read of the version chain fails, long after
+      // the writer is gone. Reject it HERE, where the writer can fix
+      // it, not at read time.
+      val baseFields = readVersion(spark, root, base).schema.fields
+        .map(fld => fld.name -> fld.dataType).toMap
+      df.schema.fields.foreach { fld =>
+        baseFields.get(fld.name).foreach { t =>
+          require(t == fld.dataType,
+            s"appended shard changes column ${fld.name} from $t to " +
+              s"${fld.dataType} at $root — a type change needs a full " +
+              "rewrite commit, not an append")
+        }
+      }
       val dataRel = written
       // an upsert's manifest extension is tombstone-then-data: the keys
       // delete every prior copy, the fresh dir re-inserts the new rows —

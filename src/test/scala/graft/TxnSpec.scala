@@ -308,6 +308,13 @@ class TxnSpec extends SparkSpec {
     assert(rows(1).getLong(rows(1).fieldIndex("extra")) == 99L)
     // version 1 read alone keeps its original 2-column schema
     assert(Txn.readVersion(spark, root, 1L).columns.toSet == Set("id", "a"))
+    // schema ENFORCEMENT: a shard changing a shared column's TYPE is
+    // rejected at WRITE time (it would poison every later read)
+    val err = intercept[IllegalArgumentException] {
+      Txn.commitAppend(Seq(("3", "z")).toDF("id", "a"), root) // id now string
+    }
+    assert(err.getMessage.contains("changes column id"))
+    assert(Txn.currentVersion(spark, root).contains(2L)) // nothing landed
   }
 
   test("CDC fast path: append steps serve inserts at file level, rewrites diff") {
