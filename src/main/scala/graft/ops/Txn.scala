@@ -143,6 +143,53 @@ object Txn {
     }
   }
 
+  /** TIMESTAMP AS OF (r10): the highest version whose manifest was
+    * PUBLISHED at or before `tsMillis` — the publish rename's
+    * modification time is the commit's wall-clock instant, so no extra
+    * metadata is needed (Delta reads its log timestamps the same way).
+    * "What did the table look like when yesterday's job ran?" is
+    * `readVersion(root, versionAsOf(root, ts))`. None if no commit
+    * existed yet. The usual caveat applies: FS mtimes are the clock of
+    * the filesystem, monotone per table only as far as publishes are
+    * (concurrent publishes within one mtime tick tie-break by version
+    * number). */
+  def versionAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): Option[Long] = {
+    val f = fs(spark, root)
+    val eligible = committedVersions(f, root).filter { n =>
+      f.getFileStatus(new Path(s"$root/_commits/$n"))
+        .getModificationTime <= tsMillis
+    }
+    if (eligible.isEmpty) None else Some(eligible.max)
+  }
+
+  /** DESCRIBE DETAIL (r10): (numVersions, numDataFiles, sizeBytes,
+    * numTombstoneEntries) of the CURRENT version — the operational
+    * at-a-glance a compaction scheduler reads (many small files →
+    * [[compactCommit]]; tombstone chain deep → compact to collapse).
+    * Metadata-only: walks the manifest's dirs, never opens data. */
+  def tableDetail(spark: SparkSession,
+      root: String): (Long, Long, Long, Long) = {
+    val f = fs(spark, root)
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    var files = 0L
+    var bytes = 0L
+    var tombs = 0L
+    manifestDirs(f, root, v).map(parseEntry).foreach {
+      case (_, Some(_)) => tombs += 1
+      case (dir, None) =>
+        val it = f.listFiles(new Path(resolveDir(root, dir)), true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+            files += 1; bytes += st.getLen
+          }
+        }
+    }
+    (committedVersions(f, root).size.toLong, files, bytes, tombs)
+  }
+
   /** Snapshot-read version `n` (time travel). Multi-dir versions (from
     * [[commitAppend]]) read with mergeSchema so an appended shard may
     * ADD nullable columns (older rows surface them as null — the
@@ -359,10 +406,20 @@ object Txn {
       // rows) but a shared column changing TYPE would poison the table
       // — every subsequent read of the version chain fails, long after
       // the writer is gone. Reject it HERE, where the writer can fix
-      // it, not at read time.
+      // it, not at read time. Hive-PARTITION columns are exempt: their
+      // read-side type is INFERRED from directory names (int for
+      // numeric values), not declared by the data, so comparing it to
+      // the shard's declared type is a false mismatch by construction.
+      val partCols: Set[String] = manifestDirs(f, root, base)
+        .map(parseEntry).collect { case (dir, None) => resolveDir(root, dir) }
+        .filter(isPartitionedDir(f, _))
+        .flatMap(d => f.listStatus(new Path(d)).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .map(_.getPath.getName.takeWhile(_ != '=')))
+        .toSet ++ partitionBy
       val baseFields = readVersion(spark, root, base).schema.fields
         .map(fld => fld.name -> fld.dataType).toMap
-      df.schema.fields.foreach { fld =>
+      df.schema.fields.filterNot(fld => partCols.contains(fld.name)).foreach { fld =>
         baseFields.get(fld.name).foreach { t =>
           require(t == fld.dataType,
             s"appended shard changes column ${fld.name} from $t to " +
@@ -572,10 +629,10 @@ object Txn {
       meta + ("clonedFrom" -> s"$srcRoot#$srcV"))
     val tmp = stageManifest(f, dstRoot, "clone-v1", body)
     val target = new Path(s"$dstRoot/_commits/1")
-    require(f.rename(tmp, target), {
+    if (!f.rename(tmp, target)) {
       f.delete(tmp, false)
-      s"clone target $dstRoot was initialized concurrently"
-    })
+      sys.error(s"clone target $dstRoot was initialized concurrently")
+    }
     1L
   }
 
@@ -888,7 +945,7 @@ object Txn {
       if (sample.nonEmpty)
         throw new IllegalStateException(
           s"constraint violated, commit aborted (table unchanged): CHECK ($c) " +
-            s"fails on rows like ${sample.mkString("; ")}")
+            s"fails on rows like ${sample.mkString("; ").take(500)}")
     }
     publishFull(f, root, dataRel, manifestBody(dataRel, meta))
   }
@@ -1042,21 +1099,29 @@ object Txn {
     * row hash-gates it; files without a bloom row are always read.
     * Tombstoned versions fold their anti-joins over the pruned scan
     * exactly like [[readPruned]]. */
-  def readPoint(spark: SparkSession, root: String, colName: String,
-      values: Seq[Long]): DataFrame = {
-    require(values.nonEmpty, "readPoint needs at least one probe value")
-    val v = currentVersion(spark, root).getOrElse(
-      sys.error(s"no committed version at $root"))
-    val stats = fileStats(spark, root, v)
-    val blooms = fileBlooms(spark, root, v)
-    def keep(base: String): Boolean = values.exists { value =>
+  /** The stats-and-bloom keep decision for a point probe: a file
+    * survives iff SOME probe value passes both its range stats and its
+    * bloom (absent sidecar rows always keep — one-sided). */
+  private def pointKeep(spark: SparkSession, root: String, version: Long,
+      colName: String, values: Seq[Long]): String => Boolean = {
+    val stats = fileStats(spark, root, version)
+    val blooms = fileBlooms(spark, root, version)
+    base => values.exists { value =>
       statsKeep(stats, colName, value, value)(base) &&
         (blooms.get((base, colName)) match {
           case Some(bits) => bloomMayContain(bits, value)
           case None       => true
         })
     }
-    val (plan, _) = prunePlanBy(spark, root, v, keep)
+  }
+
+  def readPoint(spark: SparkSession, root: String, colName: String,
+      values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "readPoint needs at least one probe value")
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val (plan, _) = prunePlanBy(spark, root, v,
+      pointKeep(spark, root, v, colName, values))
     scanPruned(spark, root, v, plan)
       .where(col(colName).cast("long").isin(values: _*))
   }
@@ -1068,16 +1133,8 @@ object Txn {
       values: Seq[Long]): (Int, Int) = {
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
-    val stats = fileStats(spark, root, v)
-    val blooms = fileBlooms(spark, root, v)
-    def keep(base: String): Boolean = values.exists { value =>
-      statsKeep(stats, colName, value, value)(base) &&
-        (blooms.get((base, colName)) match {
-          case Some(bits) => bloomMayContain(bits, value)
-          case None       => true
-        })
-    }
-    val (plan, total) = prunePlanBy(spark, root, v, keep)
+    val (plan, total) = prunePlanBy(spark, root, v,
+      pointKeep(spark, root, v, colName, values))
     (plan.collect { case Left(fl) => fl.size }.sum, total)
   }
 

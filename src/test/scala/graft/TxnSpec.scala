@@ -765,6 +765,27 @@ class TxnSpec extends SparkSpec {
     assert(err.getMessage.contains("readPartitionPruned"))
   }
 
+  test("timestamp time travel and DESCRIBE DETAIL are metadata-only") {
+    import spark.implicits._
+    val root = freshRoot("asof")
+    Txn.commit((1L to 5L).toDF("id"), root) // v1
+    val betweenTs = {
+      Thread.sleep(1100) // FS mtime granularity can be a full second
+      val t = System.currentTimeMillis(); Thread.sleep(1100); t
+    }
+    Txn.commit((10L to 12L).toDF("id"), root) // v2
+    assert(Txn.versionAsOf(spark, root, betweenTs).contains(1L))
+    assert(Txn.versionAsOf(spark, root, System.currentTimeMillis() + 1000)
+      .contains(2L))
+    assert(Txn.versionAsOf(spark, root, 1000L).isEmpty) // before any commit
+    assert(ids(Txn.readVersion(spark, root,
+      Txn.versionAsOf(spark, root, betweenTs).get)) == (1L to 5L).toSet)
+    // detail reflects the tombstone chain a compaction scheduler watches
+    Txn.commitDelete(spark, root, "id", Seq(10L).toDF("id"))
+    val (nVer, nFiles, bytes, nTombs) = Txn.tableDetail(spark, root)
+    assert(nVer == 3L && nTombs == 1L && nFiles > 0L && bytes > 0L)
+  }
+
   test("bloom sidecars on appended shards: point skipping spans the chain") {
     import spark.implicits._
     val root = freshRoot("bloomapp")
