@@ -148,8 +148,11 @@ object Txn {
     * modification time is the commit's wall-clock instant, so no extra
     * metadata is needed (Delta reads its log timestamps the same way).
     * "What did the table look like when yesterday's job ran?" is
-    * `readVersion(root, versionAsOf(root, ts))`. None if no commit
-    * existed yet. The usual caveat applies: FS mtimes are the clock of
+    * `readVersion(root, versionAsOf(root, ts))`. None if no RETAINED
+    * commit is old enough — vacuum deletes old manifests, so a
+    * timestamp older than the retention window resolves to None (the
+    * snapshot is gone), never silently to a newer version. The usual
+    * caveat applies: FS mtimes are the clock of
     * the filesystem, monotone per table only as far as publishes are
     * (concurrent publishes within one mtime tick tie-break by version
     * number). */
@@ -679,9 +682,13 @@ object Txn {
     * whole (one-sided: the trailing filter still applies), tombstones
     * fold in log order, and the final `where` keeps semantics ≡
     * `read(...).where(partCol isin values)` — the registered
-    * txn_partitioned row hash-gates that equivalence. */
+    * txn_partitioned row hash-gates that equivalence. Values may be
+    * any type whose toString matches the written directory names
+    * (longs, plain strings); values Spark would ESCAPE in a dir name
+    * (spaces, slashes) won't match the raw toString — keep partition
+    * values URI-safe, which a sane layout does anyway. */
   def readPartitionPruned(spark: SparkSession, root: String,
-      partCol: String, values: Seq[Long]): DataFrame = {
+      partCol: String, values: Seq[Any]): DataFrame = {
     require(values.nonEmpty, "readPartitionPruned needs at least one value")
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
@@ -719,7 +726,7 @@ object Txn {
     * (kept, total) partition dirs across the version's partitioned
     * snapshot dirs — the measurable skipping claim. */
   def partitionProbe(spark: SparkSession, root: String, partCol: String,
-      values: Seq[Long]): (Int, Int) = {
+      values: Seq[Any]): (Int, Int) = {
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
     val f = fs(spark, root)

@@ -763,6 +763,14 @@ class TxnSpec extends SparkSpec {
       Txn.readPruned(spark, root, "id", 1L, 10L).collect()
     }
     assert(err.getMessage.contains("readPartitionPruned"))
+    // STRING partition values (tenant/source-keyed layout) prune too
+    val root2 = freshRoot("partstr")
+    Txn.commitPartitioned(
+      Seq((1L, "web"), (2L, "books"), (3L, "web")).toDF("id", "src"),
+      root2, "src")
+    assert(Txn.partitionProbe(spark, root2, "src", Seq("web")) == ((1, 2)))
+    assert(ids(Txn.readPartitionPruned(spark, root2, "src", Seq("web"))) ==
+      Set(1L, 3L))
   }
 
   test("timestamp time travel and DESCRIBE DETAIL are metadata-only") {
