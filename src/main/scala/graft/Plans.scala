@@ -33,7 +33,8 @@ object Plans {
       "txn_skipping", "txn_changes", "txn_incremental_agg", "txn_delete",
       "txn_catalog", "llm_dedup_windowed", "txn_skipping_tombstone",
       "txn_changes_evolve", "txn_upsert_incremental", "txn_restore",
-      "txn_clone", "txn_bloom_point", "txn_constraints", "txn_partitioned")
+      "txn_clone", "txn_bloom_point", "txn_constraints", "txn_partitioned",
+      "txn_lifecycle")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

@@ -770,6 +770,63 @@ object Rewrite {
     Txn.read(s, root).orderBy("custkey")
   }
 
+  /** TABLE-LIFECYCLE capstone (r10): one registered row drives the
+    * whole warehouse loop end-to-end on a single table — v1 full
+    * commit, v2 O(shard) APPEND (new customers under offset keys), v3
+    * O(batch) atomic UPSERT (every 10th customer re-segmented), v4
+    * O(keys) GDPR tombstone DELETE (every 100th key), v5 compacting
+    * commit (collapses the append+tombstone+upsert chain back to one
+    * clean dir — in-row asserts pin history length 5 and
+    * tableDetail's tombstone count dropping to 0). The oracle
+    * reconstructs the final state arithmetically (base ∪ shard,
+    * re-segment %10, minus %100), so the driver hash fails if ANY
+    * stage lost, duplicated, resurrected, or mis-merged a row — the
+    * composition proof that the lifecycle pieces are consistent with
+    * each other, not just individually green. At 100 TB every stage
+    * is the O(change) manifest operation measured in
+    * TXNAPPEND/UPSERT/TXNDELETE_r10.json; only the deliberate
+    * compaction pays O(table). */
+  val txnLifecycle: Q = Q(
+    "txn_lifecycle",
+    """WITH unioned AS (
+      |  SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+      |    c_mktsegment AS mktsegment
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 5000000, c_name, 0.0, 'ONBOARD'
+      |  FROM customer WHERE c_custkey % 9 = 0),
+      |upserted AS (
+      |  SELECT custkey, name, acctbal,
+      |    CASE WHEN custkey % 10 = 0 THEN 'RESEG' ELSE mktsegment END
+      |      AS mktsegment
+      |  FROM unioned)
+      |SELECT custkey, name, acctbal, mktsegment FROM upserted
+      |WHERE custkey % 100 <> 0
+      |ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "customer_lifecycle")
+    Txn.commit(baseSnapshot(s, dir), root, meta = Map("op" -> "init"))
+    Txn.commitAppend(customer(s, dir).where(col("c_custkey") % 9 === 0)
+      .select((col("c_custkey") + 5000000L).as("custkey"),
+        col("c_name").as("name"), lit(0.0).as("acctbal"),
+        lit("ONBOARD").as("mktsegment")),
+      root, meta = Map("op" -> "ingest-shard"))
+    val reseg = Txn.read(s, root).where(col("custkey") % 10 === 0)
+      .withColumn("mktsegment", lit("RESEG"))
+    Txn.commitUpsert(reseg, root, "custkey", meta = Map("op" -> "re-segment"))
+    Txn.commitDelete(s, root, "custkey",
+      Txn.read(s, root).where(col("custkey") % 100 === 0).select("custkey"),
+      meta = Map("op" -> "gdpr-erasure"))
+    Txn.commit(Txn.read(s, root), root, meta = Map("op" -> "compact"))
+    require(Txn.history(s, root).map(_._3.getOrElse("op", "?")) ==
+      Seq("init", "ingest-shard", "re-segment", "gdpr-erasure", "compact"),
+      "lifecycle history must record all five operations in order")
+    val (nVer, _, _, nTombs) = Txn.tableDetail(s, root)
+    require(nVer == 5L && nTombs == 0L,
+      s"compaction must collapse the tombstone chain (v=$nVer tombs=$nTombs)")
+    Txn.read(s, root).orderBy("custkey")
+  }
+
   /** HIVE-PARTITIONED table layout (r10): orders committed as
     * `data/<uuid>/o_year=YYYY/` partition dirs, a 2099 shard appended
     * partition-wise (`commitAppendPartitioned` — the O(shard)
@@ -937,6 +994,6 @@ object Rewrite {
   def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeUpsertTxn, mergeScd2,
     llmPipelineEnd2end, txnChanges, txnSkipping, txnSkippingTombstone,
     txnChangesEvolve, txnUpsertIncremental, txnRestore, txnClone,
-    txnBloomPoint, txnConstraints, txnPartitioned, txnTimeTravel,
-    txnIncrementalAgg, txnAppend, txnDelete)
+    txnBloomPoint, txnConstraints, txnPartitioned, txnLifecycle,
+    txnTimeTravel, txnIncrementalAgg, txnAppend, txnDelete)
 }
