@@ -34,7 +34,8 @@ object Plans {
       "txn_catalog", "llm_dedup_windowed", "txn_skipping_tombstone",
       "txn_changes_evolve", "txn_upsert_incremental", "txn_restore",
       "txn_clone", "txn_bloom_point", "txn_constraints", "txn_partitioned",
-      "txn_lifecycle")
+      "txn_lifecycle", "sql_surface_pivot", "sql_surface_exists",
+      "sql_surface_scalar_subq")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

@@ -252,6 +252,94 @@ object Funcs {
     * window queries just as often). Same pattern as [[sqlSurface]]:
     * temp view + one ANSI string through spark.sql, text identical to
     * the oracle modulo the view name. */
+  /** Pasted-SQL PIVOT (r10): the warehouse crosstab through Spark's
+    * native `PIVOT` clause over a temp view — each order status becomes
+    * a revenue column per order-year. Sums run in exact micro-unit
+    * longs (the cross-engine money policy; a DOUBLE sum would be
+    * summation-order-dependent and hash-flaky), the DuckDB oracle is
+    * the equivalent CASE aggregation (portable crosstab), and the
+    * status list is explicit — at 100 TB an implicit pivot would scan
+    * once just to enumerate columns; the explicit IN list keeps it one
+    * partial-aggregated pass (a plain hash aggregate underneath). */
+  val sqlSurfacePivot: Q = Q(
+    "sql_surface_pivot",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS oyear,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |    END) AS BIGINT) AS f_micro,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |    END) AS BIGINT) AS o_micro,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |    END) AS BIGINT) AS p_micro
+      |FROM orders GROUP BY 1 ORDER BY oyear""".stripMargin
+  ) { (s, dir) =>
+    orders(s, dir).createOrReplaceTempView("graft_orders_pv")
+    s.sql(
+      """SELECT * FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS oyear, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+        |  FROM graft_orders_pv)
+        |PIVOT (SUM(m) FOR o_orderstatus IN ('F' f_micro, 'O' o_micro, 'P' p_micro))
+        |ORDER BY oyear""".stripMargin)
+  }
+
+  /** Pasted-SQL correlated EXISTS / NOT EXISTS (r10): Catalyst
+    * decorrelates both to semi/anti hash joins — the plan a warehouse
+    * migration's most common subquery shape must become at 100 TB (a
+    * per-row re-execution would be O(n·m); the decorrelated form is
+    * two key-partitioned joins). Whale customers (some order above the
+    * threshold) with no finalized order, straight through spark.sql. */
+  val sqlSurfaceExists: Q = Q(
+    "sql_surface_exists",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    customer(s, dir).createOrReplaceTempView("graft_cust_ex")
+    orders(s, dir).createOrReplaceTempView("graft_orders_ex")
+    s.sql(
+      """SELECT c_custkey, c_name FROM graft_cust_ex c
+        |WHERE EXISTS (SELECT 1 FROM graft_orders_ex o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders_ex o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Pasted-SQL correlated SCALAR subquery in the SELECT list (r10):
+    * per-customer order count and max price, decorrelated by Catalyst
+    * into ONE aggregate + left outer join (never n executions of the
+    * inner query); COALESCE pins the no-orders customer to 0 on both
+    * engines. */
+  val sqlSurfaceScalarSubq: Q = Q(
+    "sql_surface_scalar_subq",
+    """SELECT c_custkey,
+      |  COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |            WHERE o.o_custkey = c.c_custkey), 0) AS n_orders,
+      |  (SELECT MAX(o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    customer(s, dir).createOrReplaceTempView("graft_cust_sq")
+    orders(s, dir).createOrReplaceTempView("graft_orders_sq")
+    s.sql(
+      """SELECT c_custkey,
+        |  COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM graft_orders_sq o
+        |            WHERE o.o_custkey = c.c_custkey), 0) AS n_orders,
+        |  (SELECT MAX(o_totalprice) FROM graft_orders_sq o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM graft_cust_sq c ORDER BY c_custkey""".stripMargin)
+  }
+
   val sqlSurfaceWindow: Q = Q(
     "sql_surface_window",
     """SELECT o_custkey, o_orderkey, rnk FROM (
@@ -397,5 +485,6 @@ object Funcs {
   def all: Seq[Q] = Seq(projectCompute, filterCompound, funcCaseCoalesce,
     funcString, funcDate, funcMath, funcArray, funcJsonMap, funcVariant,
     sqlSurface, sqlSurfaceWindow, sqlSurfaceJoin, sqlSurfaceCte,
-    sqlSurfaceRecursive, sqlSurfaceLateral)
+    sqlSurfaceRecursive, sqlSurfaceLateral, sqlSurfacePivot,
+    sqlSurfaceExists, sqlSurfaceScalarSubq)
 }
