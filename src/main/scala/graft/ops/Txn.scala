@@ -409,7 +409,10 @@ object Txn {
       // rows) but a shared column changing TYPE would poison the table
       // — every subsequent read of the version chain fails, long after
       // the writer is gone. Reject it HERE, where the writer can fix
-      // it, not at read time. Hive-PARTITION columns are exempt: their
+      // it, not at read time. Cost: one tip schema resolve per attempt
+      // (footer sampling, O(dirs) small reads) — the same cost class
+      // as the history scan appendIdempotent already pays per batch.
+      // Hive-PARTITION columns are exempt: their
       // read-side type is INFERRED from directory names (int for
       // numeric values), not declared by the data, so comparing it to
       // the shard's declared type is a false mismatch by construction.
