@@ -52,6 +52,28 @@ object Txn {
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Per-root JVM lock serializing every publish's check-then-rename.
+    *
+    * On an HDFS-contract store, rename-without-overwrite is atomic and
+    * FAILS on an existing destination — the rename alone is the CAS
+    * and this lock is redundant (but harmless: publishes are
+    * millisecond metadata ops). On LOCAL filesystems Hadoop's rename
+    * is POSIX rename(2), which silently OVERWRITES an existing
+    * destination, so the `exists(target)` pre-check leaves a TOCTOU
+    * window: two same-JVM writers racing one version number could both
+    * "succeed" with the loser's manifest overwritten — a lost commit.
+    * (TxnSpec's concurrent-upsert race caught exactly this, ~1-in-5
+    * runs.) Serializing check+rename per root closes the window for
+    * every writer in one JVM — the Spark-driver case, where streaming
+    * sinks and maintenance threads share a session. Multiple JVMs
+    * writing one LOCAL-FS table remain unsupported (Delta's
+    * LocalLogStore documents the identical limitation; use an
+    * HDFS-contract store for multi-process writers). */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def publishLock(root: String): Object =
+    publishLocks.computeIfAbsent(root, _ => new Object)
+
   private def committedVersions(f: FileSystem, root: String): Seq[Long] = {
     val dir = new Path(s"$root/_commits")
     if (!f.exists(dir)) Seq.empty
@@ -328,10 +350,12 @@ object Txn {
         tmp = stageManifest(f, root,
           s"${dataRel.stripPrefix("data/")}-$attempt", body)
       val target = new Path(s"$root/_commits/$n")
-      if (f.exists(target)) n += 1
-      else if (f.rename(tmp, target)) published = true
-      else if (f.exists(target)) n += 1
-      // else: rename failed with the slot still free — loop re-stages
+      publishLock(root).synchronized {
+        if (f.exists(target)) n += 1
+        else if (f.rename(tmp, target)) published = true
+        else if (f.exists(target)) n += 1
+        // else: rename failed with the slot still free — loop re-stages
+      }
     }
     n
   }
@@ -443,7 +467,10 @@ object Txn {
       val tmp = stageManifest(f, root, s"${dataRel.stripPrefix("data/")}-$attempt",
         manifestBody(dirs.mkString(","), meta))
       val target = new Path(s"$root/_commits/${base + 1}")
-      if (!f.exists(target) && f.rename(tmp, target)) return Some(base + 1)
+      val won = publishLock(root).synchronized {
+        !f.exists(target) && f.rename(tmp, target)
+      }
+      if (won) return Some(base + 1)
       f.delete(tmp, false) // staged manifest of the lost round
       attempt += 1 // racer took the slot: rebase onto the new tip
     }
@@ -487,7 +514,10 @@ object Txn {
         s"${dataRel.stripPrefix("data/")}-$attempt",
         manifestBody(dirs.mkString(","), meta))
       val target = new Path(s"$root/_commits/${base + 1}")
-      if (!f.exists(target) && f.rename(tmp, target)) return base + 1
+      val won = publishLock(root).synchronized {
+        !f.exists(target) && f.rename(tmp, target)
+      }
+      if (won) return base + 1
       f.delete(tmp, false)
       attempt += 1
     }
@@ -594,7 +624,10 @@ object Txn {
       val base = committedVersions(f, root).foldLeft(0L)(math.max)
       val tmp = stageManifest(f, root, s"restore-$toVersion-$attempt", body)
       val target = new Path(s"$root/_commits/${base + 1}")
-      if (!f.exists(target) && f.rename(tmp, target)) return base + 1
+      val won = publishLock(root).synchronized {
+        !f.exists(target) && f.rename(tmp, target)
+      }
+      if (won) return base + 1
       f.delete(tmp, false)
       attempt += 1
     }
@@ -635,7 +668,10 @@ object Txn {
       meta + ("clonedFrom" -> s"$srcRoot#$srcV"))
     val tmp = stageManifest(f, dstRoot, "clone-v1", body)
     val target = new Path(s"$dstRoot/_commits/1")
-    if (!f.rename(tmp, target)) {
+    val cloneWon = publishLock(dstRoot).synchronized {
+      !f.exists(target) && f.rename(tmp, target)
+    }
+    if (!cloneWon) {
       f.delete(tmp, false)
       sys.error(s"clone target $dstRoot was initialized concurrently")
     }
@@ -783,7 +819,10 @@ object Txn {
     try check()
     catch { case t: Throwable => f.delete(tmp, false); throw t }
     val target = new Path(s"$root/_commits/${expectedBase + 1}")
-    if (f.exists(target) || !f.rename(tmp, target)) {
+    val occLost = publishLock(root).synchronized {
+      f.exists(target) || !f.rename(tmp, target)
+    }
+    if (occLost) {
       // a racer published expectedBase+1 between the re-check and the
       // rename; the rename-without-overwrite failure IS the detection
       // (staged manifest cleaned; the orphan snapshot is vacuum fodder)

@@ -631,6 +631,26 @@ class TxnSpec extends SparkSpec {
     assert(Txn.currentVersion(spark, root).contains(3L))
   }
 
+  test("concurrent upserts: both rebase and land, no batch lost") {
+    import spark.implicits._
+    val root = freshRoot("upsrace")
+    def kv(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Txn.commit((1L to 10L).map(i => (i, s"old$i")).toDF("id", "v"), root)
+    // two live writers upsert different key ranges at once — the rebase
+    // loop must absorb whichever wins version 2 and land the other at 3
+    val a = new Thread(() => Txn.commitUpsert(
+      (1L to 3L).map(i => (i, s"a$i")).toDF("id", "v"), root, "id"))
+    val b = new Thread(() => Txn.commitUpsert(
+      (8L to 12L).map(i => (i, s"b$i")).toDF("id", "v"), root, "id"))
+    a.start(); b.start(); a.join(); b.join()
+    assert(Txn.currentVersion(spark, root).contains(3L))
+    val expect = (1L to 3L).map(i => i -> s"a$i").toMap ++
+      (4L to 7L).map(i => i -> s"old$i") ++
+      (8L to 12L).map(i => i -> s"b$i")
+    assert(kv(Txn.read(spark, root)) == expect)
+  }
+
   test("restore: O(manifest) rollback, restored dirs survive vacuum") {
     import spark.implicits._
     val root = freshRoot("restore")
