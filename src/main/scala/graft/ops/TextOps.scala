@@ -1127,10 +1127,70 @@ object TextOps {
       .orderBy("domain")
   }
 
+  /** LM-PERPLEXITY filtering, CCNet-style (r10): every document scored
+    * by its average bigram negative log-likelihood under an add-one-
+    * smoothed bigram LM — the classic "does this read like language"
+    * quality signal (CCNet buckets a crawl by Wikipedia-LM perplexity;
+    * here the LM trains on the corpus itself — SELF-perplexity, the
+    * same plan with the counts frames swapped for a reference corpus's
+    * in production). p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V); score =
+    * avg(-ln p) over the doc's bigrams, ROUND(,4) on both engines
+    * (libm ulp policy).
+    *
+    * Scale shape: the corpus-sized work is ONE bigram-keyed hash join
+    * (doc bigrams → corpus bigram counts) — hash-frequency skew on
+    * stop-bigrams ("of the") is a JOIN, not a window, so AQE splits
+    * the hot partitions; the history-count and vocab frames are
+    * vocab-sized and BROADCAST (~10M rows at web scale — still a
+    * broadcastable dimension); the per-doc reduce is a partial-agg
+    * average. No stage materializes anything corpus×vocab. */
+  val llmLmScore: Q = Q(
+    "llm_lm_score",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (SELECT doc_id,
+      |    unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p FROM t),
+      |pairs AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM b),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      |  FROM pairs GROUP BY 1, 2),
+      |hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+      |  FROM (SELECT unnest(ws) AS tok FROM t)),
+      |scored AS (SELECT pairs.doc_id,
+      |    -ln((c12.c + 1.0) / (hist.c1 + v.vocab)) AS nll
+      |  FROM pairs JOIN c12 USING (w1, w2) JOIN hist USING (w1)
+      |  CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(nll), 4) AS avg_nll
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val t = documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+    val pairs = Q.cached(t.select(col("doc_id"), explode(expr(
+      """zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1),
+        |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val hist = c12.groupBy("w1").agg(sum(col("c")).as("c1"))
+    val vocab = t.select(explode(col("ws")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    pairs
+      .join(c12, Seq("w1", "w2"))
+      .join(broadcast(hist), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log((col("c") + lit(1.0)) / (col("c1") + col("vocab")))).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(llmTokenCount, llmFingerprint, llmQualityScore, llmLangId,
     llmStratifiedSample, llmDecontaminate, llmTopTerms, llmRepetitionFilter,
     llmDocChunks, llmPackSequences, llmPiiRedact, llmChunkDedup,
     llmBloomDecontaminate, llmTfidfVectors, llmCorpusShuffle, llmSourceMix,
     llmSplitAssign, llmLexicalDiversity, llmFuzzyMatch, llmWeightedSample,
-    llmBuildVocab, llmDedupWindowed, llmNgramCounts, llmDomainStats)
+    llmBuildVocab, llmDedupWindowed, llmNgramCounts, llmDomainStats,
+    llmLmScore)
 }
