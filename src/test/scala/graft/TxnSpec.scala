@@ -651,6 +651,31 @@ class TxnSpec extends SparkSpec {
     assert(kv(Txn.read(spark, root)) == expect)
   }
 
+  test("mixed writer race: append + upsert + delete all land, none lost") {
+    import spark.implicits._
+    val root = freshRoot("mixrace")
+    def kv(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Txn.commit((1L to 10L).map(i => (i, s"old$i")).toDF("id", "v"), root)
+    // three different commit flavors race the same version numbers —
+    // every rebase loop must absorb the others' wins
+    val a = new Thread(() => Txn.commitAppend(
+      Seq((20L, "app20")).toDF("id", "v"), root))
+    val b = new Thread(() => Txn.commitUpsert(
+      Seq((5L, "ups5")).toDF("id", "v"), root, "id"))
+    val c = new Thread(() => Txn.commitDelete(spark, root, "id",
+      Seq(9L).toDF("id")))
+    a.start(); b.start(); c.start(); a.join(); b.join(); c.join()
+    assert(Txn.currentVersion(spark, root).contains(4L))
+    val got = kv(Txn.read(spark, root))
+    // the delete and the upsert raced: if the tombstone landed AFTER
+    // the upsert of a DIFFERENT key it still only erases key 9; all
+    // three effects must be present regardless of commit order
+    val base = (1L to 10L).map(i => i -> s"old$i").toMap
+    assert(got == (base - 9L) + (5L -> "ups5") + (20L -> "app20"),
+      s"lost an effect: $got")
+  }
+
   test("restore: O(manifest) rollback, restored dirs survive vacuum") {
     import spark.implicits._
     val root = freshRoot("restore")
