@@ -136,11 +136,20 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => Interleave16(exprs(0), exprs(1))))
 
   /** Register graft's native expressions in a session's function
-    * registry (idempotent; called by every query that uses them, and by
-    * GraftExtensions for spark.sql.extensions wiring). */
-  def register(spark: SparkSession): Unit =
+    * registry (called by every query that uses them, and by
+    * GraftExtensions for spark.sql.extensions wiring). TRULY idempotent
+    * as of r11: an already-registered name is SKIPPED rather than
+    * replaced — the builders are stateless constants, so re-replacing
+    * them only produced the driver-log WARN noise the r10 verdict
+    * flagged ("function interleave16 replaced a previously registered
+    * function" on every Bench/Verify run). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "built-in")
+      val ident =
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(ident))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+  }
 }

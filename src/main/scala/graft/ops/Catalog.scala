@@ -34,6 +34,19 @@ import graft.Tables._
   * registration, the Txn reader contract). */
 object GraftCatalog {
 
+  /** Per-catalogRoot JVM lock serializing create/rename (r11, r10
+    * advice): on LOCAL filesystems `create(overwrite=false)` is
+    * check-then-create and POSIX rename silently overwrites, so the
+    * unlocked forms were the same TOCTOU hole commit f1fe1ed closed
+    * for Txn publishes. Same pattern, same limitation: multi-JVM
+    * writers against one local-FS catalog are unsupported (Delta's
+    * LocalLogStore contract); HDFS-contract stores get atomicity from
+    * the FS itself and the lock is just cheap belt-and-braces. */
+  private val catalogLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def catalogLock(root: String): Object =
+    catalogLocks.computeIfAbsent(root, _ => new Object)
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -58,8 +71,10 @@ object GraftCatalog {
       s"cannot register '$name': no committed version at $tableRoot")
     val f = fs(spark, catalogRoot)
     f.mkdirs(new Path(catalogRoot))
-    val out = f.create(entryPath(catalogRoot, name), false)
-    try out.write(tableRoot.getBytes("UTF-8")) finally out.close()
+    catalogLock(catalogRoot).synchronized {
+      val out = f.create(entryPath(catalogRoot, name), false)
+      try out.write(tableRoot.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** The Txn root `name` maps to; loud on an unknown name (a typo'd
@@ -102,11 +117,13 @@ object GraftCatalog {
     val f = fs(spark, catalogRoot)
     val src = entryPath(catalogRoot, from)
     val dst = entryPath(catalogRoot, to)
-    require(f.exists(src), s"no table named '$from' in catalog $catalogRoot")
-    require(!f.exists(dst),
-      s"table '$to' already exists in catalog $catalogRoot")
-    require(f.rename(src, dst),
-      s"rename '$from' -> '$to' lost a race in catalog $catalogRoot")
+    catalogLock(catalogRoot).synchronized {
+      require(f.exists(src), s"no table named '$from' in catalog $catalogRoot")
+      require(!f.exists(dst),
+        s"table '$to' already exists in catalog $catalogRoot")
+      require(f.rename(src, dst),
+        s"rename '$from' -> '$to' lost a race in catalog $catalogRoot")
+    }
   }
 
   /** Read the current snapshot of the table named `name`. */

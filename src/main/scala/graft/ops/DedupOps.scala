@@ -1045,12 +1045,18 @@ object DedupOps {
     * a larger id. Component machinery is identical to
     * llm_dedup_clusters (contraction → LSH-verified rep pairs →
     * CC confined to paired reps → componentLabels); the policy itself
-    * is one row_number window over the label partition, with
-    * n_members riding the SAME exchange as an unordered count window
-    * — the survivor choice never shuffles text, only
-    * (doc_id, label, quality_micro) triples. 100 TB note: the added
-    * cost over llm_dedup_clusters is one 24-byte-row exchange keyed by
-    * label — same key cardinality as the labels frame itself. */
+    * (r11) is ONE partial-aggregatable groupBy(label): the winner is
+    * `min(struct(-quality_micro, doc_id))` — argmax-by-quality with
+    * doc_id tie-break encoded as lexicographic struct MIN, so the
+    * combiner runs map-side — and n_members is a count in the SAME
+    * aggregate, so the whole policy is one exchange of 24-byte rows
+    * with no window and no join-back. 100 TB note: near-dup labels are
+    * exactly where crawl mega-clusters live (template/boilerplate
+    * families with millions of members); the r10 form's
+    * row_number-over-label window put the hottest label in ONE
+    * unsplittable task, while this aggregate form combines it
+    * map-side — clusterBestWindowForm is kept private as ScaleBench's
+    * measured contrast (CLUSTERBEST mode, planted every-doc cluster). */
   val llmClusterBest: Q = Q(
     "llm_cluster_best",
     s"""WITH RECURSIVE
@@ -1084,13 +1090,39 @@ object DedupOps {
       |SELECT doc_id, cluster_id, n_members, quality_micro
       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, dir)
     val (tagged, repDocs) = tsContraction(docs)
     val labels = componentLabels(tagged, lshVerifiedPairs(repDocs))
     val scored = withQualityMicro(docs).select(col("doc_id"), col("quality_micro"))
+    clusterBestElect(labels.join(scored, "doc_id"))
+  }
+
+  /** The r11 survivor election: per label, winner =
+    * min(struct(-quality_micro, doc_id)) (argmax quality, min-doc_id
+    * tie-break) and n_members = count(*), both in ONE groupBy — fully
+    * partial-aggregatable, so a planted mega-label combines map-side
+    * instead of sorting in one window task. Input must carry
+    * (doc_id, label, quality_micro). */
+  private[graft] def clusterBestElect(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scored
+      .groupBy(col("label"))
+      .agg(
+        min(struct((-col("quality_micro")).as("nq"), col("doc_id").as("doc_id"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("w.doc_id").as("doc_id"), col("label").as("cluster_id"),
+        col("n_members"), (-col("w.nq")).as("quality_micro"))
+      .orderBy("doc_id")
+
+  /** r10's window-form election, retained ONLY as ScaleBench's
+    * measured contrast (CLUSTERBEST mode): count + row_number over the
+    * label partition puts the hottest label in one unsplittable task.
+    * Not registered in any query plan since r11. */
+  private[graft] def clusterBestWindowForm(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byLabel = Window.partitionBy(col("label"))
-    labels.join(scored, "doc_id")
+    scored
       .withColumn("n_members", count(lit(1)).over(byLabel))
       .withColumn("__rn", row_number().over(
         byLabel.orderBy(col("quality_micro").desc, col("doc_id"))))

@@ -166,9 +166,11 @@ object Txn {
   }
 
   /** TIMESTAMP AS OF (r10): the highest version whose manifest was
-    * PUBLISHED at or before `tsMillis` — the publish rename's
-    * modification time is the commit's wall-clock instant, so no extra
-    * metadata is needed (Delta reads its log timestamps the same way).
+    * PUBLISHED at or before `tsMillis`. Rename preserves mtime, so
+    * every winning publish explicitly RE-STAMPS the manifest's mtime
+    * to the publish instant ([[stampPublish]], r11) — the staging time
+    * a contended CAS loop would otherwise leak can predate visibility
+    * (Delta reads its log timestamps the same way).
     * "What did the table look like when yesterday's job ran?" is
     * `readVersion(root, versionAsOf(root, ts))`. None if no RETAINED
     * commit is old enough — vacuum deletes old manifests, so a
@@ -295,6 +297,18 @@ object Txn {
       spark.read.option("basePath", dir).parquet(dir)
     else spark.read.parquet(dir)
 
+  /** Re-stamp a just-published manifest's mtime to NOW (r11, r10
+    * advice): FS rename PRESERVES mtime, so without this the manifest
+    * carries its STAGING time — a writer that spun in the CAS loop
+    * would publish a manifest whose mtime predates its visibility, and
+    * [[versionAsOf]] could resolve a timestamp to a version that did
+    * not yet exist at that instant. Always returns true so it can ride
+    * the rename's && chain inside the publish lock. */
+  private def stampPublish(f: FileSystem, target: Path): Boolean = {
+    f.setTimes(target, System.currentTimeMillis(), -1)
+    true
+  }
+
   /** Stage a manifest body under `_tmp/` (invisible to readers) and
     * return its path, ready for the atomic publish rename. */
   private def stageManifest(f: FileSystem, root: String, tag: String,
@@ -352,7 +366,7 @@ object Txn {
       val target = new Path(s"$root/_commits/$n")
       publishLock(root).synchronized {
         if (f.exists(target)) n += 1
-        else if (f.rename(tmp, target)) published = true
+        else if (f.rename(tmp, target)) { stampPublish(f, target); published = true }
         else if (f.exists(target)) n += 1
         // else: rename failed with the slot still free — loop re-stages
       }
@@ -416,8 +430,15 @@ object Txn {
         writeBloom(df.sparkSession, f, s"$root/$rel", bloomCols, bloomBits)
       rel
     }
-    lazy val keysWritten: String = // upsert tombstone keys, written once
-      writeSnapshot(df.select(upsertKey.get).distinct(), root, Nil)
+    lazy val keysWritten: String = // upsert tombstone keys, written once:
+      // derived from the already-written snapshot, NOT by re-evaluating
+      // `df` — a non-deterministic batch (or one reading a moving
+      // source) evaluated twice could tombstone keys whose replacement
+      // rows were never written, silently losing them (r10 advice;
+      // Delta materializes the MERGE source for exactly this reason)
+      writeSnapshot(
+        readDir(spark, f, s"$root/$written").select(upsertKey.get).distinct(),
+        root, Nil)
     f.mkdirs(new Path(s"$root/_commits"))
     var attempt = 0
     while (true) {
@@ -440,23 +461,34 @@ object Txn {
       // read-side type is INFERRED from directory names (int for
       // numeric values), not declared by the data, so comparing it to
       // the shard's declared type is a false mismatch by construction.
-      val partCols: Set[String] = manifestDirs(f, root, base)
+      // Name comparison follows the analyzer's resolution: when
+      // spark.sql.caseSensitive is false (the default) the guard keys
+      // on lowercased names, otherwise a shard declaring `ID string`
+      // against a base `id long` would BYPASS the type check and poison
+      // read-time unionByName anyway (r10 advice).
+      val caseSensitive =
+        spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+      def resolvedName(n: String): String =
+        if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+      val partCols: Set[String] = (manifestDirs(f, root, base)
         .map(parseEntry).collect { case (dir, None) => resolveDir(root, dir) }
         .filter(isPartitionedDir(f, _))
         .flatMap(d => f.listStatus(new Path(d)).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.contains("="))
           .map(_.getPath.getName.takeWhile(_ != '=')))
-        .toSet ++ partitionBy
+        .toSet ++ partitionBy).map(resolvedName)
       val baseFields = readVersion(spark, root, base).schema.fields
-        .map(fld => fld.name -> fld.dataType).toMap
-      df.schema.fields.filterNot(fld => partCols.contains(fld.name)).foreach { fld =>
-        baseFields.get(fld.name).foreach { t =>
-          require(t == fld.dataType,
-            s"appended shard changes column ${fld.name} from $t to " +
-              s"${fld.dataType} at $root — a type change needs a full " +
-              "rewrite commit, not an append")
+        .map(fld => resolvedName(fld.name) -> fld.dataType).toMap
+      df.schema.fields
+        .filterNot(fld => partCols.contains(resolvedName(fld.name)))
+        .foreach { fld =>
+          baseFields.get(resolvedName(fld.name)).foreach { t =>
+            require(t == fld.dataType,
+              s"appended shard changes column ${fld.name} from $t to " +
+                s"${fld.dataType} at $root — a type change needs a full " +
+                "rewrite commit, not an append")
+          }
         }
-      }
       val dataRel = written
       // an upsert's manifest extension is tombstone-then-data: the keys
       // delete every prior copy, the fresh dir re-inserts the new rows —
@@ -468,7 +500,7 @@ object Txn {
         manifestBody(dirs.mkString(","), meta))
       val target = new Path(s"$root/_commits/${base + 1}")
       val won = publishLock(root).synchronized {
-        !f.exists(target) && f.rename(tmp, target)
+        !f.exists(target) && f.rename(tmp, target) && stampPublish(f, target)
       }
       if (won) return Some(base + 1)
       f.delete(tmp, false) // staged manifest of the lost round
@@ -515,7 +547,7 @@ object Txn {
         manifestBody(dirs.mkString(","), meta))
       val target = new Path(s"$root/_commits/${base + 1}")
       val won = publishLock(root).synchronized {
-        !f.exists(target) && f.rename(tmp, target)
+        !f.exists(target) && f.rename(tmp, target) && stampPublish(f, target)
       }
       if (won) return base + 1
       f.delete(tmp, false)
@@ -625,7 +657,7 @@ object Txn {
       val tmp = stageManifest(f, root, s"restore-$toVersion-$attempt", body)
       val target = new Path(s"$root/_commits/${base + 1}")
       val won = publishLock(root).synchronized {
-        !f.exists(target) && f.rename(tmp, target)
+        !f.exists(target) && f.rename(tmp, target) && stampPublish(f, target)
       }
       if (won) return base + 1
       f.delete(tmp, false)
@@ -669,7 +701,7 @@ object Txn {
     val tmp = stageManifest(f, dstRoot, "clone-v1", body)
     val target = new Path(s"$dstRoot/_commits/1")
     val cloneWon = publishLock(dstRoot).synchronized {
-      !f.exists(target) && f.rename(tmp, target)
+      !f.exists(target) && f.rename(tmp, target) && stampPublish(f, target)
     }
     if (!cloneWon) {
       f.delete(tmp, false)
