@@ -1,0 +1,303 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.{GraftCatalog, Txn}
+
+/** Spark V2 `TableCatalog` plugin over [[graft.ops.GraftCatalog]] (r11,
+  * r10 verdict item 2): the SQL-native migration surface. Configure
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.catalog.GraftSqlCatalog
+  *   spark.sql.catalog.graft.root = /path/to/catalog
+  * }}}
+  *
+  * and pasted SQL addresses Txn tables directly — no `registerView`
+  * hop:
+  *
+  * {{{
+  *   CREATE TABLE graft.t (id BIGINT, name STRING)
+  *   CREATE TABLE graft.t2 AS SELECT ...
+  *   INSERT INTO graft.t SELECT ...          -- O(batch) Txn append
+  *   INSERT OVERWRITE graft.t SELECT ...     -- full-snapshot commit
+  *   SELECT * FROM graft.t                   -- current version, pinned
+  *   SELECT * FROM graft.t VERSION AS OF 3   -- Txn time travel
+  *   SELECT * FROM graft.t TIMESTAMP AS OF '...'
+  *   SHOW TABLES IN graft / DROP TABLE graft.t
+  *   ALTER TABLE graft.a RENAME TO graft.b
+  * }}}
+  *
+  * Design: the catalog delegates name→root mapping to GraftCatalog's
+  * file-per-name store and every data operation to [[Txn]] — SQL gains
+  * the SAME semantics (snapshot isolation, O(batch) appends, tombstone
+  * folds, schema-evolution reads) as the programmatic API, because it
+  * IS the programmatic API behind the V2 interface.
+  *
+  * Read path: [[loadTable]] pins the table's CURRENT version, so one
+  * SQL statement reads one immutable snapshot (the Txn reader
+  * contract); the scan is a `V1Scan` whose relation plans the pinned
+  * `Txn.readVersion` frame — column pruning is pushed into the inner
+  * plan via `SupportsPushDownRequiredColumns` and translatable filters
+  * via `SupportsPushDownFilters`, so the underlying parquet scan sees
+  * both (the inner frame is a full Catalyst plan: pushdown reaches the
+  * footers exactly as a direct `Txn.read` would). Pushed filters are
+  * deliberately ALSO returned as residual — Spark re-evaluates them
+  * post-scan, which keeps the boundary always-correct even for exotic
+  * filter semantics, at the cost of re-checking rows that already
+  * passed (cheap, codegen'd, and the pruning I/O win is what matters
+  * at 100 TB).
+  *
+  * Write path: `V1Write`→`InsertableRelation` — INSERT INTO is
+  * `Txn.commitAppend` (O(batch), manifest extension), INSERT OVERWRITE
+  * / CTAS-replace is a full `Txn.commit`. Every write is one atomic
+  * manifest publish; a reader holding the previous pin never sees a
+  * torn write.
+  *
+  * 100 TB: catalog resolution is one small-file read; loadTable adds
+  * one footer-sampling schema resolve; all data movement is the Txn
+  * read/commit machinery whose scale curves the TXNAPPEND/UPSERT/
+  * PARTITION artifacts measure. The V1 row boundary costs one
+  * InternalRow conversion per row on SQL reads — acceptable for the
+  * migration surface; performance-critical pipelines call Txn.read
+  * directly on the resolved root (same snapshot, zero conversion). */
+class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var catalogRoot: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    catalogRoot = Option(options.get("root")).getOrElse(
+      sys.error(s"spark.sql.catalog.$name.root must point at a GraftCatalog directory"))
+  }
+
+  override def name(): String = catalogName
+
+  /** Single flat namespace: `graft.t` (empty ns) and `graft.default.t`
+    * both resolve; anything deeper is loud. */
+  private def checkNs(ns: Array[String]): Unit =
+    if (!(ns.isEmpty || ns.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(ns)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    checkNs(namespace)
+    GraftCatalog.listTables(spark, catalogRoot)
+      .map(n => Identifier.of(Array.empty[String], n)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadPinned(ident, pin = None)
+
+  /** VERSION AS OF n — SQL time travel straight off the manifest log. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadPinned(ident, pin = Some(version.toLong))
+
+  /** TIMESTAMP AS OF ts (micros) — resolves through [[Txn.versionAsOf]]
+    * against the publish-stamped manifest mtimes. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    checkNs(ident.namespace())
+    val root = resolveOrThrow(ident)
+    val v = Txn.versionAsOf(spark, root, timestampMicros / 1000L).getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftSqlTable(ident.name(), root, v, spark)
+  }
+
+  private def resolveOrThrow(ident: Identifier): String = {
+    if (!GraftCatalog.tableExists(spark, catalogRoot, ident.name()))
+      throw new NoSuchTableException(ident)
+    GraftCatalog.resolve(spark, catalogRoot, ident.name())
+  }
+
+  private def loadPinned(ident: Identifier, pin: Option[Long]): Table = {
+    checkNs(ident.namespace())
+    val root = resolveOrThrow(ident)
+    val v = pin.orElse(Txn.currentVersion(spark, root)).getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftSqlTable(ident.name(), root, v, spark)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    checkNs(ident.namespace())
+    require(partitions.isEmpty,
+      "graft SQL catalog does not take PARTITIONED BY — partition at write " +
+        "time via Txn.commitPartitioned on the resolved root")
+    if (GraftCatalog.tableExists(spark, catalogRoot, ident.name()))
+      throw new TableAlreadyExistsException(ident)
+    // LOCATION '...' = external root; otherwise managed under the
+    // catalog dir (a DIRECTORY, so GraftCatalog.listTables — files
+    // only — never surfaces it as a table name)
+    val root = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .getOrElse(s"$catalogRoot/_managed/${ident.name()}")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    Txn.commit(empty, root, meta = Map("op" -> "sql-create-table"))
+    GraftCatalog.create(spark, catalogRoot, ident.name(), root)
+    new GraftSqlTable(ident.name(), root, 1L, spark)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    sys.error("graft SQL catalog: ALTER TABLE column changes are not " +
+      "supported — append a schema-evolving shard via Txn.commitAppend")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    checkNs(ident.namespace())
+    if (!GraftCatalog.tableExists(spark, catalogRoot, ident.name())) false
+    else { GraftCatalog.drop(spark, catalogRoot, ident.name()); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    checkNs(oldIdent.namespace()); checkNs(newIdent.namespace())
+    if (!GraftCatalog.tableExists(spark, catalogRoot, oldIdent.name()))
+      throw new NoSuchTableException(oldIdent)
+    if (GraftCatalog.tableExists(spark, catalogRoot, newIdent.name()))
+      throw new TableAlreadyExistsException(newIdent)
+    GraftCatalog.renameTable(spark, catalogRoot, oldIdent.name(), newIdent.name())
+  }
+
+  // --- SupportsNamespaces: one flat default namespace ---
+  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    checkNs(namespace); Array.empty
+  }
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    checkNs(namespace); Map.empty[String, String].asJava
+  }
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    sys.error("graft SQL catalog has a single flat namespace")
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    sys.error("graft SQL catalog has a single flat namespace")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    sys.error("graft SQL catalog has a single flat namespace")
+}
+
+/** One Txn table pinned at `version` — the unit a single SQL statement
+  * sees. Schema resolves from the pinned snapshot (footer sampling +
+  * mergeSchema, so evolved tables surface the union schema exactly as
+  * `Txn.readVersion` reads them). */
+private[catalog] class GraftSqlTable(tableName: String, root: String,
+    version: Long, spark: SparkSession)
+  extends Table with SupportsRead with SupportsWrite {
+
+  private lazy val snapshot: DataFrame = Txn.readVersion(spark, root, version)
+
+  override def name(): String = tableName
+  override def schema(): StructType = snapshot.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def properties(): util.Map[String, String] =
+    Map("location" -> root, "version" -> version.toString,
+      "provider" -> "graft").asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(snapshot)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(root)
+}
+
+/** Column pruning and best-effort filter pushdown INTO the inner
+  * Catalyst plan: `pruned` accumulates `.filter(...).select(...)` on
+  * the pinned snapshot frame, so the parquet scan underneath sees the
+  * pushed predicates and reads only the required columns. All filters
+  * are reported residual — Spark re-checks them post-scan, keeping the
+  * V1 boundary correct regardless of translation coverage. */
+private[catalog] class GraftScanBuilder(snapshot: DataFrame)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var pruned: DataFrame = snapshot
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val translated = filters.flatMap(f => translate(f).map(f -> _))
+    pushed = translated.map(_._1)
+    translated.foreach { case (_, c) => pruned = pruned.filter(c) }
+    filters // everything residual: Spark re-evaluates post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = pruned.select(requiredSchema.fieldNames.map(col).toSeq: _*)
+
+  override def build(): Scan = new GraftV1Scan(pruned)
+
+  /** sources.Filter → Column for the standard leaf predicates; None
+    * leaves the filter to Spark's post-scan re-check only. */
+  private def translate(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (cl <- translate(l); cr <- translate(r)) yield cl && cr
+    case sources.Or(l, r) =>
+      for (cl <- translate(l); cr <- translate(r)) yield cl || cr
+    case sources.Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+}
+
+/** V1 read bridge: the relation's buildScan IS the pruned inner frame's
+  * RDD — the inner plan (parquet scan + pushed filters + pruned
+  * columns) executes distributed exactly as a direct read would. */
+private[catalog] class GraftV1Scan(pruned: DataFrame) extends V1Scan {
+  override def readSchema(): StructType = pruned.schema
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = pruned.schema
+      override def buildScan(): RDD[Row] = pruned.rdd
+    }.asInstanceOf[T]
+}
+
+/** V1 write bridge: INSERT INTO → O(batch) manifest-extension append,
+  * INSERT OVERWRITE / truncate → full-snapshot commit. Both end in one
+  * atomic Txn publish. */
+private[catalog] class GraftWriteBuilder(root: String)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ow: Boolean): Unit = {
+          if (overwrite || ow)
+            Txn.commit(data, root, meta = Map("op" -> "sql-overwrite"))
+          else
+            Txn.commitAppend(data, root, meta = Map("op" -> "sql-insert"))
+          ()
+        }
+      }
+  }
+}

@@ -80,6 +80,88 @@ class CatalogSpec extends SparkSpec {
     assert(ids(GraftCatalog.read(spark, cat, "tv")) == (1L to 7L).toSet)
   }
 
+  /** Wire a fresh V2 catalog under a per-test name (the conf root is
+    * read once per catalog name per session, so tests never share
+    * state with each other or the registered row's `graft` catalog). */
+  private def sqlCat(tag: String): String = {
+    val cat = fresh(s"sqlcat_$tag")
+    val name = s"gsql_$tag"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.catalog.GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", cat)
+    name
+  }
+
+  test("V2 SQL catalog: CREATE/SHOW/INSERT/OVERWRITE/RENAME/DROP round-trip") {
+    val c = sqlCat("ddl")
+    spark.sql(s"CREATE TABLE $c.ev (id BIGINT, tag STRING)")
+    assert(spark.sql(s"SHOW TABLES IN $c").collect().map(_.getString(1)).toSeq == Seq("ev"))
+    spark.sql(s"INSERT INTO $c.ev VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $c.ev VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT id FROM $c.ev ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // INSERT INTO is an O(batch) manifest extension, not a rewrite:
+    // create=1, two inserts => version 3 of the SAME Txn table
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "ev")
+    assert(Txn.currentVersion(spark, tRoot).contains(3L))
+    spark.sql(s"INSERT OVERWRITE $c.ev VALUES (9, 'z')")
+    assert(spark.sql(s"SELECT id, tag FROM $c.ev").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
+    // the TO identifier resolves inside the table's own catalog
+    spark.sql(s"ALTER TABLE $c.ev RENAME TO ev2")
+    assert(spark.sql(s"SHOW TABLES IN $c").collect().map(_.getString(1)).toSeq == Seq("ev2"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ev2").head().getLong(0) == 1L)
+    spark.sql(s"DROP TABLE $c.ev2")
+    assert(spark.sql(s"SHOW TABLES IN $c").collect().isEmpty)
+    // external-table DROP: the Txn root and its history survive
+    assert(Txn.currentVersion(spark, tRoot).contains(4L))
+  }
+
+  test("V2 SQL catalog: CTAS, VERSION AS OF and TIMESTAMP AS OF time travel") {
+    import spark.implicits._
+    val c = sqlCat("tt")
+    val src = fresh("tt_src")
+    (1L to 4L).toDF("id").write.parquet(src)
+    spark.sql(s"CREATE TABLE $c.t AS SELECT id FROM parquet.`$src` WHERE id <= 2")
+    Thread.sleep(15) // separate publish mtimes across the travel point
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(15)
+    spark.sql(s"INSERT INTO $c.t SELECT id FROM parquet.`$src` WHERE id > 2")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.t").head().getLong(0) == 4L)
+    // CTAS = create(v1 empty) + append(v2); the insert is v3. VERSION
+    // AS OF 2 sees only the CTAS rows.
+    assert(spark.sql(s"SELECT id FROM $c.t VERSION AS OF 2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(betweenMs))
+    assert(spark.sql(s"SELECT id FROM $c.t TIMESTAMP AS OF '$lit' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("V2 SQL catalog: snapshot pinned per statement; pruning and filters reach the inner scan") {
+    import spark.implicits._
+    val c = sqlCat("pin")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.p (id BIGINT, v BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $c.p SELECT id, id * 10 AS v, CAST(id AS STRING) AS s " +
+      "FROM range(100)")
+    val q = spark.sql(s"SELECT v FROM $c.p WHERE id >= 90")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (90L to 99L).map(_ * 10))
+    // the V1 bridge reports its pushdown on the scan node, and the
+    // pruned inner frame carries only the required columns
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(id,90)"),
+      s"filter not pushed through the V2->V1 bridge:\n$plan")
+    // a write AFTER a statement resolved its pin does not shift it:
+    // resolve the frame first, then append, then execute
+    val pinned = spark.sql(s"SELECT count(*) AS n FROM $c.p")
+    spark.sql(s"INSERT INTO $c.p VALUES (1000, 1, 'x')")
+    assert(pinned.head().getLong(0) == 100L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.p").head().getLong(0) == 101L)
+  }
+
   test("atomic rename: one mapping at every instant, no silent remap") {
     import spark.implicits._
     val cat = fresh("ren")
