@@ -752,6 +752,86 @@ object ScaleBench {
     println(s)
   }
 
+  /** TWO-RUNG skipping economics (r11): partition-dir pruning COMPOSED
+    * with file-stats skipping inside the kept partitions. The table
+    * grows n× by adding YEARS (replica k shifts o_year +100k and
+    * o_orderkey so probes stay unique); within every year the data is
+    * range-laid-out by o_custkey into ~16 files with distinct ranges
+    * (the clustered-ingest shape). A fixed one-year, narrow-custkey
+    * query then reads via (a) [[Txn.readPartitionFilePruned]] — both
+    * rungs, (b) [[Txn.readPartitionPruned]] + residual — directory rung
+    * only, (c) full scan + filter. The CLAIM: dirs_kept stays 1 while
+    * dirs_total grows n×, files_kept stays ~1-2 of the ~16 in the kept
+    * dir, and at 100 TB rung (b)→(a) is another ~10× fewer file opens
+    * on top of partition pruning's n× (local wall times may tie — the
+    * page cache hides IO; the gated claim is the open counts). Writes
+    * PARTSKIP_r11.json. Enabled with SPARK_GRAFT_SCALE_PARTSKIP=1. */
+  private def partSkipCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.Txn
+    val shard = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val (cLo, cHi) = (1000L, 2000L) // fixed narrow customer range
+    val out = mults.map { m =>
+      val base = (0 until m).map { k =>
+        shard.withColumn("o_year", col("o_year") + lit(k * 100L))
+          .withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+      }.reduce(_.unionByName(_))
+      var buildMin = Double.MaxValue
+      var twoRungMin = Double.MaxValue
+      var dirRungMin = Double.MaxValue
+      var scanMin = Double.MaxValue
+      var probe = (-1, -1, -1, -1)
+      var nHits = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        val root = s"/tmp/graft_txnpartskip_x$m"
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+        val t0 = System.nanoTime()
+        // range layout on o_custkey: each of the 16 range tasks writes
+        // one distinct-custkey-range file into every year dir it holds
+        Txn.commitPartitioned(
+          base.repartitionByRange(16, col("o_custkey"))
+            .sortWithinPartitions("o_custkey"),
+          root, "o_year", statsCols = Seq("o_custkey"))
+        val t1 = System.nanoTime()
+        probe = Txn.partitionFileProbe(spark, root, "o_year", Seq(1995L),
+          "o_custkey", cLo, cHi)
+        nHits = Txn.readPartitionFilePruned(spark, root, "o_year",
+          Seq(1995L), "o_custkey", cLo, cHi).count()
+        val t2 = System.nanoTime()
+        Txn.readPartitionPruned(spark, root, "o_year", Seq(1995L))
+          .where(col("o_custkey").between(cLo, cHi)).count()
+        val t3 = System.nanoTime()
+        Txn.read(spark, root).where(col("o_year") === 1995L &&
+          col("o_custkey").between(cLo, cHi)).count()
+        val t4 = System.nanoTime()
+        buildMin = math.min(buildMin, (t1 - t0) / 1e9)
+        twoRungMin = math.min(twoRungMin, (t2 - t1) / 1e9)
+        dirRungMin = math.min(dirRungMin, (t3 - t2) / 1e9)
+        scanMin = math.min(scanMin, (t4 - t3) / 1e9)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+      val (dk, dt, fk, fit) = probe
+      System.err.println(f"partskip x$m (dirs $dk/$dt, files $fk/$fit, " +
+        f"hits=$nHits): build $buildMin%.2f s, two-rung $twoRungMin%.2f s, " +
+        f"dir-rung $dirRungMin%.2f s, scan $scanMin%.2f s")
+      (m, dk, dt, fk, fit, nHits, buildMin, twoRungMin, dirRungMin, scanMin)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, dk, dt, fk, fit, h, b, two, dir, sc) =>
+      s""""x$m":{"dirs_kept":$dk,"dirs_total":$dt,"files_kept":$fk,"files_in_kept_dirs":$fit,"hits":$h,"build_sec":${f2(b)},"two_rung_sec":${f2(two)},"dir_rung_sec":${f2(dir)},"full_scan_sec":${f2(sc)}}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"year-partitioned table grown nx by adding years, each year range-laid-out by o_custkey into ~16 files with per-partition _stats.tsv sidecars; fixed one-year narrow-custkey query. Two rungs compose: dirs_kept/dirs_total is the directory rung (flat 1 vs nx), files_kept/files_in_kept_dirs the file rung inside the kept year (~2 of ~16). At 100 TB the product is the point-query read path (partition -> file -> row); local wall times can tie because the page cache hides the file opens the counts gate","passes":$passes,"probe":{"year":1995,"custkey_lo":$cLo,"custkey_hi":$cHi},"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("PARTSKIP_r11.json"), s.getBytes)
+    println(s)
+  }
+
   /** CLONE economics (r10): shallow-clone a table grown n× vs the
     * deep-copy alternative (a full [[Txn.commit]] of `read(src)` into
     * the new root). The claim: cloneTable is O(manifest) — FLAT
@@ -922,6 +1002,10 @@ object ScaleBench {
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_PARTITION").contains("1")) {
       partitionCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_PARTSKIP").contains("1")) {
+      partSkipCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_CLONE").contains("1")) {

@@ -722,11 +722,15 @@ object Txn {
     * Pair with [[commitAppendPartitioned]] for the canonical
     * ingest-one-day-at-a-time loop. */
   def commitPartitioned(df: DataFrame, root: String, partCol: String,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 20): Long = {
     require(df.schema.fieldNames.contains(partCol),
       s"partition column $partCol absent from the schema")
     val f = fs(df.sparkSession, root)
-    val dataRel = writeSnapshot(df, root, Nil, partitionBy = Some(partCol))
+    val dataRel = writeSnapshot(df, root, statsCols, partitionBy = Some(partCol))
+    if (bloomCols.nonEmpty)
+      writeBloom(df.sparkSession, f, s"$root/$dataRel", bloomCols, bloomBits)
     publishFull(f, root, dataRel,
       manifestBody(dataRel, meta + ("partitionCol" -> partCol)))
   }
@@ -736,11 +740,14 @@ object Txn {
     * manifest-appended dir — O(shard) commit into a partitioned table
     * of any size, the production ingest loop. */
   def commitAppendPartitioned(df: DataFrame, root: String, partCol: String,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 20): Long = {
     require(df.schema.fieldNames.contains(partCol),
       s"partition column $partCol absent from the shard schema")
-    appendCore(df, root, Nil, meta + ("partitionCol" -> partCol),
-      dedupKey = None, partitionBy = Some(partCol))
+    appendCore(df, root, statsCols, meta + ("partitionCol" -> partCol),
+      dedupKey = None, partitionBy = Some(partCol),
+      bloomCols = bloomCols, bloomBits = bloomBits)
       .getOrElse(sys.error("unreachable: dedup-free append cannot no-op"))
   }
 
@@ -873,51 +880,107 @@ object Txn {
     * write the sentinel `-` bounds (never prunable — always read). */
   private def writeStats(spark: SparkSession, f: FileSystem,
       dataDir: String, statsCols: Seq[String]): Unit = {
-    val snap = spark.read.parquet(dataDir)
+    val snap = readDir(spark, f, dataDir)
     statsCols.foreach { c => require(snap.schema.fieldNames.contains(c),
       s"stats column $c absent from committed schema") }
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"min_$c"),
       max(col(c).cast("long")).as(s"max_$c")))
-    val rows = snap
-      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // one row per data FILE — bounded by snapshot file count
-    val sb = new StringBuilder
-    rows.foreach { r =>
-      val file = r.getString(0)
-      statsCols.zipWithIndex.foreach { case (c, i) =>
-        val mn = if (r.isNullAt(1 + 2 * i)) "-" else r.getLong(1 + 2 * i).toString
-        val mx = if (r.isNullAt(2 + 2 * i)) "-" else r.getLong(2 + 2 * i).toString
-        sb.append(s"$file\t$c\t$mn\t$mx\n")
+    if (!isPartitionedDir(f, dataDir)) {
+      val rows = snap
+        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // one row per data FILE — bounded by snapshot file count
+      val sb = new StringBuilder
+      rows.foreach { r =>
+        val file = r.getString(0)
+        statsCols.zipWithIndex.foreach { case (c, i) =>
+          val mn = if (r.isNullAt(1 + 2 * i)) "-" else r.getLong(1 + 2 * i).toString
+          val mx = if (r.isNullAt(2 + 2 * i)) "-" else r.getLong(2 + 2 * i).toString
+          sb.append(s"$file\t$c\t$mn\t$mx\n")
+        }
+      }
+      val out = f.create(new Path(s"$dataDir/_stats.tsv"), false)
+      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    } else {
+      // HIVE-PARTITIONED snapshot (r11): one sidecar INSIDE each
+      // `col=value` subdir holding only that partition's files — so the
+      // metadata read composes with directory pruning (a read that
+      // keeps 3 of 1000 partitions opens 3 sidecars, never a
+      // table-sized one), and because one write task emits
+      // SAME-BASENAME files into several partition dirs, per-subdir
+      // placement is also what keeps the file key unambiguous
+      // (read-side keys are `subdir/basename`).
+      val rows = snap
+        .groupBy(
+          regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1).as("pdir"),
+          regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // one row per data FILE — bounded by snapshot file count
+      rows.groupBy(_.getString(0)).foreach { case (pdir, rs) =>
+        val sb = new StringBuilder
+        rs.foreach { r =>
+          val file = r.getString(1)
+          statsCols.zipWithIndex.foreach { case (c, i) =>
+            val mn = if (r.isNullAt(2 + 2 * i)) "-" else r.getLong(2 + 2 * i).toString
+            val mx = if (r.isNullAt(3 + 2 * i)) "-" else r.getLong(3 + 2 * i).toString
+            sb.append(s"$file\t$c\t$mn\t$mx\n")
+          }
+        }
+        val out = f.create(new Path(s"$dataDir/$pdir/_stats.tsv"), false)
+        try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
       }
     }
-    val out = f.create(new Path(s"$dataDir/_stats.tsv"), false)
-    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** (file-basename, col) -> (min, max) merged from every snapshot
-    * dir's stats sidecar (basenames are globally unique — Spark part
-    * files embed a write UUID); dirs committed without stats simply
-    * contribute nothing, so their files are never prunable. */
+  /** (file-key, col) -> (min, max) merged from every snapshot dir's
+    * stats sidecar; dirs committed without stats simply contribute
+    * nothing, so their files are never prunable. File keys: plain
+    * basename for flat dirs (globally unique — Spark part files embed a
+    * write UUID), `subdir/basename` for hive-partitioned dirs (one
+    * write task emits same-basename files into several partition
+    * subdirs, so the subdir qualifies the key). */
   def fileStats(spark: SparkSession, root: String,
       version: Long): Map[(String, String), (Option[Long], Option[Long])] = {
     val f = fs(spark, root)
     manifestDirs(f, root, version)
       .filter(!_.startsWith("~")).flatMap { d =>
-      val p = new Path(s"${resolveDir(root, d)}/_stats.tsv")
-      if (!f.exists(p)) Seq.empty
-      else {
-        val in = f.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        text.split('\n').filter(_.nonEmpty).toSeq.map { line =>
-          val Array(file, c, mn, mx) = line.split('\t')
-          def parse(s: String) = if (s == "-") None else Some(s.toLong)
-          (file, c) -> ((parse(mn), parse(mx)))
+        statsSidecars(f, resolveDir(root, d)).flatMap { case (prefix, p) =>
+          readLines(f, p).map { line =>
+            val Array(file, c, mn, mx) = line.split('\t')
+            def parse(s: String) = if (s == "-") None else Some(s.toLong)
+            (s"$prefix$file", c) -> ((parse(mn), parse(mx)))
+          }
         }
-      }
-    }.toMap
+      }.toMap
+  }
+
+  /** The sidecar files named `name` under a snapshot dir with their
+    * file-key prefixes: the dir-root sidecar (flat snapshots, prefix
+    * "") plus one per partition subdir (prefix `subdir/`). */
+  private def sidecarsNamed(f: FileSystem, dir: String,
+      name: String): Seq[(String, Path)] = {
+    val flat = new Path(s"$dir/$name")
+    val fromRoot = if (f.exists(flat)) Seq(("", flat)) else Seq.empty
+    val fromParts =
+      if (!isPartitionedDir(f, dir)) Seq.empty
+      else f.listStatus(new Path(dir)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap { st =>
+          val p = new Path(st.getPath, name)
+          if (f.exists(p)) Seq((s"${st.getPath.getName}/", p)) else Seq.empty
+        }
+    fromRoot ++ fromParts
+  }
+
+  private def statsSidecars(f: FileSystem, dir: String): Seq[(String, Path)] =
+    sidecarsNamed(f, dir, "_stats.tsv")
+
+  private def readLines(f: FileSystem, p: Path): Seq[String] = {
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    text.split('\n').filter(_.nonEmpty).toSeq
   }
 
   /** Per-file BLOOM sidecar (r10): for each named LONG-castable column,
@@ -934,54 +997,74 @@ object Txn {
     * null never matches a point probe). */
   private def writeBloom(spark: SparkSession, f: FileSystem,
       dataDir: String, bloomCols: Seq[String], mBits: Int): Unit = {
-    val snap = spark.read.parquet(dataDir)
+    val snap = readDir(spark, f, dataDir)
     bloomCols.foreach { c => require(snap.schema.fieldNames.contains(c),
       s"bloom column $c absent from committed schema") }
     val agg = udaf(new graft.functions.BloomGramAgg(mBits))
-    val sb = new StringBuilder
-    bloomCols.foreach { c =>
-      val rows = snap
-        .where(col(c).cast("long").isNotNull)
-        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-        .agg(agg(col(c).cast("long")).as("bits"))
-        .collect() // one row per data FILE — bounded by snapshot file count
-      rows.foreach { r =>
-        val bits = r.getSeq[Long](1).toArray
-        val bytes = java.nio.ByteBuffer.allocate(bits.length * 8)
-        bits.foreach(bytes.putLong)
-        val b64 = java.util.Base64.getEncoder.encodeToString(bytes.array())
-        sb.append(s"${r.getString(0)}\t$c\t$b64\n")
+    val partitioned = isPartitionedDir(f, dataDir)
+    def encode(r: org.apache.spark.sql.Row, bitsAt: Int): String = {
+      val bits = r.getSeq[Long](bitsAt).toArray
+      val bytes = java.nio.ByteBuffer.allocate(bits.length * 8)
+      bits.foreach(bytes.putLong)
+      java.util.Base64.getEncoder.encodeToString(bytes.array())
+    }
+    if (!partitioned) {
+      val sb = new StringBuilder
+      bloomCols.foreach { c =>
+        snap.where(col(c).cast("long").isNotNull)
+          .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+          .agg(agg(col(c).cast("long")).as("bits"))
+          .collect() // one row per data FILE — bounded by snapshot file count
+          .foreach(r => sb.append(s"${r.getString(0)}\t$c\t${encode(r, 1)}\n"))
+      }
+      val out = f.create(new Path(s"$dataDir/_bloom.tsv"), false)
+      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    } else {
+      // per-partition-subdir sidecars, subdir-qualified keys — same
+      // layout rationale as the partitioned [[writeStats]] branch
+      val perDir = scala.collection.mutable.Map.empty[String, StringBuilder]
+      bloomCols.foreach { c =>
+        snap.where(col(c).cast("long").isNotNull)
+          .groupBy(
+            regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1).as("pdir"),
+            regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+          .agg(agg(col(c).cast("long")).as("bits"))
+          .collect()
+          .foreach { r =>
+            perDir.getOrElseUpdate(r.getString(0), new StringBuilder)
+              .append(s"${r.getString(1)}\t$c\t${encode(r, 2)}\n")
+          }
+      }
+      perDir.foreach { case (pdir, sb) =>
+        val out = f.create(new Path(s"$dataDir/$pdir/_bloom.tsv"), false)
+        try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
       }
     }
-    val out = f.create(new Path(s"$dataDir/_bloom.tsv"), false)
-    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** (file-basename, col) -> bloom bit array, merged from every
-    * snapshot dir's `_bloom.tsv`; dirs committed without blooms
-    * contribute nothing (their files are never point-prunable). */
+  /** (file-key, col) -> bloom bit array, merged from every snapshot
+    * dir's `_bloom.tsv` sidecars (dir-root for flat snapshots,
+    * per-partition-subdir with `subdir/basename` keys for partitioned
+    * ones); dirs committed without blooms contribute nothing (their
+    * files are never point-prunable). */
   def fileBlooms(spark: SparkSession, root: String,
       version: Long): Map[(String, String), Array[Long]] = {
     val f = fs(spark, root)
     manifestDirs(f, root, version)
       .filter(!_.startsWith("~")).flatMap { d =>
-      val p = new Path(s"${resolveDir(root, d)}/_bloom.tsv")
-      if (!f.exists(p)) Seq.empty
-      else {
-        val in = f.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        text.split('\n').filter(_.nonEmpty).toSeq.map { line =>
-          val Array(file, c, b64) = line.split('\t')
-          val bytes = java.util.Base64.getDecoder.decode(b64)
-          val bb = java.nio.ByteBuffer.wrap(bytes)
-          val bits = new Array[Long](bytes.length / 8)
-          var i = 0
-          while (i < bits.length) { bits(i) = bb.getLong(); i += 1 }
-          (file, c) -> bits
+        sidecarsNamed(f, resolveDir(root, d), "_bloom.tsv").flatMap {
+          case (prefix, p) =>
+            readLines(f, p).map { line =>
+              val Array(file, c, b64) = line.split('\t')
+              val bytes = java.util.Base64.getDecoder.decode(b64)
+              val bb = java.nio.ByteBuffer.wrap(bytes)
+              val bits = new Array[Long](bytes.length / 8)
+              var i = 0
+              while (i < bits.length) { bits(i) = bb.getLong(); i += 1 }
+              (s"$prefix$file", c) -> bits
+            }
         }
-      }
-    }.toMap
+      }.toMap
   }
 
   /** [[commit]] that also writes BLOOM sidecars: full-snapshot publish
@@ -1040,35 +1123,60 @@ object Txn {
     * version is an explicit parameter so one resolve feeds both the
     * file list and the schema (r10 advice: resolving twice let a
     * concurrent commit mix two versions' views). */
-  /** Shared file-skipping walk: every data file in version `version`
-    * passes through `keepFile` (by basename); tombstone entries pass
-    * through for the reader's log-order fold. `keepFile` must be
-    * one-sided — it may keep a file the predicate rejects (read +
-    * filtered later) but must never drop one containing a matching
-    * row. */
+  /** One file group of a pruned scan: `files` read together, plus the
+    * partition (col, rawValue) they sit under when they come from a
+    * hive-partitioned subdir — the scan reconstructs that column from
+    * the value (the files themselves don't store it). */
+  private case class ScanGroup(files: Seq[String],
+      part: Option[(String, String)])
+
+  /** Shared file-skipping walk (r11: partition-aware — the r10 refusal
+    * guard is gone): every data file in version `version` passes
+    * through `keepFile` (keyed by basename for flat dirs,
+    * `subdir/basename` inside partitioned dirs — matching the sidecar
+    * keys); tombstone entries pass through for the reader's log-order
+    * fold. Partitioned dirs additionally pass each `col=value` subdir
+    * through `keepPart` FIRST — the directory rung — and only surviving
+    * subdirs pay the file-rung listing, so a pruned read's metadata
+    * cost is O(kept partitions), never O(table). Both predicates must
+    * be one-sided: they may keep what the residual predicate rejects,
+    * never drop a file/dir containing a matching row. */
   private def prunePlanBy(spark: SparkSession, root: String, version: Long,
-      keepFile: String => Boolean): (Seq[Either[Seq[String], (String, String)]], Int) = {
+      keepFile: String => Boolean,
+      keepPart: (String, String) => Boolean = (_, _) => true):
+      (Seq[Either[Seq[ScanGroup], (String, String)]], Int) = {
     val f = fs(spark, root)
     var total = 0
+    def parquetFiles(dir: Path): Seq[String] =
+      f.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    def base(path: String): String = path.substring(path.lastIndexOf('/') + 1)
     val plan = manifestDirs(f, root, version).map(parseEntry).map {
       case (dir, None) =>
         val abs = resolveDir(root, dir)
-        // file-level skipping reads kept files under the version's FLAT
-        // schema; a hive-partitioned dir's files lack the partition
-        // column (it lives in the dir names), so an explicit-schema
-        // scan would null-fill it — silently wrong rows, not a missed
-        // optimization. Partitioned snapshots skip at DIRECTORY level
-        // instead ([[readPartitionPruned]]).
-        require(!isPartitionedDir(f, abs),
-          s"$abs is hive-partitioned - file-level skipping does not " +
-            "apply; use readPartitionPruned for partition-level skipping")
-        val files = f.listStatus(new Path(abs)).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString)
-        total += files.size
-        Left(files.filter { path =>
-          keepFile(path.substring(path.lastIndexOf('/') + 1))
-        })
+        if (!isPartitionedDir(f, abs)) {
+          val files = parquetFiles(new Path(abs))
+          total += files.size
+          Left(Seq(ScanGroup(files.filter(p => keepFile(base(p))), None)))
+        } else {
+          val groups = f.listStatus(new Path(abs)).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+            .flatMap { st =>
+              val pdir = st.getPath.getName
+              val eq = pdir.indexOf('=')
+              val (c, v) = (pdir.substring(0, eq), pdir.substring(eq + 1))
+              if (!keepPart(c, v)) None // directory rung: never listed
+              else {
+                val files = parquetFiles(st.getPath)
+                total += files.size
+                Some(ScanGroup(
+                  files.filter(p => keepFile(s"$pdir/${base(p)}")),
+                  Some((c, v))))
+              }
+            }
+          Left(groups)
+        }
       case (dir, Some(keyCol)) => Right((dir, keyCol))
     }
     (plan, total)
@@ -1087,7 +1195,7 @@ object Txn {
 
   private def prunePlan(spark: SparkSession, root: String, version: Long,
       colName: String, lo: Long,
-      hi: Long): (Seq[Either[Seq[String], (String, String)]], Int) =
+      hi: Long): (Seq[Either[Seq[ScanGroup], (String, String)]], Int) =
     prunePlanBy(spark, root, version,
       statsKeep(fileStats(spark, root, version), colName, lo, hi))
 
@@ -1098,7 +1206,7 @@ object Txn {
   def pruneFiles(spark: SparkSession, root: String, version: Long,
       colName: String, lo: Long, hi: Long): (Seq[String], Int) = {
     val (plan, total) = prunePlan(spark, root, version, colName, lo, hi)
-    (plan.collect { case Left(files) => files }.flatten, total)
+    (plan.collect { case Left(gs) => gs.flatMap(_.files) }.flatten, total)
   }
 
   /** [[pruneFiles]] against the current version (one resolve, then the
@@ -1148,22 +1256,41 @@ object Txn {
     * contract; with an explicit schema the parquet reader null-fills
     * per file instead (r9 review). */
   private def scanPruned(spark: SparkSession, root: String, version: Long,
-      plan: Seq[Either[Seq[String], (String, String)]]): DataFrame = {
+      plan: Seq[Either[Seq[ScanGroup], (String, String)]]): DataFrame = {
     val schema = readVersion(spark, root, version).schema
-    def scan(files: Seq[String]): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    def scan(g: ScanGroup): DataFrame = g match {
+      case ScanGroup(files, _) if files.isEmpty => empty
+      case ScanGroup(files, None) =>
+        spark.read.schema(schema).parquet(files: _*)
+      case ScanGroup(files, Some((c, raw))) =>
+        // a partitioned subdir's files do not STORE the partition
+        // column — reconstruct it from the directory value at the
+        // version schema's type, then restore column order (this is
+        // what made the r10 guard refuse partitioned dirs: an
+        // explicit-schema scan would have null-filled it)
+        val pType = schema(c).dataType
+        val fileSchema = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name == c))
+        spark.read.schema(fileSchema).parquet(files: _*)
+          .withColumn(c, lit(raw).cast(pType))
+          .select(schema.fieldNames.map(col).toSeq: _*)
+    }
     plan.foldLeft(Option.empty[DataFrame]) {
-      case (acc, Left(files)) =>
-        val d = scan(files)
+      case (acc, Left(groups)) =>
+        // a fully-pruned dir still contributes an empty frame so a
+        // following tombstone folds over SOMETHING (same semantics as
+        // the r10 flat form)
+        val nonEmpty = groups.map(scan).filter(_ ne empty)
+        val d = if (nonEmpty.isEmpty) empty else nonEmpty.reduce(_.unionByName(_))
         Some(acc.fold(d)(_.unionByName(d)))
       case (acc, Right((dir, keyCol))) =>
         val keys = spark.read.parquet(resolveDir(root, dir)).select(keyCol).distinct()
         Some(acc.getOrElse(sys.error(
             s"tombstone $dir precedes any data dir at $root"))
           .join(keys, Seq(keyCol), "left_anti"))
-    }.getOrElse(scan(Nil))
+    }.getOrElse(empty)
   }
 
   /** POINT-LOOKUP read `col IN (values)` via the BLOOM sidecar (r10):
@@ -1216,7 +1343,71 @@ object Txn {
       sys.error(s"no committed version at $root"))
     val (plan, total) = prunePlanBy(spark, root, v,
       pointKeep(spark, root, v, colName, values))
-    (plan.collect { case Left(fl) => fl.size }.sum, total)
+    (plan.collect { case Left(gs) => gs.map(_.files.size).sum }.sum, total)
+  }
+
+  /** TWO-RUNG pruned read on a hive-partitioned table (r11, closing the
+    * r10 "partitioned dirs refuse file skipping" gap): directory
+    * pruning (`partCol IN values` straight off the listing) composes
+    * with file-stats skipping (`lo <= col <= hi` against the
+    * per-partition `_stats.tsv` sidecars) and the residual filter;
+    * tombstones fold over the pruned scan in log order. This is the
+    * actual 100 TB point-query read path — partition → file → row: a
+    * year-partitioned decade of data probed for one customer's January
+    * opens one directory listing, then only the files whose stats admit
+    * the key, then row-level parquet pushdown inside those. Semantics ≡
+    * `read(...).where(partCol isin values && col between lo and hi)` —
+    * TxnSpec pins the equivalence and the dirs/files counts. Flat dirs
+    * in a mixed chain skip the directory rung (one-sided) but still
+    * prune by stats. */
+  def readPartitionFilePruned(spark: SparkSession, root: String,
+      partCol: String, values: Seq[Any], colName: String, lo: Long,
+      hi: Long): DataFrame = {
+    require(values.nonEmpty, "readPartitionFilePruned needs at least one value")
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val wanted = values.map(_.toString).toSet
+    val (plan, _) = prunePlanBy(spark, root, v,
+      statsKeep(fileStats(spark, root, v), colName, lo, hi),
+      keepPart = (c, pv) => c != partCol || wanted(pv))
+    scanPruned(spark, root, v, plan)
+      .where(col(partCol).isin(values: _*) &&
+        col(colName).cast("long").between(lo, hi))
+  }
+
+  /** The decisions [[readPartitionFilePruned]] would make, without the
+    * scan: (partition dirs kept, partition dirs total, files kept,
+    * files in kept dirs) — the measurable two-rung skipping claim
+    * (dirs_kept < dirs_total proves the directory rung fired AND
+    * files_kept < files-in-kept-dirs proves the file rung fired on what
+    * survived). */
+  def partitionFileProbe(spark: SparkSession, root: String,
+      partCol: String, values: Seq[Any], colName: String, lo: Long,
+      hi: Long): (Int, Int, Int, Int) = {
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val f = fs(spark, root)
+    val wanted = values.map(x => s"$partCol=$x").toSet
+    var dirsKept = 0
+    var dirsTotal = 0
+    manifestDirs(f, root, v).map(parseEntry).foreach {
+      case (dir, None) =>
+        val abs = resolveDir(root, dir)
+        if (isPartitionedDir(f, abs))
+          f.listStatus(new Path(abs)).foreach { st =>
+            if (st.isDirectory && st.getPath.getName.contains("=")) {
+              dirsTotal += 1
+              if (wanted(st.getPath.getName)) dirsKept += 1
+            }
+          }
+      case _ => ()
+    }
+    val wantedVals = values.map(_.toString).toSet
+    val (plan, totalInKept) = prunePlanBy(spark, root, v,
+      statsKeep(fileStats(spark, root, v), colName, lo, hi),
+      keepPart = (c, pv) => c != partCol || wantedVals(pv))
+    val filesKept = plan.collect { case Left(gs) => gs.map(_.files.size).sum }.sum
+    (dirsKept, dirsTotal, filesKept, totalInKept)
   }
 
   private def bloomMayContain(bits: Array[Long], value: Long): Boolean = {

@@ -802,12 +802,14 @@ class TxnSpec extends SparkSpec {
     assert(ids(Txn.readPartitionPruned(spark, root, "day", Seq(3L, 9L))) ==
       ((1L to 4000L).filter(_ % 8 == 3).toSet -- Set(3L, 11L)) ++
         (5002L to 5100L).toSet)
-    // file-level skipping refuses partitioned dirs (it would null-fill
-    // the partition column) and points at the partition path instead
-    val err = intercept[IllegalArgumentException] {
-      Txn.readPruned(spark, root, "id", 1L, 10L).collect()
-    }
-    assert(err.getMessage.contains("readPartitionPruned"))
+    // r11: file-level reads COMPOSE with partitioned dirs — the
+    // partition column reconstructs from the directory values (no
+    // sidecars here, so nothing prunes, but semantics hold incl. the
+    // tombstone fold and the materialized partition column)
+    val pruned = Txn.readPruned(spark, root, "id", 1L, 10L)
+    assert(ids(pruned) == ((1L to 10L).toSet - 3L))
+    assert(pruned.select("day").collect().map(_.getAs[Number](1 - 1).longValue())
+      .toSet == ((1L to 10L).toSet - 3L).map(_ % 8L))
     // STRING partition values (tenant/source-keyed layout) prune too
     val root2 = freshRoot("partstr")
     Txn.commitPartitioned(
@@ -816,6 +818,50 @@ class TxnSpec extends SparkSpec {
     assert(Txn.partitionProbe(spark, root2, "src", Seq("web")) == ((1, 2)))
     assert(ids(Txn.readPartitionPruned(spark, root2, "src", Seq("web"))) ==
       Set(1L, 3L))
+  }
+
+  test("two-rung skipping: partition dirs, then file stats, then rows") {
+    import spark.implicits._
+    val root = freshRoot("tworung")
+    // year = id % 4 interleaves ids across partitions; range-partition
+    // by id first so each year dir holds ~4 files with DISTINCT id
+    // ranges — the shape where the file rung has something to prune
+    val df = (1L to 8000L).map(i => (i, i % 4L)).toDF("id", "year")
+      .repartitionByRange(4, col("id"))
+    Txn.commitPartitioned(df, root, "year", statsCols = Seq("id"))
+    val (dk, dt, fk, fit) =
+      Txn.partitionFileProbe(spark, root, "year", Seq(1L), "id", 100L, 300L)
+    assert(dk == 1 && dt == 4, s"directory rung: kept $dk of $dt")
+    assert(fk < fit && fk >= 1, s"file rung: kept $fk of $fit in kept dirs")
+    def want(rows: Seq[(Long, Long)]): Set[Long] =
+      rows.filter { case (i, y) => y == 1L && i >= 100L && i <= 300L }
+        .map(_._1).toSet
+    val base = (1L to 8000L).map(i => (i, i % 4L))
+    assert(ids(Txn.readPartitionFilePruned(spark, root, "year", Seq(1L),
+      "id", 100L, 300L)) == want(base))
+    // tombstones fold over the two-rung pruned scan
+    Txn.commitDelete(spark, root, "id", Seq(101L, 205L).toDF("id"))
+    assert(ids(Txn.readPartitionFilePruned(spark, root, "year", Seq(1L),
+      "id", 100L, 300L)) == want(base) -- Set(101L, 205L))
+    // a FLAT appended shard in the chain skips the directory rung
+    // (one-sided) but still stats-prunes; content stays ≡ plain filter
+    Txn.commitAppend((8101L to 8200L).map(i => (i, 1L)).toDF("id", "year"),
+      root, statsCols = Seq("id"))
+    assert(ids(Txn.readPartitionFilePruned(spark, root, "year", Seq(1L),
+      "id", 100L, 8150L)) ==
+      ((100L to 8000L).filter(_ % 4 == 1).toSet -- Set(101L, 205L)) ++
+        (8101L to 8150L))
+    // bloom sidecars compose with partition subdirs: point reads prune
+    // files inside partitions on an unclustered key
+    val root2 = freshRoot("partbloom")
+    val keyed = (1L to 6000L).map(i => (i, (i * 2654435761L) % 100003L, i % 3L))
+      .toDF("id", "key", "tenant").repartition(4)
+    Txn.commitPartitioned(keyed, root2, "tenant",
+      bloomCols = Seq("key"), bloomBits = 1 << 17)
+    val probe = ((42L * 2654435761L) % 100003L)
+    val (bk, bt) = Txn.probeFiles(spark, root2, "key", Seq(probe))
+    assert(bk < bt, s"partitioned bloom kept $bk of $bt")
+    assert(ids(Txn.readPoint(spark, root2, "key", Seq(probe))) == Set(42L))
   }
 
   test("timestamp time travel and DESCRIBE DETAIL are metadata-only") {
