@@ -18,7 +18,7 @@ object SparkEntry {
     val qs = Scans.all ++ Funcs.all ++ Joins.all ++ Aggs.all ++ Windows.all ++
       SetSort.all ++ Generators.all ++ StreamTwins.all ++ Llm.all ++
       TextOps.all ++ DedupOps.all ++ MediaOps.all ++ AnnPq.all ++ Rewrite.all ++
-      Layout.all ++ Graph.all ++ Behavior.all ++ GraftCatalog.all
+      Layout.all ++ Graph.all ++ Behavior.all ++ GraftCatalog.all ++ Bpe.all
     val dups = qs.groupBy(_.key).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query keys would shadow queries: ${dups.mkString(", ")}")
     qs
