@@ -362,6 +362,64 @@ object ScaleBench {
     println(s)
   }
 
+  /** Mega-cluster survivor election (r11, r10 verdict item 1's
+    * done-condition): llm_cluster_best's r11 aggregate election
+    * ([[graft.ops.DedupOps.clusterBestElect]] — ONE groupBy(label) with
+    * min(struct(-quality, doc_id)) + count, partial-aggregatable) vs
+    * the r10 count+row_number window form on identical (doc_id, label,
+    * quality_micro) frames where ONE label covers 99% of all docs — the
+    * template/boilerplate family shape crawls guarantee. The window
+    * form sorts the hot label in ONE AQE-unsplittable task, linear in
+    * the corpus; the aggregate form combines it map-side. Outputs
+    * asserted equal. The synthetic frame isolates the ELECTION (the
+    * component machinery upstream is shared by both forms and already
+    * measured by SCALING's contraction curves). Writes
+    * CLUSTERBEST_r11.json. Enabled with SPARK_GRAFT_SCALE_CLUSTERBEST=1. */
+  private def clusterBestCurve(spark: SparkSession,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.DedupOps
+    val out = mults.map { m =>
+      val n = 2000000L * m
+      val scored = spark.range(n).toDF("doc_id")
+        .withColumn("label",
+          when(col("doc_id") % 100 < 99, lit(0L))
+            .otherwise(col("doc_id") % 100000L))
+        .withColumn("quality_micro",
+          pmod(col("doc_id") * lit(2654435761L), lit(1000000L)))
+      val megaSize = scored.where(col("label") === 0L).count()
+      val agg = DedupOps.clusterBestElect(scored)
+      val win = DedupOps.clusterBestWindowForm(scored)
+      val diff = agg.unionByName(win)
+        .groupBy("doc_id", "cluster_id", "n_members", "quality_micro")
+        .count().where(col("count") =!= 2).count()
+      require(diff == 0, s"election forms diverge on $diff rows at x$m")
+      var aggMin = Double.MaxValue
+      var winMin = Double.MaxValue
+      var nRows = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        var t0 = System.nanoTime()
+        nRows = DedupOps.clusterBestElect(scored).count()
+        aggMin = math.min(aggMin, (System.nanoTime() - t0) / 1e9)
+        t0 = System.nanoTime()
+        DedupOps.clusterBestWindowForm(scored).count()
+        winMin = math.min(winMin, (System.nanoTime() - t0) / 1e9)
+      }
+      System.err.println(f"clusterbest x$m: agg $aggMin%.2f s, window $winMin%.2f s, " +
+        f"$nRows clusters, mega label $megaSize docs")
+      (m, aggMin, winMin, nRows, megaSize)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, a, w, n, mega) =>
+      s""""x$m":{"agg_sec":${f2(a)},"window_sec":${f2(w)},"clusters":$n,"mega_label_docs":$mega}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"synthetic (doc_id, label, quality_micro) frames with ONE label covering 99% of docs (the crawl template-family shape); registered r11 aggregate election (min(struct(-quality,doc_id)) + count in one groupBy, map-side combining) vs the r10 count+row_number window form on identical inputs, outputs asserted equal. The window form's hot label is a single-task AQE-unsplittable sort linear in the corpus; mega_label_docs is that partition's size","passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("CLUSTERBEST_r11.json"), s.getBytes)
+    println(s)
+  }
+
   /** Dominant-source packing point (r10 verdict item 2's
     * done-condition): corpora rewritten to ONE source — the input
     * shape a real training mix hits whenever a single crawl dominates
@@ -1006,6 +1064,10 @@ object ScaleBench {
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_PARTSKIP").contains("1")) {
       partSkipCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_CLUSTERBEST").contains("1")) {
+      clusterBestCurve(spark, mults, passes)
       spark.stop(); return
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_CLONE").contains("1")) {
