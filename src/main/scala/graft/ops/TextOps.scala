@@ -1138,12 +1138,28 @@ object TextOps {
     * (libm ulp policy).
     *
     * Scale shape: the corpus-sized work is ONE bigram-keyed hash join
-    * (doc bigrams → corpus bigram counts) — hash-frequency skew on
-    * stop-bigrams ("of the") is a JOIN, not a window, so AQE splits
-    * the hot partitions; the history-count and vocab frames are
-    * vocab-sized and BROADCAST (~10M rows at web scale — still a
-    * broadcastable dimension); the per-doc reduce is a partial-agg
-    * average. No stage materializes anything corpus×vocab. */
+    * (doc bigrams → corpus bigram counts). The r10 scaladoc claimed
+    * stop-bigram skew here is "AQE-splittable" — r11 MEASURED that
+    * claim and found it FALSE for this plan shape: `c12` is an
+    * aggregate OVER THE SAME exchange the join probes (Catalyst reuses
+    * the (w1,w2) exchange — normally the efficiency win), so the join
+    * child is Sort(HashAgg(ShuffleStage)), not the
+    * Sort(ShuffleStage) pattern `OptimizeSkewedJoin` rewrites; the
+    * split never fires at ANY threshold (ScaleBench LMSKEW: zero
+    * isSkew markers, on/off timings equal-to-noise). The registered
+    * plan therefore defuses the skew BY CONSTRUCTION with a HOT/COLD
+    * split: the [[LmHotBigrams]] most frequent bigrams (the "of the"
+    * class — few by definition; TakeOrderedAndProject, O(k)/partition)
+    * broadcast and attach map-side via a left join, and only the COLD
+    * tail — every key bounded by the K-th hot frequency — pays the
+    * shuffle join. Outputs identical (every pair matches c12 by
+    * construction; the split is a partition of the rows); LMSKEW
+    * times both forms on a planted every-doc bigram. The
+    * history-count frame is vocab-sized and SIZE-GATED through the
+    * same broadcastVerify switch the dedup family ships (r10 advice);
+    * the 1-row vocab count broadcasts unconditionally; the per-doc
+    * reduce is a partial-agg average. No stage materializes anything
+    * corpus×vocab. */
   val llmLmScore: Q = Q(
     "llm_lm_score",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1163,7 +1179,21 @@ object TextOps {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
       |  round(avg(nll), 4) AS avg_nll
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  ) { (s, dir) =>
+  ) { (s, dir) => lmScoreBuild(s, dir, hotCold = true) }
+
+  /** Hot-bigram broadcast size for the lm_score hot/cold split. */
+  private[graft] val LmHotBigrams = 1024
+
+  /** The r10 single-join form, kept ONLY as ScaleBench's measured
+    * contrast (LMSKEW mode) — its bigram exchange carries every
+    * stop-bigram occurrence into one partition, and AQE cannot split
+    * it (see [[llmLmScore]]). Not registered since r11. */
+  private[graft] def lmScoreNaiveForm(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    lmScoreBuild(s, dir, hotCold = false)
+
+  private def lmScoreBuild(s: org.apache.spark.sql.SparkSession, dir: String,
+      hotCold: Boolean): org.apache.spark.sql.DataFrame = {
     val t = documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 2)
@@ -1171,13 +1201,38 @@ object TextOps {
       """zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1),
         |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
-    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val c12Raw = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    // two regimes, the broadcastVerify pattern: when the whole bigram
+    // table fits the session broadcast threshold, broadcast it — zero
+    // shuffle, no skew possible, the right bench/small-corpus plan (and
+    // no cache: Catalyst computes it inline once). When it does not
+    // (web scale, or a disabled threshold), the hot/cold split defuses
+    // the stop-bigram skew by construction — and c12 is cached because
+    // that regime reads it three times (hot election, cold join, hist).
+    val thr = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    val c12Small = thr > 0 &&
+      c12Raw.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+    val c12 = if (hotCold && !c12Small) Q.cached(c12Raw) else c12Raw
     val hist = c12.groupBy("w1").agg(sum(col("c")).as("c1"))
     val vocab = t.select(explode(col("ws")).as("tok"))
       .agg(countDistinct(col("tok")).as("vocab"))
-    pairs
-      .join(c12, Seq("w1", "w2"))
-      .join(broadcast(hist), Seq("w1"))
+    val counted =
+      if (!hotCold || c12Small) pairs.join(c12, Seq("w1", "w2"))
+      else {
+        // hot/cold split: the K most frequent bigrams attach map-side
+        // (broadcast left join), only the cold tail pays the shuffle —
+        // every surviving key's frequency is bounded by the K-th hot
+        // count, so the exchange has no hot partition by construction
+        val hot = c12.orderBy(col("c").desc, col("w1"), col("w2"))
+          .limit(LmHotBigrams)
+        val tagged = pairs.join(broadcast(hot), Seq("w1", "w2"), "left_outer")
+        tagged.where(col("c").isNotNull)
+          .unionByName(
+            tagged.where(col("c").isNull).drop("c").join(c12, Seq("w1", "w2")))
+      }
+    counted
+      .join(DedupOps.verifySide(hist), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         (-log((col("c") + lit(1.0)) / (col("c1") + col("vocab")))).as("nll"))
