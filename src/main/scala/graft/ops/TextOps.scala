@@ -968,22 +968,66 @@ object TextOps {
       |       ELSE -1 END AS vocab_id
       |FROM df ORDER BY term""".stripMargin
   ) { (s, dir) =>
-    import s.implicits._
     val dfFrame = Q.cached(documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .distinct()
       .groupBy("term").agg(count(lit(1)).as("df")))
-    // distributed dense rank: range-partitioned sort by (df desc, term)
-    // then zipWithIndex (per-partition offsets from one size pass) —
-    // deterministic because the sort order is total
-    val inVocab = dfFrame.where(col("df") >= 3)
-      .orderBy(col("df").desc, col("term").asc)
-      .as[(String, Long)].rdd.zipWithIndex()
-      .map { case ((term, df), id) => (term, df, id) }
-      .toDF("term", "df", "vocab_id")
+    val inVocab = vocabRank(dfFrame.where(col("df") >= 3))
     val oov = dfFrame.where(col("df") < 3)
       .select(col("term"), col("df"), lit(-1L).as("vocab_id"))
     inVocab.unionByName(oov).orderBy("term")
+  }
+
+  /** Global dense ids over (df desc, term) — two conf-gated
+    * distributed shapes (r11, `spark.graft.vocab.rank`; both
+    * deterministic because the sort order is TOTAL, so range-boundary
+    * placement can shift partition sizes but never the composed rank —
+    * TextPipelineSpec pins the equality):
+    *   - "zip" (default): range-partitioned sort + RDD zipWithIndex —
+    *     Spark's classic global-dense-id idiom; one extra size-pass
+    *     job, exits codegen at the boundary.
+    *   - "sharded": the pure-DataFrame form — repartitionByRange +
+    *     per-partition row_number (the window partitions BY
+    *     spark_partition_id, so each window partition is one bounded
+    *     range shard, never a global single-task window) + a P-row
+    *     offset cumsum joined back on partition id. Stays in
+    *     Dataset-land end to end.
+    * Neither shape ever runs `row_number() OVER ()` unpartitioned —
+    * a billion-term vocab ranks across the cluster either way. */
+  private[graft] def vocabRank(
+      terms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = terms.sparkSession
+    s.conf.get("spark.graft.vocab.rank", "zip") match {
+      case "zip" =>
+        import s.implicits._
+        terms.orderBy(col("df").desc, col("term").asc)
+          .as[(String, Long)].rdd.zipWithIndex()
+          .map { case ((term, df), id) => (term, df, id) }
+          .toDF("term", "df", "vocab_id")
+      case "sharded" =>
+        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // cached: read twice (local ranks + offsets), and the range
+        // boundaries come from sampling — one pinned materialization
+        // guarantees both reads see the same partition ids
+        val sharded = Q.cached(terms
+          .repartitionByRange(parts, col("df").desc, col("term").asc)
+          .sortWithinPartitions(col("df").desc, col("term").asc)
+          .withColumn("__pid", spark_partition_id()))
+        val local = sharded.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("__pid"))
+            .orderBy(col("df").desc, col("term").asc)))
+        val offsets = sharded.groupBy("__pid")
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__base", coalesce(sum("__n").over(
+            Window.orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("__pid", "__base")
+        local.join(offsets, Seq("__pid"))
+          .select(col("term"), col("df"),
+            (col("__base") + col("__rk") - 1L).as("vocab_id"))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.vocab.rank must be zip|sharded, got '$other'")
+    }
   }
 
   /** Time-horizon dedup (r8) — exact dedup with a RECENCY WINDOW: a

@@ -1552,6 +1552,58 @@ object Txn {
     }
   }
 
+  /** AUTO-COMPACTION policy actuator (r11, r10 verdict item 6): read
+    * the [[tableDetail]] gauge and, when the file count or the
+    * tombstone-chain depth crosses its conf threshold, compact the
+    * table — one full commit of the folded current snapshot
+    * repartitioned to the target file size, which merges small ingest
+    * shards AND collapses the tombstone/upsert chain (every read was
+    * paying one anti-join per tombstone until now). The production
+    * loop is: ingest O(shard) appends + O(keys) deletes all day, call
+    * maintain() on a schedule, and reads stay flat.
+    *
+    * Thresholds (session conf):
+    *   - `spark.graft.txn.maintain.maxFiles`      (default 64)
+    *   - `spark.graft.txn.maintain.maxTombstones` (default 8)
+    *   - `spark.graft.txn.maintain.targetBytes`   (default 128 MiB)
+    *
+    * CONCURRENCY: the compaction publishes through [[commitIf]] pinned
+    * to the version the gauge read — a maintenance job must NEVER
+    * clobber a writer that landed mid-rewrite (a full-snapshot commit
+    * from a stale base silently discards the racer's rows). A lost
+    * race returns None (maintenance is best-effort; the next scheduled
+    * tick re-reads the gauge and retries). `statsCols`/`bloomCols`
+    * re-derive the skipping sidecars on the compacted layout, where
+    * they are tighter than before. Returns Some(version) when a
+    * compaction landed, None when the gauge is below thresholds or the
+    * OCC publish lost. */
+  def maintain(spark: SparkSession, root: String,
+      statsCols: Seq[String] = Nil): Option[Long] = {
+    def confLong(k: String, d: Long): Long =
+      spark.conf.getOption(k).map(_.toLong).getOrElse(d)
+    val maxFiles = confLong("spark.graft.txn.maintain.maxFiles", 64L)
+    val maxTombs = confLong("spark.graft.txn.maintain.maxTombstones", 8L)
+    val targetBytes = confLong("spark.graft.txn.maintain.targetBytes", 128L << 20)
+    require(maxFiles > 0 && maxTombs >= 0 && targetBytes > 0,
+      s"maintain thresholds must be positive ($maxFiles, $maxTombs, $targetBytes)")
+    val base = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val (_, files, bytes, tombs) = tableDetail(spark, root)
+    if (files <= maxFiles && tombs <= maxTombs) None
+    else {
+      val nFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+      try Some(commitIf(
+        readVersion(spark, root, base).repartition(nFiles.toInt),
+        root, expectedBase = base, statsCols = statsCols,
+        meta = Map("op" -> "maintain",
+          "compactedFiles" -> files.toString,
+          "collapsedTombstones" -> tombs.toString)))
+      catch {
+        case _: java.util.ConcurrentModificationException => None
+      }
+    }
+  }
+
   /** Transactional compaction: [[Layout.compactParquet]]'s rewrite,
     * committed as a new version of `root` instead of overwriting in
     * place — the compacted layout becomes visible atomically, and a

@@ -864,6 +864,51 @@ class TxnSpec extends SparkSpec {
     assert(ids(Txn.readPoint(spark, root2, "key", Seq(probe))) == Set(42L))
   }
 
+  test("maintain: the gauge trips, compaction collapses the chain, reads hold") {
+    import spark.implicits._
+    val root = freshRoot("maintain")
+    spark.conf.set("spark.graft.txn.maintain.maxFiles", "20")
+    spark.conf.set("spark.graft.txn.maintain.maxTombstones", "2")
+    spark.conf.set("spark.graft.txn.maintain.targetBytes", (1L << 20).toString)
+    try {
+      Txn.commit((1L to 100L).toDF("id"), root)
+      // below both thresholds: maintain is a no-op
+      assert(Txn.maintain(spark, root).isEmpty)
+      // the production day: small-shard appends + key deletes until the
+      // gauge trips (each append lands multi-file via repartition)
+      var expected = (1L to 100L).toSet
+      (1 to 6).foreach { k =>
+        val lo = 100L * k + 1L
+        Txn.commitAppend((lo to lo + 99L).toDF("id").repartition(4), root)
+        expected ++= (lo to lo + 99L)
+        Txn.commitDelete(spark, root, "id", Seq(lo + 1L).toDF("id"))
+        expected -= (lo + 1L)
+      }
+      val (_, filesBefore, _, tombsBefore) = Txn.tableDetail(spark, root)
+      assert(filesBefore > 20 && tombsBefore > 2,
+        s"fixture must trip both gauges, got ($filesBefore, $tombsBefore)")
+      val before = ids(Txn.read(spark, root))
+      assert(before == expected)
+      // maintain compacts: one new version, chain collapsed, content =
+      val v = Txn.maintain(spark, root, statsCols = Seq("id"))
+      assert(v.nonEmpty)
+      val (_, filesAfter, _, tombsAfter) = Txn.tableDetail(spark, root)
+      assert(filesAfter <= 20 && tombsAfter == 0,
+        s"compaction left ($filesAfter files, $tombsAfter tombstones)")
+      assert(ids(Txn.read(spark, root)) == expected)
+      // the re-derived stats sidecar keeps the point-query path fast
+      val (kept, total) = Txn.pruneFiles(spark, root, "id", 1L, 5L)
+      assert(kept.size < total || total == 1,
+        s"stats kept ${kept.size} of $total")
+      // gauge now below thresholds: the next tick is a no-op
+      assert(Txn.maintain(spark, root).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.txn.maintain.maxFiles")
+      spark.conf.unset("spark.graft.txn.maintain.maxTombstones")
+      spark.conf.unset("spark.graft.txn.maintain.targetBytes")
+    }
+  }
+
   test("timestamp time travel and DESCRIBE DETAIL are metadata-only") {
     import spark.implicits._
     val root = freshRoot("asof")
