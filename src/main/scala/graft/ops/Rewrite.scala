@@ -864,6 +864,78 @@ object Rewrite {
       .orderBy("o_orderkey")
   }
 
+  /** TWO-RUNG SKIPPING as a registered row (r11): a year-partitioned
+    * table range-laid-out by o_custkey inside each year with
+    * per-partition stats sidecars, a tombstone delete on top, read via
+    * [[Txn.readPartitionFilePruned]] — directory pruning → file-stats
+    * skipping → residual filter → tombstone fold, the partition→file→
+    * row point-query path a 100 TB warehouse actually serves. The
+    * oracle recomputes from raw orders, so the driver hash fails if
+    * either rung ever drops a matching row (one-sidedness), the
+    * reconstructed partition column drifts, or the tombstone fold is
+    * lost. TxnSpec pins the counts (both rungs FIRE); PARTSKIP_r11
+    * measures the economics. */
+  val txnPartitionSkipping: Q = Q(
+    "txn_partition_skipping",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(year(o_orderdate) AS BIGINT) AS o_year
+      |FROM orders
+      |WHERE year(o_orderdate) = 1995 AND o_custkey BETWEEN 500 AND 1500
+      |  AND o_orderkey % 97 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "orders_partskip")
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).cast("long").as("o_year"))
+    Txn.commitPartitioned(
+      o.repartitionByRange(8, col("o_custkey")).sortWithinPartitions("o_custkey"),
+      root, "o_year", statsCols = Seq("o_custkey"))
+    Txn.commitDelete(s, root, "o_orderkey",
+      o.where(col("o_orderkey") % 97 === 0).select("o_orderkey"))
+    Txn.readPartitionFilePruned(s, root, "o_year", Seq(1995L),
+      "o_custkey", 500L, 1500L)
+      .withColumn("o_year", col("o_year").cast("long"))
+      .orderBy("o_orderkey")
+  }
+
+  /** AUTO-COMPACTION as a registered row (r11): the production day —
+    * O(shard) appends + O(keys) deletes fragment the table past the
+    * maintain thresholds, [[Txn.maintain]] fires (required — the row
+    * errors loud if the gauge logic ever stops tripping) and collapses
+    * the chain, and the READ AFTER COMPACTION is what the oracle
+    * hash-gates: a compaction that loses an append, resurrects a
+    * deleted key, or tears under its own OCC guard breaks the hash.
+    * Thresholds are set conf-local to the row and restored. */
+  val txnMaintain: Q = Q(
+    "txn_maintain",
+    """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+      |FROM customer WHERE c_custkey % 13 <> 0
+      |UNION ALL
+      |SELECT c_custkey + 5000000, c_name, c_acctbal
+      |FROM customer WHERE c_custkey % 2 = 0
+      |ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "customer_maintain")
+    val base = customer(s, dir).select(col("c_custkey").as("custkey"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    Txn.commit(base, root)
+    Txn.commitAppend(base.where(col("custkey") % 2 === 0)
+      .withColumn("custkey", col("custkey") + 5000000L)
+      .repartition(8), root)
+    Txn.commitDelete(s, root, "custkey",
+      base.where(col("custkey") % 13 === 0).select("custkey"))
+    s.conf.set("spark.graft.txn.maintain.maxFiles", "4")
+    s.conf.set("spark.graft.txn.maintain.maxTombstones", "0")
+    try {
+      val v = Txn.maintain(s, root, statsCols = Seq("custkey"))
+      require(v.nonEmpty, s"maintain gauge failed to trip at $root")
+    } finally {
+      s.conf.unset("spark.graft.txn.maintain.maxFiles")
+      s.conf.unset("spark.graft.txn.maintain.maxTombstones")
+    }
+    Txn.read(s, root).orderBy("custkey")
+  }
+
   /** TIME TRAVEL as a registered row (r9): commit base as v1, the MERGE
     * output as v2, vacuum with keepLast=2 (exercising retention around a
     * pinned read), then read VERSION 1 — the oracle is the plain base
@@ -994,6 +1066,7 @@ object Rewrite {
   def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeUpsertTxn, mergeScd2,
     llmPipelineEnd2end, txnChanges, txnSkipping, txnSkippingTombstone,
     txnChangesEvolve, txnUpsertIncremental, txnRestore, txnClone,
-    txnBloomPoint, txnConstraints, txnPartitioned, txnLifecycle,
+    txnBloomPoint, txnConstraints, txnPartitioned, txnPartitionSkipping,
+    txnMaintain, txnLifecycle,
     txnTimeTravel, txnIncrementalAgg, txnAppend, txnDelete)
 }
