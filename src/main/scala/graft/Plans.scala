@@ -35,7 +35,9 @@ object Plans {
       "txn_changes_evolve", "txn_upsert_incremental", "txn_restore",
       "txn_clone", "txn_bloom_point", "txn_constraints", "txn_partitioned",
       "txn_lifecycle", "sql_surface_pivot", "sql_surface_exists",
-      "sql_surface_scalar_subq", "llm_lm_score")
+      "sql_surface_scalar_subq", "llm_lm_score",
+      "txn_sql_catalog", "llm_bpe_train", "llm_bpe_apply",
+      "txn_partition_skipping", "txn_maintain", "llm_cluster_best")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Env knobs: SPARK_GRAFT_SCALE_MULTS (default "1,10"),
   * SPARK_GRAFT_SCALE_PASSES (default 2, min-of-passes like Bench),
   * SPARK_GRAFT_SCALE_ONLY (comma-filter on query keys).
-  * Writes SCALING_r10.json (per-query seconds and output rows per
+  * Writes SCALING_r11.json (per-query seconds and output rows per
   * multiplier, plus the x10/x1 ratio).
   */
 object ScaleBench {
@@ -146,7 +146,7 @@ object ScaleBench {
     * parquet, RELOAD it, and probe from the RELOADED index — build and
     * write are the amortized once-per-corpus-version costs, probe (from
     * the reloaded frames) is the recurring per-shard cost. Writes
-    * INGEST_r09.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
+    * INGEST_r11.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
     * INSTEAD of the query curve). */
   private def ingestCurve(spark: SparkSession, dirs: Seq[(Int, String)],
       passes: Int): Unit = {
@@ -191,7 +191,7 @@ object ScaleBench {
     val s =
       s"""{"shard_docs":$nShard,"passes":$passes,"note":"fixed shard vs growing corpus; build+write are the amortized once-per-corpus-version costs, probe runs against the RELOADED parquet index (r7 persistence leg)","corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("INGEST_r09.json"), s.getBytes)
+      java.nio.file.Paths.get("INGEST_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -246,7 +246,7 @@ object ScaleBench {
     val s =
       s"""{"note":"every doc carries a planted stop-bigram; registered llm_ngram_jaccard timed WITH the df cap ${graft.ops.DedupOps.NgramDfCap}; uncapped_cand_pairs is the analytic single-key bomb the cap removed","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("STOPGRAM_r09.json"), s.getBytes)
+      java.nio.file.Paths.get("STOPGRAM_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -361,7 +361,7 @@ object ScaleBench {
     * shuffle), which grows linearly with the corpus while the aggregate
     * form's per-task state stays O(1) per hash via map-side combine.
     * Both forms' outputs are asserted identical before timing counts.
-    * Writes BOILERPLATE_r09.json. Enabled with
+    * Writes BOILERPLATE_r11.json. Enabled with
     * SPARK_GRAFT_SCALE_BOILERPLATE=1 (runs INSTEAD of the query curve). */
   private def boilerplateCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -406,7 +406,7 @@ object ScaleBench {
     val s =
       s"""{"note":"every doc opens with $repeat planted copies of one 8-token boilerplate line (template-heavy pages repeat identical lines); registered join-free aggregate-election lineDedup vs the r8 row_number-window form on identical inputs (outputs asserted equal); max_line_df is the single-task window partition the window form sorts — linear in corpus, the unsplittable straggler/OOM at web scale — while the aggregate form map-side-combines every hot hash to one struct per map task (O(1) per-group state at any f)","bp_repeat":$repeat,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BOILERPLATE_r09.json"), s.getBytes)
+      java.nio.file.Paths.get("BOILERPLATE_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -418,7 +418,7 @@ object ScaleBench {
     * Times the registered aggregate-election llm_chunk_dedup against
     * the r9 row_number-window form on identical inputs (outputs
     * asserted equal); max_chunk_df is the single-task window partition
-    * the window form sorts. Writes CHUNKBOILER_r10.json. Enabled with
+    * the window form sorts. Writes CHUNKBOILER_r11.json. Enabled with
     * SPARK_GRAFT_SCALE_CHUNKBOILER=1. */
   private def chunkBoilerCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -459,7 +459,7 @@ object ScaleBench {
     val s =
       s"""{"note":"every doc opens with $repeat planted copies of one 8-token boilerplate line => chunks 0..2 identical across the corpus; registered min(struct) aggregate-election llm_chunk_dedup vs the r9 row_number-window form on identical inputs (outputs asserted equal); max_chunk_df is the single-task window partition the window form sorts -- linear in corpus, unsplittable by AQE -- while the aggregate form map-side-combines every hot hash to one struct per map task","bp_repeat":$repeat,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("CHUNKBOILER_r10.json"), s.getBytes)
+      java.nio.file.Paths.get("CHUNKBOILER_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -530,7 +530,7 @@ object ScaleBench {
     * single-task sort, linear in the multiplier and AQE-unsplittable;
     * the hierarchical form's largest partition is PackBucketDocs rows
     * at level 1 and corpus/PackBucketDocs 24-byte rows at level 2.
-    * Writes PACK_r10.json. Enabled with SPARK_GRAFT_SCALE_PACK=1. */
+    * Writes PACK_r11.json. Enabled with SPARK_GRAFT_SCALE_PACK=1. */
   private def packCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.TextOps
@@ -569,7 +569,7 @@ object ScaleBench {
     val s =
       s"""{"note":"single-source corpora (one dominant crawl -- the common real mix): registered hierarchical two-pass prefix sum (bucket B=${TextOps.PackBucketDocs}: bounded level-1 windows + 1/B-size level-2 subtotal window) vs the r9 one-window-per-source form on identical inputs (outputs asserted equal); the window form's hot source is one full-corpus single-task sort, linear in the multiplier and AQE-unsplittable","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("PACK_r10.json"), s.getBytes)
+      java.nio.file.Paths.get("PACK_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -635,7 +635,7 @@ object ScaleBench {
     val s =
       s"""{"note":"star graph (one celebrity hub + spoke path): unoriented wedge enumeration emits d(d-1)/2 ~ n^2/2 join rows from the hub on one key; degree-ordered orientation points every hub edge INTO the hub (<= 1 oriented wedge per spoke, O(n) total). naive timed only at the smallest multiplier (outputs asserted equal there); naive_sec -1.00 = reported analytically via naive_wedge_rows, not detonated","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("CELEBRITY_r09.json"), s.getBytes)
+      java.nio.file.Paths.get("CELEBRITY_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -698,7 +698,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed $nShard-row shard into a table grown nx: commitAppend (manifest extension, O(shard)) vs full-snapshot commit of the grown table (O(table)); cdc_read_sec = changes() over the append step (file-level fast path). The gap at the top multiplier is ingest-into-100TB vs rewrite-100TB-per-shard","shard_rows":$nShard,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("TXNAPPEND_r10.json"), s.getBytes)
+      java.nio.file.Paths.get("TXNAPPEND_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -717,7 +717,7 @@ object ScaleBench {
     * O(table)). The claim: upsert commit time is FLAT in table size
     * while the rewrite is linear — at 100 TB that is the difference
     * between a CDC sink that keeps up and one that rewrites the world
-    * per batch. Writes UPSERT_r10.json. Enabled with
+    * per batch. Writes UPSERT_r11.json. Enabled with
     * SPARK_GRAFT_SCALE_UPSERT=1. */
   private def upsertCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -773,7 +773,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed ~2k-row upsert batch (updates + inserts) into a table grown nx: commitUpsert (one tombstone+dir manifest extension, O(batch)) vs the MERGE-rewrite alternative (anti-join + full commit, O(table)); folded_read_sec is the per-read anti-join tax until compaction","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("UPSERT_r10.json"), s.getBytes)
+      java.nio.file.Paths.get("UPSERT_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -786,7 +786,7 @@ object ScaleBench {
     * alternative. The claim: kept-file fraction FALLS as the table
     * grows (probe cost tracks matching files, not table size) while
     * the full scan is linear — the Delta bloom-index story measured.
-    * Writes BLOOM_r10.json. Enabled with SPARK_GRAFT_SCALE_BLOOM=1. */
+    * Writes BLOOM_r11.json. Enabled with SPARK_GRAFT_SCALE_BLOOM=1. */
   private def bloomCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.Txn
@@ -845,7 +845,7 @@ object ScaleBench {
     val s =
       s"""{"note":"table clustered by o_custkey grown nx with per-file bloom sidecars on the UNCLUSTERED o_orderkey; fixed 8-key point probe: files_kept/files_total is the bloom skipping decision (min/max keeps ~all files for an unclustered key). The CLAIM is files_kept staying ~constant as files_total grows nx -- at 100 TB that is 6 file opens vs 400; local wall times tie because the page cache hides the IO a cluster would pay","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BLOOM_r10.json"), s.getBytes)
+      java.nio.file.Paths.get("BLOOM_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -857,7 +857,7 @@ object ScaleBench {
     * cost tracks PARTITION size (flat as the table grows) while the
     * scan is linear — the one skipping mechanism that needs no sidecar
     * because the directory listing is the index. Writes
-    * PARTITION_r10.json. Enabled with SPARK_GRAFT_SCALE_PARTITION=1. */
+    * PARTITION_r11.json. Enabled with SPARK_GRAFT_SCALE_PARTITION=1. */
   private def partitionCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.Txn
@@ -907,7 +907,7 @@ object ScaleBench {
     val s =
       s"""{"note":"table grown nx by ADDING years (new partitions of constant size -- the time-partitioned ingest shape); fixed one-year query: readPartitionPruned opens dirs_kept of dirs_total partition dirs straight off the directory listing (no sidecar). The claim is pruned_read_sec flat in table size (tracks the partition, 1/nx of the table) vs the full scan linear","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("PARTITION_r10.json"), s.getBytes)
+      java.nio.file.Paths.get("PARTITION_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -997,7 +997,7 @@ object ScaleBench {
     * milliseconds regardless of table size (a 100 TB dev/test branch
     * for free) — while the deep copy is O(table); first-read-from-clone
     * included to show the clone read costs the same as reading the
-    * source (it IS the source's files). Writes CLONE_r10.json.
+    * source (it IS the source's files). Writes CLONE_r11.json.
     * Enabled with SPARK_GRAFT_SCALE_CLONE=1. */
   private def cloneCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -1048,7 +1048,7 @@ object ScaleBench {
     val s =
       s"""{"note":"shallow clone of a table grown nx vs the deep-copy alternative (full commit of read(src)): cloneTable is O(manifest) -- flat milliseconds at any table size (the free dev/test branch) -- while deep copy is O(table); first_read_sec shows the clone read costs what reading the source costs (same files)","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("CLONE_r10.json"), s.getBytes)
+      java.nio.file.Paths.get("CLONE_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -1101,7 +1101,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed 1000-key erasure against a table grown nx: commitDelete (tombstone entry, O(keys)) vs the rewrite alternative (full commit of the anti-joined table, O(table)); folded_read_sec is the per-read anti-join tax a tombstoned version carries until compaction","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("TXNDELETE_r10.json"), s.getBytes)
+      java.nio.file.Paths.get("TXNDELETE_r11.json"), s.getBytes)
     println(s)
   }
 
@@ -1242,7 +1242,7 @@ object ScaleBench {
     val out =
       s"""{"base":"$baseDir","multipliers":[${mults.mkString(",")}],"passes":$passes,"docs":$docsJson,"queries":$qJson}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALING_r10.json"), out.getBytes)
+      java.nio.file.Paths.get("SCALING_r11.json"), out.getBytes)
     println(out)
     spark.stop()
   }
