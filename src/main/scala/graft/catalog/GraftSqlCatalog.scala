@@ -193,10 +193,26 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 /** One Txn table pinned at `version` — the unit a single SQL statement
   * sees. Schema resolves from the pinned snapshot (footer sampling +
   * mergeSchema, so evolved tables surface the union schema exactly as
-  * `Txn.readVersion` reads them). */
+  * `Txn.readVersion` reads them).
+  *
+  * DELETE FROM / TRUNCATE (r11, SupportsDelete): two cost regimes,
+  * exactly the Txn economics —
+  *   - a single-column `= v` / `IN (...)` predicate (optionally AND
+  *     IsNotNull on the same column — Spark adds it) becomes an
+  *     O(keys) TOMBSTONE via [[Txn.commitDelete]]: `DELETE FROM
+  *     graft.t WHERE id = 5` never rewrites the table;
+  *   - any other fully-translatable predicate becomes a REWRITE —
+  *     `read().where(NOT pred)` committed through [[Txn.commitIf]]
+  *     pinned at this table's version, so a DELETE racing a writer
+  *     fails loud instead of silently discarding the racer's rows;
+  *   - an untranslatable predicate is rejected in `canDeleteWhere`
+  *     (fail loud at plan time, Delta's contract), never half-applied.
+  * `TRUNCATE TABLE` / `DELETE FROM t` (no WHERE) commit an empty
+  * snapshot with the current schema — history and time travel keep
+  * the old versions. */
 private[catalog] class GraftSqlTable(tableName: String, root: String,
     version: Long, spark: SparkSession)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private lazy val snapshot: DataFrame = Txn.readVersion(spark, root, version)
 
@@ -214,6 +230,56 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root)
+
+  /** The keys of a tombstone-able DELETE: one EqualTo/In on a single
+    * column, plus at most IsNotNull on that same column. */
+  private def tombstoneKeys(
+      filters: Array[Filter]): Option[(String, Seq[Any])] = {
+    val keyed = filters.collect {
+      case sources.EqualTo(a, v) => (a, Seq(v))
+      case sources.In(a, vs)     => (a, vs.toSeq)
+    }
+    keyed match {
+      case Array((c, vs)) if filters.forall {
+        case sources.EqualTo(_, _) | sources.In(_, _) => true
+        case sources.IsNotNull(a)                     => a == c
+        case sources.AlwaysTrue()                     => true
+        case _                                        => false
+      } => Some((c, vs))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.isEmpty || tombstoneKeys(filters).isDefined ||
+      filters.forall(f => GraftFilters.translate(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (filters.isEmpty) { truncateTable(); () }
+    else tombstoneKeys(filters) match {
+      case Some((c, vs)) =>
+        import org.apache.spark.sql.Row
+        val keySchema = StructType(Seq(snapshot.schema(c)))
+        val keys = spark.createDataFrame(
+          spark.sparkContext.parallelize(vs.map(Row(_)), 1), keySchema)
+        Txn.commitDelete(spark, root, c, keys,
+          meta = Map("op" -> "sql-delete"))
+        ()
+      case None =>
+        val pred = filters.flatMap(GraftFilters.translate).reduce(_ && _)
+        Txn.commitIf(snapshot.where(!pred), root, expectedBase = version,
+          meta = Map("op" -> "sql-delete-rewrite"))
+        ()
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapshot.schema)
+    Txn.commitIf(empty, root, expectedBase = version,
+      meta = Map("op" -> "sql-truncate"))
+    true
+  }
 }
 
 /** Column pruning and best-effort filter pushdown INTO the inner
@@ -242,9 +308,14 @@ private[catalog] class GraftScanBuilder(snapshot: DataFrame)
 
   override def build(): Scan = new GraftV1Scan(pruned)
 
-  /** sources.Filter → Column for the standard leaf predicates; None
-    * leaves the filter to Spark's post-scan re-check only. */
-  private def translate(f: Filter): Option[Column] = f match {
+  private def translate(f: Filter): Option[Column] = GraftFilters.translate(f)
+}
+
+/** sources.Filter → Column for the standard leaf predicates; None
+  * means untranslatable (the scan leaves it to Spark's post-scan
+  * re-check; a DELETE rejects it at plan time). */
+private[catalog] object GraftFilters {
+  def translate(f: Filter): Option[Column] = f match {
     case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
     case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
     case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
@@ -256,6 +327,8 @@ private[catalog] class GraftScanBuilder(snapshot: DataFrame)
     case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
     case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
     case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.AlwaysTrue()             => Some(lit(true))
+    case sources.AlwaysFalse()            => Some(lit(false))
     case sources.And(l, r) =>
       for (cl <- translate(l); cr <- translate(r)) yield cl && cr
     case sources.Or(l, r) =>

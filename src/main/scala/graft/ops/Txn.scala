@@ -841,7 +841,8 @@ object Txn {
     * rename is caught because rename-without-overwrite fails on the
     * taken version number and we re-check instead of retrying blindly. */
   def commitIf(df: DataFrame, root: String, expectedBase: Long,
-      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty): Long = {
+      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty,
+      partitionBy: Option[String] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     def check(): Unit = {
@@ -852,7 +853,7 @@ object Txn {
             s"computed from $expectedBase; re-read and recompute")
     }
     check()
-    val dataRel = writeSnapshot(df, root, statsCols)
+    val dataRel = writeSnapshot(df, root, statsCols, partitionBy)
     val tmp = stageManifest(f, root, dataRel.stripPrefix("data/"),
       manifestBody(dataRel, meta))
     try check()
@@ -1591,13 +1592,34 @@ object Txn {
     val (_, files, bytes, tombs) = tableDetail(spark, root)
     if (files <= maxFiles && tombs <= maxTombs) None
     else {
+      // a hive-partitioned table keeps its layout through maintenance:
+      // detection is STRUCTURAL (the layout is self-describing — a
+      // tip whose last commit was a delete carries no partitionCol
+      // meta, but its data dirs still do); the rewrite re-partitions
+      // keyed by the partition column — each task owns whole
+      // partitions, one file per col=value dir — instead of
+      // flattening the table into an unpartitioned snapshot
+      val f = fs(spark, root)
+      val partCol = manifestDirs(f, root, base).map(parseEntry)
+        .collectFirst { case (dir, None)
+            if isPartitionedDir(f, resolveDir(root, dir)) =>
+          f.listStatus(new Path(resolveDir(root, dir)))
+            .find(st => st.isDirectory && st.getPath.getName.contains("="))
+            .map(_.getPath.getName.takeWhile(_ != '=')).get
+        }
       val nFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
-      try Some(commitIf(
-        readVersion(spark, root, base).repartition(nFiles.toInt),
-        root, expectedBase = base, statsCols = statsCols,
+      val folded = readVersion(spark, root, base)
+      val laid = partCol match {
+        case Some(c) => folded.repartition(col(c))
+        case None    => folded.repartition(nFiles.toInt)
+      }
+      try Some(commitIf(laid, root, expectedBase = base,
+        statsCols = statsCols,
         meta = Map("op" -> "maintain",
           "compactedFiles" -> files.toString,
-          "collapsedTombstones" -> tombs.toString)))
+          "collapsedTombstones" -> tombs.toString) ++
+          partCol.map("partitionCol" -> _),
+        partitionBy = partCol))
       catch {
         case _: java.util.ConcurrentModificationException => None
       }

@@ -162,6 +162,35 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.p").head().getLong(0) == 101L)
   }
 
+  test("V2 SQL catalog: DELETE FROM takes the tombstone or rewrite path; TRUNCATE") {
+    val c = sqlCat("del")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.d (id BIGINT, grp BIGINT)")
+    spark.sql(s"INSERT INTO $c.d SELECT id, id % 10 AS grp FROM range(100)")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "d")
+    // point delete => O(keys) tombstone, never a rewrite: the manifest
+    // gains a tombstone entry (tableDetail counts it), no new snapshot
+    spark.sql(s"DELETE FROM $c.d WHERE id = 7")
+    spark.sql(s"DELETE FROM $c.d WHERE id IN (8, 9)")
+    assert(Txn.tableDetail(spark, tRoot)._4 == 2L) // two tombstone entries
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.d").head().getLong(0) == 97L)
+    // predicate delete => OCC-pinned rewrite, content exact
+    spark.sql(s"DELETE FROM $c.d WHERE grp >= 5 AND id < 50")
+    assert(spark.sql(s"SELECT id FROM $c.d ORDER BY id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 100L).filterNot(Set(7L, 8L, 9L))
+        .filterNot(i => i % 10 >= 5 && i < 50).toSeq)
+    assert(Txn.tableDetail(spark, tRoot)._4 == 0L) // rewrite collapsed the chain
+    // TRUNCATE empties but keeps schema + history (time travel intact)
+    spark.sql(s"TRUNCATE TABLE $c.d")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.d").head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT id FROM $c.d VERSION AS OF 2 ORDER BY id LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // DELETE with no WHERE behaves as truncate
+    spark.sql(s"INSERT INTO $c.d VALUES (1, 1)")
+    spark.sql(s"DELETE FROM $c.d")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.d").head().getLong(0) == 0L)
+  }
+
   test("atomic rename: one mapping at every instant, no silent remap") {
     import spark.implicits._
     val cat = fresh("ren")

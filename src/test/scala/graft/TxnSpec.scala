@@ -902,6 +902,22 @@ class TxnSpec extends SparkSpec {
         s"stats kept ${kept.size} of $total")
       // gauge now below thresholds: the next tick is a no-op
       assert(Txn.maintain(spark, root).isEmpty)
+      // PARTITIONED tables keep their layout through maintenance: the
+      // compacted snapshot is still col=value dirs (directory pruning
+      // survives), the chain is collapsed, content holds
+      val proot = freshRoot("maintain_part")
+      Txn.commitPartitioned(
+        (1L to 400L).map(i => (i, i % 4L)).toDF("id", "day")
+          .repartition(8), proot, "day")
+      Txn.commitDelete(spark, proot, "id", Seq(7L).toDF("id"))
+      val pv = Txn.maintain(spark, proot)
+      assert(pv.nonEmpty)
+      val (_, _, _, ptombs) = Txn.tableDetail(spark, proot)
+      assert(ptombs == 0)
+      assert(Txn.partitionProbe(spark, proot, "day", Seq(2L)) == ((1, 4)))
+      assert(ids(Txn.readPartitionPruned(spark, proot, "day", Seq(2L))) ==
+        (1L to 400L).filter(_ % 4 == 2).toSet)
+      assert(ids(Txn.read(spark, proot)) == (1L to 400L).toSet - 7L)
     } finally {
       spark.conf.unset("spark.graft.txn.maintain.maxFiles")
       spark.conf.unset("spark.graft.txn.maintain.maxTombstones")
