@@ -226,7 +226,7 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
       "provider" -> "graft").asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(snapshot)
+    new GraftScanBuilder(snapshot, s"graft.$tableName@v$version")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root)
@@ -288,7 +288,7 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
   * pushed predicates and reads only the required columns. All filters
   * are reported residual — Spark re-checks them post-scan, keeping the
   * V1 boundary correct regardless of translation coverage. */
-private[catalog] class GraftScanBuilder(snapshot: DataFrame)
+private[catalog] class GraftScanBuilder(snapshot: DataFrame, label: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters {
 
@@ -306,7 +306,7 @@ private[catalog] class GraftScanBuilder(snapshot: DataFrame)
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = pruned.select(requiredSchema.fieldNames.map(col).toSeq: _*)
 
-  override def build(): Scan = new GraftV1Scan(pruned)
+  override def build(): Scan = new GraftV1Scan(pruned, label)
 
   private def translate(f: Filter): Option[Column] = GraftFilters.translate(f)
 }
@@ -341,14 +341,19 @@ private[catalog] object GraftFilters {
 /** V1 read bridge: the relation's buildScan IS the pruned inner frame's
   * RDD — the inner plan (parquet scan + pushed filters + pruned
   * columns) executes distributed exactly as a direct read would. */
-private[catalog] class GraftV1Scan(pruned: DataFrame) extends V1Scan {
+private[catalog] class GraftV1Scan(pruned: DataFrame, label: String)
+  extends V1Scan {
   override def readSchema(): StructType = pruned.schema
+  override def description(): String = label
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = pruned.schema
       override def buildScan(): RDD[Row] = pruned.rdd
+      // the plan line prints this relation; a stable label keeps the
+      // PLANS.md goldens diffable (the default is an object hash)
+      override def toString: String = label
     }.asInstanceOf[T]
 }
 
