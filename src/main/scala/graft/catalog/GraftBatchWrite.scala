@@ -1,0 +1,211 @@
+package graft.catalog
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.ops.Txn
+
+/** Native distributed V2 write into a Txn table (r11): every executor
+  * task streams its partition STRAIGHT into parquet files under a
+  * fresh `data/<uuid>` snapshot dir — which the Txn design keeps
+  * INVISIBLE to every reader until the driver-side [[commit]] publishes
+  * a manifest referencing it. That single rename is the whole commit
+  * protocol: a failed/speculated/aborted task leaves orphan files in a
+  * dir no manifest will ever reference (vacuum fodder), so the write
+  * is atomic and exactly-once without any output-committer machinery —
+  * the same trick Delta/Iceberg use (data files are inert until the
+  * log points at them).
+  *
+  * Replaces the r11-initial V1Write bridge for the write side: rows
+  * flow as InternalRow from whole-stage codegen into the parquet
+  * writer with no Row conversion, and the write parallelism is the
+  * query's own partitioning. Supported column types: the flat
+  * primitive set (long/int/double/float/boolean/string/date/
+  * timestamp) — a nested/array/decimal schema fails loud at PLAN time
+  * (schemaToParquet), never mid-write.
+  *
+  * `mode` picks the manifest semantics at commit:
+  *   - Append    — manifest-extension append ([[Txn.publishDirAppend]])
+  *   - Replace   — full-snapshot publish ([[Txn.publishDirFull]]):
+  *     INSERT OVERWRITE / TRUNCATE-backed writes AND the group-based
+  *     row-level operations (UPDATE / MERGE INTO), whose incoming rows
+  *     are the complete post-operation table contents. */
+private[catalog] object GraftBatchWrite {
+  sealed trait Mode
+  case object Append extends Mode
+  case object Replace extends Mode
+
+  /** StructType → parquet MessageType for the supported flat set; all
+    * fields optional (Spark's reader null-fills; nullability is
+    * enforced upstream by the analyzer). */
+  def schemaToParquet(schema: StructType, name: String): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t: Type = f.dataType match {
+        case LongType => Types.optional(PrimitiveTypeName.INT64).named(f.name)
+        case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(f.name)
+        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE).named(f.name)
+        case FloatType => Types.optional(PrimitiveTypeName.FLOAT).named(f.name)
+        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(f.name)
+        case StringType => Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case DateType => Types.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case other => throw new UnsupportedOperationException(
+          s"graft native writer supports flat primitive columns; " +
+            s"column ${f.name} is $other — write via the programmatic " +
+            "Txn API for nested schemas")
+      }
+      b.addField(t)
+    }
+    b.named(name)
+  }
+}
+
+private[catalog] class GraftBatchWrite(root: String, schema: StructType,
+    mode: GraftBatchWrite.Mode, opName: String,
+    rowLevel: Boolean = false) extends BatchWrite {
+
+  private val dataRel = s"data/${UUID.randomUUID().toString}"
+  // fail loud on unsupported schemas at PLAN time, before any task runs
+  GraftBatchWrite.schemaToParquet(schema, "graft")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(s"$root/$dataRel", schema, rowLevel)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val wroteFiles = messages.nonEmpty
+    mode match {
+      case GraftBatchWrite.Append =>
+        // an INSERT of an empty source: nothing to add, the table is
+        // unchanged — a valid (non-)commit
+        if (wroteFiles)
+          Txn.publishDirAppend(spark, root, dataRel, Map("op" -> opName))
+      case GraftBatchWrite.Replace if wroteFiles =>
+        Txn.publishDirFull(spark, root, dataRel, Map("op" -> opName))
+      case GraftBatchWrite.Replace =>
+        // a replace that produced zero rows (e.g. UPDATE/MERGE emptying
+        // the table, OVERWRITE from an empty source) must still land:
+        // commit an empty snapshot with the declared schema
+        Txn.commit(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          root, meta = Map("op" -> opName))
+        ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // no manifest references the dir — deleting it is cleanup, not
+    // correctness (readers never saw it)
+    val spark = SparkSession.active
+    val p = new Path(s"$root/$dataRel")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+}
+
+private[catalog] class GraftWriterFactory(dataDir: String,
+    schema: StructType, rowLevel: Boolean) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftParquetWriter(dataDir, schema, partitionId, taskId, rowLevel)
+}
+
+private[catalog] case class GraftCommitMessage(file: String)
+  extends WriterCommitMessage
+
+/** One task's parquet file. Task/attempt distinct file names mean a
+  * speculated or retried attempt writes a DIFFERENT orphan file — only
+  * files under the dir the manifest publishes become visible, and the
+  * manifest is written once by the driver.
+  *
+  * Row-level writes (`rowLevel`): ReplaceData hands the writer rows
+  * PREFIXED with Spark's `__row_operation` int column (observed:
+  * un-projected rows reach DataWriter.write whenever the operation
+  * declares no metadata attributes, with op = WRITE_WITH_METADATA).
+  * The writer detects the prefix by arity (numFields == schema+1),
+  * skips rows an op ever marks DELETE, and shifts field reads by one;
+  * the projected two-arg write path delegates to the one-arg form. */
+private[catalog] class GraftParquetWriter(dataDir: String,
+    schema: StructType, partitionId: Int, taskId: Long,
+    rowLevel: Boolean)
+  extends DataWriter[InternalRow] {
+
+  private val file =
+    s"$dataDir/part-$partitionId-$taskId-${UUID.randomUUID().toString}.parquet"
+  private val messageType =
+    GraftBatchWrite.schemaToParquet(schema, "graft")
+  private val conf = new Configuration()
+  GroupWriteSupport.setSchema(messageType, conf)
+  private val writer = ExampleParquetWriter.builder(new Path(file))
+    .withConf(conf)
+    .withType(messageType)
+    .withCompressionCodec(CompressionCodecName.SNAPPY)
+    .build()
+  private val factory = new SimpleGroupFactory(messageType)
+
+  override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
+
+  override def write(row: InternalRow): Unit = {
+    // row-level op rows arrive [__row_operation, ...cols]; detect by
+    // arity, drop DELETE-marked rows, shift reads
+    val off =
+      if (rowLevel && row.numFields == schema.fields.length + 1) 1 else 0
+    if (off == 1 && row.getInt(0) ==
+        org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION) {
+      return
+    }
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.fields.length) {
+      if (!row.isNullAt(i + off)) {
+        val name = schema.fields(i).name
+        schema.fields(i).dataType match {
+          case LongType      => g.add(name, row.getLong(i + off))
+          case IntegerType   => g.add(name, row.getInt(i + off))
+          case DoubleType    => g.add(name, row.getDouble(i + off))
+          case FloatType     => g.add(name, row.getFloat(i + off))
+          case BooleanType   => g.add(name, row.getBoolean(i + off))
+          case StringType    =>
+            g.add(name, Binary.fromString(row.getUTF8String(i + off).toString))
+          case DateType      => g.add(name, row.getInt(i + off))
+          case TimestampType => g.add(name, row.getLong(i + off))
+          case other => throw new IllegalStateException(
+            s"unreachable: $other passed schemaToParquet")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    GraftCommitMessage(file)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    val p = new Path(file)
+    p.getFileSystem(conf).delete(p, false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -374,6 +374,56 @@ object Txn {
     n
   }
 
+  /** The version's data dirs when — and only when — they are ALL flat
+    * (no tombstone entries, no hive-partitioned dirs): the shape a
+    * file-based scan can serve directly with no fold. None otherwise.
+    * The SQL catalog uses this to route reads onto Spark's native
+    * vectorized parquet scan when possible (r11). */
+  private[graft] def flatDataDirs(spark: SparkSession, root: String,
+      version: Long): Option[Seq[String]] = {
+    val f = fs(spark, root)
+    val entries = manifestDirs(f, root, version).map(parseEntry)
+    val flat = entries.forall {
+      case (dir, None) => !isPartitionedDir(f, resolveDir(root, dir))
+      case _           => false
+    }
+    if (flat) Some(entries.map(e => resolveDir(root, e._1))) else None
+  }
+
+  /** Publish an ALREADY-WRITTEN snapshot dir as the next FULL version
+    * (r11, the native V2 writer's commit half: executors have streamed
+    * parquet into `root/<dataRel>` — invisible until this rename). */
+  private[graft] def publishDirFull(spark: SparkSession, root: String,
+      dataRel: String, meta: Map[String, String] = Map.empty): Long =
+    publishFull(fs(spark, root), root, dataRel, manifestBody(dataRel, meta))
+
+  /** Publish an already-written snapshot dir as a manifest-extension
+    * APPEND — the lean rebase loop of [[appendCore]] without the
+    * dedup/upsert/schema machinery (the V2 write path already resolved
+    * the schema against the table before any executor wrote a row). */
+  private[graft] def publishDirAppend(spark: SparkSession, root: String,
+      dataRel: String, meta: Map[String, String] = Map.empty): Long = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/_commits"))
+    var attempt = 0
+    while (true) {
+      val base = committedVersions(f, root).foldLeft(0L)(math.max)
+      require(base >= 1, s"append to uninitialized table at $root — commit first")
+      val dirs = manifestDirs(f, root, base) :+ dataRel
+      val tmp = stageManifest(f, root,
+        s"${dataRel.stripPrefix("data/")}-$attempt",
+        manifestBody(dirs.mkString(","), meta))
+      val target = new Path(s"$root/_commits/${base + 1}")
+      val won = publishLock(root).synchronized {
+        !f.exists(target) && f.rename(tmp, target) && stampPublish(f, target)
+      }
+      if (won) return base + 1
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    -1L // unreachable
+  }
+
   /** APPEND commit (r9): publish `df` as new data ADDED to the current
     * version — the manifest of version N+1 lists the previous version's
     * snapshot dirs plus one fresh dir, so the commit cost is

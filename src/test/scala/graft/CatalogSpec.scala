@@ -191,6 +191,56 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.d").head().getLong(0) == 0L)
   }
 
+  test("V2 SQL catalog: UPDATE and MERGE INTO through row-level operations") {
+    import spark.implicits._
+    val c = sqlCat("rlo")
+    spark.sql(s"CREATE TABLE $c.m (id BIGINT, v BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $c.m SELECT id, id * 2 AS v, 'base' AS tag FROM range(10)")
+    // UPDATE: group-based copy-on-write — full post-update contents land
+    spark.sql(s"UPDATE $c.m SET v = v + 100, tag = 'bumped' WHERE id < 3")
+    val afterUpdate = spark.sql(s"SELECT id, v, tag FROM $c.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(afterUpdate.toSeq == (0L until 10L).map(i =>
+      if (i < 3) (i, i * 2 + 100, "bumped") else (i, i * 2, "base")))
+    // MERGE INTO: update + delete + insert in one statement
+    Seq((1L, 1000L), (5L, 5000L), (42L, 4200L))
+      .toDF("id", "nv").createOrReplaceTempView("merge_src_rlo")
+    spark.sql(
+      s"""MERGE INTO $c.m t USING merge_src_rlo s ON t.id = s.id
+         |WHEN MATCHED AND t.id = 5 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.nv, tag = 'merged'
+         |WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.nv, 'inserted')
+         |""".stripMargin)
+    val afterMerge = spark.sql(s"SELECT id, v, tag FROM $c.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val expected = ((0L until 10L).filterNot(_ == 5L).map {
+      case 1L => (1L, 1000L, "merged")
+      case i if i < 3 => (i, i * 2 + 100, "bumped")
+      case i => (i, i * 2, "base")
+    } :+ (42L, 4200L, "inserted")).sortBy(_._1)
+    assert(afterMerge == expected)
+    // history records the row-level ops; old versions stay readable
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "m")
+    val ops = Txn.history(spark, tRoot).map(_._3.getOrElse("op", ""))
+    assert(ops.contains("sql-update") && ops.contains("sql-merge"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.m VERSION AS OF 2")
+      .head().getLong(0) == 10L)
+    // row-level op on a TOMBSTONED chain: the scan cannot serve the
+    // version from flat dirs (the fold is a join), so it materializes
+    // the folded snapshot first — semantics must be identical
+    spark.sql(s"DELETE FROM $c.m WHERE id = 0") // tombstone entry
+    assert(Txn.tableDetail(spark, tRoot)._4 == 1L)
+    spark.sql(s"UPDATE $c.m SET tag = 'post-delete' WHERE id = 42")
+    val afterTomb = spark.sql(s"SELECT id, tag FROM $c.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(!afterTomb.exists(_._1 == 0L))
+    assert(afterTomb.find(_._1 == 42L).map(_._2).contains("post-delete"))
+    assert(afterTomb.size == expected.size - 1)
+    // the rewrite collapsed the tombstone chain
+    assert(Txn.tableDetail(spark, tRoot)._4 == 0L)
+  }
+
   test("atomic rename: one mapping at every instant, no silent remap") {
     import spark.implicits._
     val cat = fresh("ren")
