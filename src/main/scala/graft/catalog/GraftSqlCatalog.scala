@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -219,9 +219,19 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
 
   override def name(): String = tableName
   override def schema(): StructType = snapshot.schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+  /** Write capability follows the SCHEMA (Spark requires the declared
+    * kind to match the Write object): flat primitive schemas take the
+    * native executor-parallel path, nested/array/decimal schemas the
+    * V1 bridge (whose Txn commits handle any Spark schema). */
+  override def capabilities(): util.Set[TableCapability] = {
+    val writeCap =
+      try { GraftBatchWrite.schemaToParquet(schema(), "probe")
+        TableCapability.BATCH_WRITE }
+      catch { case _: UnsupportedOperationException =>
+        TableCapability.V1_BATCH_WRITE }
+    util.EnumSet.of(TableCapability.BATCH_READ, writeCap,
       TableCapability.TRUNCATE)
+  }
   override def properties(): util.Map[String, String] =
     Map("location" -> root, "version" -> version.toString,
       "provider" -> "graft").asJava
@@ -437,18 +447,37 @@ private[catalog] class GraftV1Scan(pruned: DataFrame, label: String)
   * dir + one O(batch) manifest-extension publish; INSERT OVERWRITE /
   * truncate → same write, full-snapshot publish. InternalRow flows
   * from codegen straight into the parquet writers — no Row-conversion
-  * boundary on the write side. */
+  * boundary on the write side. Schemas beyond the native writer's flat
+  * primitive set (arrays, structs, decimals) fall back to the V1
+  * bridge, whose Txn commits handle any Spark schema. */
 private[catalog] class GraftWriteBuilder(root: String, schema: StructType)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      if (overwrite)
-        new GraftBatchWrite(root, schema, GraftBatchWrite.Replace, "sql-overwrite")
-      else
-        new GraftBatchWrite(root, schema, GraftBatchWrite.Append, "sql-insert")
-  }
+  private def nativeSupported: Boolean =
+    try { GraftBatchWrite.schemaToParquet(schema, "probe"); true }
+    catch { case _: UnsupportedOperationException => false }
+
+  override def build(): Write =
+    if (nativeSupported) new Write {
+      override def toBatch: BatchWrite =
+        if (overwrite)
+          new GraftBatchWrite(root, schema, GraftBatchWrite.Replace, "sql-overwrite")
+        else
+          new GraftBatchWrite(root, schema, GraftBatchWrite.Append, "sql-insert")
+    }
+    else new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: DataFrame, ow: Boolean): Unit = {
+            if (overwrite || ow)
+              Txn.commit(data, root, meta = Map("op" -> "sql-overwrite"))
+            else
+              Txn.commitAppend(data, root, meta = Map("op" -> "sql-insert"))
+            ()
+          }
+        }
+    }
 }

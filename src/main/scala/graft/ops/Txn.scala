@@ -374,6 +374,21 @@ object Txn {
     n
   }
 
+  /** Structural type with every nullability flag normalized — the
+    * append guard's comparison domain (nullability differences are not
+    * type changes; reads union schemas as nullable regardless). */
+  private def ignoreNullability(dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(e, _)  => ArrayType(ignoreNullability(e), true)
+      case MapType(k, v, _) => MapType(ignoreNullability(k), ignoreNullability(v), true)
+      case StructType(fs)   => StructType(fs.map(f => StructField(
+        f.name, ignoreNullability(f.dataType), nullable = true)))
+      case other            => other
+    }
+  }
+
   /** The version's data dirs when — and only when — they are ALL flat
     * (no tombstone entries, no hive-partitioned dirs): the shape a
     * file-based scan can serve directly with no fold. None otherwise.
@@ -533,7 +548,11 @@ object Txn {
         .filterNot(fld => partCols.contains(resolvedName(fld.name)))
         .foreach { fld =>
           baseFields.get(resolvedName(fld.name)).foreach { t =>
-            require(t == fld.dataType,
+            // nullability-insensitive: a shard tightening (or loosening)
+            // nullability is not a type change — every read path unions
+            // schemas as nullable anyway (r11; strict equality rejected
+            // `array<long> not-null` into `array<long>`)
+            require(ignoreNullability(t) == ignoreNullability(fld.dataType),
               s"appended shard changes column ${fld.name} from $t to " +
                 s"${fld.dataType} at $root — a type change needs a full " +
                 "rewrite commit, not an append")

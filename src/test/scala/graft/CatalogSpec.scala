@@ -241,6 +241,18 @@ class CatalogSpec extends SparkSpec {
     assert(Txn.tableDetail(spark, tRoot)._4 == 0L)
   }
 
+  test("V2 SQL catalog: nested schemas write via the V1 fallback") {
+    val c = sqlCat("nested")
+    spark.sql(s"CREATE TABLE $c.n AS SELECT id, array(id, id * 2) AS arr, " +
+      "named_struct('a', id) AS st FROM range(5)")
+    spark.sql(s"INSERT INTO $c.n SELECT id, array(id), named_struct('a', id) " +
+      "FROM range(100, 102)")
+    val rows = spark.sql(
+      s"SELECT id, arr[0] AS a0, st.a AS sa FROM $c.n ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 100L, 101L))
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) && r.getLong(2) == r.getLong(0)))
+  }
+
   test("atomic rename: one mapping at every instant, no silent remap") {
     import spark.implicits._
     val cat = fresh("ren")
