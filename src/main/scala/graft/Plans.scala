@@ -37,7 +37,8 @@ object Plans {
       "txn_lifecycle", "sql_surface_pivot", "sql_surface_exists",
       "sql_surface_scalar_subq", "llm_lm_score",
       "txn_sql_catalog", "llm_bpe_train", "llm_bpe_apply",
-      "txn_partition_skipping", "txn_maintain", "llm_cluster_best")
+      "txn_partition_skipping", "txn_maintain", "llm_cluster_best",
+      "txn_sql_merge")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

@@ -242,5 +242,64 @@ object GraftCatalog {
       |GROUP BY r.r_name ORDER BY region_name""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog)
+  /** SQL MERGE INTO as a registered row (r11): the full three-branch
+    * statement — matched-and-condition DELETE, matched UPDATE,
+    * not-matched INSERT — runs through the V2 catalog's group-based
+    * copy-on-write row-level operation, and the post-merge table is
+    * hash-gated against DuckDB recomputing the same semantics as a
+    * left join + anti-join union. A lost carried row (the group-
+    * granularity hazard the wrapped no-pushdown scan exists to
+    * prevent), a mis-routed branch, or a torn rewrite all break the
+    * hash. Source = a 1-in-7 doubled-balance update set plus shifted
+    * new keys; every source key unique (SQL MERGE errors on duplicate
+    * matches by spec). */
+  val txnSqlMerge: Q = Q(
+    "txn_sql_merge",
+    """WITH src AS (
+      |  SELECT c_custkey AS k, c_acctbal * 2 AS nb FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 9000000, c_acctbal FROM customer WHERE c_custkey % 50 = 0),
+      |tgt AS (SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+      |        c_mktsegment AS mktsegment FROM customer)
+      |SELECT custkey, acctbal, mktsegment FROM (
+      |  SELECT t.custkey,
+      |    CASE WHEN s.k IS NOT NULL THEN s.nb ELSE t.acctbal END AS acctbal,
+      |    t.mktsegment
+      |  FROM tgt t LEFT JOIN src s ON t.custkey = s.k
+      |  WHERE NOT (s.k IS NOT NULL AND t.mktsegment = 'BUILDING')
+      |  UNION ALL
+      |  SELECT s.k, s.nb, 'NEW' FROM src s LEFT JOIN tgt t ON s.k = t.custkey
+      |  WHERE t.custkey IS NULL)
+      |ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      s"${sys.props("java.io.tmpdir")}/graft_sqlcat")
+    val t = s"cust_merge_${Integer.toHexString(dir.hashCode)}"
+    val catRootDir = s"${sys.props("java.io.tmpdir")}/graft_sqlcat"
+    if (GraftCatalog.tableExists(s, catRootDir, t))
+      GraftCatalog.drop(s, catRootDir, t)
+    new Path(s"$catRootDir/_managed/$t").getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+      .delete(new Path(s"$catRootDir/_managed/$t"), true)
+    s.sql(s"""CREATE TABLE graft.$t AS
+      |SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+      |  c_mktsegment AS mktsegment
+      |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+    s.sql(s"""MERGE INTO graft.$t t USING (
+      |  SELECT c_custkey AS k, c_acctbal * 2 AS nb
+      |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 9000000, c_acctbal
+      |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 50 = 0) s
+      |ON t.custkey = s.k
+      |WHEN MATCHED AND t.mktsegment = 'BUILDING' THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET acctbal = s.nb
+      |WHEN NOT MATCHED THEN INSERT (custkey, acctbal, mktsegment)
+      |  VALUES (s.k, s.nb, 'NEW')""".stripMargin)
+    s.sql(s"SELECT custkey, acctbal, mktsegment FROM graft.$t ORDER BY custkey")
+  }
+
+  def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog, txnSqlMerge)
 }
