@@ -91,7 +91,11 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val wroteFiles = messages.nonEmpty
+    // zero-row tasks report GraftNoRowsMessage and leave no file behind
+    // (r11 advice): an INSERT INTO from an empty multi-partition source
+    // must not publish a spurious version over a directory of empty
+    // files — only tasks that actually wrote rows count
+    val wroteFiles = messages.exists(_.isInstanceOf[GraftCommitMessage])
     mode match {
       case GraftBatchWrite.Append =>
         // an INSERT of an empty source: nothing to add, the table is
@@ -131,6 +135,9 @@ private[catalog] class GraftWriterFactory(dataDir: String,
 private[catalog] case class GraftCommitMessage(file: String)
   extends WriterCommitMessage
 
+/** A task that saw no rows: nothing written, nothing to publish. */
+private[catalog] case object GraftNoRowsMessage extends WriterCommitMessage
+
 /** One task's parquet file. Task/attempt distinct file names mean a
   * speculated or retried attempt writes a DIFFERENT orphan file — only
   * files under the dir the manifest publishes become visible, and the
@@ -154,11 +161,21 @@ private[catalog] class GraftParquetWriter(dataDir: String,
     GraftBatchWrite.schemaToParquet(schema, "graft")
   private val conf = new Configuration()
   GroupWriteSupport.setSchema(messageType, conf)
-  private val writer = ExampleParquetWriter.builder(new Path(file))
-    .withConf(conf)
-    .withType(messageType)
-    .withCompressionCodec(CompressionCodecName.SNAPPY)
-    .build()
+  // opened LAZILY on the first row (r11 advice): an eager constructor
+  // open made every empty partition emit a zero-row parquet file and a
+  // commit message, so the driver's "no rows => no publish" guard could
+  // never fire on a multi-partition empty source
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[
+    org.apache.parquet.example.data.Group] = _
+  private def openedWriter() = {
+    if (writer == null)
+      writer = ExampleParquetWriter.builder(new Path(file))
+        .withConf(conf)
+        .withType(messageType)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    writer
+  }
   private val factory = new SimpleGroupFactory(messageType)
 
   override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
@@ -193,18 +210,19 @@ private[catalog] class GraftParquetWriter(dataDir: String,
       }
       i += 1
     }
-    writer.write(g)
+    openedWriter().write(g)
   }
 
-  override def commit(): WriterCommitMessage = {
-    writer.close()
-    GraftCommitMessage(file)
-  }
+  override def commit(): WriterCommitMessage =
+    if (writer == null) GraftNoRowsMessage
+    else { writer.close(); GraftCommitMessage(file) }
 
   override def abort(): Unit = {
-    writer.close()
-    val p = new Path(file)
-    p.getFileSystem(conf).delete(p, false)
+    if (writer != null) {
+      writer.close()
+      val p = new Path(file)
+      p.getFileSystem(conf).delete(p, false)
+    }
   }
 
   override def close(): Unit = ()

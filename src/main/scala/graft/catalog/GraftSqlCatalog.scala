@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -349,7 +349,13 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
         ()
       case None =>
         val pred = filters.flatMap(GraftFilters.translate).reduce(_ && _)
-        Txn.commitIf(snapshot.where(!pred), root, expectedBase = version,
+        // SQL deletes rows where the condition is TRUE; a row where it
+        // evaluates NULL (`x > 5` with x null) must SURVIVE. `!pred`
+        // alone is NULL there and where() drops the row — silent data
+        // loss on nullable predicate columns (r11 advice, high). Keep
+        // rows where the condition is not TRUE.
+        Txn.commitIf(snapshot.where(!coalesce(pred, lit(false))), root,
+          expectedBase = version,
           meta = Map("op" -> "sql-delete-rewrite"))
         ()
     }

@@ -197,6 +197,43 @@ object GraftCatalog {
     s.sql(s"SELECT nationkey, nation, region_name FROM $view ORDER BY nationkey")
   }
 
+  /** Per-fixture-dir V2 catalog wiring (r12, r11 advice): the catalog
+    * NAME carries the fixture tag, so two sf dirs (or two concurrent
+    * runs on one machine) never share a root — Spark's CatalogManager
+    * caches catalog INSTANCES by name, which is exactly why a shared
+    * name with a swapped `.root` conf would silently keep serving the
+    * first root it initialized with. Runs the body with the confs set
+    * and UNSETS them after (analysis happens inside the body; the
+    * returned frame's plan holds resolved Table objects and no longer
+    * consults the conf), so no catalog wiring leaks into later queries.
+    * Returns (catalogName, catalogRoot) to the body. */
+  private def withSqlCatalog(s: SparkSession, dir: String)(
+      body: (String, String) => DataFrame): DataFrame = {
+    val tag = Integer.toHexString(dir.hashCode)
+    val catName = s"graft_$tag"
+    val catRootDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_sqlcat_$tag").toString
+    s.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.catalog.GraftSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$catName.root", catRootDir)
+    try body(catName, catRootDir)
+    finally {
+      s.conf.unset(s"spark.sql.catalog.$catName")
+      s.conf.unset(s"spark.sql.catalog.$catName.root")
+    }
+  }
+
+  /** Unmap a stale fixture table and erase its managed root so reruns
+    * (and the second Invariance pass) start from CREATE. */
+  private def resetSqlTable(s: SparkSession, catRootDir: String,
+      t: String): Unit = {
+    if (GraftCatalog.tableExists(s, catRootDir, t))
+      GraftCatalog.drop(s, catRootDir, t)
+    new Path(s"$catRootDir/_managed/$t").getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+      .delete(new Path(s"$catRootDir/_managed/$t"), true)
+  }
+
   /** SQL-NATIVE catalog resolution (r11, r10 verdict item 2): the whole
     * flow — CREATE TABLE AS, the O(batch) INSERT INTO append, and the
     * final join — runs through `spark.sql` against `graft.<name>` via
@@ -217,29 +254,21 @@ object GraftCatalog {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY region_name""".stripMargin
   ) { (s, dir) =>
-    s.conf.set("spark.sql.catalog.graft",
-      classOf[graft.catalog.GraftSqlCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft.root", s"${sys.props("java.io.tmpdir")}/graft_sqlcat")
-    val t = s"nations_${Integer.toHexString(dir.hashCode)}"
-    // fixture cleanup: unmap a stale name and erase its managed root so
-    // reruns (and the second Invariance pass) start from CREATE
-    val catRootDir = s"${sys.props("java.io.tmpdir")}/graft_sqlcat"
-    if (GraftCatalog.tableExists(s, catRootDir, t))
-      GraftCatalog.drop(s, catRootDir, t)
-    new Path(s"$catRootDir/_managed/$t").getFileSystem(
-      s.sparkContext.hadoopConfiguration)
-      .delete(new Path(s"$catRootDir/_managed/$t"), true)
-    s.sql(s"""CREATE TABLE graft.$t AS
-      |SELECT n_nationkey, n_name, n_regionkey
-      |FROM parquet.`$dir/nation.parquet` WHERE n_regionkey < 3""".stripMargin)
-    s.sql(s"""INSERT INTO graft.$t
-      |SELECT n_nationkey, n_name, n_regionkey
-      |FROM parquet.`$dir/nation.parquet` WHERE n_regionkey >= 3""".stripMargin)
-    s.sql(s"""SELECT r.r_name AS region_name,
-      |  CAST(COUNT(*) AS BIGINT) AS n_nations, MIN(t.n_name) AS first_nation
-      |FROM graft.$t t JOIN parquet.`$dir/region.parquet` r
-      |  ON t.n_regionkey = r.r_regionkey
-      |GROUP BY r.r_name ORDER BY region_name""".stripMargin)
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val t = "nations"
+      resetSqlTable(s, catRootDir, t)
+      s.sql(s"""CREATE TABLE $c.$t AS
+        |SELECT n_nationkey, n_name, n_regionkey
+        |FROM parquet.`$dir/nation.parquet` WHERE n_regionkey < 3""".stripMargin)
+      s.sql(s"""INSERT INTO $c.$t
+        |SELECT n_nationkey, n_name, n_regionkey
+        |FROM parquet.`$dir/nation.parquet` WHERE n_regionkey >= 3""".stripMargin)
+      s.sql(s"""SELECT r.r_name AS region_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nations, MIN(t.n_name) AS first_nation
+        |FROM $c.$t t JOIN parquet.`$dir/region.parquet` r
+        |  ON t.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY region_name""".stripMargin)
+    }
   }
 
   /** SQL MERGE INTO as a registered row (r11): the full three-branch
@@ -272,33 +301,26 @@ object GraftCatalog {
       |  WHERE t.custkey IS NULL)
       |ORDER BY custkey""".stripMargin
   ) { (s, dir) =>
-    s.conf.set("spark.sql.catalog.graft",
-      classOf[graft.catalog.GraftSqlCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft.root",
-      s"${sys.props("java.io.tmpdir")}/graft_sqlcat")
-    val t = s"cust_merge_${Integer.toHexString(dir.hashCode)}"
-    val catRootDir = s"${sys.props("java.io.tmpdir")}/graft_sqlcat"
-    if (GraftCatalog.tableExists(s, catRootDir, t))
-      GraftCatalog.drop(s, catRootDir, t)
-    new Path(s"$catRootDir/_managed/$t").getFileSystem(
-      s.sparkContext.hadoopConfiguration)
-      .delete(new Path(s"$catRootDir/_managed/$t"), true)
-    s.sql(s"""CREATE TABLE graft.$t AS
-      |SELECT c_custkey AS custkey, c_acctbal AS acctbal,
-      |  c_mktsegment AS mktsegment
-      |FROM parquet.`$dir/customer.parquet`""".stripMargin)
-    s.sql(s"""MERGE INTO graft.$t t USING (
-      |  SELECT c_custkey AS k, c_acctbal * 2 AS nb
-      |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 7 = 0
-      |  UNION ALL
-      |  SELECT c_custkey + 9000000, c_acctbal
-      |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 50 = 0) s
-      |ON t.custkey = s.k
-      |WHEN MATCHED AND t.mktsegment = 'BUILDING' THEN DELETE
-      |WHEN MATCHED THEN UPDATE SET acctbal = s.nb
-      |WHEN NOT MATCHED THEN INSERT (custkey, acctbal, mktsegment)
-      |  VALUES (s.k, s.nb, 'NEW')""".stripMargin)
-    s.sql(s"SELECT custkey, acctbal, mktsegment FROM graft.$t ORDER BY custkey")
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val t = "cust_merge"
+      resetSqlTable(s, catRootDir, t)
+      s.sql(s"""CREATE TABLE $c.$t AS
+        |SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+        |  c_mktsegment AS mktsegment
+        |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+      s.sql(s"""MERGE INTO $c.$t t USING (
+        |  SELECT c_custkey AS k, c_acctbal * 2 AS nb
+        |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 9000000, c_acctbal
+        |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 50 = 0) s
+        |ON t.custkey = s.k
+        |WHEN MATCHED AND t.mktsegment = 'BUILDING' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET acctbal = s.nb
+        |WHEN NOT MATCHED THEN INSERT (custkey, acctbal, mktsegment)
+        |  VALUES (s.k, s.nb, 'NEW')""".stripMargin)
+      s.sql(s"SELECT custkey, acctbal, mktsegment FROM $c.$t ORDER BY custkey")
+    }
   }
 
   def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog, txnSqlMerge)

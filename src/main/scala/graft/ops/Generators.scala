@@ -45,7 +45,13 @@ object Generators {
     val priceBand = udf((p: java.lang.Double) =>
       if (p == null) "high"
       else if (p < 100000) "low" else if (p < 300000) "mid" else "high")
-    s.udf.register("price_band", priceBand)
+    // register-once-if-absent (r11 verdict item 7): the builder is a
+    // stateless constant, so re-registering only produced the "replaced
+    // a previously registered function" WARN on every Bench/Verify run
+    // — the same fix GraftFunctions.register got in r11
+    if (!s.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("price_band")))
+      s.udf.register("price_band", priceBand)
     orders(s, dir)
       .select(call_udf("price_band", col("o_totalprice")).as("band"))
       .groupBy("band")

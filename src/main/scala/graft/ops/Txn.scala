@@ -126,6 +126,36 @@ object Txn {
   private def resolveDir(root: String, dir: String): String =
     if (dir.startsWith("/") || dir.contains("://")) dir else s"$root/$dir"
 
+  /** Hive partition-directory escaping (r11 advice): Spark writes
+    * `col=value` subdir names URL-escaped ('a b' → 'a%20b') and null
+    * values as the default-partition sentinel. Reconstruction must
+    * UNESCAPE (a raw name round-trips the wrong literal for string
+    * partition columns) and probes must ESCAPE (matching the raw
+    * listing against an unescaped probe value silently drops the
+    * partition — pruning would stop being one-sided). Delegated to
+    * Spark's own codec so the rules cannot drift from the writer's. */
+  private[graft] val hiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+  private[graft] def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+  private[graft] def escapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
+  /** The directory-name form of a partition probe value: null probes
+    * match the null-sentinel subdir, everything else hive-escapes. */
+  private def dirValue(x: Any): String =
+    if (x == null) hiveDefaultPartition else escapePathName(x.toString)
+
+  /** `input_file_name()` reports URI-ENCODED paths — an on-disk
+    * directory literally named `src=a b` (space is NOT in Hive's escape
+    * set, so Spark writes it raw) surfaces as `src=a%20b`. Sidecar
+    * writers key and PLACE their files by these extracted segments, so
+    * without decoding the partitioned stats/bloom sidecars landed in a
+    * bogus sibling directory with keys no reader ever matches (found by
+    * the r12 escape round-trip spec). One URI decode maps the reported
+    * segment back to the exact on-disk name listStatus sees. */
+  private def decodeUriSegment(s: String): String =
+    scala.util.Try(new java.net.URI(s).getPath).toOption.getOrElse(s)
+
   /** A parsed manifest entry: (dir, tombstone key column or None). */
   private def parseEntry(e: String): (String, Option[String]) =
     if (e.startsWith("~")) {
@@ -840,7 +870,7 @@ object Txn {
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
     val f = fs(spark, root)
-    val wanted = values.map(x => s"$partCol=$x").toSet
+    val wanted = values.map(x => s"$partCol=${dirValue(x)}").toSet
     val base = manifestDirs(f, root, v).map(parseEntry)
       .foldLeft(Option.empty[DataFrame]) {
         case (acc, (dir, None)) =>
@@ -877,7 +907,7 @@ object Txn {
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
     val f = fs(spark, root)
-    val wanted = values.map(x => s"$partCol=$x").toSet
+    val wanted = values.map(x => s"$partCol=${dirValue(x)}").toSet
     var kept = 0
     var total = 0
     manifestDirs(f, root, v).map(parseEntry).foreach {
@@ -963,7 +993,7 @@ object Txn {
         .collect() // one row per data FILE — bounded by snapshot file count
       val sb = new StringBuilder
       rows.foreach { r =>
-        val file = r.getString(0)
+        val file = decodeUriSegment(r.getString(0))
         statsCols.zipWithIndex.foreach { case (c, i) =>
           val mn = if (r.isNullAt(1 + 2 * i)) "-" else r.getLong(1 + 2 * i).toString
           val mx = if (r.isNullAt(2 + 2 * i)) "-" else r.getLong(2 + 2 * i).toString
@@ -987,10 +1017,10 @@ object Txn {
           regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect() // one row per data FILE — bounded by snapshot file count
-      rows.groupBy(_.getString(0)).foreach { case (pdir, rs) =>
+      rows.groupBy(r => decodeUriSegment(r.getString(0))).foreach { case (pdir, rs) =>
         val sb = new StringBuilder
         rs.foreach { r =>
-          val file = r.getString(1)
+          val file = decodeUriSegment(r.getString(1))
           statsCols.zipWithIndex.foreach { case (c, i) =>
             val mn = if (r.isNullAt(2 + 2 * i)) "-" else r.getLong(2 + 2 * i).toString
             val mx = if (r.isNullAt(3 + 2 * i)) "-" else r.getLong(3 + 2 * i).toString
@@ -1085,7 +1115,8 @@ object Txn {
           .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
           .agg(agg(col(c).cast("long")).as("bits"))
           .collect() // one row per data FILE — bounded by snapshot file count
-          .foreach(r => sb.append(s"${r.getString(0)}\t$c\t${encode(r, 1)}\n"))
+          .foreach(r => sb.append(
+            s"${decodeUriSegment(r.getString(0))}\t$c\t${encode(r, 1)}\n"))
       }
       val out = f.create(new Path(s"$dataDir/_bloom.tsv"), false)
       try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
@@ -1101,8 +1132,8 @@ object Txn {
           .agg(agg(col(c).cast("long")).as("bits"))
           .collect()
           .foreach { r =>
-            perDir.getOrElseUpdate(r.getString(0), new StringBuilder)
-              .append(s"${r.getString(1)}\t$c\t${encode(r, 2)}\n")
+            perDir.getOrElseUpdate(decodeUriSegment(r.getString(0)), new StringBuilder)
+              .append(s"${decodeUriSegment(r.getString(1))}\t$c\t${encode(r, 2)}\n")
           }
       }
       perDir.foreach { case (pdir, sb) =>
@@ -1339,12 +1370,19 @@ object Txn {
         // column — reconstruct it from the directory value at the
         // version schema's type, then restore column order (this is
         // what made the r10 guard refuse partitioned dirs: an
-        // explicit-schema scan would have null-filled it)
+        // explicit-schema scan would have null-filled it).
+        // The raw directory value is hive-ESCAPED (r11 advice: Spark
+        // writes 'a b' as 'a%20b' and null as the default-partition
+        // sentinel) — unescape before casting, and surface the null
+        // sentinel as an actual null literal.
         val pType = schema(c).dataType
         val fileSchema = org.apache.spark.sql.types.StructType(
           schema.fields.filterNot(_.name == c))
+        val value =
+          if (raw == hiveDefaultPartition) lit(null).cast(pType)
+          else lit(unescapePathName(raw)).cast(pType)
         spark.read.schema(fileSchema).parquet(files: _*)
-          .withColumn(c, lit(raw).cast(pType))
+          .withColumn(c, value)
           .select(schema.fieldNames.map(col).toSeq: _*)
     }
     plan.foldLeft(Option.empty[DataFrame]) {
@@ -1436,7 +1474,7 @@ object Txn {
     require(values.nonEmpty, "readPartitionFilePruned needs at least one value")
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
-    val wanted = values.map(_.toString).toSet
+    val wanted = values.map(dirValue).toSet
     val (plan, _) = prunePlanBy(spark, root, v,
       statsKeep(fileStats(spark, root, v), colName, lo, hi),
       keepPart = (c, pv) => c != partCol || wanted(pv))
@@ -1457,7 +1495,7 @@ object Txn {
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
     val f = fs(spark, root)
-    val wanted = values.map(x => s"$partCol=$x").toSet
+    val wanted = values.map(x => s"$partCol=${dirValue(x)}").toSet
     var dirsKept = 0
     var dirsTotal = 0
     manifestDirs(f, root, v).map(parseEntry).foreach {
@@ -1472,7 +1510,7 @@ object Txn {
           }
       case _ => ()
     }
-    val wantedVals = values.map(_.toString).toSet
+    val wantedVals = values.map(dirValue).toSet
     val (plan, totalInKept) = prunePlanBy(spark, root, v,
       statsKeep(fileStats(spark, root, v), colName, lo, hi),
       keepPart = (c, pv) => c != partCol || wantedVals(pv))

@@ -191,6 +191,38 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.d").head().getLong(0) == 0L)
   }
 
+  test("V2 SQL catalog: DELETE keeps rows where the predicate is NULL") {
+    val c = sqlCat("delnull")
+    spark.sql(s"CREATE TABLE $c.dn (id BIGINT, x BIGINT)")
+    spark.sql(s"INSERT INTO $c.dn VALUES (1, 10), (2, NULL), (3, 3)")
+    // rewrite-path DELETE: `x > 5` is NULL for row 2 — SQL semantics
+    // delete only where the condition is TRUE, so the NULL row SURVIVES
+    // (r11 advice, high: `!pred` alone dropped it)
+    spark.sql(s"DELETE FROM $c.dn WHERE x > 5")
+    assert(spark.sql(s"SELECT id FROM $c.dn ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("V2 SQL catalog: empty INSERT is a no-op; empty partitions leave no files") {
+    val c = sqlCat("empt")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.e (id BIGINT, v DOUBLE)")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "e")
+    // an INSERT whose source produces zero rows (across many empty
+    // partitions) must not publish a version at all (r11 advice)
+    spark.sql(s"INSERT INTO $c.e SELECT id, CAST(id AS DOUBLE) FROM range(10) WHERE id < 0")
+    assert(Txn.currentVersion(spark, tRoot).contains(1L))
+    // a 3-row insert parallelized over many partitions: only the tasks
+    // that saw rows write files — no zero-row parquet debris (the
+    // CREATE's own empty snapshot file is excluded by measuring the
+    // DELTA)
+    val filesBefore = Txn.tableDetail(spark, tRoot)._2
+    spark.sql(s"INSERT INTO $c.e SELECT id, CAST(id AS DOUBLE) FROM range(3)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.e").head().getLong(0) == 3L)
+    assert(Txn.tableDetail(spark, tRoot)._2 - filesBefore <= 3L,
+      "zero-row tasks must not emit parquet files")
+  }
+
   test("V2 SQL catalog: UPDATE and MERGE INTO through row-level operations") {
     import spark.implicits._
     val c = sqlCat("rlo")

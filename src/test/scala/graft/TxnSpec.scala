@@ -820,6 +820,52 @@ class TxnSpec extends SparkSpec {
       Set(1L, 3L))
   }
 
+  test("hive-escaped partition values round-trip through probes, " +
+      "sidecars, and file-pruned reads (r11 advice)") {
+    import spark.implicits._
+    val root = freshRoot("escpart")
+    // 'a:b' is stored hive-ESCAPED as 'a%3Ab'; 'a b' is stored RAW
+    // (space is not in Hive's escape set) but input_file_name() reports
+    // it URI-encoded as 'a%20b'; null stores as the default-partition
+    // sentinel. All three must (a) match an unescaped probe value,
+    // (b) reconstruct as the ORIGINAL literal (resp. a real null)
+    // through the file-pruned scan, and (c) get their stats sidecar
+    // INSIDE the real subdir, not a bogus sibling.
+    val df = Seq((1L, "a:b"), (2L, "a:b"), (3L, "plain"),
+      (4L, null.asInstanceOf[String]), (5L, "a b")).toDF("id", "src")
+    Txn.commitPartitioned(df, root, "src", statsCols = Seq("id"))
+    // exactly the four real partition dirs exist — no sidecar debris
+    val dataDirs = new java.io.File(root, "data").listFiles()
+    val subdirs = dataDirs.head.listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(subdirs ==
+      Seq("src=__HIVE_DEFAULT_PARTITION__", "src=a b", "src=a%3Ab", "src=plain"),
+      s"unexpected partition layout: $subdirs")
+    // every real subdir carries its own stats sidecar
+    assert(subdirs.forall(d =>
+      new java.io.File(dataDirs.head, s"$d/_stats.tsv").exists()))
+    // probe matching escapes: the 'a:b' dir is FOUND, not dropped
+    assert(Txn.partitionProbe(spark, root, "src", Seq("a:b")) == ((1, 4)))
+    assert(ids(Txn.readPartitionPruned(spark, root, "src", Seq("a:b"))) ==
+      Set(1L, 2L))
+    // two-rung read reconstructs the UNESCAPED literal (the residual
+    // `src = 'a:b'` filter would otherwise kill every row)
+    val pruned = Txn.readPartitionFilePruned(spark, root, "src",
+      Seq("a:b"), "id", 1L, 10L)
+    assert(ids(pruned) == Set(1L, 2L))
+    assert(pruned.select("src").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("a:b"))
+    // space-valued partition: raw on disk, URI-encoded in
+    // input_file_name — probe + reconstruction still exact
+    assert(ids(Txn.readPartitionFilePruned(spark, root, "src",
+      Seq("a b"), "id", 1L, 10L)) == Set(5L))
+    // the null sentinel reconstructs as an actual null through the
+    // file-level scan (readPruned keeps all partitions — no dir probe)
+    val all = Txn.readPruned(spark, root, "id", 1L, 10L)
+    assert(all.where(col("src").isNull).collect().map(_.getLong(0)).toSeq ==
+      Seq(4L))
+  }
+
   test("two-rung skipping: partition dirs, then file stats, then rows") {
     import spark.implicits._
     val root = freshRoot("tworung")
