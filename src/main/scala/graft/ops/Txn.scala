@@ -1518,6 +1518,97 @@ object Txn {
     (dirsKept, dirsTotal, filesKept, totalInKept)
   }
 
+  /** One-sided skipping probes the SQL read path derives from pushed
+    * data-source filters (r12, r11 verdict item 1): each probe may only
+    * ever KEEP extra files/dirs, never drop one holding a matching row,
+    * so a conjunction of probes composes one-sided too. Ranges and
+    * points consult the `_stats.tsv`/`_bloom.tsv` sidecars exactly like
+    * [[readPruned]]/[[readPoint]]; partition probes ride the directory
+    * listing like [[readPartitionPruned]]. */
+  private[graft] sealed trait SkipProbe
+  private[graft] final case class RangeProbe(col: String, lo: Long,
+      hi: Long) extends SkipProbe
+  private[graft] final case class PointProbe(col: String,
+      values: Seq[Long]) extends SkipProbe
+  private[graft] final case class PartProbe(col: String,
+      values: Seq[Any]) extends SkipProbe
+
+  /** The conjunction keep-decision for a file key under `probes`:
+    * ranges check min/max stats, points check stats AND blooms per
+    * value (absent sidecar rows always keep), partition probes are
+    * handled at the directory rung and keep every file here. */
+  private def probesKeepFile(spark: SparkSession, root: String,
+      version: Long, probes: Seq[SkipProbe]): String => Boolean = {
+    val stats = fileStats(spark, root, version)
+    lazy val blooms = fileBlooms(spark, root, version)
+    base => probes.forall {
+      case RangeProbe(c, lo, hi) => statsKeep(stats, c, lo, hi)(base)
+      case PointProbe(c, vs) => vs.exists { v =>
+        statsKeep(stats, c, v, v)(base) &&
+          (blooms.get((base, c)) match {
+            case Some(bits) => bloomMayContain(bits, v)
+            case None       => true
+          })
+      }
+      case _: PartProbe => true
+    }
+  }
+
+  /** Directory-rung keep-decision: a `col=value` subdir survives unless
+    * SOME partition probe names its column and excludes its value
+    * (probe values hive-escape before matching the raw listing). */
+  private def probesKeepPart(
+      probes: Seq[SkipProbe]): (String, String) => Boolean = {
+    val parts = probes.collect {
+      case PartProbe(c, vs) => c -> vs.map(dirValue).toSet
+    }
+    (c, pv) => parts.forall { case (pc, wanted) => c != pc || wanted(pv) }
+  }
+
+  /** Kept-file decision for the NATIVE SQL scan (flat-dir versions):
+    * (kept file paths, kept count, total count). The caller hands the
+    * kept paths straight to Spark's vectorized parquet table, so a SQL
+    * point query on an indexed table opens O(matching files) — the
+    * BLOOM/PARTSKIP economics, reachable from pasted SQL. */
+  private[graft] def sqlKeptFiles(spark: SparkSession, root: String,
+      version: Long,
+      probes: Seq[SkipProbe]): (Seq[String], Int, Int) = {
+    val (plan, total) = prunePlanBy(spark, root, version,
+      probesKeepFile(spark, root, version, probes),
+      probesKeepPart(probes))
+    val kept = plan.collect { case Left(gs) => gs.flatMap(_.files) }.flatten
+    (kept, kept.size, total)
+  }
+
+  /** Probe-pruned read for the SQL V1 bridge (tombstoned or partitioned
+    * chains): partition probes prune directories off the listing, file
+    * probes prune by sidecar stats/blooms, tombstone anti-joins fold
+    * over the pruned scan in log order, and the partition column
+    * reconstructs hive-unescaped. One-sided by construction — the
+    * caller re-applies every pushed filter on top, so semantics stay
+    * ≡ the unpruned read. Returns the frame plus the (kept, total)
+    * file decision for observability. */
+  private[graft] def readSqlPruned(spark: SparkSession, root: String,
+      version: Long, probes: Seq[SkipProbe]): (DataFrame, Int, Int, Int, Int) = {
+    // tally the directory rung by wrapping the keep predicate: total
+    // files below only counts files in SURVIVING dirs (dropped dirs are
+    // never listed — that unpaid listing IS the dir rung's win), so the
+    // dir counts are the only observable trace of it
+    var dirsTotal = 0
+    var dirsKept = 0
+    val kp = probesKeepPart(probes)
+    val (plan, total) = prunePlanBy(spark, root, version,
+      probesKeepFile(spark, root, version, probes),
+      (c, v) => {
+        dirsTotal += 1
+        val k = kp(c, v)
+        if (k) dirsKept += 1
+        k
+      })
+    val kept = plan.collect { case Left(gs) => gs.map(_.files.size).sum }.sum
+    (scanPruned(spark, root, version, plan), kept, total, dirsKept, dirsTotal)
+  }
+
   private def bloomMayContain(bits: Array[Long], value: Long): Boolean = {
     val m = bits.length * 64
     var i = 0

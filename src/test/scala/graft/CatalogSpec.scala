@@ -273,6 +273,80 @@ class CatalogSpec extends SparkSpec {
     assert(Txn.tableDetail(spark, tRoot)._4 == 0L)
   }
 
+  test("V2 SQL catalog: sidecar file-skipping serves SQL point and range queries") {
+    import spark.implicits._
+    val c = sqlCat("skip")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    // a key-clustered indexed table: 16 files, each covering a disjoint
+    // id range, with stats + bloom sidecars — the BLOOM_r11/PARTSKIP_r11
+    // shape, now reached through pasted SQL
+    val root = fresh("skip_t")
+    val df = (1L to 16000L).map(i => (i, i % 97L)).toDF("id", "v")
+      .repartitionByRange(16, col("id"))
+    Txn.commitIndexed(df, root, statsCols = Seq("id"), bloomCols = Seq("id"))
+    GraftCatalog.create(spark, catRoot, "sk", root)
+    // point query: opens only the files whose stats+bloom admit the keys
+    graft.catalog.GraftScanStats.reset()
+    val point = spark.sql(s"SELECT id, v FROM $c.sk WHERE id IN (5, 9001)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(point == Set((5L, 5L), (9001L, 9001L % 97L)))
+    val d1 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d1.filesTotal == 16 && d1.filesKept < d1.filesTotal / 4,
+      s"SQL point query must open < total/4 files: $d1")
+    // range query: only the overlapping files
+    graft.catalog.GraftScanStats.reset()
+    val rng = spark.sql(
+      s"SELECT count(*) AS n FROM $c.sk WHERE id BETWEEN 2000 AND 2999")
+      .head().getLong(0)
+    assert(rng == 1000L)
+    val d2 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d2.filesKept < d2.filesTotal / 4,
+      s"SQL range query must open < total/4 files: $d2")
+    // content ≡ unpruned: same predicate through a plain snapshot read
+    val unpruned = Txn.read(spark, root).where(col("id").isin(5L, 9001L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(point == unpruned)
+    // a non-selective query keeps everything (decision recorded, no prune)
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.sk").head().getLong(0) == 16000L)
+    assert(graft.catalog.GraftScanStats.lastDecision.isEmpty,
+      "no pushed filters => no skipping decision")
+    // skipping composes with TOMBSTONES through the V1 bridge: delete a
+    // key, then point-query — the fold applies over the pruned scan
+    spark.sql(s"DELETE FROM $c.sk WHERE id = 5")
+    graft.catalog.GraftScanStats.reset()
+    val afterDel = spark.sql(s"SELECT id FROM $c.sk WHERE id IN (5, 9001)")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterDel == Set(9001L))
+    val d3 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d3.filesKept < d3.filesTotal,
+      s"tombstoned chain must still prune files: $d3")
+  }
+
+  test("V2 SQL catalog: partition-directory pruning through SQL on a " +
+      "partitioned chain") {
+    import spark.implicits._
+    val c = sqlCat("partskip")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    val root = fresh("partskip_t")
+    val df = (1L to 8000L).map(i => (i, 2017L + i % 8L)).toDF("id", "year")
+    Txn.commitPartitioned(df, root, "year", statsCols = Seq("id"))
+    GraftCatalog.create(spark, catRoot, "py", root)
+    graft.catalog.GraftScanStats.reset()
+    val got = spark.sql(
+      s"SELECT count(*) AS n FROM $c.py WHERE year = 2020 AND id <= 4000")
+      .head().getLong(0)
+    assert(got == (1L to 4000L).count(i => 2017L + i % 8L == 2020L))
+    val d = graft.catalog.GraftScanStats.lastDecision.get
+    // directory rung: 1 of 8 partition dirs survives (dropped dirs are
+    // never listed — filesTotal counts only the kept dir's files); file
+    // rung: the id-stats sidecar prunes inside the survivor
+    assert(d.dirsKept == 1 && d.dirsTotal == 8,
+      s"directory rung must keep 1 of 8 dirs: $d")
+    assert(d.filesKept < d.filesTotal,
+      s"file rung must prune inside the kept dir: $d")
+  }
+
   test("V2 SQL catalog: nested schemas write via the V1 fallback") {
     val c = sqlCat("nested")
     spark.sql(s"CREATE TABLE $c.n AS SELECT id, array(id, id * 2) AS arr, " +
