@@ -38,7 +38,8 @@ object Plans {
       "sql_surface_scalar_subq", "llm_lm_score",
       "txn_sql_catalog", "llm_bpe_train", "llm_bpe_apply",
       "txn_partition_skipping", "txn_maintain", "llm_cluster_best",
-      "txn_sql_merge", "txn_sql_skipping")
+      "txn_sql_merge", "txn_sql_skipping", "txn_sql_partitioned",
+      "txn_sql_evolve")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

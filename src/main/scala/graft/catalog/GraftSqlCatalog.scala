@@ -75,6 +75,14 @@ import graft.ops.{GraftCatalog, Txn}
   * InternalRow conversion per row on SQL reads — acceptable for the
   * migration surface; performance-critical pipelines call Txn.read
   * directly on the resolved root (same snapshot, zero conversion). */
+object GraftSqlCatalog {
+  /** TBLPROPERTIES key declaring the table's primary-key column: the
+    * user's promise that the column uniquely identifies rows (Iceberg's
+    * identifier-field contract). Declaring it routes SQL UPDATE / MERGE
+    * / predicate DELETE onto the O(batch) delta row-level path. */
+  val KeyProp = "graft.key"
+}
+
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -133,12 +141,38 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(ident.name(), root, v, spark)
   }
 
+  /** CREATE TABLE, optionally `PARTITIONED BY (col)` (r12, r11 verdict
+    * item 3: SQL users can now reach the partitioned layout) and/or
+    * with a declared primary key `TBLPROPERTIES ('graft.key' = 'col')`
+    * — the key declaration routes row-level SQL ops onto the O(batch)
+    * delta path. Both facts persist in the table's `_props` file; the
+    * initial empty snapshot is written FLAT (an empty partitioned write
+    * would leave no footer to resolve the schema from) and INSERTs land
+    * `col=value` shards — the self-describing mixed chain every Txn
+    * reader already handles. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     checkNs(ident.namespace())
-    require(partitions.isEmpty,
-      "graft SQL catalog does not take PARTITIONED BY — partition at write " +
-        "time via Txn.commitPartitioned on the resolved root")
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) =>
+        val refs = t.references()
+        require(t.name() == "identity" && refs.length == 1 &&
+          refs.head.fieldNames().length == 1,
+          s"graft SQL catalog takes PARTITIONED BY a single top-level " +
+            s"column, got $t")
+        val c = refs.head.fieldNames().head
+        require(schema.fieldNames.contains(c),
+          s"partition column $c absent from the schema")
+        Some(c)
+      case many => sys.error(
+        s"graft SQL catalog takes at most one partition column, got $many")
+    }
+    val keyCol = Option(properties.get(GraftSqlCatalog.KeyProp))
+    keyCol.foreach { k =>
+      require(schema.fieldNames.contains(k),
+        s"declared key column $k absent from the schema")
+    }
     if (GraftCatalog.tableExists(spark, catalogRoot, ident.name()))
       throw new TableAlreadyExistsException(ident)
     // LOCATION '...' = external root; otherwise managed under the
@@ -149,13 +183,57 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     Txn.commit(empty, root, meta = Map("op" -> "sql-create-table"))
+    val props = partCol.map("partition" -> _).toMap ++
+      keyCol.map("key" -> _).toMap
+    if (props.nonEmpty) Txn.setTableProps(spark, root, props)
     GraftCatalog.create(spark, catalogRoot, ident.name(), root)
     new GraftSqlTable(ident.name(), root, 1L, spark)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    sys.error("graft SQL catalog: ALTER TABLE column changes are not " +
-      "supported — append a schema-evolving shard via Txn.commitAppend")
+  /** ALTER TABLE (r12, r11 verdict item 3): ADD COLUMN (nullable,
+    * top-level, defaultless) maps to a schema-evolution commit — an
+    * EMPTY appended shard carrying the evolved schema, which the
+    * mergeSchema readers null-fill on older rows (the machinery
+    * `txn_changes_evolve` already gates); SET TBLPROPERTIES
+    * ('graft.key' = …) declares/updates the primary key. Anything else
+    * stays loud. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    checkNs(ident.namespace())
+    val root = resolveOrThrow(ident)
+    val current = Txn.read(spark, root).schema
+    var added = Seq.empty[org.apache.spark.sql.types.StructField]
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"graft SQL catalog: nested ADD COLUMN is not supported: " +
+            a.fieldNames().mkString("."))
+        require(a.isNullable,
+          "graft SQL catalog: added columns must be nullable (older " +
+            "rows null-fill)")
+        require(a.position() == null,
+          "graft SQL catalog: column positions are not supported")
+        val name = a.fieldNames().head
+        require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name already exists")
+        added :+= org.apache.spark.sql.types.StructField(
+          name, a.dataType(), nullable = true)
+      case p: TableChange.SetProperty if p.property() == GraftSqlCatalog.KeyProp =>
+        require(current.fieldNames.contains(p.value()),
+          s"declared key column ${p.value()} absent from the schema")
+        Txn.setTableProps(spark, root, Map("key" -> p.value()))
+      case other => sys.error(
+        s"graft SQL catalog: unsupported ALTER TABLE change $other — " +
+          "supported: ADD COLUMN (nullable), SET TBLPROPERTIES " +
+          s"('${GraftSqlCatalog.KeyProp}' = ...)")
+    }
+    if (added.nonEmpty) {
+      val evolved = StructType(current.fields.toSeq ++ added)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], evolved)
+      Txn.commitAppend(empty, root, meta = Map("op" -> "sql-add-column"))
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     checkNs(ident.namespace())
@@ -216,25 +294,36 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
   with SupportsRowLevelOperations {
 
   private lazy val snapshot: DataFrame = Txn.readVersion(spark, root, version)
+  /** Table contract from `_props` (r12): declared partition column
+    * (SQL INSERTs land hive-partitioned) and primary key (row-level ops
+    * take the O(batch) delta path). One small-file read per statement. */
+  private lazy val tableProps: Map[String, String] = Txn.tableProps(spark, root)
+  private def partCol: Option[String] = tableProps.get("partition")
+  private[catalog] def keyCol: Option[String] = tableProps.get("key")
 
   override def name(): String = tableName
   override def schema(): StructType = snapshot.schema
-  /** Write capability follows the SCHEMA (Spark requires the declared
-    * kind to match the Write object): flat primitive schemas take the
-    * native executor-parallel path, nested/array/decimal schemas the
-    * V1 bridge (whose Txn commits handle any Spark schema). */
+  /** Write capability follows the SCHEMA and LAYOUT (Spark requires the
+    * declared kind to match the Write object): flat primitive schemas
+    * take the native executor-parallel path; nested/array schemas and
+    * PARTITIONED tables (the native writer emits flat files) take the
+    * V1 bridge, whose Txn commits handle any schema and the
+    * hive-partitioned layout. */
   override def capabilities(): util.Set[TableCapability] = {
     val writeCap =
       try { GraftBatchWrite.schemaToParquet(schema(), "probe")
-        TableCapability.BATCH_WRITE }
+        if (partCol.isEmpty) TableCapability.BATCH_WRITE
+        else TableCapability.V1_BATCH_WRITE }
       catch { case _: UnsupportedOperationException =>
         TableCapability.V1_BATCH_WRITE }
     util.EnumSet.of(TableCapability.BATCH_READ, writeCap,
       TableCapability.TRUNCATE)
   }
   override def properties(): util.Map[String, String] =
-    Map("location" -> root, "version" -> version.toString,
-      "provider" -> "graft").asJava
+    (Map("location" -> root, "version" -> version.toString,
+      "provider" -> "graft") ++
+      partCol.map("partition" -> _) ++
+      keyCol.map(GraftSqlCatalog.KeyProp -> _)).asJava
 
   /** Spark's own vectorized parquet DSv2 scan over the pinned
     * version's data dirs — servable whenever every manifest entry is a
@@ -272,7 +361,7 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
         s"graft.$tableName@v$version"))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(root, info.schema())
+    new GraftWriteBuilder(root, info.schema(), version, partCol)
 
   /** UPDATE / MERGE INTO (r11, group-based copy-on-write): with no
     * group metadata attributes the whole pinned snapshot is one group,
@@ -322,7 +411,11 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
                 new GraftBatchWrite(root, wInfo.schema(),
                   GraftBatchWrite.Replace,
                   s"sql-${info.command().toString.toLowerCase(java.util.Locale.ROOT)}",
-                  rowLevel = true)
+                  rowLevel = true,
+                  // the COW rewrite is computed from THIS pinned
+                  // version: CAS the publish so a concurrent writer's
+                  // commit is never silently discarded (r11 advice)
+                  pinnedBase = Some(version))
             }
           }
       }
@@ -496,21 +589,25 @@ private[catalog] class GraftV1Scan(pruned: DataFrame, label: String)
   * boundary on the write side. Schemas beyond the native writer's flat
   * primitive set (arrays, structs, decimals) fall back to the V1
   * bridge, whose Txn commits handle any Spark schema. */
-private[catalog] class GraftWriteBuilder(root: String, schema: StructType)
+private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
+    pinnedVersion: Long, partCol: Option[String])
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  private def nativeSupported: Boolean =
-    try { GraftBatchWrite.schemaToParquet(schema, "probe"); true }
-    catch { case _: UnsupportedOperationException => false }
+  private def nativeSupported: Boolean = partCol.isEmpty &&
+    (try { GraftBatchWrite.schemaToParquet(schema, "probe"); true }
+    catch { case _: UnsupportedOperationException => false })
 
   override def build(): Write =
     if (nativeSupported) new Write {
       override def toBatch: BatchWrite =
         if (overwrite)
-          new GraftBatchWrite(root, schema, GraftBatchWrite.Replace, "sql-overwrite")
+          // OVERWRITE replaces from a pinned base: CAS at version+1, so
+          // a concurrent commit fails this writer loud (r11 advice)
+          new GraftBatchWrite(root, schema, GraftBatchWrite.Replace,
+            "sql-overwrite", pinnedBase = Some(pinnedVersion))
         else
           new GraftBatchWrite(root, schema, GraftBatchWrite.Append, "sql-insert")
     }
@@ -518,10 +615,22 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType)
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
           override def insert(data: DataFrame, ow: Boolean): Unit = {
-            if (overwrite || ow)
-              Txn.commit(data, root, meta = Map("op" -> "sql-overwrite"))
-            else
-              Txn.commitAppend(data, root, meta = Map("op" -> "sql-insert"))
+            (overwrite || ow, partCol) match {
+              case (true, None) =>
+                Txn.commitIf(data, root, expectedBase = pinnedVersion,
+                  meta = Map("op" -> "sql-overwrite"))
+              case (true, Some(c)) =>
+                Txn.commitIf(data, root, expectedBase = pinnedVersion,
+                  meta = Map("op" -> "sql-overwrite", "partitionCol" -> c),
+                  partitionBy = Some(c))
+              case (false, None) =>
+                Txn.commitAppend(data, root, meta = Map("op" -> "sql-insert"))
+              case (false, Some(c)) =>
+                // the canonical partitioned ingest loop: the shard lands
+                // as col=value subdirs of one manifest-appended dir
+                Txn.commitAppendPartitioned(data, root, c,
+                  meta = Map("op" -> "sql-insert"))
+            }
             ()
           }
         }

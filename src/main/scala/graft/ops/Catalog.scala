@@ -362,6 +362,75 @@ object GraftCatalog {
     }
   }
 
+  /** SQL `CREATE TABLE … PARTITIONED BY` end-to-end (r12, r11 verdict
+    * item 3): DDL declares the layout, two INSERT INTO statements land
+    * as hive-partitioned O(shard) appends, and the final SELECT's
+    * partition filter prunes directories off the listing (CatalogSpec
+    * pins dirsKept < dirsTotal; here the driver hash pins that pruning
+    * never changes results). Aggregates are COUNT/MIN/MAX — order-
+    * insensitive, so the pruned scan's row order cannot leak into the
+    * hash. */
+  val txnSqlPartitioned: Q = Q(
+    "txn_sql_partitioned",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+      |  CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+      |FROM orders WHERE year(o_orderdate) IN (1995, 1997)
+      |GROUP BY 1 ORDER BY yr""".stripMargin
+  ) { (s, dir) =>
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val t = "ord_part"
+      resetSqlTable(s, catRootDir, t)
+      s.sql(s"""CREATE TABLE $c.$t
+        |(orderkey BIGINT, price DOUBLE, yr BIGINT)
+        |PARTITIONED BY (yr)""".stripMargin)
+      s.sql(s"""INSERT INTO $c.$t
+        |SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS BIGINT)
+        |FROM parquet.`$dir/orders.parquet`
+        |WHERE year(o_orderdate) <= 1995""".stripMargin)
+      s.sql(s"""INSERT INTO $c.$t
+        |SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS BIGINT)
+        |FROM parquet.`$dir/orders.parquet`
+        |WHERE year(o_orderdate) > 1995""".stripMargin)
+      s.sql(s"""SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(price) AS DOUBLE) AS lo, CAST(MAX(price) AS DOUBLE) AS hi
+        |FROM $c.$t WHERE yr IN (1995, 1997)
+        |GROUP BY yr ORDER BY yr""".stripMargin)
+    }
+  }
+
+  /** SQL schema evolution + native DECIMAL write (r12, r11 verdict
+    * items 3+5): CREATE with a decimal column (the native executor-
+    * parallel writer's new type coverage), ALTER TABLE ADD COLUMN, then
+    * an INSERT carrying the evolved schema — older rows surface the
+    * added column null-filled. The oracle recomputes the union from the
+    * raw table, so the hash pins the evolution semantics AND the
+    * decimal round-trip at once. */
+  val txnSqlEvolve: Q = Q(
+    "txn_sql_evolve",
+    """SELECT c_custkey AS custkey,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+      |  CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment ELSE '-' END AS seg
+      |FROM customer ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val t = "cust_ev"
+      resetSqlTable(s, catRootDir, t)
+      s.sql(s"CREATE TABLE $c.$t (custkey BIGINT, bal DECIMAL(12,2))")
+      s.sql(s"""INSERT INTO $c.$t
+        |SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2))
+        |FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $c.$t ADD COLUMN seg STRING")
+      s.sql(s"""INSERT INTO $c.$t
+        |SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)), c_mktsegment
+        |FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 2 = 1""".stripMargin)
+      s.sql(s"""SELECT custkey, CAST(bal AS DOUBLE) AS bal,
+        |  coalesce(seg, '-') AS seg
+        |FROM $c.$t ORDER BY custkey""".stripMargin)
+    }
+  }
+
   def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog, txnSqlMerge,
-    txnSqlSkipping)
+    txnSqlSkipping, txnSqlPartitioned, txnSqlEvolve)
 }

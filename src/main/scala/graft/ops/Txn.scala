@@ -442,6 +442,84 @@ object Txn {
       dataRel: String, meta: Map[String, String] = Map.empty): Long =
     publishFull(fs(spark, root), root, dataRel, manifestBody(dataRel, meta))
 
+  /** OCC-pinned [[publishDirFull]] (r12, r11 advice medium): publish an
+    * already-written snapshot dir as version `expectedBase + 1` ONLY if
+    * the table is still at `expectedBase` — the [[commitIf]] contract
+    * for the native V2 write path. A full-snapshot REPLACE computed
+    * from a pinned scan silently discards any commit that landed
+    * between the pin and the publish; losers throw
+    * [[java.util.ConcurrentModificationException]] loud (the orphan
+    * snapshot is vacuum fodder, never visible). */
+  private[graft] def publishDirFullIf(spark: SparkSession, root: String,
+      dataRel: String, expectedBase: Long,
+      meta: Map[String, String] = Map.empty): Long = {
+    val f = fs(spark, root)
+    def check(): Unit = {
+      val cur = committedVersions(f, root).foldLeft(0L)(math.max)
+      if (cur != expectedBase)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $root moved to version $cur while this writer " +
+            s"computed from $expectedBase; re-read and recompute")
+    }
+    check()
+    val tmp = stageManifest(f, root, dataRel.stripPrefix("data/"),
+      manifestBody(dataRel, meta))
+    val target = new Path(s"$root/_commits/${expectedBase + 1}")
+    val occLost = publishLock(root).synchronized {
+      f.exists(target) || !f.rename(tmp, target) || !stampPublish(f, target)
+    }
+    if (occLost) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"version ${expectedBase + 1} at $root was taken concurrently; " +
+          "re-read and recompute")
+    }
+    expectedBase + 1
+  }
+
+  /** TABLE-LEVEL properties (r12): one small `_props` file at the table
+    * root holding `key<TAB>value` lines — the SQL catalog's home for a
+    * declared primary key (`key` → rowId of the delta row-level ops)
+    * and the partition column (`partition` → layout of SQL INSERTs).
+    * Deliberately OUTSIDE the version chain: properties describe the
+    * table contract, not a snapshot — exactly where Delta keeps its
+    * table configuration. One small-file read per lookup; updates
+    * rewrite the whole (tiny) file under the per-root publish lock. */
+  def tableProps(spark: SparkSession, root: String): Map[String, String] = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/_props")
+    if (!f.exists(p)) Map.empty
+    else readLines(f, p).flatMap { l =>
+      l.split('\t') match {
+        case Array(k, v) => Some(k -> v)
+        case _           => None
+      }
+    }.toMap
+  }
+
+  /** Merge `props` into the table's property file (last write wins per
+    * key; a null-valued entry removes the key). */
+  def setTableProps(spark: SparkSession, root: String,
+      props: Map[String, String]): Unit = {
+    props.foreach { case (k, v) =>
+      require(!k.contains('\t') && !k.contains('\n') &&
+        (v == null || (!v.contains('\t') && !v.contains('\n'))),
+        s"table property must be tab/newline-free: $k=$v")
+    }
+    val f = fs(spark, root)
+    publishLock(root).synchronized {
+      val merged = (tableProps(spark, root) ++ props).filter(_._2 != null)
+      val tmp = new Path(s"$root/_tmp/props-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      f.delete(new Path(s"$root/_props"), false)
+      require(f.rename(tmp, new Path(s"$root/_props")),
+        s"failed to publish table properties at $root")
+    }
+  }
+
   /** Publish an already-written snapshot dir as a manifest-extension
     * APPEND — the lean rebase loop of [[appendCore]] without the
     * dedup/upsert/schema machinery (the V2 write path already resolved

@@ -347,6 +347,83 @@ class CatalogSpec extends SparkSpec {
       s"file rung must prune inside the kept dir: $d")
   }
 
+  test("V2 SQL catalog: CREATE TABLE PARTITIONED BY — INSERTs land " +
+      "partitioned, SELECTs prune directories, OVERWRITE keeps layout") {
+    val c = sqlCat("ddlpart")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.p (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $c.p SELECT id, id % 4 AS day FROM range(400)")
+    spark.sql(s"INSERT INTO $c.p SELECT id, 9 AS day FROM range(1000, 1050)")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "p")
+    // the shards landed hive-partitioned: 4 day dirs + 1 day dir
+    assert(Txn.partitionProbe(spark, tRoot, "day", Seq(9L)) == ((1, 5)))
+    // SELECT with a partition filter prunes directories through SQL
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.p WHERE day = 9")
+      .head().getLong(0) == 50L)
+    val d = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d.dirsKept == 1 && d.dirsTotal == 5,
+      s"partition filter must prune dirs through SQL: $d")
+    // full scan reconstructs the partition column
+    assert(spark.sql(s"SELECT sum(day) AS s FROM $c.p").head().getLong(0) ==
+      (0L until 400L).map(_ % 4).sum + 50L * 9L)
+    // INSERT OVERWRITE keeps the partitioned layout (CAS-pinned commit)
+    spark.sql(s"INSERT OVERWRITE $c.p SELECT id, id % 2 AS day FROM range(10)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.p").head().getLong(0) == 10L)
+    assert(Txn.partitionProbe(spark, tRoot, "day", Seq(0L)) == ((1, 2)))
+  }
+
+  test("V2 SQL catalog: ALTER TABLE ADD COLUMN evolves the schema; old " +
+      "rows null-fill; old versions keep the old schema") {
+    val c = sqlCat("evolve")
+    spark.sql(s"CREATE TABLE $c.ev (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ev VALUES (1, 10), (2, 20)")
+    spark.sql(s"ALTER TABLE $c.ev ADD COLUMN tag STRING")
+    spark.sql(s"INSERT INTO $c.ev VALUES (3, 30, 'new')")
+    val rows = spark.sql(
+      s"SELECT id, v, tag FROM $c.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, Some("new"))))
+    // time travel to the pre-evolution version surfaces the OLD schema
+    assert(spark.sql(s"SELECT * FROM $c.ev VERSION AS OF 2")
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    // unsupported ALTERs stay loud
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ev RENAME COLUMN v TO w")
+    }
+  }
+
+  test("V2 SQL catalog: decimal columns take the native write path and " +
+      "round-trip exactly") {
+    val c = sqlCat("dec")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.dc " +
+      "(id BIGINT, amt DECIMAL(12,2), sm DECIMAL(7,3), big DECIMAL(24,6))")
+    spark.sql(s"INSERT INTO $c.dc VALUES " +
+      "(1, 12345.67, 1.5, 123456789012345.678901), " +
+      "(2, -0.01, -999.999, -123456789012345.678901), " +
+      "(3, NULL, 0.001, NULL)")
+    val got = spark.sql(
+      s"SELECT id, CAST(amt AS STRING) AS a, CAST(sm AS STRING) AS s, " +
+        s"CAST(big AS STRING) AS b FROM $c.dc ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, "12345.67", "1.500", "123456789012345.678901"),
+      (2L, "-0.01", "-999.999", "-123456789012345.678901"),
+      (3L, null, "0.001", null)))
+    // the INSERT took the NATIVE executor-parallel path: graft's task
+    // writer names files part-<pid>-<tid>-<uuid>.parquet (no Spark
+    // .c000.snappy.parquet suffix), so a c000-free data dir proves it
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "dc")
+    val dataDirs = new java.io.File(tRoot, "data").listFiles()
+      .filter(_.isDirectory)
+    val insertFiles = dataDirs.flatMap(_.listFiles())
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(insertFiles.exists(n => !n.contains("c000")),
+      s"decimal INSERT must take the native writer: $insertFiles")
+  }
+
   test("V2 SQL catalog: nested schemas write via the V1 fallback") {
     val c = sqlCat("nested")
     spark.sql(s"CREATE TABLE $c.n AS SELECT id, array(id, id * 2) AS arr, " +

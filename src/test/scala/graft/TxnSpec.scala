@@ -820,6 +820,44 @@ class TxnSpec extends SparkSpec {
       Set(1L, 3L))
   }
 
+  test("publishDirFullIf: a replace computed from a stale base fails " +
+      "loud and publishes nothing (r11 advice)") {
+    import spark.implicits._
+    val root = freshRoot("casfull")
+    Txn.commit((1L to 5L).toDF("id"), root)
+    // stage a replacement snapshot the way the native V2 writer does
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    (6L to 9L).toDF("id").write.parquet(s"$root/$rel")
+    // a concurrent append moves the table past the pinned base...
+    Txn.commitAppend(Seq(100L).toDF("id"), root)
+    // ...so the pinned publish must fail loud, not clobber the append
+    intercept[java.util.ConcurrentModificationException] {
+      Txn.publishDirFullIf(spark, root, rel, expectedBase = 1L)
+    }
+    assert(ids(Txn.read(spark, root)) == (1L to 5L).toSet + 100L)
+    // re-pinned at the NEW tip, the replace lands
+    val v = Txn.publishDirFullIf(spark, root, rel, expectedBase = 2L)
+    assert(v == 3L && ids(Txn.read(spark, root)) == (6L to 9L).toSet)
+  }
+
+  test("table properties: create, merge-update, remove; survive commits") {
+    import spark.implicits._
+    val root = freshRoot("props")
+    Txn.commit((1L to 3L).toDF("id"), root)
+    assert(Txn.tableProps(spark, root).isEmpty)
+    Txn.setTableProps(spark, root, Map("key" -> "id"))
+    Txn.setTableProps(spark, root, Map("partition" -> "day"))
+    assert(Txn.tableProps(spark, root) ==
+      Map("key" -> "id", "partition" -> "day"))
+    // properties live OUTSIDE the version chain: commits don't touch them
+    Txn.commitAppend(Seq(4L).toDF("id"), root)
+    assert(Txn.tableProps(spark, root) ==
+      Map("key" -> "id", "partition" -> "day"))
+    // null removes
+    Txn.setTableProps(spark, root, Map("partition" -> null))
+    assert(Txn.tableProps(spark, root) == Map("key" -> "id"))
+  }
+
   test("hive-escaped partition values round-trip through probes, " +
       "sidecars, and file-pruned reads (r11 advice)") {
     import spark.implicits._
