@@ -39,7 +39,7 @@ object Plans {
       "txn_sql_catalog", "llm_bpe_train", "llm_bpe_apply",
       "txn_partition_skipping", "txn_maintain", "llm_cluster_best",
       "txn_sql_merge", "txn_sql_skipping", "txn_sql_partitioned",
-      "txn_sql_evolve")
+      "txn_sql_evolve", "txn_sql_upsert")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)

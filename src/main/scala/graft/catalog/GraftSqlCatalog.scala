@@ -302,7 +302,18 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
   private[catalog] def keyCol: Option[String] = tableProps.get("key")
 
   override def name(): String = tableName
-  override def schema(): StructType = snapshot.schema
+  /** The declared key column surfaces NOT NULL (r12): a primary key is
+    * a non-null contract by definition, and Spark's delta row-level
+    * rewrite requires non-nullable row-ID attributes (Iceberg's
+    * identifier-field rule). Parquet reads everything nullable, so the
+    * flag is re-tightened here — the write side enforces it at DDL
+    * level (a NULL key breaks the user's declared uniqueness promise
+    * regardless). */
+  override def schema(): StructType = keyCol match {
+    case Some(k) => StructType(snapshot.schema.fields.map(f =>
+      if (f.name == k) f.copy(nullable = false) else f))
+    case None => snapshot.schema
+  }
   /** Write capability follows the SCHEMA and LAYOUT (Spark requires the
     * declared kind to match the Write object): flat primitive schemas
     * take the native executor-parallel path; nested/array schemas and
@@ -363,16 +374,64 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info.schema(), version, partCol)
 
-  /** UPDATE / MERGE INTO (r11, group-based copy-on-write): with no
-    * group metadata attributes the whole pinned snapshot is one group,
-    * so Spark's ReplaceData rewrite hands the write the COMPLETE
-    * post-operation table contents (carried + updated + inserted
-    * rows) and the commit is one full-snapshot publish — the honest
-    * O(table) SQL MERGE/UPDATE cost (Delta's COW MERGE rewrites
-    * matched files the same way; file-granular groups are the
-    * refinement). Point DELETEs never come here — the SupportsDelete
-    * tombstone path is preferred by the rewrite rules. */
+  /** UPDATE / MERGE INTO / predicate DELETE. Two regimes (r12):
+    *
+    *  - a DECLARED-KEY table (`TBLPROPERTIES ('graft.key' = 'col')`,
+    *    flat-primitive schema) takes the DELTA path: Spark's rewrite
+    *    hands the write only the CHANGED rows, committed as one
+    *    tombstone+rows manifest extension — O(batch), the
+    *    [[Txn.commitUpsert]] economics from pasted SQL (r11 verdict
+    *    item 2). The scan side keeps full pushdown + sidecar skipping.
+    *  - a keyless table falls back to the r11 group-based copy-on-write
+    *    (whole pinned snapshot = one group; complete post-operation
+    *    contents land as a full-snapshot publish) — honest O(table),
+    *    Delta's COW granularity. Point DELETEs never come here — the
+    *    SupportsDelete tombstone path is preferred by the rewrite
+    *    rules. */
   override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    val deltaKey = keyCol.filter { k =>
+      snapshot.schema.fieldNames.contains(k) &&
+        (try { GraftBatchWrite.schemaToParquet(snapshot.schema, "probe"); true }
+        catch { case _: UnsupportedOperationException => false })
+    }
+    deltaKey match {
+      case Some(k) => new RowLevelOperationBuilder {
+        override def build(): RowLevelOperation =
+          new RowLevelOperation
+            with org.apache.spark.sql.connector.write.SupportsDelta {
+            override def command: RowLevelOperation.Command = info.command()
+            override def rowId(): Array[
+                org.apache.spark.sql.connector.expressions.NamedReference] =
+              Array(org.apache.spark.sql.connector.expressions.Expressions
+                .column(k))
+            // the delta rewrite only needs rows the operation may
+            // touch: the REGULAR scan (pushdown + sidecar skipping)
+            // serves it — Spark pushes only what is sound for the
+            // rewrite shape
+            override def newScanBuilder(
+                options: CaseInsensitiveStringMap): ScanBuilder =
+              GraftSqlTable.this.newScanBuilder(options)
+            override def newWriteBuilder(wInfo: LogicalWriteInfo)
+                : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+              new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+                override def build()
+                    : org.apache.spark.sql.connector.write.DeltaWrite = {
+                  val keySchema =
+                    if (wInfo.rowIdSchema().isPresent) wInfo.rowIdSchema().get()
+                    else StructType(Seq(snapshot.schema(k).copy(nullable = true)))
+                  new GraftDeltaWrite(root, wInfo.schema(), keySchema, k,
+                    version,
+                    s"sql-${info.command().toString.toLowerCase(java.util.Locale.ROOT)}-delta")
+                }
+              }
+          }
+      }
+      case None => groupCowBuilder(info)
+    }
+  }
+
+  private def groupCowBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
@@ -440,9 +499,17 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     }
   }
 
+  /** Metadata-delete eligibility. Keyed tables (r12) accept ONLY the
+    * O(keys) tombstone shapes here — any other predicate is refused so
+    * Spark's optimizer keeps the row-level DELTA plan, which lands as a
+    * tombstone of exactly the matched keys (still O(matched), never a
+    * rewrite). Keyless tables keep the r11 behavior: translatable
+    * predicates take the OCC-pinned rewrite, anything else falls to the
+    * group-based row-level plan. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.isEmpty || tombstoneKeys(filters).isDefined ||
-      filters.forall(f => GraftFilters.translate(f).isDefined)
+      (keyCol.isEmpty &&
+        filters.forall(f => GraftFilters.translate(f).isDefined))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     if (filters.isEmpty) { truncateTable(); () }

@@ -431,6 +431,57 @@ object GraftCatalog {
     }
   }
 
+  /** O(batch) SQL MERGE (r12, r11 verdict item 2): the SAME three-
+    * branch statement as [[txnSqlMerge]] — but the target declares
+    * `graft.key`, so the row-level operation takes the DELTA path: only
+    * the changed rows are written and the commit is ONE tombstone+rows
+    * manifest extension (history op `sql-merge-delta`, asserted in
+    * CatalogSpec), never a table rewrite. Identical oracle to the COW
+    * row — the two forms hash-matching each other and DuckDB is the
+    * strongest statement that the delta rewrite preserves MERGE
+    * semantics exactly. SQLMERGE_r12 measures the cost split: COW
+    * linear in table size, delta flat. */
+  val txnSqlUpsert: Q = Q(
+    "txn_sql_upsert",
+    """WITH src AS (
+      |  SELECT c_custkey AS k, c_acctbal * 2 AS nb FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 9000000, c_acctbal FROM customer WHERE c_custkey % 50 = 0),
+      |tgt AS (SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+      |        c_mktsegment AS mktsegment FROM customer)
+      |SELECT custkey, acctbal, mktsegment FROM (
+      |  SELECT t.custkey,
+      |    CASE WHEN s.k IS NOT NULL THEN s.nb ELSE t.acctbal END AS acctbal,
+      |    t.mktsegment
+      |  FROM tgt t LEFT JOIN src s ON t.custkey = s.k
+      |  WHERE NOT (s.k IS NOT NULL AND t.mktsegment = 'BUILDING')
+      |  UNION ALL
+      |  SELECT s.k, s.nb, 'NEW' FROM src s LEFT JOIN tgt t ON s.k = t.custkey
+      |  WHERE t.custkey IS NULL)
+      |ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val t = "cust_upsert"
+      resetSqlTable(s, catRootDir, t)
+      s.sql(s"""CREATE TABLE $c.$t TBLPROPERTIES ('graft.key' = 'custkey') AS
+        |SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+        |  c_mktsegment AS mktsegment
+        |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+      s.sql(s"""MERGE INTO $c.$t t USING (
+        |  SELECT c_custkey AS k, c_acctbal * 2 AS nb
+        |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 9000000, c_acctbal
+        |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 50 = 0) s
+        |ON t.custkey = s.k
+        |WHEN MATCHED AND t.mktsegment = 'BUILDING' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET acctbal = s.nb
+        |WHEN NOT MATCHED THEN INSERT (custkey, acctbal, mktsegment)
+        |  VALUES (s.k, s.nb, 'NEW')""".stripMargin)
+      s.sql(s"SELECT custkey, acctbal, mktsegment FROM $c.$t ORDER BY custkey")
+    }
+  }
+
   def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog, txnSqlMerge,
-    txnSqlSkipping, txnSqlPartitioned, txnSqlEvolve)
+    txnSqlSkipping, txnSqlPartitioned, txnSqlEvolve, txnSqlUpsert)
 }

@@ -452,18 +452,46 @@ object Txn {
     * snapshot is vacuum fodder, never visible). */
   private[graft] def publishDirFullIf(spark: SparkSession, root: String,
       dataRel: String, expectedBase: Long,
-      meta: Map[String, String] = Map.empty): Long = {
-    val f = fs(spark, root)
-    def check(): Unit = {
-      val cur = committedVersions(f, root).foldLeft(0L)(math.max)
-      if (cur != expectedBase)
-        throw new java.util.ConcurrentModificationException(
-          s"table at $root moved to version $cur while this writer " +
-            s"computed from $expectedBase; re-read and recompute")
-    }
-    check()
-    val tmp = stageManifest(f, root, dataRel.stripPrefix("data/"),
+      meta: Map[String, String] = Map.empty): Long =
+    casPublish(spark, root, expectedBase, dataRel.stripPrefix("data/"),
       manifestBody(dataRel, meta))
+
+  /** OCC-pinned DELTA publish (r12, the native half of the SQL delta
+    * row-level ops): extend `expectedBase`'s manifest with an optional
+    * tombstone of the touched keys and an optional dir of replacement/
+    * new rows — ONE atomic rename, so no reader ever sees the delete
+    * without the insert (the [[commitUpsert]] shape, fed by executor-
+    * written dirs instead of a DataFrame). CAS at `expectedBase + 1`:
+    * row-level deltas are computed against the pinned scan, so unlike
+    * blind appends they must NOT rebase over a concurrent commit —
+    * losers throw [[java.util.ConcurrentModificationException]]. */
+  private[graft] def publishDeltaIf(spark: SparkSession, root: String,
+      expectedBase: Long, keyCol: String, keysRel: Option[String],
+      rowsRel: Option[String], meta: Map[String, String] = Map.empty): Long = {
+    require(keysRel.nonEmpty || rowsRel.nonEmpty,
+      "delta publish needs keys, rows, or both")
+    require(!keyCol.contains(',') && !keyCol.contains('\n') &&
+      !keyCol.contains('@'),
+      s"delta key column must be free of ',', '@' and newlines: $keyCol")
+    val f = fs(spark, root)
+    val dirs = manifestDirs(f, root, expectedBase) ++
+      keysRel.map(k => s"~$k@$keyCol").toSeq ++ rowsRel.toSeq
+    casPublish(spark, root, expectedBase,
+      s"delta-${java.util.UUID.randomUUID()}",
+      manifestBody(dirs.mkString(","), meta))
+  }
+
+  /** Shared OCC publish: stage `body`, rename to `expectedBase + 1`
+    * only if the table is still at `expectedBase`; loud CME on loss. */
+  private def casPublish(spark: SparkSession, root: String,
+      expectedBase: Long, tag: String, body: String): Long = {
+    val f = fs(spark, root)
+    val cur = committedVersions(f, root).foldLeft(0L)(math.max)
+    if (cur != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"table at $root moved to version $cur while this writer " +
+          s"computed from $expectedBase; re-read and recompute")
+    val tmp = stageManifest(f, root, tag, body)
     val target = new Path(s"$root/_commits/${expectedBase + 1}")
     val occLost = publishLock(root).synchronized {
       f.exists(target) || !f.rename(tmp, target) || !stampPublish(f, target)

@@ -347,6 +347,66 @@ class CatalogSpec extends SparkSpec {
       s"file rung must prune inside the kept dir: $d")
   }
 
+  test("V2 SQL catalog: declared-key tables run UPDATE/MERGE/DELETE " +
+      "through the O(batch) delta path — manifest extension, no rewrite") {
+    import spark.implicits._
+    val c = sqlCat("delta")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.k (id BIGINT, v BIGINT, tag STRING) " +
+      s"TBLPROPERTIES ('graft.key' = 'id')")
+    spark.sql(s"INSERT INTO $c.k SELECT id, id * 2 AS v, 'base' AS tag " +
+      "FROM range(1000)")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "k")
+    val filesBase = Txn.tableDetail(spark, tRoot)._2
+    // UPDATE lands as ONE tombstone+rows extension: the base files stay
+    // referenced (no rewrite), one tombstone entry appears
+    spark.sql(s"UPDATE $c.k SET v = v + 10000, tag = 'up' WHERE id < 5")
+    val d1 = Txn.tableDetail(spark, tRoot)
+    assert(d1._4 == 1L, s"UPDATE must land as a tombstone extension: $d1")
+    assert(d1._2 >= filesBase,
+      "delta UPDATE must keep the base files referenced (no rewrite)")
+    assert(Txn.history(spark, tRoot).last._3("op") == "sql-update-delta")
+    val afterUpdate = spark.sql(s"SELECT id, v, tag FROM $c.k ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(afterUpdate.toSeq == (0L until 1000L).map(i =>
+      if (i < 5) (i, i * 2 + 10000, "up") else (i, i * 2, "base")))
+    // three-branch MERGE: delete + update + insert, one extension
+    Seq((1L, 111L), (7L, 777L), (5000L, 5L))
+      .toDF("id", "nv").createOrReplaceTempView("delta_merge_src")
+    spark.sql(
+      s"""MERGE INTO $c.k t USING delta_merge_src s ON t.id = s.id
+         |WHEN MATCHED AND t.id = 7 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.nv, tag = 'merged'
+         |WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.nv, 'new')
+         |""".stripMargin)
+    assert(Txn.history(spark, tRoot).last._3("op") == "sql-merge-delta")
+    assert(Txn.tableDetail(spark, tRoot)._4 == 2L)
+    val afterMerge = spark.sql(
+      s"SELECT id, v, tag FROM $c.k WHERE id IN (1, 7, 5000) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(afterMerge.toSeq == Seq((1L, 111L, "merged"), (5000L, 5L, "new")))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.k").head().getLong(0) == 1000L)
+    // predicate DELETE (not tombstone-able by shape) STILL lands
+    // O(matched-keys) through the delta path on a keyed table
+    spark.sql(s"DELETE FROM $c.k WHERE v >= 1990 AND tag = 'base'")
+    assert(Txn.history(spark, tRoot).last._3("op") == "sql-delete-delta")
+    assert(Txn.tableDetail(spark, tRoot)._4 == 3L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.k").head().getLong(0) ==
+      1000L - (0L until 1000L).count(i => i >= 5 && i * 2 >= 1990))
+    // a MERGE that matches nothing and inserts nothing publishes NOTHING
+    val vBefore = Txn.currentVersion(spark, tRoot).get
+    Seq((999999L, 0L)).toDF("id", "nv").createOrReplaceTempView("delta_noop_src")
+    spark.sql(s"""MERGE INTO $c.k t USING delta_noop_src s ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(Txn.currentVersion(spark, tRoot).contains(vBefore),
+      "an empty delta must not publish a version")
+    // NULL predicate semantics hold on the delta path too
+    spark.sql(s"INSERT INTO $c.k VALUES (8888, NULL, 'nullv')")
+    spark.sql(s"DELETE FROM $c.k WHERE v > 100 AND tag = 'nullv'")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.k WHERE id = 8888")
+      .head().getLong(0) == 1L, "NULL-condition rows must survive DELETE")
+  }
+
   test("V2 SQL catalog: CREATE TABLE PARTITIONED BY — INSERTs land " +
       "partitioned, SELECTs prune directories, OVERWRITE keeps layout") {
     val c = sqlCat("ddlpart")
