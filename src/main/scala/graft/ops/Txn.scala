@@ -1726,6 +1726,49 @@ object Txn {
     true
   }
 
+  /** STREAMING-SOURCE batch (r12, r11 verdict item 4 — the feed behind
+    * `spark.readStream.format("graft")`): rows added in versions
+    * `(fromExclusive, toInclusive]`, each stamped `_commit_version`.
+    * From offset 0 the batch is the INITIAL SNAPSHOT (tombstones
+    * folded — the correct first image); afterwards each step must be a
+    * pure manifest EXTENSION whose added entries are data dirs: the
+    * rows stream at FILE level, O(appended data), no diff — the
+    * commit-log shape Delta's streaming source serves. A rewrite,
+    * restore, or tombstone step fails LOUD (Delta's "detected a data
+    * update" contract): an append-only reader that silently skipped a
+    * delete would drift from the table forever. Deterministic replay:
+    * manifests are immutable, so re-reading any (a, b] range after a
+    * crash reproduces the batch exactly — vacuum retention must exceed
+    * the restart window, same as the CDC feed. */
+  private[graft] def streamBatch(spark: SparkSession, root: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val f = fs(spark, root)
+    def withVer(df: DataFrame, v: Long): DataFrame =
+      df.withColumn("_commit_version", lit(v))
+    if (fromExclusive <= 0L) {
+      withVer(readVersion(spark, root, toInclusive), toInclusive)
+    } else {
+      val steps = ((fromExclusive + 1) to toInclusive).flatMap { v =>
+        val prev = manifestDirs(f, root, v - 1)
+        val cur = manifestDirs(f, root, v)
+        require(cur.take(prev.size) == prev,
+          s"graft streaming source requires append-only commits; " +
+            s"version $v at $root rewrote or restored the table — " +
+            "restart the stream from a fresh checkpoint to re-snapshot")
+        val added = cur.drop(prev.size)
+        require(added.forall(!_.startsWith("~")),
+          s"graft streaming source: version $v at $root deleted rows " +
+            "(tombstone entry); the source serves append-only feeds")
+        added.map(d => readDir(spark, f, resolveDir(root, d)))
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
+          .map(withVer(_, v))
+      }
+      steps.reduceOption(_.unionByName(_, allowMissingColumns = true))
+        .getOrElse(withVer(
+          readVersion(spark, root, toInclusive).limit(0), toInclusive))
+    }
+  }
+
   /** Row-level CHANGES FEED between versions (CDC): for each step
     * v in (fromExclusive, toInclusive], rows present in v but not v-1
     * are emitted as `insert`@v and rows present in v-1 but not v as

@@ -573,6 +573,82 @@ class StreamingSpec extends SparkSpec {
     assert(Txn.currentVersion(spark, mv).get == mvVer)
   }
 
+  test("graft streaming source: initial snapshot + per-version appends, " +
+      "exactly-once across a kill/restart (r12)") {
+    import graft.ops.Txn
+    val root = java.nio.file.Files.createTempDirectory("gsrc_t").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("gsrc_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("gsrc_out").toString
+    Txn.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), root)
+    Txn.commitAppend(Seq((3L, "c")).toDF("id", "grp"), root) // v2
+    def start() = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    q1.processAllAvailable() // batch 0: initial snapshot of v2
+    Txn.commitAppend(Seq((4L, "d")).toDF("id", "grp"), root) // v3, live
+    q1.processAllAvailable()
+    q1.stop()
+    // two versions land while the stream is DOWN
+    Txn.commitAppend(Seq((5L, "e")).toDF("id", "grp"), root) // v4
+    Txn.commitAppend(Seq((6L, "f")).toDF("id", "grp"), root) // v5
+    val q2 = start() // resumes from the checkpointed version offset
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .select("id", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // every row exactly once; snapshot rows stamped with the snapshot
+    // version, increments with their own commit version
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 3L),
+      (5L, 4L), (6L, 5L)), s"stream feed drifted: $got")
+  }
+
+  test("graft streaming source: readStream → aggregate ≡ batch recompute " +
+      "(the IVM maintainer as a standard pipeline, r12)") {
+    import graft.ops.Txn
+    val root = java.nio.file.Files.createTempDirectory("gsrc_ivm").toString + "/t"
+    Txn.commit(Seq(IvmRow("a", 1), IvmRow("b", 10)).toDS().toDF(), root)
+    val sink = s"gsrc_mv_${System.nanoTime()}"
+    val q = spark.readStream.format("graft").load(root)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    def assertMvMatches(): Unit = assertSame(
+      spark.table(sink),
+      Txn.read(spark, root).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_v")),
+      Seq("grp"))
+    q.processAllAvailable(); assertMvMatches()
+    Txn.commitAppend(Seq(IvmRow("a", 2), IvmRow("c", 100)).toDS().toDF(), root)
+    q.processAllAvailable(); assertMvMatches()
+    Txn.commitAppend(Seq(IvmRow("b", 20), IvmRow("a", 3)).toDS().toDF(), root)
+    q.processAllAvailable(); assertMvMatches()
+    q.stop()
+  }
+
+  test("graft streaming source: a tombstone or rewrite step fails the " +
+      "stream LOUD instead of silently drifting (r12)") {
+    import graft.ops.Txn
+    val root = java.nio.file.Files.createTempDirectory("gsrc_del").toString + "/t"
+    Txn.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), root)
+    val sink = s"gsrc_del_${System.nanoTime()}"
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    Txn.commitDelete(spark, root, "id", Seq(1L).toDF("id"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    assert(err.getMessage.contains("append-only") ||
+      Option(err.getCause).exists(_.getMessage.contains("append-only")),
+      s"expected the append-only contract violation, got: ${err.getMessage}")
+  }
+
   test("checkpoint restart: no loss, no duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_out").toString
