@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Env knobs: SPARK_GRAFT_SCALE_MULTS (default "1,10"),
   * SPARK_GRAFT_SCALE_PASSES (default 2, min-of-passes like Bench),
   * SPARK_GRAFT_SCALE_ONLY (comma-filter on query keys).
-  * Writes SCALING_r11.json (per-query seconds and output rows per
+  * Writes SCALING_r12.json (per-query seconds and output rows per
   * multiplier, plus the x10/x1 ratio).
   */
 object ScaleBench {
@@ -146,7 +146,7 @@ object ScaleBench {
     * parquet, RELOAD it, and probe from the RELOADED index — build and
     * write are the amortized once-per-corpus-version costs, probe (from
     * the reloaded frames) is the recurring per-shard cost. Writes
-    * INGEST_r11.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
+    * INGEST_r12.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
     * INSTEAD of the query curve). */
   private def ingestCurve(spark: SparkSession, dirs: Seq[(Int, String)],
       passes: Int): Unit = {
@@ -191,7 +191,7 @@ object ScaleBench {
     val s =
       s"""{"shard_docs":$nShard,"passes":$passes,"note":"fixed shard vs growing corpus; build+write are the amortized once-per-corpus-version costs, probe runs against the RELOADED parquet index (r7 persistence leg)","corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("INGEST_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("INGEST_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -246,7 +246,7 @@ object ScaleBench {
     val s =
       s"""{"note":"every doc carries a planted stop-bigram; registered llm_ngram_jaccard timed WITH the df cap ${graft.ops.DedupOps.NgramDfCap}; uncapped_cand_pairs is the analytic single-key bomb the cap removed","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("STOPGRAM_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("STOPGRAM_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -266,7 +266,7 @@ object ScaleBench {
     * shuffle shape, skew thresholds lowered to 8MB/4MB (local partition
     * sizes must be ABLE to trip the rule for the "it never fires"
     * finding to mean anything), outputs asserted equal across all
-    * three. Writes LMSKEW_r11.json. Enabled with
+    * three. Writes LMSKEW_r12.json. Enabled with
     * SPARK_GRAFT_SCALE_LMSKEW=1. */
   private def lmSkewCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -346,7 +346,7 @@ object ScaleBench {
       val s =
         s"""{"note":"every doc opens with $repeat copies of an 8-token line => ~8 planted bigram keys each at frequency ${repeat}x corpus; auto-broadcast disabled so the bigram join takes its web-scale shuffle shape; skew thresholds lowered to 8MB/4MB. FINDING 1: AQE's OptimizeSkewedJoin NEVER fires on the naive form (naive_skew_on ~= naive_skew_off within noise, zero isSkew markers at any threshold) because c12 aggregates over the same exchange the join probes (join child = Sort(HashAgg(ShuffleStage)), not the Sort(ShuffleStage) pattern the rule rewrites) -- the r10 'AQE splits it' scaladoc claim was wrong and is withdrawn. FINDING 2: the registered r11 hot/cold form removes the bomb STRUCTURALLY -- its cold exchange carries cold_exchange_rows (every key bounded by the K-th hot frequency) vs the naive form's naive_exchange_rows with max_bigram_df of them in ONE AQE-unsplittable task. Local wall SLIGHTLY favors the naive form (32 page-cached cores absorb a few-million-row hot task; the hot/cold form pays a broadcast + union) -- the gated claim is the exchange bound, which is what stragglers/spill/OOM scale with at 100 TB, not local seconds","bp_repeat":$repeat,"passes":$passes,"hot_k":${graft.ops.TextOps.LmHotBigrams},"corpora":{$json}}"""
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("LMSKEW_r11.json"), s.getBytes)
+        java.nio.file.Paths.get("LMSKEW_r12.json"), s.getBytes)
       println(s)
     } finally restore()
   }
@@ -361,7 +361,7 @@ object ScaleBench {
     * shuffle), which grows linearly with the corpus while the aggregate
     * form's per-task state stays O(1) per hash via map-side combine.
     * Both forms' outputs are asserted identical before timing counts.
-    * Writes BOILERPLATE_r11.json. Enabled with
+    * Writes BOILERPLATE_r12.json. Enabled with
     * SPARK_GRAFT_SCALE_BOILERPLATE=1 (runs INSTEAD of the query curve). */
   private def boilerplateCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -406,7 +406,7 @@ object ScaleBench {
     val s =
       s"""{"note":"every doc opens with $repeat planted copies of one 8-token boilerplate line (template-heavy pages repeat identical lines); registered join-free aggregate-election lineDedup vs the r8 row_number-window form on identical inputs (outputs asserted equal); max_line_df is the single-task window partition the window form sorts — linear in corpus, the unsplittable straggler/OOM at web scale — while the aggregate form map-side-combines every hot hash to one struct per map task (O(1) per-group state at any f)","bp_repeat":$repeat,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BOILERPLATE_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("BOILERPLATE_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -418,7 +418,7 @@ object ScaleBench {
     * Times the registered aggregate-election llm_chunk_dedup against
     * the r9 row_number-window form on identical inputs (outputs
     * asserted equal); max_chunk_df is the single-task window partition
-    * the window form sorts. Writes CHUNKBOILER_r11.json. Enabled with
+    * the window form sorts. Writes CHUNKBOILER_r12.json. Enabled with
     * SPARK_GRAFT_SCALE_CHUNKBOILER=1. */
   private def chunkBoilerCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -459,7 +459,7 @@ object ScaleBench {
     val s =
       s"""{"note":"every doc opens with $repeat planted copies of one 8-token boilerplate line => chunks 0..2 identical across the corpus; registered min(struct) aggregate-election llm_chunk_dedup vs the r9 row_number-window form on identical inputs (outputs asserted equal); max_chunk_df is the single-task window partition the window form sorts -- linear in corpus, unsplittable by AQE -- while the aggregate form map-side-combines every hot hash to one struct per map task","bp_repeat":$repeat,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("CHUNKBOILER_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("CHUNKBOILER_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -475,7 +475,7 @@ object ScaleBench {
     * asserted equal. The synthetic frame isolates the ELECTION (the
     * component machinery upstream is shared by both forms and already
     * measured by SCALING's contraction curves). Writes
-    * CLUSTERBEST_r11.json. Enabled with SPARK_GRAFT_SCALE_CLUSTERBEST=1. */
+    * CLUSTERBEST_r12.json. Enabled with SPARK_GRAFT_SCALE_CLUSTERBEST=1. */
   private def clusterBestCurve(spark: SparkSession,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.DedupOps
@@ -517,7 +517,7 @@ object ScaleBench {
     val s =
       s"""{"note":"synthetic (doc_id, label, quality_micro) frames with ONE label covering 99% of docs (the crawl template-family shape); registered r11 aggregate election (min(struct(-quality,doc_id)) + count in one groupBy, map-side combining) vs the r10 count+row_number window form on identical inputs, outputs asserted equal. The window form's hot label is a single-task AQE-unsplittable sort linear in the corpus; mega_label_docs is that partition's size","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("CLUSTERBEST_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("CLUSTERBEST_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -530,7 +530,7 @@ object ScaleBench {
     * single-task sort, linear in the multiplier and AQE-unsplittable;
     * the hierarchical form's largest partition is PackBucketDocs rows
     * at level 1 and corpus/PackBucketDocs 24-byte rows at level 2.
-    * Writes PACK_r11.json. Enabled with SPARK_GRAFT_SCALE_PACK=1. */
+    * Writes PACK_r12.json. Enabled with SPARK_GRAFT_SCALE_PACK=1. */
   private def packCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.TextOps
@@ -569,7 +569,7 @@ object ScaleBench {
     val s =
       s"""{"note":"single-source corpora (one dominant crawl -- the common real mix): registered hierarchical two-pass prefix sum (bucket B=${TextOps.PackBucketDocs}: bounded level-1 windows + 1/B-size level-2 subtotal window) vs the r9 one-window-per-source form on identical inputs (outputs asserted equal); the window form's hot source is one full-corpus single-task sort, linear in the multiplier and AQE-unsplittable","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("PACK_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("PACK_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -635,7 +635,7 @@ object ScaleBench {
     val s =
       s"""{"note":"star graph (one celebrity hub + spoke path): unoriented wedge enumeration emits d(d-1)/2 ~ n^2/2 join rows from the hub on one key; degree-ordered orientation points every hub edge INTO the hub (<= 1 oriented wedge per spoke, O(n) total). naive timed only at the smallest multiplier (outputs asserted equal there); naive_sec -1.00 = reported analytically via naive_wedge_rows, not detonated","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("CELEBRITY_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("CELEBRITY_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -648,6 +648,181 @@ object ScaleBench {
     * difference between ingesting into a 100 TB table in seconds and
     * rewriting 100 TB per arriving shard. Also times the CDC read of
     * the append step (file-level fast path — flat) at each scale. */
+  /** SQL MERGE economics (r12, r11 verdict item 2's done-condition): a
+    * FIXED merge batch (every 97th customer updated + 200 new keys)
+    * into a table grown n×, once against a DECLARED-KEY table (delta
+    * row-level path: tombstone+rows manifest extension) and once
+    * against a keyless one (group-based COW: full-table rewrite).
+    * Also times the post-merge full read on the keyed table — the
+    * anti-join tax a delta chain accrues until compaction. Expected
+    * shape: delta ~flat in table size (the batch is fixed), COW linear
+    * (it rewrites the table); at 100 TB that is the difference between
+    * landing a CDC batch in seconds and rewriting the warehouse.
+    * Writes SQLMERGE_r12.json. Enabled with SPARK_GRAFT_SCALE_SQLMERGE=1. */
+  private def sqlMergeCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.{GraftCatalog, Txn}
+    val shard = spark.read.parquet(s"$baseDir/customer.parquet")
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val nShard = shard.count()
+    val out = mults.map { m =>
+      // replica keys SHIFTED so the fixed merge batch matches exactly
+      // once regardless of the multiplier (the scale-curve trap note)
+      val base = (0 until m).map { k =>
+        shard.withColumn("custkey", col("custkey") + lit(k * 100000000L))
+      }.reduce(_.unionByName(_))
+      var deltaMin = Double.MaxValue
+      var cowMin = Double.MaxValue
+      var readMin = Double.MaxValue
+      var nAfter = -1L
+      (1 to passes).foreach { p =>
+        spark.catalog.clearCache()
+        val catName = s"gsbm${m}p$p"
+        val catRoot = s"/tmp/graft_sqlmerge_x${m}_p$p"
+        val f = new org.apache.hadoop.fs.Path(catRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(catRoot), true)
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          "graft.catalog.GraftSqlCatalog")
+        spark.conf.set(s"spark.sql.catalog.$catName.root", catRoot)
+        base.createOrReplaceTempView("sqlmerge_base")
+        spark.sql(s"CREATE TABLE $catName.keyed " +
+          "TBLPROPERTIES ('graft.key' = 'custkey') AS " +
+          "SELECT * FROM sqlmerge_base")
+        spark.sql(s"CREATE TABLE $catName.cow AS SELECT * FROM sqlmerge_base")
+        val mergeSql = (t: String) =>
+          s"""MERGE INTO $catName.$t t USING (
+             |  SELECT custkey AS k, bal * 2 AS nb
+             |  FROM sqlmerge_base
+             |  WHERE custkey % 97 = 0 AND custkey < 100000000
+             |  UNION ALL
+             |  SELECT custkey + 900000000000L, bal FROM sqlmerge_base
+             |  WHERE custkey <= 200
+             |) s ON t.custkey = s.k
+             |WHEN MATCHED THEN UPDATE SET bal = s.nb
+             |WHEN NOT MATCHED THEN INSERT (custkey, bal, seg)
+             |  VALUES (s.k, s.nb, 'NEW')""".stripMargin
+        val t0 = System.nanoTime()
+        spark.sql(mergeSql("keyed"))
+        val t1 = System.nanoTime()
+        spark.sql(mergeSql("cow"))
+        val t2 = System.nanoTime()
+        nAfter = spark.sql(s"SELECT count(*) AS n FROM $catName.keyed")
+          .head().getLong(0)
+        val t3 = System.nanoTime()
+        deltaMin = math.min(deltaMin, (t1 - t0) / 1e9)
+        cowMin = math.min(cowMin, (t2 - t1) / 1e9)
+        readMin = math.min(readMin, (t3 - t2) / 1e9)
+        // the delta path must actually have fired — measured, not assumed
+        val keyedRoot = GraftCatalog.resolve(spark, catRoot, "keyed")
+        require(Txn.history(spark, keyedRoot).last._3("op") == "sql-merge-delta",
+          "keyed MERGE did not take the delta path")
+        spark.conf.unset(s"spark.sql.catalog.$catName")
+        spark.conf.unset(s"spark.sql.catalog.$catName.root")
+        f.delete(new org.apache.hadoop.fs.Path(catRoot), true)
+      }
+      System.err.println(f"sqlmerge x$m (rows=$nAfter): delta $deltaMin%.2f s, " +
+        f"cow $cowMin%.2f s, keyed-read $readMin%.2f s")
+      (m, nAfter, deltaMin, cowMin, readMin)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, n, d, c, r) =>
+      s""""x$m":{"table_rows":$n,"delta_merge_sec":${f2(d)},"cow_merge_sec":${f2(c)},"keyed_read_sec":${f2(r)}}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"fixed MERGE batch (1-in-97 updates + 200 inserts from a $nShard-row shard) into a table grown nx through pasted SQL: declared-key table takes the delta row-level path (ONE tombstone+rows manifest extension, history op asserted sql-merge-delta) vs keyless group-based COW (full rewrite). keyed_read_sec = post-merge full count on the keyed table (the anti-join tax until compaction). delta flat-ish vs cow linear is the UPSERT_r11 economics, now reachable from SQL","shard_rows":$nShard,"passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("SQLMERGE_r12.json"), s.getBytes)
+    println(s)
+  }
+
+  /** SQL file-skipping economics (r12, r11 verdict item 1's
+    * done-condition): a fixed 4-key point probe through pasted SQL
+    * against an INDEXED table (range-clustered, stats+bloom sidecars)
+    * grown n× — kept/total files from the scan decision plus wall
+    * time, vs the same query on an unindexed control table. The honest
+    * claim at local scale is FILES OPENED (the page cache hides IO):
+    * kept stays ~constant while total grows linearly, so the kept
+    * fraction falls as 1/n — at 100 TB that fraction IS the point-query
+    * latency. Writes SQLSKIP_r12.json. Enabled with
+    * SPARK_GRAFT_SCALE_SQLSKIP=1. */
+  private def sqlSkipCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.{GraftCatalog, Txn}
+    val shard = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val nShard = shard.count()
+    val probes = "19, 365, 746, 1138" // keys only the ORIGINAL shard holds
+    val out = mults.map { m =>
+      val base = (0 until m).map { k =>
+        // shift EVERY key column a probe touches (the scale-curve trap)
+        shard.withColumn("o_custkey", col("o_custkey") + lit(k * 100000000L))
+          .withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+      }.reduce(_.unionByName(_))
+      var idxMin = Double.MaxValue
+      var ctlMin = Double.MaxValue
+      var kept = -1
+      var total = -1
+      val catName = s"gsbs$m"
+      val catRoot = s"/tmp/graft_sqlskip_x${m}_cat"
+      val f = new org.apache.hadoop.fs.Path(catRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(catRoot), true)
+      Seq("idx", "ctl").foreach { t =>
+        val root = s"/tmp/graft_sqlskip_x${m}_$t"
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+        val clustered = base.repartitionByRange(16 * m, col("o_custkey"))
+        if (t == "idx")
+          Txn.commitIndexed(clustered, root,
+            statsCols = Seq("o_custkey"), bloomCols = Seq("o_custkey"))
+        else Txn.commit(clustered, root)
+      }
+      spark.conf.set(s"spark.sql.catalog.$catName",
+        "graft.catalog.GraftSqlCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catName.root", catRoot)
+      GraftCatalog.create(spark, catRoot, "idx", s"/tmp/graft_sqlskip_x${m}_idx")
+      GraftCatalog.create(spark, catRoot, "ctl", s"/tmp/graft_sqlskip_x${m}_ctl")
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        graft.catalog.GraftScanStats.reset()
+        val t0 = System.nanoTime()
+        val nIdx = spark.sql(s"SELECT count(*) AS n FROM $catName.idx " +
+          s"WHERE o_custkey IN ($probes)").head().getLong(0)
+        val t1 = System.nanoTime()
+        val nCtl = spark.sql(s"SELECT count(*) AS n FROM $catName.ctl " +
+          s"WHERE o_custkey IN ($probes)").head().getLong(0)
+        val t2 = System.nanoTime()
+        require(nIdx == nCtl, s"skipping changed results: $nIdx vs $nCtl")
+        idxMin = math.min(idxMin, (t1 - t0) / 1e9)
+        ctlMin = math.min(ctlMin, (t2 - t1) / 1e9)
+        graft.catalog.GraftScanStats.lastDecision.foreach { _ => () }
+      }
+      // the decision of the LAST indexed query (reset happens before
+      // the idx query; the ctl table has no sidecars so it records a
+      // keep-everything decision or none — read right after idx)
+      graft.catalog.GraftScanStats.reset()
+      spark.sql(s"SELECT count(*) AS n FROM $catName.idx " +
+        s"WHERE o_custkey IN ($probes)").head()
+      val d = graft.catalog.GraftScanStats.lastDecision.get
+      kept = d.filesKept; total = d.filesTotal
+      spark.conf.unset(s"spark.sql.catalog.$catName")
+      spark.conf.unset(s"spark.sql.catalog.$catName.root")
+      System.err.println(f"sqlskip x$m: kept $kept/$total files, " +
+        f"idx $idxMin%.2f s vs unindexed $ctlMin%.2f s")
+      (m, kept, total, idxMin, ctlMin)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, k, t, i, c) =>
+      s""""x$m":{"files_kept":$k,"files_total":$t,"sql_indexed_sec":${f2(i)},"sql_unindexed_sec":${f2(c)}}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"fixed 4-key SQL point probe (IN list on the clustered column) against an indexed table grown nx ($nShard-row shard, replica keys shifted so probes match only the original): files_kept stays ~flat while files_total grows linearly -- the kept FRACTION is the claim (local wall times tie because the page cache hides the IO the skipped footers would cost; at 100 TB files opened IS the latency). Unindexed control answers identically (one-sided contract, checked per pass)","shard_rows":$nShard,"passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("SQLSKIP_r12.json"), s.getBytes)
+    println(s)
+  }
+
   private def txnAppendCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.Txn
@@ -698,7 +873,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed $nShard-row shard into a table grown nx: commitAppend (manifest extension, O(shard)) vs full-snapshot commit of the grown table (O(table)); cdc_read_sec = changes() over the append step (file-level fast path). The gap at the top multiplier is ingest-into-100TB vs rewrite-100TB-per-shard","shard_rows":$nShard,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("TXNAPPEND_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("TXNAPPEND_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -717,7 +892,7 @@ object ScaleBench {
     * O(table)). The claim: upsert commit time is FLAT in table size
     * while the rewrite is linear — at 100 TB that is the difference
     * between a CDC sink that keeps up and one that rewrites the world
-    * per batch. Writes UPSERT_r11.json. Enabled with
+    * per batch. Writes UPSERT_r12.json. Enabled with
     * SPARK_GRAFT_SCALE_UPSERT=1. */
   private def upsertCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -773,7 +948,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed ~2k-row upsert batch (updates + inserts) into a table grown nx: commitUpsert (one tombstone+dir manifest extension, O(batch)) vs the MERGE-rewrite alternative (anti-join + full commit, O(table)); folded_read_sec is the per-read anti-join tax until compaction","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("UPSERT_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("UPSERT_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -786,7 +961,7 @@ object ScaleBench {
     * alternative. The claim: kept-file fraction FALLS as the table
     * grows (probe cost tracks matching files, not table size) while
     * the full scan is linear — the Delta bloom-index story measured.
-    * Writes BLOOM_r11.json. Enabled with SPARK_GRAFT_SCALE_BLOOM=1. */
+    * Writes BLOOM_r12.json. Enabled with SPARK_GRAFT_SCALE_BLOOM=1. */
   private def bloomCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.Txn
@@ -845,7 +1020,7 @@ object ScaleBench {
     val s =
       s"""{"note":"table clustered by o_custkey grown nx with per-file bloom sidecars on the UNCLUSTERED o_orderkey; fixed 8-key point probe: files_kept/files_total is the bloom skipping decision (min/max keeps ~all files for an unclustered key). The CLAIM is files_kept staying ~constant as files_total grows nx -- at 100 TB that is 6 file opens vs 400; local wall times tie because the page cache hides the IO a cluster would pay","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BLOOM_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("BLOOM_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -857,7 +1032,7 @@ object ScaleBench {
     * cost tracks PARTITION size (flat as the table grows) while the
     * scan is linear — the one skipping mechanism that needs no sidecar
     * because the directory listing is the index. Writes
-    * PARTITION_r11.json. Enabled with SPARK_GRAFT_SCALE_PARTITION=1. */
+    * PARTITION_r12.json. Enabled with SPARK_GRAFT_SCALE_PARTITION=1. */
   private def partitionCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.Txn
@@ -907,7 +1082,7 @@ object ScaleBench {
     val s =
       s"""{"note":"table grown nx by ADDING years (new partitions of constant size -- the time-partitioned ingest shape); fixed one-year query: readPartitionPruned opens dirs_kept of dirs_total partition dirs straight off the directory listing (no sidecar). The claim is pruned_read_sec flat in table size (tracks the partition, 1/nx of the table) vs the full scan linear","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("PARTITION_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("PARTITION_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -924,7 +1099,7 @@ object ScaleBench {
     * dir, and at 100 TB rung (b)→(a) is another ~10× fewer file opens
     * on top of partition pruning's n× (local wall times may tie — the
     * page cache hides IO; the gated claim is the open counts). Writes
-    * PARTSKIP_r11.json. Enabled with SPARK_GRAFT_SCALE_PARTSKIP=1. */
+    * PARTSKIP_r12.json. Enabled with SPARK_GRAFT_SCALE_PARTSKIP=1. */
   private def partSkipCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.Txn
@@ -987,7 +1162,7 @@ object ScaleBench {
     val s =
       s"""{"note":"year-partitioned table grown nx by adding years, each year range-laid-out by o_custkey into ~16 files with per-partition _stats.tsv sidecars; fixed one-year narrow-custkey query. Two rungs compose: dirs_kept/dirs_total is the directory rung (flat 1 vs nx), files_kept/files_in_kept_dirs the file rung inside the kept year (~2 of ~16). At 100 TB the product is the point-query read path (partition -> file -> row); local wall times can tie because the page cache hides the file opens the counts gate","passes":$passes,"probe":{"year":1995,"custkey_lo":$cLo,"custkey_hi":$cHi},"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("PARTSKIP_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("PARTSKIP_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -997,7 +1172,7 @@ object ScaleBench {
     * milliseconds regardless of table size (a 100 TB dev/test branch
     * for free) — while the deep copy is O(table); first-read-from-clone
     * included to show the clone read costs the same as reading the
-    * source (it IS the source's files). Writes CLONE_r11.json.
+    * source (it IS the source's files). Writes CLONE_r12.json.
     * Enabled with SPARK_GRAFT_SCALE_CLONE=1. */
   private def cloneCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -1048,7 +1223,7 @@ object ScaleBench {
     val s =
       s"""{"note":"shallow clone of a table grown nx vs the deep-copy alternative (full commit of read(src)): cloneTable is O(manifest) -- flat milliseconds at any table size (the free dev/test branch) -- while deep copy is O(table); first_read_sec shows the clone read costs what reading the source costs (same files)","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("CLONE_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("CLONE_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -1101,7 +1276,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed 1000-key erasure against a table grown nx: commitDelete (tombstone entry, O(keys)) vs the rewrite alternative (full commit of the anti-joined table, O(table)); folded_read_sec is the per-read anti-join tax a tombstoned version carries until compaction","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("TXNDELETE_r11.json"), s.getBytes)
+      java.nio.file.Paths.get("TXNDELETE_r12.json"), s.getBytes)
     println(s)
   }
 
@@ -1179,6 +1354,14 @@ object ScaleBench {
       cloneCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SQLMERGE").contains("1")) {
+      sqlMergeCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SQLSKIP").contains("1")) {
+      sqlSkipCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
     val ingest = sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")
     val dirs = mults.map { m =>
       val d = s"/tmp/graft_scale_x$m"
@@ -1242,7 +1425,7 @@ object ScaleBench {
     val out =
       s"""{"base":"$baseDir","multipliers":[${mults.mkString(",")}],"passes":$passes,"docs":$docsJson,"queries":$qJson}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALING_r11.json"), out.getBytes)
+      java.nio.file.Paths.get("SCALING_r12.json"), out.getBytes)
     println(out)
     spark.stop()
   }
