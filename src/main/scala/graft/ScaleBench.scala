@@ -675,7 +675,24 @@ object ScaleBench {
       var deltaMin = Double.MaxValue
       var cowMin = Double.MaxValue
       var readMin = Double.MaxValue
+      var deltaBytes = -1L
+      var cowBytes = -1L
       var nAfter = -1L
+      // total bytes on disk under a table root — the growth across a
+      // merge is exactly the bytes that merge WROTE (old snapshots are
+      // immutable), the construction-level cost local page-cached wall
+      // times hide
+      def rootBytes(root: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(p)) 0L
+        else {
+          var total = 0L
+          val it = f.listFiles(p, true)
+          while (it.hasNext) { val st = it.next(); if (st.isFile) total += st.getLen }
+          total
+        }
+      }
       (1 to passes).foreach { p =>
         spark.catalog.clearCache()
         val catName = s"gsbm${m}p$p"
@@ -703,11 +720,17 @@ object ScaleBench {
              |WHEN MATCHED THEN UPDATE SET bal = s.nb
              |WHEN NOT MATCHED THEN INSERT (custkey, bal, seg)
              |  VALUES (s.k, s.nb, 'NEW')""".stripMargin
+        val keyedRoot0 = GraftCatalog.resolve(spark, catRoot, "keyed")
+        val cowRoot0 = GraftCatalog.resolve(spark, catRoot, "cow")
+        val kb0 = rootBytes(keyedRoot0)
+        val cb0 = rootBytes(cowRoot0)
         val t0 = System.nanoTime()
         spark.sql(mergeSql("keyed"))
         val t1 = System.nanoTime()
         spark.sql(mergeSql("cow"))
         val t2 = System.nanoTime()
+        deltaBytes = rootBytes(keyedRoot0) - kb0
+        cowBytes = rootBytes(cowRoot0) - cb0
         nAfter = spark.sql(s"SELECT count(*) AS n FROM $catName.keyed")
           .head().getLong(0)
         val t3 = System.nanoTime()
@@ -722,16 +745,17 @@ object ScaleBench {
         spark.conf.unset(s"spark.sql.catalog.$catName.root")
         f.delete(new org.apache.hadoop.fs.Path(catRoot), true)
       }
-      System.err.println(f"sqlmerge x$m (rows=$nAfter): delta $deltaMin%.2f s, " +
-        f"cow $cowMin%.2f s, keyed-read $readMin%.2f s")
-      (m, nAfter, deltaMin, cowMin, readMin)
+      System.err.println(f"sqlmerge x$m (rows=$nAfter): delta $deltaMin%.2f s " +
+        f"($deltaBytes B written), cow $cowMin%.2f s ($cowBytes B written), " +
+        f"keyed-read $readMin%.2f s")
+      (m, nAfter, deltaMin, cowMin, readMin, deltaBytes, cowBytes)
     }
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val json = out.map { case (m, n, d, c, r) =>
-      s""""x$m":{"table_rows":$n,"delta_merge_sec":${f2(d)},"cow_merge_sec":${f2(c)},"keyed_read_sec":${f2(r)}}"""
+    val json = out.map { case (m, n, d, c, r, db, cb) =>
+      s""""x$m":{"table_rows":$n,"delta_merge_sec":${f2(d)},"cow_merge_sec":${f2(c)},"keyed_read_sec":${f2(r)},"delta_write_bytes":$db,"cow_write_bytes":$cb}"""
     }.mkString(",")
     val s =
-      s"""{"note":"fixed MERGE batch (1-in-97 updates + 200 inserts from a $nShard-row shard) into a table grown nx through pasted SQL: declared-key table takes the delta row-level path (ONE tombstone+rows manifest extension, history op asserted sql-merge-delta) vs keyless group-based COW (full rewrite). keyed_read_sec = post-merge full count on the keyed table (the anti-join tax until compaction). delta flat-ish vs cow linear is the UPSERT_r11 economics, now reachable from SQL","shard_rows":$nShard,"passes":$passes,"corpora":{$json}}"""
+      s"""{"note":"fixed MERGE batch (1-in-97 updates + 200 inserts from a $nShard-row shard) into a table grown nx through pasted SQL: declared-key table takes the delta row-level path (ONE tombstone+rows manifest extension, history op asserted sql-merge-delta) vs keyless group-based COW (full rewrite). keyed_read_sec = post-merge full count on the keyed table (the anti-join tax until compaction). write_bytes is the construction-level claim (old snapshots are immutable, so root growth = bytes the merge wrote): delta writes O(batch) regardless of table size while cow rewrites the table — local WALL times tie because the shared target-scan join dominates at page-cached local scale; at 100 TB the write volume is the cost. The UPSERT_r11 economics, now reachable from SQL","shard_rows":$nShard,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SQLMERGE_r12.json"), s.getBytes)
     println(s)
