@@ -27,4 +27,17 @@ public final class SparkShims {
     return ((org.apache.spark.sql.classic.SparkSession) spark)
         .internalCreateDataFrame(rdd, schema, true);
   }
+
+  /**
+   * The inverse direction, for the V1 {@code Sink.addBatch} contract:
+   * the micro-batch DataFrame arrives flagged streaming (so
+   * {@code df.write} refuses it); re-wrapping its computed InternalRow
+   * RDD as a plain batch frame lets the sink drive ordinary batch
+   * writers — the shape Delta's sink uses.
+   */
+  public static Dataset<Row> internalCreateBatchFrame(
+      SparkSession spark, RDD<InternalRow> rdd, StructType schema) {
+    return ((org.apache.spark.sql.classic.SparkSession) spark)
+        .internalCreateDataFrame(rdd, schema, false);
+  }
 }

@@ -1,0 +1,131 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.{GraftCatalog, Txn}
+
+/** SQL-callable MAINTENANCE procedures (r12): the operational verbs a
+  * migrating warehouse user runs as `CALL` statements — Delta's
+  * VACUUM/RESTORE/OPTIMIZE and Iceberg's stored procedures, on the Txn
+  * layer:
+  *
+  * {{{
+  *   CALL graft.vacuum(table => 't', keep_last => 2)
+  *   CALL graft.maintain(table => 't')   -- gauge-driven compaction
+  *   CALL graft.restore(table => 't', version => 3)
+  * }}}
+  *
+  * Each returns a one-row summary scan (LocalScan — the result is a
+  * handful of driver-side numbers; the WORK inside runs distributed
+  * through the same Txn entry points the programmatic API uses, so SQL
+  * gains the identical semantics and cost model). Registered on the
+  * catalog via [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]. */
+private[catalog] object GraftProcedures {
+
+  val names: Seq[String] = Seq("vacuum", "maintain", "restore")
+
+  def load(spark: => SparkSession, catalogRoot: String,
+      ident: Identifier): Option[UnboundProcedure] =
+    if (!(ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("default")))) None
+    else ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "vacuum"   => Some(vacuumProc(spark, catalogRoot))
+      case "maintain" => Some(maintainProc(spark, catalogRoot))
+      case "restore"  => Some(restoreProc(spark, catalogRoot))
+      case _          => None
+    }
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def resultScan(schema: StructType,
+      values: Seq[Any]): java.util.Iterator[Scan] = {
+    val row = InternalRow.fromSeq(values.map {
+      case s: String => UTF8String.fromString(s)
+      case other     => other
+    })
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+    }
+    java.util.List.of(scan).iterator()
+  }
+
+  private def resolve(spark: SparkSession, catalogRoot: String,
+      ident: InternalRow, at: Int): String =
+    GraftCatalog.resolve(spark, catalogRoot, ident.getUTF8String(at).toString)
+
+  private abstract class GraftProc(name0: String,
+      desc: String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = name0
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // side-effecting
+  }
+
+  /** CALL graft.vacuum(table, keep_last [, retention_ms]) — drop
+    * unreferenced snapshot dirs + aged-out manifests; returns the
+    * retained version count after. */
+  private def vacuumProc(spark: => SparkSession,
+      catalogRoot: String): UnboundProcedure =
+    new GraftProc("vacuum",
+      "drop snapshots unreferenced by the keep_last retained versions") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType), param("keep_last", IntegerType))
+      private val out = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("retained_versions", LongType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val s = spark
+        val root = resolve(s, catalogRoot, input, 0)
+        Txn.vacuum(s, root, keepLast = input.getInt(1))
+        val retained = Txn.history(s, root).size.toLong
+        resultScan(out, Seq(input.getUTF8String(0).toString, retained))
+      }
+    }
+
+  /** CALL graft.maintain(table) — the gauge-driven auto-compaction
+    * actuator; returns whether it compacted and the current version. */
+  private def maintainProc(spark: => SparkSession,
+      catalogRoot: String): UnboundProcedure =
+    new GraftProc("maintain",
+      "compact the table if the small-file/tombstone gauge trips") {
+      override def parameters(): Array[ProcedureParameter] =
+        Array(param("table", StringType))
+      private val out = StructType(Seq(
+        StructField("compacted", BooleanType, nullable = false),
+        StructField("current_version", LongType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val s = spark
+        val root = resolve(s, catalogRoot, input, 0)
+        val compacted = Txn.maintain(s, root)
+        resultScan(out, Seq(compacted.isDefined,
+          Txn.currentVersion(s, root).getOrElse(-1L)))
+      }
+    }
+
+  /** CALL graft.restore(table, version) — O(manifest) rollback. */
+  private def restoreProc(spark: => SparkSession,
+      catalogRoot: String): UnboundProcedure =
+    new GraftProc("restore",
+      "roll the table back to a retained version (O(manifest), no data moves)") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType), param("version", LongType))
+      private val out = StructType(Seq(
+        StructField("restored_to", LongType, nullable = false),
+        StructField("new_version", LongType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val s = spark
+        val root = resolve(s, catalogRoot, input, 0)
+        val to = input.getLong(1)
+        val v = Txn.restore(s, root, to, meta = Map("op" -> "sql-restore"))
+        resultScan(out, Seq(to, v))
+      }
+    }
+}

@@ -83,7 +83,8 @@ object GraftSqlCatalog {
   val KeyProp = "graft.key"
 }
 
-class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var catalogRoot: String = _
@@ -110,8 +111,22 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       .map(n => Identifier.of(Array.empty[String], n)).toArray
   }
 
-  override def loadTable(ident: Identifier): Table =
-    loadPinned(ident, pin = None)
+  /** Plain loads resolve `graft.<t>`; `graft.<t>.<meta>` (r12) serves
+    * the Iceberg-style METADATA TABLES of an existing table `t`:
+    * `history` (every committed version + its writer metadata),
+    * `detail` (the DESCRIBE DETAIL gauge: versions/files/bytes/
+    * tombstones + declared properties), `props` (the `_props`
+    * key/value contract). All metadata-only — they read manifests and
+    * sidecar-sized files, never data. */
+  override def loadTable(ident: Identifier): Table = {
+    val ns = ident.namespace()
+    if (ns.length == 1 && !ns.sameElements(Array("default")) &&
+        GraftMetaTable.kinds(ident.name()) &&
+        GraftCatalog.tableExists(spark, catalogRoot, ns.head)) {
+      val root = GraftCatalog.resolve(spark, catalogRoot, ns.head)
+      new GraftMetaTable(ns.head, ident.name(), root, spark)
+    } else loadPinned(ident, pin = None)
+  }
 
   /** VERSION AS OF n — SQL time travel straight off the manifest log. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -248,6 +263,19 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     if (GraftCatalog.tableExists(spark, catalogRoot, newIdent.name()))
       throw new TableAlreadyExistsException(newIdent)
     GraftCatalog.renameTable(spark, catalogRoot, oldIdent.name(), newIdent.name())
+  }
+
+  // --- ProcedureCatalog (r12): CALL graft.vacuum/maintain/restore ---
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(spark, catalogRoot, ident).getOrElse(
+      sys.error(s"graft catalog has no procedure named $ident — " +
+        s"available: ${GraftProcedures.names.mkString(", ")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    checkNs(namespace)
+    GraftProcedures.names
+      .map(n => Identifier.of(Array.empty[String], n)).toArray
   }
 
   // --- SupportsNamespaces: one flat default namespace ---
@@ -561,6 +589,50 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
       meta = Map("op" -> "sql-truncate"))
     true
   }
+}
+
+/** A read-only METADATA table (r12): `graft.<t>.history` /
+  * `graft.<t>.detail` / `graft.<t>.props` — the SQL surface for the
+  * operational views Delta exposes as DESCRIBE HISTORY/DETAIL and
+  * Iceberg as metadata tables. Computed fresh per statement from the
+  * manifest log (O(versions) small-file reads, never data), served
+  * through the V1 bridge like any other driver-computed frame. */
+private[catalog] object GraftMetaTable {
+  val kinds: Set[String] = Set("history", "detail", "props")
+}
+
+private[catalog] class GraftMetaTable(tableName: String, kind: String,
+    root: String, spark: SparkSession) extends Table with SupportsRead {
+
+  private def frame(): DataFrame = {
+    import spark.implicits._
+    kind match {
+      case "history" =>
+        Txn.history(spark, root).map { case (v, snap, meta) =>
+          (v, meta.getOrElse("op", ""), snap, meta)
+        }.toDF("version", "op", "snapshot", "meta")
+      case "detail" =>
+        val (versions, files, bytes, tombstones) = Txn.tableDetail(spark, root)
+        val props = Txn.tableProps(spark, root)
+        Seq((tableName, root, versions, files, bytes, tombstones,
+          props.get("partition"), props.get("key")))
+          .toDF("name", "location", "num_versions", "num_files",
+            "size_bytes", "tombstone_entries", "partition_col", "key_col")
+      case "props" =>
+        Txn.tableProps(spark, root).toSeq.sorted.toDF("key", "value")
+      case other => sys.error(s"unknown metadata table $other")
+    }
+  }
+
+  override def name(): String = s"$tableName.$kind"
+  override def schema(): StructType = frame().schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new GraftV1Scan(frame(), s"graft.$tableName.$kind")
+    }
 }
 
 /** The V1 bridge's scan builder (tombstoned or hive-partitioned

@@ -482,6 +482,39 @@ object GraftCatalog {
     }
   }
 
+  /** SQL RESTORE through metadata tables + CALL (r12): the rollback
+    * flow a warehouse operator actually runs — find the version to
+    * return to by QUERYING `graft.t.history` (the metadata table is
+    * load-bearing: a wrong version number breaks the hash), then
+    * `CALL graft.restore(...)` (O(manifest), no data moves), then read.
+    * The oracle recomputes the restored subset from the raw table, so
+    * the driver hash pins history numbering, the procedure binding, and
+    * the restore semantics end-to-end. */
+  val txnSqlRestore: Q = Q(
+    "txn_sql_restore",
+    """SELECT c_custkey AS custkey, c_acctbal AS acctbal
+      |FROM customer WHERE c_custkey % 2 = 0 ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val t = "cust_restore"
+      resetSqlTable(s, catRootDir, t)
+      s.sql(s"""CREATE TABLE $c.$t AS
+        |SELECT c_custkey AS custkey, c_acctbal AS acctbal
+        |FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO $c.$t
+        |SELECT c_custkey, c_acctbal
+        |FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 2 = 1""".stripMargin)
+      // the history metadata table picks the rollback point: CTAS is
+      // create(v1) + its data append(v2, op sql-insert), the odd-keys
+      // INSERT is v3 — the FIRST insert version is the evens-only state
+      val v = s.sql(s"""SELECT min(version) AS v FROM $c.$t.history
+        |WHERE op = 'sql-insert'""".stripMargin).head().getLong(0)
+      s.sql(s"CALL $c.restore(table => '$t', version => $v)")
+      s.sql(s"SELECT custkey, acctbal FROM $c.$t ORDER BY custkey")
+    }
+  }
+
   def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog, txnSqlMerge,
-    txnSqlSkipping, txnSqlPartitioned, txnSqlEvolve, txnSqlUpsert)
+    txnSqlSkipping, txnSqlPartitioned, txnSqlEvolve, txnSqlUpsert,
+    txnSqlRestore)
 }

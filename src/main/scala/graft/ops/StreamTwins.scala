@@ -165,7 +165,51 @@ object StreamTwins {
     s.table(sink).orderBy("event_type")
   }
 
+  /** H9c — the full graft→graft STREAMING PIPELINE (r12): a CDC source
+    * over one Txn table, a projection/filter transform, and the
+    * exactly-once idempotent graft SINK into a second Txn table — both
+    * ends on the commit log, the production shape for incremental
+    * curation (ingest table → cleaned table). The oracle recomputes the
+    * transform from the raw events, so the hash pins source
+    * completeness (initial snapshot + live append), transform
+    * semantics, and sink exactly-once at once. 100 TB: each micro-batch
+    * reads O(appended files) and lands O(batch) — nothing in the loop
+    * touches the full table. */
+  val streamTxnPipeline: Q = Q(
+    "stream_txn_pipeline",
+    """SELECT event_id, user_id, event_type
+      |FROM events WHERE event_type <> 'error'
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    import graft.ops.Txn
+    val tag = Integer.toHexString(dir.hashCode)
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_txn", tag).toString
+    val fsys = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("pipe_src", "pipe_dst", "pipe_ckpt").foreach { d =>
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true)
+    }
+    val ev = events(s, dir).select("event_id", "user_id", "event_type")
+    Txn.commit(ev.where(col("event_id") % 2 === 0), s"$base/pipe_src")
+    val q = s.readStream.format("graft").load(s"$base/pipe_src")
+      .where(col("event_type") =!= "error")
+      .select("event_id", "user_id", "event_type")
+      .writeStream.format("graft")
+      .option("root", s"$base/pipe_dst")
+      .option("checkpointLocation", s"$base/pipe_ckpt")
+      .start()
+    q.processAllAvailable()
+    // the second shard lands while the pipeline is LIVE
+    Txn.commitAppend(ev.where(col("event_id") % 2 === 1), s"$base/pipe_src")
+    q.processAllAvailable()
+    q.stop()
+    Txn.read(s, s"$base/pipe_dst")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
   def all: Seq[Q] = Seq(streamTumblingCounts, streamSlidingCounts,
     streamSessionWindows, streamDedup, streamStatefulCounter, streamNearDup,
-    streamCdcSource)
+    streamCdcSource, streamTxnPipeline)
 }

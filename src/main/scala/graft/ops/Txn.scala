@@ -817,10 +817,13 @@ object Txn {
     * suffices in practice). */
   def appendIdempotent(df: DataFrame, root: String, appId: String,
       batchId: Long, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 20): Option[Long] =
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 20,
+      partitionBy: Option[String] = None): Option[Long] =
     appendCore(df, root, statsCols,
-      meta = Map("txnAppId" -> appId, "txnVersion" -> batchId.toString),
+      meta = Map("txnAppId" -> appId, "txnVersion" -> batchId.toString) ++
+        partitionBy.map("partitionCol" -> _),
       dedupKey = Some((appId, batchId.toString)),
+      partitionBy = partitionBy,
       bloomCols = bloomCols, bloomBits = bloomBits)
 
   /** O(batch) transactional UPSERT (r10): publish `updates` as a ONE-

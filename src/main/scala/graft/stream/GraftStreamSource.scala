@@ -41,14 +41,15 @@ import graft.ops.Txn
   * native vectorized parquet scan (full pushdown, any column type,
   * partitioned dirs) instead of a hand-rolled row reader — the same
   * trade Delta ships. */
-class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftSourceProvider extends StreamSourceProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.get("root").orElse(parameters.get("path")).getOrElse(
-      sys.error("graft streaming source needs .load(<tableRoot>) or " +
-        ".option(\"root\", <tableRoot>)"))
+      sys.error("graft streaming source/sink needs .load/.start(<tableRoot>) " +
+        "or .option(\"root\", <tableRoot>)"))
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -60,6 +61,68 @@ class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters))
+
+  /** EXACTLY-ONCE streaming SINK (r12): `writeStream.format("graft")` —
+    * every micro-batch lands through [[Txn.appendIdempotent]] (or
+    * [[Txn.mergeIdempotent]] when `.option("keyCol", …)` declares an
+    * upsert key), so an at-least-once replay after a crash is a
+    * recognized no-op and the table sees each batch exactly once. The
+    * idempotence identity is (appId, batchId): appId defaults to a
+    * fingerprint of the checkpoint location (the query's durable
+    * identity) and can be overridden with `.option("appId", …)`.
+    * `.partitionBy(col)` lands hive-partitioned shards. Together with
+    * the source this closes the loop: graft → transform → graft
+    * streaming pipelines with exactly-once on both ends. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = rootOf(parameters)
+    require(partitionColumns.size <= 1,
+      "graft sink partitions by at most one column")
+    val appId = parameters.getOrElse("appId",
+      parameters.get("checkpointLocation")
+        .map(p => s"graft-sink-${Integer.toHexString(p.hashCode)}")
+        .getOrElse(sys.error(
+          "graft sink needs a checkpointLocation (or an explicit appId) " +
+            "for its exactly-once identity")))
+    new GraftStreamSink(root, appId, parameters.get("keyCol"),
+      partitionColumns.headOption)
+  }
+}
+
+/** One Txn table as a streaming sink: addBatch = one idempotent append
+  * (or upsert), O(batch), atomic, replay-safe. */
+class GraftStreamSink(root: String, appId: String, keyCol: Option[String],
+    partitionCol: Option[String])
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    // the micro-batch frame arrives flagged streaming (df.write refuses
+    // it): re-wrap its computed rows as a plain batch frame
+    val batch = SparkShims.internalCreateBatchFrame(
+      spark, data.queryExecution.toRdd, data.schema)
+    // a fresh root bootstraps with an empty v1 carrying the stream's
+    // schema (idempotent appends need a base; a replayed first batch
+    // finds the version and skips the bootstrap)
+    if (Txn.currentVersion(spark, root).isEmpty)
+      Txn.commit(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], data.schema),
+        root, meta = Map("op" -> "sink-bootstrap"))
+    keyCol match {
+      case Some(k) =>
+        require(partitionCol.isEmpty,
+          "graft sink: keyCol upserts and partitionBy do not compose")
+        Txn.mergeIdempotent(batch, root, k, appId, batchId)
+      case None =>
+        Txn.appendIdempotent(batch, root, appId, batchId,
+          partitionBy = partitionCol)
+    }
+    ()
+  }
+
+  override def toString: String = s"GraftStreamSink[$root]"
 }
 
 object GraftStreamSource {

@@ -521,6 +521,39 @@ class CatalogSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(1) == r.getLong(0) && r.getLong(2) == r.getLong(0)))
   }
 
+  test("V2 SQL catalog: metadata tables graft.t.history/detail/props " +
+      "and CALL procedures vacuum/maintain/restore (r12)") {
+    val c = sqlCat("meta")
+    spark.sql(s"CREATE TABLE $c.mt (id BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('graft.key' = 'id')")
+    spark.sql(s"INSERT INTO $c.mt SELECT id, id * 2 FROM range(100)")
+    spark.sql(s"INSERT INTO $c.mt VALUES (1000, 1)")
+    // history: every version with its writer op, through pasted SQL
+    val hist = spark.sql(
+      s"SELECT version, op FROM $c.mt.history ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.toSeq == Seq((1L, "sql-create-table"), (2L, "sql-insert"),
+      (3L, "sql-insert")), s"history drifted: ${hist.toSeq}")
+    // detail: the DESCRIBE DETAIL gauge + declared properties
+    val det = spark.sql(s"SELECT num_versions, key_col FROM $c.mt.detail").head()
+    assert(det.getLong(0) == 3L && det.getString(1) == "id")
+    // props: the raw table contract
+    assert(spark.sql(s"SELECT value FROM $c.mt.props WHERE key = 'key'")
+      .head().getString(0) == "id")
+    // CALL restore: O(manifest) rollback through SQL
+    val res = spark.sql(s"CALL $c.restore(table => 'mt', version => 2)").head()
+    assert(res.getLong(0) == 2L && res.getLong(1) == 4L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mt").head().getLong(0) == 100L)
+    // CALL maintain: the gauge should NOT trip on a tiny clean table
+    val m = spark.sql(s"CALL $c.maintain(table => 'mt')").head()
+    assert(!m.getBoolean(0) && m.getLong(1) == 4L)
+    // CALL vacuum with keep_last=1 retains only recent manifests
+    val vac = spark.sql(s"CALL $c.vacuum(`table` => 'mt', keep_last => 1)").head()
+    assert(vac.getString(0) == "mt" && vac.getLong(1) >= 1L)
+    // the table stays readable after vacuum
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mt").head().getLong(0) == 100L)
+  }
+
   test("atomic rename: one mapping at every instant, no silent remap") {
     import spark.implicits._
     val cat = fresh("ren")
