@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.ops.Txn
 
@@ -51,16 +51,30 @@ class GraftSourceProvider extends StreamSourceProvider
       sys.error("graft streaming source/sink needs .load/.start(<tableRoot>) " +
         "or .option(\"root\", <tableRoot>)"))
 
+  /** `.option("changeFeed", "true")` switches the source to CDC MODE
+    * (r12, Delta's readChangeFeed parity): rows carry `_change_type`
+    * (insert|delete) and DELETES STREAM instead of failing the query —
+    * each micro-batch serves [[Txn.changes]] over its version range
+    * (appends at file level, rewrites/tombstones as row diffs), so a
+    * downstream aggregate can fold retractions (the IVM shape). The
+    * default append-only mode stays loud on deletes: silently
+    * up-counting an aggregate over a feed that lost rows is the drift
+    * the contract exists to prevent — CDC mode makes the choice
+    * explicit. */
+  private def isCdc(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeed").exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     ("graft", GraftStreamSource.streamSchema(
-      sqlContext.sparkSession, rootOf(parameters)))
+      sqlContext.sparkSession, rootOf(parameters), isCdc(parameters)))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters))
+    new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
+      isCdc(parameters))
 
   /** EXACTLY-ONCE streaming SINK (r12): `writeStream.format("graft")` —
     * every micro-batch lands through [[Txn.appendIdempotent]] (or
@@ -126,20 +140,27 @@ class GraftStreamSink(root: String, appId: String, keyCol: Option[String],
 }
 
 object GraftStreamSource {
-  /** Data columns at the table's current version + `_commit_version`. */
-  private[stream] def streamSchema(spark: SparkSession,
-      root: String): StructType = {
+  /** Data columns at the table's current version + `_commit_version`;
+    * CDC mode additionally carries `_change_type` (insert|delete). */
+  private[stream] def streamSchema(spark: SparkSession, root: String,
+      cdc: Boolean): StructType = {
     val base = Txn.read(spark, root).schema
-    StructType(base.fields :+
-      StructField("_commit_version", LongType, nullable = false))
+    val tail =
+      if (cdc) Seq(
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version", LongType, nullable = false))
+      else Seq(StructField("_commit_version", LongType, nullable = false))
+    StructType(base.fields ++ tail)
   }
 }
 
-class GraftStreamSource(spark: SparkSession, root: String) extends Source {
+class GraftStreamSource(spark: SparkSession, root: String,
+    cdc: Boolean = false) extends Source {
 
   // pinned at stream start: every batch projects to this shape, so a
   // mid-stream schema evolution cannot tear a running query's plan
-  private val pinned: StructType = GraftStreamSource.streamSchema(spark, root)
+  private val pinned: StructType =
+    GraftStreamSource.streamSchema(spark, root, cdc)
 
   override def schema: StructType = pinned
 
@@ -152,7 +173,20 @@ class GraftStreamSource(spark: SparkSession, root: String) extends Source {
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json().toLong).getOrElse(0L)
     val to = end.json().toLong
-    val batch = Txn.streamBatch(spark, root, from, to)
+    val batch =
+      if (!cdc) Txn.streamBatch(spark, root, from, to)
+      else if (from <= 0L)
+        // initial image: the snapshot as inserts (the CDC genesis)
+        Txn.readVersion(spark, root, to)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(to))
+      else
+        // per-version row-level diffs off the batch CDC feed: appends
+        // serve at file level, rewrites/tombstones diff (Txn.changes'
+        // two regimes) — deletes arrive as _change_type = 'delete'
+        Txn.changes(spark, root, from, to)
+          .withColumnRenamed("change_op", "_change_type")
+          .withColumnRenamed("change_version", "_commit_version")
     // project to the pinned schema: extra evolved columns drop, missing
     // nullable columns null-fill (the mergeSchema contract, per batch)
     val aligned = batch.select(pinned.fields.map { f =>
@@ -165,5 +199,6 @@ class GraftStreamSource(spark: SparkSession, root: String) extends Source {
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
-  override def toString: String = s"GraftStreamSource[$root]"
+  override def toString: String =
+    s"GraftStreamSource[$root${if (cdc) ", cdc" else ""}]"
 }

@@ -649,6 +649,45 @@ class StreamingSpec extends SparkSpec {
       s"expected the append-only contract violation, got: ${err.getMessage}")
   }
 
+  test("graft streaming source CDC mode: deletes stream as retractions; " +
+      "a signed fold tracks the table through upserts and deletes (r12)") {
+    import graft.ops.Txn
+    val root = java.nio.file.Files.createTempDirectory("gsrc_cdc").toString + "/t"
+    Txn.commit(Seq(IvmRow("a", 1), IvmRow("b", 10), IvmRow("c", 5))
+      .toDS().toDF(), root)
+    val sink = s"gsrc_cdc_${System.nanoTime()}"
+    // signed IVM fold over the change feed: +1 per insert, -1 per delete
+    val q = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(root)
+      .withColumn("sgn",
+        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+      .groupBy("grp")
+      .agg(sum(col("sgn")).as("n"), sum(col("sgn") * col("v")).as("sum_v"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    def assertMatchesRecompute(): Unit = assertSame(
+      spark.table(sink).where(col("n") > 0),
+      Txn.read(spark, root).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_v")),
+      Seq("grp"))
+    q.processAllAvailable(); assertMatchesRecompute()
+    // an append streams as inserts
+    Txn.commitAppend(Seq(IvmRow("a", 2)).toDS().toDF(), root)
+    q.processAllAvailable(); assertMatchesRecompute()
+    // a DELETE streams as a retraction instead of failing the query
+    Txn.commitDelete(spark, root, "grp",
+      Seq("b").toDF("grp"))
+    q.processAllAvailable(); assertMatchesRecompute()
+    // an upsert streams as delete+insert pairs
+    Txn.commitUpsert(Seq(IvmRow("c", 100)).toDS().toDF(), root, "grp")
+    q.processAllAvailable(); assertMatchesRecompute()
+    q.stop()
+    val state = spark.table(sink).where(col("n") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(state == Seq(("a", 2L, 3L), ("c", 1L, 100L)),
+      s"CDC fold drifted: $state")
+  }
+
   test("graft streaming SINK: writeStream.format(\"graft\") is exactly-" +
       "once across restarts; graft→graft pipelines compose (r12)") {
     import graft.ops.Txn
