@@ -54,20 +54,30 @@ private[catalog] object GraftSkipping {
   def probesOf(filters: Seq[Filter]): Seq[Txn.SkipProbe] =
     filters.flatMap(probesOfOne)
 
+  private def asStr(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case _         => None
+  }
+
+  private def pointProbes(a: String, vs: Seq[Any]): Seq[Txn.SkipProbe] = {
+    val longs = vs.map(asLong)
+    val strs = vs.map(asStr)
+    if (longs.forall(_.isDefined)) Seq(Txn.PointProbe(a, longs.flatten))
+    else if (strs.forall(_.isDefined)) Seq(Txn.StrPointProbe(a, strs.flatten))
+    else Seq.empty
+  }
+
   private def probesOfOne(f: Filter): Seq[Txn.SkipProbe] = f match {
     case sources.EqualTo(a, v) =>
       asPartValue(v).map(p => Txn.PartProbe(a, Seq(p))).toSeq ++
-        asLong(v).map(l => Txn.PointProbe(a, Seq(l))).toSeq
+        pointProbes(a, Seq(v))
     case sources.In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
       val parts = vs.toSeq.map(asPartValue)
       val partProbe =
         if (parts.forall(_.isDefined)) Seq(Txn.PartProbe(a, parts.flatten))
         else Seq.empty
-      val ls = vs.toSeq.map(asLong)
-      val pointProbe =
-        if (ls.forall(_.isDefined)) Seq(Txn.PointProbe(a, ls.flatten))
-        else Seq.empty
-      partProbe ++ pointProbe
+      partProbe ++ pointProbes(a, vs.toSeq)
     case sources.GreaterThan(a, v) =>
       asLong(v).filter(_ < Long.MaxValue)
         .map(l => Txn.RangeProbe(a, l + 1, Long.MaxValue)).toSeq
@@ -104,29 +114,25 @@ private[catalog] object GraftSkipping {
           .orElse(attr(r).flatMap(a => litVal(l).map(a -> _)))
         av.toSeq.flatMap { case (a, v) =>
           asPartValue(v).map(p => Txn.PartProbe(a, Seq(p))).toSeq ++
-            asLong(v).map(lv => Txn.PointProbe(a, Seq(lv))).toSeq
+            pointProbes(a, Seq(v))
         }
       case ce.In(l, list) if list.nonEmpty =>
         (attr(l), list.map(litVal)) match {
           case (Some(a), vs) if vs.forall(_.isDefined) =>
             val raw = vs.flatten
             val parts = raw.map(asPartValue)
-            val longs = raw.map(asLong)
             (if (parts.forall(_.isDefined))
               Seq(Txn.PartProbe(a, parts.flatten)) else Seq.empty) ++
-              (if (longs.forall(_.isDefined))
-                Seq(Txn.PointProbe(a, longs.flatten)) else Seq.empty)
+              pointProbes(a, raw)
           case _ => Seq.empty
         }
       case ce.InSet(l, set) if set.nonEmpty && !set.contains(null) =>
         attr(l).toSeq.flatMap { a =>
           val raw = set.toSeq
           val parts = raw.map(asPartValue)
-          val longs = raw.map(asLong)
           (if (parts.forall(_.isDefined))
             Seq(Txn.PartProbe(a, parts.flatten)) else Seq.empty) ++
-            (if (longs.forall(_.isDefined))
-              Seq(Txn.PointProbe(a, longs.flatten)) else Seq.empty)
+            pointProbes(a, raw)
         }
       case ce.GreaterThan(l, r) => range(attr(l), litVal(r), lo = true,
         strict = true) ++ range(attr(r), litVal(l), lo = false, strict = true)

@@ -514,7 +514,41 @@ object GraftCatalog {
     }
   }
 
+  /** STRING-column file skipping through SQL (r12): the categorical-
+    * filter shape every text pipeline runs — `WHERE lang IN (…)` on a
+    * lang-clustered corpus — served by the `_stats_str.tsv` sidecar
+    * (lexicographic per-file min/max, URL-encoded; the long sidecar
+    * cannot see string columns at all). The commit clusters documents
+    * by lang, so the IN probe keeps only the overlapping files;
+    * CatalogSpec pins kept < total/2 and the sentinel-spelled '-'
+    * value; the driver hash pins that the pruning never changes the
+    * aggregate. */
+  val txnSqlSkippingStr: Q = Q(
+    "txn_sql_skipping_str",
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_doc,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE lang IN ('es', 'de')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val tableRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_txn", Integer.toHexString(dir.hashCode), "docs_lang").toString
+      new Path(tableRoot).getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new Path(tableRoot), true)
+      if (GraftCatalog.tableExists(s, catRootDir, "docs_lang"))
+        GraftCatalog.drop(s, catRootDir, "docs_lang")
+      val docs = documents(s, dir).select("doc_id", "lang", "n_chars")
+        .repartitionByRange(8, col("lang"), col("doc_id"))
+      Txn.commit(docs, tableRoot, statsCols = Seq("lang", "doc_id"))
+      GraftCatalog.create(s, catRootDir, "docs_lang", tableRoot)
+      s.sql(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(doc_id) AS min_doc, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM $c.docs_lang WHERE lang IN ('es', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+    }
+  }
+
   def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog, txnSqlMerge,
     txnSqlSkipping, txnSqlPartitioned, txnSqlEvolve, txnSqlUpsert,
-    txnSqlRestore)
+    txnSqlRestore, txnSqlSkippingStr)
 }

@@ -1124,9 +1124,42 @@ object Txn {
     val snap = readDir(spark, f, dataDir)
     statsCols.foreach { c => require(snap.schema.fieldNames.contains(c),
       s"stats column $c absent from committed schema") }
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"min_$c"),
-      max(col(c).cast("long")).as(s"max_$c")))
+    // numeric (long-castable) columns keep the r8 `_stats.tsv` format;
+    // STRING columns (r12) write a parallel `_stats_str.tsv` with
+    // URL-encoded lexicographic min/max — the categorical-filter
+    // skipping text pipelines need (lang = 'en', source = 'web')
+    // without touching the long sidecar's parsers
+    val (strCols, numCols) = statsCols.partition(c =>
+      snap.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    if (numCols.nonEmpty)
+      writeStatsSidecar(f, dataDir, snap, numCols, "_stats.tsv",
+        c => Seq(min(col(c).cast("long")), max(col(c).cast("long"))),
+        (r, at) => if (r.isNullAt(at)) "-" else r.getLong(at).toString)
+    if (strCols.nonEmpty)
+      writeStatsSidecar(f, dataDir, snap, strCols, "_stats_str.tsv",
+        c => Seq(min(col(c)), max(col(c))),
+        (r, at) => if (r.isNullAt(at)) "-" else encodeStatValue(r.getString(at)))
+  }
+
+  /** TSV-safe encoding for string stat values: URL-encode (tabs and
+    * newlines become %XX) and keep the null sentinel `-` unambiguous
+    * (a literal "-" value encodes as %2D). */
+  private def encodeStatValue(v: String): String = {
+    val enc = java.net.URLEncoder.encode(v, "UTF-8")
+    if (enc == "-") "%2D" else enc
+  }
+  private def decodeStatValue(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Shared per-file min/max sidecar writer (flat and hive-partitioned
+    * snapshot layouts): one aggregation keyed by input file (and
+    * partition subdir), one small sidecar per dir. `fmt` renders a stat
+    * cell; the pdir/file segments URI-decode back to on-disk names. */
+  private def writeStatsSidecar(f: FileSystem, dataDir: String,
+      snap: DataFrame, cols: Seq[String], sidecar: String,
+      aggsFor: String => Seq[org.apache.spark.sql.Column],
+      fmt: (org.apache.spark.sql.Row, Int) => String): Unit = {
+    val aggs = cols.flatMap(aggsFor)
     if (!isPartitionedDir(f, dataDir)) {
       val rows = snap
         .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
@@ -1135,22 +1168,18 @@ object Txn {
       val sb = new StringBuilder
       rows.foreach { r =>
         val file = decodeUriSegment(r.getString(0))
-        statsCols.zipWithIndex.foreach { case (c, i) =>
-          val mn = if (r.isNullAt(1 + 2 * i)) "-" else r.getLong(1 + 2 * i).toString
-          val mx = if (r.isNullAt(2 + 2 * i)) "-" else r.getLong(2 + 2 * i).toString
-          sb.append(s"$file\t$c\t$mn\t$mx\n")
+        cols.zipWithIndex.foreach { case (c, i) =>
+          sb.append(s"$file\t$c\t${fmt(r, 1 + 2 * i)}\t${fmt(r, 2 + 2 * i)}\n")
         }
       }
-      val out = f.create(new Path(s"$dataDir/_stats.tsv"), false)
+      val out = f.create(new Path(s"$dataDir/$sidecar"), false)
       try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
     } else {
       // HIVE-PARTITIONED snapshot (r11): one sidecar INSIDE each
       // `col=value` subdir holding only that partition's files — so the
-      // metadata read composes with directory pruning (a read that
-      // keeps 3 of 1000 partitions opens 3 sidecars, never a
-      // table-sized one), and because one write task emits
-      // SAME-BASENAME files into several partition dirs, per-subdir
-      // placement is also what keeps the file key unambiguous
+      // metadata read composes with directory pruning, and because one
+      // write task emits SAME-BASENAME files into several partition
+      // dirs, per-subdir placement keeps the file key unambiguous
       // (read-side keys are `subdir/basename`).
       val rows = snap
         .groupBy(
@@ -1162,13 +1191,11 @@ object Txn {
         val sb = new StringBuilder
         rs.foreach { r =>
           val file = decodeUriSegment(r.getString(1))
-          statsCols.zipWithIndex.foreach { case (c, i) =>
-            val mn = if (r.isNullAt(2 + 2 * i)) "-" else r.getLong(2 + 2 * i).toString
-            val mx = if (r.isNullAt(3 + 2 * i)) "-" else r.getLong(3 + 2 * i).toString
-            sb.append(s"$file\t$c\t$mn\t$mx\n")
+          cols.zipWithIndex.foreach { case (c, i) =>
+            sb.append(s"$file\t$c\t${fmt(r, 2 + 2 * i)}\t${fmt(r, 3 + 2 * i)}\n")
           }
         }
-        val out = f.create(new Path(s"$dataDir/$pdir/_stats.tsv"), false)
+        val out = f.create(new Path(s"$dataDir/$pdir/$sidecar"), false)
         try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
       }
     }
@@ -1216,6 +1243,26 @@ object Txn {
 
   private def statsSidecars(f: FileSystem, dir: String): Seq[(String, Path)] =
     sidecarsNamed(f, dir, "_stats.tsv")
+
+  /** (file-key, col) -> lexicographic (min, max) from the STRING stats
+    * sidecars (r12) — same merge/keying rules as [[fileStats]]; dirs
+    * committed without string stats contribute nothing. */
+  def fileStatsStr(spark: SparkSession, root: String, version: Long)
+      : Map[(String, String), (Option[String], Option[String])] = {
+    val f = fs(spark, root)
+    manifestDirs(f, root, version)
+      .filter(!_.startsWith("~")).flatMap { d =>
+        sidecarsNamed(f, resolveDir(root, d), "_stats_str.tsv").flatMap {
+          case (prefix, p) =>
+            readLines(f, p).map { line =>
+              val Array(file, c, mn, mx) = line.split('\t')
+              def parse(s: String) =
+                if (s == "-") None else Some(decodeStatValue(s))
+              (s"$prefix$file", c) -> ((parse(mn), parse(mx)))
+            }
+        }
+      }.toMap
+  }
 
   private def readLines(f: FileSystem, p: Path): Seq[String] = {
     val in = f.open(p)
@@ -1675,6 +1722,12 @@ object Txn {
       values: Seq[Long]) extends SkipProbe
   private[graft] final case class PartProbe(col: String,
       values: Seq[Any]) extends SkipProbe
+  /** String equality/IN probe against the `_stats_str.tsv` sidecars
+    * (r12): a file survives iff SOME probe value falls inside its
+    * lexicographic [min, max] — the categorical-column skipping rung
+    * (lang = 'en' on a lang-clustered corpus). */
+  private[graft] final case class StrPointProbe(col: String,
+      values: Seq[String]) extends SkipProbe
 
   /** The conjunction keep-decision for a file key under `probes`:
     * ranges check min/max stats, points check stats AND blooms per
@@ -1684,6 +1737,7 @@ object Txn {
       version: Long, probes: Seq[SkipProbe]): String => Boolean = {
     val stats = fileStats(spark, root, version)
     lazy val blooms = fileBlooms(spark, root, version)
+    lazy val strStats = fileStatsStr(spark, root, version)
     base => probes.forall {
       case RangeProbe(c, lo, hi) => statsKeep(stats, c, lo, hi)(base)
       case PointProbe(c, vs) => vs.exists { v =>
@@ -1692,6 +1746,11 @@ object Txn {
             case Some(bits) => bloomMayContain(bits, v)
             case None       => true
           })
+      }
+      case StrPointProbe(c, vs) => strStats.get((base, c)) match {
+        case Some((Some(mn), Some(mx))) =>
+          vs.exists(v => v >= mn && v <= mx)
+        case _ => true // no stats row or null bounds: always read
       }
       case _: PartProbe => true
     }

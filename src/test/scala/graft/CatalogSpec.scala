@@ -348,6 +348,43 @@ class CatalogSpec extends SparkSpec {
       s"tombstoned chain must still prune files: $d3")
   }
 
+  test("V2 SQL catalog: STRING-column stats prune files through SQL (r12)") {
+    import spark.implicits._
+    val c = sqlCat("strskip")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    val root = fresh("strskip_t")
+    val langs = Seq("ar", "de", "en", "es", "fr", "hi", "ja", "-")
+    val df = (1L to 8000L).map(i => (i, langs((i % 8).toInt)))
+      .toDF("id", "lang").repartitionByRange(8, col("lang"))
+    // statsCols mixes types: id gets the long sidecar, lang the STRING
+    // sidecar — one commit writes both
+    Txn.commit(df, root, statsCols = Seq("id", "lang"))
+    GraftCatalog.create(spark, catRoot, "sl", root)
+    graft.catalog.GraftScanStats.reset()
+    val es = spark.sql(s"SELECT count(*) AS n FROM $c.sl WHERE lang = 'es'")
+      .head().getLong(0)
+    assert(es == 1000L)
+    val d = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d.filesKept < d.filesTotal / 2,
+      s"string equality must prune lang-clustered files: $d")
+    // the '-' literal round-trips despite being the null sentinel's
+    // spelling in the sidecar (it encodes as %2D)
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.sl WHERE lang = '-'")
+      .head().getLong(0) == 1000L)
+    val d2 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d2.filesKept < d2.filesTotal,
+      s"sentinel-spelled value must still prune: $d2")
+    // IN lists prune too, and results match the unpruned read
+    val got = spark.sql(
+      s"SELECT id FROM $c.sl WHERE lang IN ('ar', 'ja') ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    val want = Txn.read(spark, root)
+      .where(col("lang").isin("ar", "ja")).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
   test("V2 SQL catalog: partition-directory pruning through SQL on a " +
       "partitioned chain") {
     import spark.implicits._
