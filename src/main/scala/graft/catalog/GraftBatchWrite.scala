@@ -90,6 +90,16 @@ private[catalog] object GraftBatchWrite {
     b.named(name)
   }
 
+  /** Partition values must render to directory names unambiguously:
+    * integral/string/boolean types round-trip exactly (the same set the
+    * skipping probes trust — dates/floats/decimals render differently
+    * between internal and directory forms). */
+  def supportedPartitionType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType |
+         BooleanType => true
+    case _ => false
+  }
+
   /** Smallest byte width whose two's-complement range covers `p`
     * decimal digits (the parquet FIXED_LEN_BYTE_ARRAY sizing rule). */
   def minBytesForPrecision(p: Int): Int = {
@@ -116,11 +126,21 @@ private[catalog] object GraftBatchWrite {
 private[catalog] class GraftBatchWrite(root: String, schema: StructType,
     mode: GraftBatchWrite.Mode, opName: String,
     rowLevel: Boolean = false,
-    pinnedBase: Option[Long] = None) extends BatchWrite {
+    pinnedBase: Option[Long] = None,
+    partCol: Option[String] = None) extends BatchWrite {
 
   private val dataRel = s"data/${UUID.randomUUID().toString}"
   // fail loud on unsupported schemas at PLAN time, before any task runs
-  GraftBatchWrite.schemaToParquet(schema, "graft")
+  // (partitioned writes validate the FILE schema — the partition column
+  // lives in directory names, not in the files)
+  GraftBatchWrite.schemaToParquet(
+    StructType(schema.fields.filterNot(f => partCol.contains(f.name))),
+    "graft")
+  partCol.foreach { c =>
+    require(GraftBatchWrite.supportedPartitionType(schema(c).dataType),
+      s"graft native partitioned writer supports integral/string/boolean " +
+        s"partition columns; $c is ${schema(c).dataType}")
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -129,12 +149,13 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
     // must not publish a spurious version over a directory of empty
     // files — only tasks that actually wrote rows count
     val wroteFiles = messages.exists(_.isInstanceOf[GraftCommitMessage])
+    val meta = Map("op" -> opName) ++ partCol.map("partitionCol" -> _)
     mode match {
       case GraftBatchWrite.Append =>
         // an INSERT of an empty source: nothing to add, the table is
         // unchanged — a valid (non-)commit
         if (wroteFiles)
-          Txn.publishDirAppend(spark, root, dataRel, Map("op" -> opName))
+          Txn.publishDirAppend(spark, root, dataRel, meta)
       case GraftBatchWrite.Replace if wroteFiles =>
         // Replace commits are computed from a PINNED scan, so they
         // publish CAS-pinned at that version (r11 advice medium): a
@@ -143,10 +164,9 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
         // clobbered — the commitIf contract, natively
         pinnedBase match {
           case Some(base) =>
-            Txn.publishDirFullIf(spark, root, dataRel, base,
-              Map("op" -> opName))
+            Txn.publishDirFullIf(spark, root, dataRel, base, meta)
           case None =>
-            Txn.publishDirFull(spark, root, dataRel, Map("op" -> opName))
+            Txn.publishDirFull(spark, root, dataRel, meta)
         }
         ()
       case GraftBatchWrite.Replace =>
@@ -157,9 +177,9 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         pinnedBase match {
           case Some(base) =>
-            Txn.commitIf(empty, root, base, meta = Map("op" -> opName))
+            Txn.commitIf(empty, root, base, meta = meta)
           case None =>
-            Txn.commit(empty, root, meta = Map("op" -> opName))
+            Txn.commit(empty, root, meta = meta)
         }
         ()
     }
@@ -167,7 +187,7 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(s"$root/$dataRel", schema, rowLevel)
+    new GraftWriterFactory(s"$root/$dataRel", schema, rowLevel, partCol)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // no manifest references the dir — deleting it is cleanup, not
@@ -179,10 +199,84 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
 }
 
 private[catalog] class GraftWriterFactory(dataDir: String,
-    schema: StructType, rowLevel: Boolean) extends DataWriterFactory {
+    schema: StructType, rowLevel: Boolean,
+    partCol: Option[String] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] =
-    new GraftParquetWriter(dataDir, schema, partitionId, taskId, rowLevel)
+      taskId: Long): DataWriter[InternalRow] = partCol match {
+    case Some(c) =>
+      new GraftPartitionedParquetWriter(dataDir, schema, c, partitionId, taskId)
+    case None =>
+      new GraftParquetWriter(dataDir, schema, partitionId, taskId, rowLevel)
+  }
+}
+
+/** Native HIVE-PARTITIONED task writer (r12): each row routes to a
+  * lazily-opened per-partition-value writer under
+  * `dataDir/<col>=<escaped value>/` — the standard warehouse layout,
+  * written straight from codegen'd InternalRow with no Spark
+  * row-conversion bridge. The partition column is NOT stored in the
+  * files (the directory name carries it — one column of storage saved
+  * per row, and the read side reconstructs it like every other
+  * partitioned snapshot); values hive-escape and nulls land in the
+  * default-partition sentinel dir. A task writes one file per distinct
+  * partition value it SEES, so pre-sorting/repartitioning the insert by
+  * the partition column keeps the file count at one-per-partition — the
+  * same knob Spark's own partitioned writer exposes. */
+private[catalog] class GraftPartitionedParquetWriter(dataDir: String,
+    schema: StructType, partCol: String, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+
+  private val partIdx = schema.fieldIndex(partCol)
+  private val partType = schema.fields(partIdx).dataType
+  private val fileSchema = StructType(schema.fields.filterNot(_.name == partCol))
+  // bound projection dropping the partition column; the inner writer
+  // consumes each projected row before the next call, so the reused
+  // UnsafeRow buffer is safe
+  private val drop = UnsafeProjection.create(
+    fileSchema.fields.map(f =>
+      BoundReference(schema.fieldIndex(f.name), f.dataType, true)).toSeq)
+  private val writers =
+    scala.collection.mutable.Map.empty[String, GraftParquetWriter]
+
+  private def dirOf(row: InternalRow): String = {
+    val raw =
+      if (row.isNullAt(partIdx)) "__HIVE_DEFAULT_PARTITION__"
+      else {
+        val v = partType match {
+          case LongType    => row.getLong(partIdx).toString
+          case IntegerType => row.getInt(partIdx).toString
+          case ShortType   => row.getShort(partIdx).toString
+          case ByteType    => row.getByte(partIdx).toString
+          case StringType  => row.getUTF8String(partIdx).toString
+          case BooleanType => row.getBoolean(partIdx).toString
+          case other => throw new IllegalStateException(
+            s"unreachable: partition type $other passed the plan-time check")
+        }
+        Txn.escapePathName(v)
+      }
+    s"$dataDir/$partCol=$raw"
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val dir = dirOf(row)
+    val w = writers.getOrElseUpdate(dir,
+      new GraftParquetWriter(dir, fileSchema, partitionId, taskId,
+        rowLevel = false))
+    w.write(drop(row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = writers.values.map(_.commit()).collect {
+      case GraftCommitMessage(f) => f
+    }
+    if (files.isEmpty) GraftNoRowsMessage
+    else GraftCommitMessage(files.head)
+  }
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = ()
 }
 
 private[catalog] case class GraftCommitMessage(file: String)

@@ -347,16 +347,23 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     case None => snapshot.schema
   }
   /** Write capability follows the SCHEMA and LAYOUT (Spark requires the
-    * declared kind to match the Write object): flat primitive schemas
-    * take the native executor-parallel path; nested/array schemas and
-    * PARTITIONED tables (the native writer emits flat files) take the
-    * V1 bridge, whose Txn commits handle any schema and the
-    * hive-partitioned layout. */
+    * declared kind to match the Write object): flat primitive schemas —
+    * including PARTITIONED tables whose partition type renders to
+    * directory names (r12: the native writer streams rows into
+    * `col=value` subdirs itself) — take the native executor-parallel
+    * path; nested/array schemas fall back to the V1 bridge, whose Txn
+    * commits handle any Spark schema. */
   override def capabilities(): util.Set[TableCapability] = {
+    val fileSchema = StructType(
+      schema().fields.filterNot(f => partCol.contains(f.name)))
     val writeCap =
-      try { GraftBatchWrite.schemaToParquet(schema(), "probe")
-        if (partCol.isEmpty) TableCapability.BATCH_WRITE
-        else TableCapability.V1_BATCH_WRITE }
+      try {
+        GraftBatchWrite.schemaToParquet(fileSchema, "probe")
+        if (partCol.forall(c =>
+          GraftBatchWrite.supportedPartitionType(schema()(c).dataType)))
+          TableCapability.BATCH_WRITE
+        else TableCapability.V1_BATCH_WRITE
+      }
       catch { case _: UnsupportedOperationException =>
         TableCapability.V1_BATCH_WRITE }
     util.EnumSet.of(TableCapability.BATCH_READ, writeCap,
@@ -753,9 +760,19 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  private def nativeSupported: Boolean = partCol.isEmpty &&
-    (try { GraftBatchWrite.schemaToParquet(schema, "probe"); true }
-    catch { case _: UnsupportedOperationException => false })
+  /** Native eligibility (r12: partitioned tables included): the FILE
+    * schema (minus the partition column, which lives in dir names) must
+    * be flat-primitive and the partition type directory-renderable —
+    * then INSERTs stream executor-parallel into `col=value` subdirs
+    * with no V1 row bridge, the canonical ingest loop at native speed. */
+  private def nativeSupported: Boolean =
+    (try {
+      GraftBatchWrite.schemaToParquet(StructType(
+        schema.fields.filterNot(f => partCol.contains(f.name))), "probe")
+      true
+    } catch { case _: UnsupportedOperationException => false }) &&
+      partCol.forall(c => schema.fieldNames.contains(c) &&
+        GraftBatchWrite.supportedPartitionType(schema(c).dataType))
 
   override def build(): Write =
     if (nativeSupported) new Write {
@@ -764,9 +781,11 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
           // OVERWRITE replaces from a pinned base: CAS at version+1, so
           // a concurrent commit fails this writer loud (r11 advice)
           new GraftBatchWrite(root, schema, GraftBatchWrite.Replace,
-            "sql-overwrite", pinnedBase = Some(pinnedVersion))
+            "sql-overwrite", pinnedBase = Some(pinnedVersion),
+            partCol = partCol)
         else
-          new GraftBatchWrite(root, schema, GraftBatchWrite.Append, "sql-insert")
+          new GraftBatchWrite(root, schema, GraftBatchWrite.Append,
+            "sql-insert", partCol = partCol)
     }
     else new V1Write {
       override def toInsertableRelation: InsertableRelation =

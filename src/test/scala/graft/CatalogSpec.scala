@@ -493,6 +493,44 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"INSERT OVERWRITE $c.p SELECT id, id % 2 AS day FROM range(10)")
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.p").head().getLong(0) == 10L)
     assert(Txn.partitionProbe(spark, tRoot, "day", Seq(0L)) == ((1, 2)))
+    // r12: partitioned INSERTs take the NATIVE executor-parallel writer
+    // (graft task-file names, no Spark .c000 suffix) with the partition
+    // column carried by the directory, not the files
+    val partFiles = new java.io.File(tRoot, "data").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(d => d.isDirectory && d.getName.startsWith("day="))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet"))
+    assert(partFiles.nonEmpty && partFiles.forall(n => !n.contains("c000")),
+      s"partitioned INSERT must take the native writer: ${partFiles.toSeq}")
+  }
+
+  test("V2 SQL catalog: native partitioned writes handle string, " +
+      "hive-escaped, and NULL partition values (r12)") {
+    val c = sqlCat("natpart")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.np (id BIGINT, src STRING) PARTITIONED BY (src)")
+    spark.sql(s"INSERT INTO $c.np VALUES (1, 'web'), (2, 'a:b'), " +
+      "(3, NULL), (4, 'a:b'), (5, 'a b')")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "np")
+    // escaped / sentinel layout on disk, exactly like Spark's writer
+    val dirs = new java.io.File(tRoot, "data").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("src=__HIVE_DEFAULT_PARTITION__", "src=a b",
+      "src=a%3Ab", "src=plain").filterNot(_ == "src=plain") :+ "src=web",
+      s"unexpected native partition layout: $dirs")
+    // values round-trip through reads: reconstruction unescapes, the
+    // sentinel surfaces as a real null
+    val got = spark.sql(s"SELECT id, src FROM $c.np ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq == Seq((1L, Some("web")), (2L, Some("a:b")),
+      (3L, None), (4L, Some("a:b")), (5L, Some("a b"))))
+    // partition filters prune on the escaped names
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.np WHERE src = 'a:b'")
+      .head().getLong(0) == 2L)
+    val d = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d.dirsKept == 1 && d.dirsTotal == 4, s"escaped dir must prune: $d")
   }
 
   test("V2 SQL catalog: ALTER TABLE ADD COLUMN evolves the schema; old " +
