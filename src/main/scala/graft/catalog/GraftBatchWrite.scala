@@ -127,7 +127,9 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
     mode: GraftBatchWrite.Mode, opName: String,
     rowLevel: Boolean = false,
     pinnedBase: Option[Long] = None,
-    partCol: Option[String] = None) extends BatchWrite {
+    partCol: Option[String] = None,
+    statsCols: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil) extends BatchWrite {
 
   private val dataRel = s"data/${UUID.randomUUID().toString}"
   // fail loud on unsupported schemas at PLAN time, before any task runs
@@ -150,6 +152,12 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
     // files — only tasks that actually wrote rows count
     val wroteFiles = messages.exists(_.isInstanceOf[GraftCommitMessage])
     val meta = Map("op" -> opName) ++ partCol.map("partitionCol" -> _)
+    // declared-index tables (graft.stats / graft.bloom): sidecars land
+    // on the fresh dir BEFORE the publish, so they are atomic with the
+    // data — every SQL INSERT keeps the skipping index current (r12)
+    if (wroteFiles && (statsCols.nonEmpty || bloomCols.nonEmpty))
+      Txn.writeSidecars(spark, root, dataRel,
+        statsCols.filterNot(partCol.contains), bloomCols.filterNot(partCol.contains))
     mode match {
       case GraftBatchWrite.Append =>
         // an INSERT of an empty source: nothing to add, the table is

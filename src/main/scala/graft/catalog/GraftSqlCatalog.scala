@@ -81,6 +81,15 @@ object GraftSqlCatalog {
     * identifier-field contract). Declaring it routes SQL UPDATE / MERGE
     * / predicate DELETE onto the O(batch) delta row-level path. */
   val KeyProp = "graft.key"
+  /** TBLPROPERTIES keys declaring the table's INDEX columns (r12):
+    * comma-separated lists. Every SQL INSERT then writes the
+    * `_stats.tsv`/`_stats_str.tsv` (min/max skipping) and `_bloom.tsv`
+    * (point skipping, long-castable columns) sidecars onto its fresh
+    * snapshot dir before the publish — a pure-SQL user gets the same
+    * skipping economics commitIndexed gives the programmatic API,
+    * maintained automatically across the table's life. */
+  val StatsProp = "graft.stats"
+  val BloomProp = "graft.bloom"
 }
 
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
@@ -188,6 +197,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       require(schema.fieldNames.contains(k),
         s"declared key column $k absent from the schema")
     }
+    def colsProp(key: String): Seq[String] =
+      Option(properties.get(key)).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val statsCols = colsProp(GraftSqlCatalog.StatsProp)
+    val bloomCols = colsProp(GraftSqlCatalog.BloomProp)
+    (statsCols ++ bloomCols).foreach { ic =>
+      require(schema.fieldNames.contains(ic),
+        s"declared index column $ic absent from the schema")
+    }
     if (GraftCatalog.tableExists(spark, catalogRoot, ident.name()))
       throw new TableAlreadyExistsException(ident)
     // LOCATION '...' = external root; otherwise managed under the
@@ -199,7 +217,11 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       spark.sparkContext.emptyRDD[Row], schema)
     Txn.commit(empty, root, meta = Map("op" -> "sql-create-table"))
     val props = partCol.map("partition" -> _).toMap ++
-      keyCol.map("key" -> _).toMap
+      keyCol.map("key" -> _).toMap ++
+      (if (statsCols.nonEmpty) Map("stats" -> statsCols.mkString(","))
+       else Map.empty) ++
+      (if (bloomCols.nonEmpty) Map("bloom" -> bloomCols.mkString(","))
+       else Map.empty)
     if (props.nonEmpty) Txn.setTableProps(spark, root, props)
     GraftCatalog.create(spark, catalogRoot, ident.name(), root)
     new GraftSqlTable(ident.name(), root, 1L, spark)
@@ -236,6 +258,16 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         require(current.fieldNames.contains(p.value()),
           s"declared key column ${p.value()} absent from the schema")
         Txn.setTableProps(spark, root, Map("key" -> p.value()))
+      case p: TableChange.SetProperty
+          if p.property() == GraftSqlCatalog.StatsProp ||
+            p.property() == GraftSqlCatalog.BloomProp =>
+        val cols = p.value().split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach { ic =>
+          require(current.fieldNames.contains(ic),
+            s"declared index column $ic absent from the schema")
+        }
+        val k = if (p.property() == GraftSqlCatalog.StatsProp) "stats" else "bloom"
+        Txn.setTableProps(spark, root, Map(k -> cols.mkString(",")))
       case other => sys.error(
         s"graft SQL catalog: unsupported ALTER TABLE change $other — " +
           "supported: ADD COLUMN (nullable), SET TBLPROPERTIES " +
@@ -332,6 +364,10 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
   private lazy val tableProps: Map[String, String] = Txn.tableProps(spark, root)
   private def partCol: Option[String] = tableProps.get("partition")
   private[catalog] def keyCol: Option[String] = tableProps.get("key")
+  private def colsOf(prop: String): Seq[String] = tableProps.get(prop).toSeq
+    .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+  private def statsCols: Seq[String] = colsOf("stats")
+  private def bloomCols: Seq[String] = colsOf("bloom")
 
   override def name(): String = tableName
   /** The declared key column surfaces NOT NULL (r12): a primary key is
@@ -373,7 +409,13 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     (Map("location" -> root, "version" -> version.toString,
       "provider" -> "graft") ++
       partCol.map("partition" -> _) ++
-      keyCol.map(GraftSqlCatalog.KeyProp -> _)).asJava
+      keyCol.map(GraftSqlCatalog.KeyProp -> _) ++
+      (if (statsCols.nonEmpty)
+        Map(GraftSqlCatalog.StatsProp -> statsCols.mkString(","))
+      else Map.empty) ++
+      (if (bloomCols.nonEmpty)
+        Map(GraftSqlCatalog.BloomProp -> bloomCols.mkString(","))
+      else Map.empty)).asJava
 
   /** Spark's own vectorized parquet DSv2 scan over the pinned
     * version's data dirs — servable whenever every manifest entry is a
@@ -411,7 +453,8 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
         s"graft.$tableName@v$version"))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(root, info.schema(), version, partCol)
+    new GraftWriteBuilder(root, info.schema(), version, partCol,
+      statsCols, bloomCols)
 
   /** UPDATE / MERGE INTO / predicate DELETE. Two regimes (r12):
     *
@@ -754,7 +797,8 @@ private[catalog] class GraftV1Scan(pruned: DataFrame, label: String)
   * primitive set (arrays, structs, decimals) fall back to the V1
   * bridge, whose Txn commits handle any Spark schema. */
 private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
-    pinnedVersion: Long, partCol: Option[String])
+    pinnedVersion: Long, partCol: Option[String],
+    statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -782,10 +826,11 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
           // a concurrent commit fails this writer loud (r11 advice)
           new GraftBatchWrite(root, schema, GraftBatchWrite.Replace,
             "sql-overwrite", pinnedBase = Some(pinnedVersion),
-            partCol = partCol)
+            partCol = partCol, statsCols = statsCols, bloomCols = bloomCols)
         else
           new GraftBatchWrite(root, schema, GraftBatchWrite.Append,
-            "sql-insert", partCol = partCol)
+            "sql-insert", partCol = partCol, statsCols = statsCols,
+            bloomCols = bloomCols)
     }
     else new V1Write {
       override def toInsertableRelation: InsertableRelation =
@@ -794,17 +839,22 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
             (overwrite || ow, partCol) match {
               case (true, None) =>
                 Txn.commitIf(data, root, expectedBase = pinnedVersion,
+                  statsCols = statsCols,
                   meta = Map("op" -> "sql-overwrite"))
               case (true, Some(c)) =>
                 Txn.commitIf(data, root, expectedBase = pinnedVersion,
+                  statsCols = statsCols,
                   meta = Map("op" -> "sql-overwrite", "partitionCol" -> c),
                   partitionBy = Some(c))
               case (false, None) =>
-                Txn.commitAppend(data, root, meta = Map("op" -> "sql-insert"))
+                Txn.commitAppend(data, root, statsCols = statsCols,
+                  bloomCols = bloomCols,
+                  meta = Map("op" -> "sql-insert"))
               case (false, Some(c)) =>
                 // the canonical partitioned ingest loop: the shard lands
                 // as col=value subdirs of one manifest-appended dir
                 Txn.commitAppendPartitioned(data, root, c,
+                  statsCols = statsCols, bloomCols = bloomCols,
                   meta = Map("op" -> "sql-insert"))
             }
             ()

@@ -343,21 +343,27 @@ object GraftCatalog {
       |ORDER BY orderkey""".stripMargin
   ) { (s, dir) =>
     withSqlCatalog(s, dir) { (c, catRootDir) =>
-      val tableRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_txn", Integer.toHexString(dir.hashCode), "orders_idx").toString
-      new Path(tableRoot).getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(new Path(tableRoot), true)
-      if (GraftCatalog.tableExists(s, catRootDir, "orders_idx"))
-        GraftCatalog.drop(s, catRootDir, "orders_idx")
+      val t = "orders_idx"
+      resetSqlTable(s, catRootDir, t)
+      // PURE SQL end-to-end (r12 declared-index path): the DDL declares
+      // the index columns, the INSERT writes the clustered shard AND
+      // its stats+bloom sidecars, the point query prunes — no
+      // programmatic call anywhere. The source pre-clusters by the key
+      // so per-file ranges are disjoint (the layout knob any warehouse
+      // ingest controls).
+      s.sql(s"""CREATE TABLE $c.$t (o_orderkey BIGINT, o_custkey BIGINT,
+        |  o_totalprice DOUBLE)
+        |TBLPROPERTIES ('graft.stats' = 'o_custkey',
+        |  'graft.bloom' = 'o_custkey')""".stripMargin)
       val ord = orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .repartitionByRange(8, col("o_custkey"))
-      Txn.commitIndexed(ord, tableRoot, statsCols = Seq("o_custkey"),
-        bloomCols = Seq("o_custkey"))
-      GraftCatalog.create(s, catRootDir, "orders_idx", tableRoot)
+      val view = s"orders_clustered_${Integer.toHexString(dir.hashCode)}"
+      ord.createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $c.$t SELECT * FROM $view")
       s.sql(s"""SELECT o_orderkey AS orderkey, o_custkey AS custkey,
         |  CAST(o_totalprice AS DOUBLE) AS price
-        |FROM $c.orders_idx WHERE o_custkey IN (19, 365, 746, 1138)
+        |FROM $c.$t WHERE o_custkey IN (19, 365, 746, 1138)
         |ORDER BY orderkey""".stripMargin)
     }
   }

@@ -445,6 +445,24 @@ object Txn {
     if (flat) Some(entries.map(e => resolveDir(root, e._1))) else None
   }
 
+  /** Write stats/bloom sidecars onto an ALREADY-WRITTEN snapshot dir
+    * (r12, the native write path's indexing half): called by the SQL
+    * writers between the executor fan-out and the manifest publish, so
+    * declared-index tables (`graft.stats`/`graft.bloom` properties)
+    * keep their sidecars current on every INSERT — published atomically
+    * with the data because the pointer swap happens after. Costs one
+    * extra scan of the NEW dir per declared sidecar kind (O(batch),
+    * the same bill the programmatic commitIndexed pays). */
+  private[graft] def writeSidecars(spark: SparkSession, root: String,
+      dataRel: String, statsCols: Seq[String], bloomCols: Seq[String],
+      bloomBits: Int = 1 << 20): Unit = {
+    val f = fs(spark, root)
+    if (statsCols.nonEmpty)
+      writeStats(spark, f, s"$root/$dataRel", statsCols)
+    if (bloomCols.nonEmpty)
+      writeBloom(spark, f, s"$root/$dataRel", bloomCols, bloomBits)
+  }
+
   /** Publish an ALREADY-WRITTEN snapshot dir as the next FULL version
     * (r11, the native V2 writer's commit half: executors have streamed
     * parquet into `root/<dataRel>` — invisible until this rename). */

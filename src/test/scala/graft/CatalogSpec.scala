@@ -348,6 +348,48 @@ class CatalogSpec extends SparkSpec {
       s"tombstoned chain must still prune files: $d3")
   }
 
+  test("V2 SQL catalog: declared index columns keep sidecars current " +
+      "across SQL INSERTs — pure-SQL skipping end-to-end (r12)") {
+    val c = sqlCat("declidx")
+    spark.sql(s"CREATE TABLE $c.ix (id BIGINT, lang STRING) " +
+      s"TBLPROPERTIES ('graft.stats' = 'id,lang', 'graft.bloom' = 'id')")
+    // four INSERT shards over disjoint id ranges: every shard's files
+    // carry their own stats+bloom sidecars, written by the INSERT itself
+    (0 until 4).foreach { k =>
+      spark.sql(s"INSERT INTO $c.ix SELECT id, " +
+        s"CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang " +
+        s"FROM range(${k * 1000}, ${k * 1000 + 1000})")
+    }
+    // a point query opens only the admitting files — across ALL shards
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ix WHERE id = 1500")
+      .head().getLong(0) == 1L)
+    val d = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d.filesTotal > 8 && d.filesKept <= 2,
+      s"declared-index point query must open O(matching) files: $d")
+    // a range query prunes to the overlapping shard's files
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $c.ix WHERE id BETWEEN 2100 AND 2199")
+      .head().getLong(0) == 100L)
+    val d2 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d2.filesKept < d2.filesTotal / 4,
+      s"range query must prune by the INSERT-maintained stats: $d2")
+    // declaring the index AFTER create works too (SET TBLPROPERTIES)
+    val c2 = sqlCat("declidx2")
+    spark.sql(s"CREATE TABLE $c2.lx (id BIGINT)")
+    spark.sql(s"INSERT INTO $c2.lx SELECT id FROM range(0, 1000)") // unindexed
+    spark.sql(s"ALTER TABLE $c2.lx SET TBLPROPERTIES ('graft.stats' = 'id')")
+    spark.sql(s"INSERT INTO $c2.lx SELECT id FROM range(1000, 2000)") // indexed
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c2.lx WHERE id < 10")
+      .head().getLong(0) == 10L)
+    val d3 = graft.catalog.GraftScanStats.lastDecision.get
+    // one-sided: the unindexed first shard is always read, the indexed
+    // second shard prunes entirely
+    assert(d3.filesKept < d3.filesTotal, s"post-ALTER shards must prune: $d3")
+  }
+
   test("V2 SQL catalog: STRING-column stats prune files through SQL (r12)") {
     import spark.implicits._
     val c = sqlCat("strskip")
