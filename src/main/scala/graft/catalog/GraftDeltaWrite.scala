@@ -40,15 +40,17 @@ import graft.ops.Txn
   * rewrite. */
 private[catalog] class GraftDeltaWrite(root: String, rowSchema: StructType,
     keySchema: StructType, keyCol: String, pinnedBase: Long,
-    opName: String) extends DeltaWrite {
+    opName: String, statsCols: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil) extends DeltaWrite {
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(root, rowSchema, keySchema, keyCol,
-      pinnedBase, opName)
+      pinnedBase, opName, statsCols, bloomCols)
 }
 
 private[catalog] class GraftDeltaBatchWrite(root: String,
     rowSchema: StructType, keySchema: StructType, keyCol: String,
-    pinnedBase: Long, opName: String) extends DeltaBatchWrite {
+    pinnedBase: Long, opName: String, statsCols: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil) extends DeltaBatchWrite {
 
   private val keysRel = s"data/${UUID.randomUUID()}"
   private val rowsRel = s"data/${UUID.randomUUID()}"
@@ -75,6 +77,11 @@ private[catalog] class GraftDeltaBatchWrite(root: String,
     // inserts, DELETE matching no rows) is a valid no-op — the table
     // stays at its pinned version, no spurious commit
     if (anyKeys || anyRows) {
+      // declared-index tables keep their sidecars current across delta
+      // merges too: the replacement-rows dir gets the same stats/bloom
+      // treatment an INSERT's dir gets, atomic with the publish (r12)
+      if (anyRows && (statsCols.nonEmpty || bloomCols.nonEmpty))
+        Txn.writeSidecars(spark, root, rowsRel, statsCols, bloomCols)
       Txn.publishDeltaIf(spark, root, pinnedBase, keyCol,
         if (anyKeys) Some(keysRel) else None,
         if (anyRows) Some(rowsRel) else None,

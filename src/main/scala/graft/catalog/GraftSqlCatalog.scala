@@ -504,7 +504,8 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
                     else StructType(Seq(snapshot.schema(k).copy(nullable = true)))
                   new GraftDeltaWrite(root, wInfo.schema(), keySchema, k,
                     version,
-                    s"sql-${info.command().toString.toLowerCase(java.util.Locale.ROOT)}-delta")
+                    s"sql-${info.command().toString.toLowerCase(java.util.Locale.ROOT)}-delta",
+                    statsCols, bloomCols)
                 }
               }
           }

@@ -388,6 +388,21 @@ class CatalogSpec extends SparkSpec {
     // one-sided: the unindexed first shard is always read, the indexed
     // second shard prunes entirely
     assert(d3.filesKept < d3.filesTotal, s"post-ALTER shards must prune: $d3")
+    // declared indexes survive DELTA merges: a keyed+indexed table's
+    // MERGE writes sidecars onto its replacement-rows dir, so point
+    // queries keep pruning after row-level churn
+    val c3 = sqlCat("declidx3")
+    spark.sql(s"CREATE TABLE $c3.kx (id BIGINT, v BIGINT) TBLPROPERTIES " +
+      s"('graft.key' = 'id', 'graft.stats' = 'id', 'graft.bloom' = 'id')")
+    spark.sql(s"INSERT INTO $c3.kx SELECT id, id FROM range(0, 4000)")
+    spark.sql(s"""MERGE INTO $c3.kx t USING (SELECT 17L AS k, 999L AS nv) s
+      |ON t.id = s.k WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT v FROM $c3.kx WHERE id = 17")
+      .head().getLong(0) == 999L)
+    val d4 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d4.filesKept < d4.filesTotal,
+      s"skipping must survive a delta MERGE: $d4")
   }
 
   test("V2 SQL catalog: STRING-column stats prune files through SQL (r12)") {
