@@ -28,7 +28,7 @@ import graft.ops.{GraftCatalog, Txn}
   * catalog via [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]. */
 private[catalog] object GraftProcedures {
 
-  val names: Seq[String] = Seq("vacuum", "maintain", "restore")
+  val names: Seq[String] = Seq("vacuum", "maintain", "restore", "compact")
 
   def load(spark: => SparkSession, catalogRoot: String,
       ident: Identifier): Option[UnboundProcedure] =
@@ -38,6 +38,7 @@ private[catalog] object GraftProcedures {
       case "vacuum"   => Some(vacuumProc(spark, catalogRoot))
       case "maintain" => Some(maintainProc(spark, catalogRoot))
       case "restore"  => Some(restoreProc(spark, catalogRoot))
+      case "compact"  => Some(compactProc(spark, catalogRoot))
       case _          => None
     }
 
@@ -107,6 +108,69 @@ private[catalog] object GraftProcedures {
         val compacted = Txn.maintain(s, root)
         resultScan(out, Seq(compacted.isDefined,
           Txn.currentVersion(s, root).getOrElse(-1L)))
+      }
+    }
+
+  /** CALL graft.compact(table, zorder, target_files) — Delta's
+    * OPTIMIZE [ZORDER BY] verb: rewrite the current snapshot into
+    * `target_files` files, optionally bit-interleave-clustered on one
+    * or two columns (`zorder` = '' for plain bin-packing compaction,
+    * 'x' for a single-column sort cluster, 'x,y' for the two-
+    * dimensional z-curve via the native `interleave16` expression).
+    * Declared index columns (`graft.stats`/`graft.bloom` props) are
+    * RE-DERIVED on the compacted snapshot — compaction is exactly when
+    * clustering makes the sidecars sharp. OCC-pinned at the version it
+    * read (a concurrent writer fails the compaction loud, never loses
+    * its commit); tombstone chains collapse as a side effect. */
+  private def compactProc(spark: => SparkSession,
+      catalogRoot: String): UnboundProcedure =
+    new GraftProc("compact",
+      "rewrite the snapshot into target_files files, optionally z-ordered") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType), param("zorder", StringType),
+        param("target_files", IntegerType))
+      private val out = StructType(Seq(
+        StructField("new_version", LongType, nullable = false),
+        StructField("files", LongType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val s = spark
+        val root = resolve(s, catalogRoot, input, 0)
+        val zCols = input.getUTF8String(1).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val n = input.getInt(2)
+        require(n >= 1, s"target_files must be >= 1, got $n")
+        val base = Txn.currentVersion(s, root).getOrElse(
+          sys.error(s"no committed version at $root"))
+        val df = Txn.read(s, root)
+        zCols.foreach { c =>
+          require(df.schema.fieldNames.contains(c),
+            s"zorder column $c absent from the schema")
+        }
+        import org.apache.spark.sql.functions.{col, expr}
+        val clustered = zCols match {
+          case Seq() => df.repartition(n)
+          case Seq(c) =>
+            df.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+          case Seq(a, b) =>
+            graft.functions.GraftFunctions.register(s)
+            df.withColumn("__zkey",
+              expr(s"interleave16(`$a`, `$b`)"))
+              .repartitionByRange(n, col("__zkey"))
+              .sortWithinPartitions("__zkey")
+              .drop("__zkey")
+          case many => sys.error(
+            s"zorder takes at most two columns (interleave16 is a " +
+              s"two-dimensional curve), got $many")
+        }
+        val props = Txn.tableProps(s, root)
+        def cols(k: String) = props.get(k).toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+        val v = Txn.commitIf(clustered, root, expectedBase = base,
+          statsCols = cols("stats"), bloomCols = cols("bloom"),
+          meta = Map("op" ->
+            (if (zCols.isEmpty) "sql-compact" else "sql-compact-zorder")))
+        val files = Txn.tableDetail(s, root)._2
+        resultScan(out, Seq(v, files))
       }
     }
 

@@ -1100,7 +1100,8 @@ object Txn {
     * taken version number and we re-check instead of retrying blindly. */
   def commitIf(df: DataFrame, root: String, expectedBase: Long,
       statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty,
-      partitionBy: Option[String] = None): Long = {
+      partitionBy: Option[String] = None,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 20): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     def check(): Unit = {
@@ -1112,6 +1113,8 @@ object Txn {
     }
     check()
     val dataRel = writeSnapshot(df, root, statsCols, partitionBy)
+    if (bloomCols.nonEmpty)
+      writeBloom(spark, f, s"$root/$dataRel", bloomCols, bloomBits)
     val tmp = stageManifest(f, root, dataRel.stripPrefix("data/"),
       manifestBody(dataRel, meta))
     try check()

@@ -686,6 +686,41 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.mt").head().getLong(0) == 100L)
   }
 
+  test("V2 SQL catalog: CALL compact bin-packs, z-orders, re-derives " +
+      "declared sidecars, and collapses tombstone chains (r12)") {
+    val c = sqlCat("compact")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.cz (x BIGINT, y BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('graft.stats' = 'x,y')")
+    // many small shards + a tombstone: the fragmented-table shape
+    (0 until 6).foreach { k =>
+      spark.sql(s"INSERT INTO $c.cz SELECT id % 64 AS x, " +
+        s"CAST(id / 64 AS BIGINT) % 64 AS y, id AS v " +
+        s"FROM range(${k * 500}, ${k * 500 + 500})")
+    }
+    spark.sql(s"DELETE FROM $c.cz WHERE v = 7")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "cz")
+    assert(Txn.tableDetail(spark, tRoot)._4 == 1L)
+    val res = spark.sql(
+      s"CALL $c.compact(`table` => 'cz', zorder => 'x,y', target_files => 4)")
+      .head()
+    assert(res.getLong(1) <= 4L, s"compaction must bin-pack: $res")
+    // content survives exactly; the tombstone chain collapsed
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.cz").head().getLong(0) == 2999L)
+    assert(Txn.tableDetail(spark, tRoot)._4 == 0L)
+    assert(Txn.history(spark, tRoot).last._3("op") == "sql-compact-zorder")
+    // the z-ordered layout + re-derived sidecars make a 2-D point query
+    // prune: both x and y ranges are tight per file
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $c.cz WHERE x = 3 AND y = 1")
+      .head().getLong(0) ==
+      (0 until 3000).count(i => i % 64 == 3 && (i / 64) % 64 == 1))
+    val d = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d.filesKept < d.filesTotal,
+      s"z-ordered compaction must enable 2-D pruning: $d")
+  }
+
   test("atomic rename: one mapping at every instant, no silent remap") {
     import spark.implicits._
     val cat = fresh("ren")
