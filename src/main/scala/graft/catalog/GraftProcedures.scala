@@ -147,28 +147,51 @@ private[catalog] object GraftProcedures {
             s"zorder column $c absent from the schema")
         }
         import org.apache.spark.sql.functions.{col, expr}
-        val clustered = zCols match {
-          case Seq() => df.repartition(n)
-          case Seq(c) =>
-            df.repartitionByRange(n, col(c)).sortWithinPartitions(c)
-          case Seq(a, b) =>
-            graft.functions.GraftFunctions.register(s)
-            df.withColumn("__zkey",
-              expr(s"interleave16(`$a`, `$b`)"))
-              .repartitionByRange(n, col("__zkey"))
-              .sortWithinPartitions("__zkey")
-              .drop("__zkey")
-          case many => sys.error(
-            s"zorder takes at most two columns (interleave16 is a " +
-              s"two-dimensional curve), got $many")
-        }
         val props = Txn.tableProps(s, root)
+        // a declared-partition table KEEPS its hive layout through
+        // compaction (r12 advice, low): the rewrite re-partitions by
+        // the partition column — zorder then clusters WITHIN each
+        // partition (Delta's OPTIMIZE ZORDER scope) — instead of
+        // silently flattening the table and losing the dir-pruning rung
+        val partCol = props.get("partition")
+        def zkeyed(d: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Option[String]) =
+          zCols match {
+            case Seq()  => (d, None)
+            case Seq(c) => (d, Some(c))
+            case Seq(a, b) =>
+              graft.functions.GraftFunctions.register(s)
+              (d.withColumn("__zkey", expr(s"interleave16(`$a`, `$b`)")),
+                Some("__zkey"))
+            case many => sys.error(
+              s"zorder takes at most two columns (interleave16 is a " +
+                s"two-dimensional curve), got $many")
+          }
+        val clustered = partCol match {
+          case Some(pc) =>
+            val (d, zk) = zkeyed(df)
+            val laid = zk match {
+              case None    => d.repartition(col(pc))
+              case Some(k) => d.repartition(col(pc))
+                .sortWithinPartitions(col(pc), col(k))
+            }
+            if (laid.columns.contains("__zkey")) laid.drop("__zkey") else laid
+          case None =>
+            val (d, zk) = zkeyed(df)
+            val laid = zk match {
+              case None    => d.repartition(n)
+              case Some(k) => d.repartitionByRange(n, col(k))
+                .sortWithinPartitions(k)
+            }
+            if (laid.columns.contains("__zkey")) laid.drop("__zkey") else laid
+        }
         def cols(k: String) = props.get(k).toSeq
           .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
         val v = Txn.commitIf(clustered, root, expectedBase = base,
           statsCols = cols("stats"), bloomCols = cols("bloom"),
+          partitionBy = partCol,
           meta = Map("op" ->
-            (if (zCols.isEmpty) "sql-compact" else "sql-compact-zorder")))
+            (if (zCols.isEmpty) "sql-compact" else "sql-compact-zorder")) ++
+            partCol.map("partitionCol" -> _))
         val files = Txn.tableDetail(s, root)._2
         resultScan(out, Seq(v, files))
       }

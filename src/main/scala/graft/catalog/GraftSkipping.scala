@@ -97,6 +97,25 @@ private[catalog] object GraftSkipping {
     * literal leaves in either orientation; everything else contributes
     * nothing. Literal string values arrive as UTF8String — normalized
     * before probing. */
+  /** Types whose Catalyst-internal literal representation is the SAME
+    * value the sidecar writers recorded (integrals via cast('long'),
+    * strings/bools verbatim). TIMESTAMP literals are internal
+    * MICROSECONDS and DATE literals are epoch DAYS — both are raw
+    * Long/Int at runtime, so an untyped gate would compare them against
+    * stats written in epoch SECONDS / rendered dir names and silently
+    * drop files holding matching rows (r12 advice, high). Gate on the
+    * declared dataType, never the runtime value class. */
+  private def probeSafeType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.BooleanType => true
+    case _ => false
+  }
+
   def probesOfExprs(exprs: Seq[
       org.apache.spark.sql.catalyst.expressions.Expression]): Seq[Txn.SkipProbe] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
@@ -105,8 +124,8 @@ private[catalog] object GraftSkipping {
       case _               => None
     }
     def litVal(e: ce.Expression): Option[Any] = e match {
-      case ce.Literal(v, _) if v != null => Some(v)
-      case _                             => None
+      case ce.Literal(v, dt) if v != null && probeSafeType(dt) => Some(v)
+      case _                                                   => None
     }
     def one(e: ce.Expression): Seq[Txn.SkipProbe] = e match {
       case ce.EqualTo(l, r) =>
@@ -126,7 +145,10 @@ private[catalog] object GraftSkipping {
               pointProbes(a, raw)
           case _ => Seq.empty
         }
-      case ce.InSet(l, set) if set.nonEmpty && !set.contains(null) =>
+      // InSet carries RUNTIME values with no per-value Literal — gate on
+      // the probed attribute's declared type (same hazard as litVal).
+      case ce.InSet(l, set) if set.nonEmpty && !set.contains(null) &&
+          probeSafeType(l.dataType) =>
         attr(l).toSeq.flatMap { a =>
           val raw = set.toSeq
           val parts = raw.map(asPartValue)

@@ -238,7 +238,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     checkNs(ident.namespace())
     val root = resolveOrThrow(ident)
     val current = Txn.read(spark, root).schema
+    // VALIDATE every change first, COLLECT effects, APPLY after the
+    // loop (r12 advice, low): applying SetProperty effects eagerly
+    // while iterating left a multi-change ALTER TABLE that failed
+    // validation on a later change with earlier property updates
+    // already persisted — non-atomic DDL with partial application.
     var added = Seq.empty[org.apache.spark.sql.types.StructField]
+    var propUpdates = Map.empty[String, String]
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -250,14 +256,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         require(a.position() == null,
           "graft SQL catalog: column positions are not supported")
         val name = a.fieldNames().head
-        require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
+        require(!current.fieldNames.exists(_.equalsIgnoreCase(name)) &&
+          !added.exists(_.name.equalsIgnoreCase(name)),
           s"column $name already exists")
         added :+= org.apache.spark.sql.types.StructField(
           name, a.dataType(), nullable = true)
       case p: TableChange.SetProperty if p.property() == GraftSqlCatalog.KeyProp =>
         require(current.fieldNames.contains(p.value()),
           s"declared key column ${p.value()} absent from the schema")
-        Txn.setTableProps(spark, root, Map("key" -> p.value()))
+        propUpdates += ("key" -> p.value())
       case p: TableChange.SetProperty
           if p.property() == GraftSqlCatalog.StatsProp ||
             p.property() == GraftSqlCatalog.BloomProp =>
@@ -267,12 +274,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             s"declared index column $ic absent from the schema")
         }
         val k = if (p.property() == GraftSqlCatalog.StatsProp) "stats" else "bloom"
-        Txn.setTableProps(spark, root, Map(k -> cols.mkString(",")))
+        propUpdates += (k -> cols.mkString(","))
       case other => sys.error(
         s"graft SQL catalog: unsupported ALTER TABLE change $other — " +
           "supported: ADD COLUMN (nullable), SET TBLPROPERTIES " +
           s"('${GraftSqlCatalog.KeyProp}' = ...)")
     }
+    if (propUpdates.nonEmpty) Txn.setTableProps(spark, root, propUpdates)
     if (added.nonEmpty) {
       val evolved = StructType(current.fields.toSeq ++ added)
       val empty = spark.createDataFrame(

@@ -570,9 +570,18 @@ object Txn {
       try out.write(merged.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      f.delete(new Path(s"$root/_props"), false)
-      require(f.rename(tmp, new Path(s"$root/_props")),
-        s"failed to publish table properties at $root")
+      // Rename OVER the target first: Hadoop local FS rename is POSIX
+      // rename(2) (atomic overwrite), so the declared contract is never
+      // missing mid-update; only on filesystems where rename refuses an
+      // existing destination do we fall back to delete+rename (r12
+      // advice, low — a crash between delete and rename must not drop
+      // the partition/key/index contract).
+      val propsPath = new Path(s"$root/_props")
+      if (!f.rename(tmp, propsPath)) {
+        f.delete(propsPath, false)
+        require(f.rename(tmp, propsPath),
+          s"failed to publish table properties at $root")
+      }
     }
   }
 
@@ -1770,7 +1779,18 @@ object Txn {
       }
       case StrPointProbe(c, vs) => strStats.get((base, c)) match {
         case Some((Some(mn), Some(mx))) =>
-          vs.exists(v => v >= mn && v <= mx)
+          // Compare in the WRITER's order: the sidecar min/max came from
+          // Spark's min()/max() under UTF8String binary (UTF-8 byte)
+          // ordering, which disagrees with Java String UTF-16 code-unit
+          // order for [U+E000,U+FFFF] vs supplementary-plane chars — a
+          // Java-order compare could drop a file containing the probed
+          // value (r12 advice, medium).
+          import org.apache.spark.unsafe.types.UTF8String
+          val (bMn, bMx) = (UTF8String.fromString(mn), UTF8String.fromString(mx))
+          vs.exists { v =>
+            val b = UTF8String.fromString(v)
+            b.compareTo(bMn) >= 0 && b.compareTo(bMx) <= 0
+          }
         case _ => true // no stats row or null bounds: always read
       }
       case _: PartProbe => true

@@ -721,6 +721,102 @@ class CatalogSpec extends SparkSpec {
       s"z-ordered compaction must enable 2-D pruning: $d")
   }
 
+  test("skipping probes ignore TIMESTAMP literals — internal micros vs " +
+      "sidecar seconds would silently prune matching files (r13)") {
+    val c = sqlCat("tsskip")
+    // stats+bloom DECLARED on a timestamp column: the sidecars are
+    // written via cast('long') (epoch SECONDS), while a Catalyst
+    // TIMESTAMP literal is internal MICROSECONDS — before the dataType
+    // gate, the probe compared micros against second-stats and dropped
+    // every file (empty result on any post-1970 timestamp)
+    spark.sql(s"CREATE TABLE $c.ts (id BIGINT, ts TIMESTAMP) " +
+      s"TBLPROPERTIES ('graft.stats' = 'ts', 'graft.bloom' = 'ts')")
+    spark.sql(s"INSERT INTO $c.ts SELECT id, " +
+      s"timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) " +
+      s"FROM range(0, 100)")
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ts " +
+      s"WHERE ts = timestamp'2024-01-01 00:00:30'").head().getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ts " +
+      s"WHERE ts >= timestamp'2024-01-01 00:01:00'").head().getLong(0) == 40L)
+    // and the IN shape (InSet after optimization for long lists)
+    val inVals = (0 until 150).map(i =>
+      f"timestamp'2024-01-01 00:00:$i%02d'").take(60).mkString(", ")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ts WHERE ts IN ($inVals)")
+      .head().getLong(0) == 60L)
+  }
+
+  test("STRING stats compare in the writer's UTF8 binary order — " +
+      "supplementary-plane values must not be dropped (r13)") {
+    import spark.implicits._
+    val c = sqlCat("utf8ord")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    val root = fresh("utf8ord_t")
+    // U+FFFD sorts ABOVE U+1F600 in Java's UTF-16 code-unit order but
+    // BELOW it in UTF-8 byte order (the order min()/max() used to write
+    // the sidecar) — a Java-order probe concluded repl > max and
+    // dropped the file containing the probed value
+    val repl = "�"
+    val emoji = new String(Character.toChars(0x1F600))
+    Txn.commit(Seq((1L, repl), (2L, emoji)).toDF("id", "s").coalesce(1),
+      root, statsCols = Seq("s"))
+    GraftCatalog.create(spark, catRoot, "u8", root)
+    assert(spark.sql(s"SELECT id FROM $c.u8 WHERE s = '$repl'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql(s"SELECT id FROM $c.u8 WHERE s = '$emoji'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("ALTER TABLE applies atomically: a failing change leaves earlier " +
+      "property updates unapplied (r13)") {
+    val c = sqlCat("atomalter")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.aa (id BIGINT, v BIGINT)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.aa SET TBLPROPERTIES " +
+        s"('graft.stats' = 'id', 'graft.unsupported' = 'x')")
+    }
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "aa")
+    assert(!Txn.tableProps(spark, tRoot).contains("stats"),
+      "a failed multi-change ALTER must not half-apply")
+    // a valid multi-property ALTER still lands both
+    spark.sql(s"ALTER TABLE $c.aa SET TBLPROPERTIES " +
+      s"('graft.stats' = 'id', 'graft.bloom' = 'id')")
+    val props = Txn.tableProps(spark, tRoot)
+    assert(props.get("stats").contains("id") && props.get("bloom").contains("id"))
+  }
+
+  test("CALL compact keeps a declared-partition table's hive layout and " +
+      "dir-pruning rung (r13)") {
+    val c = sqlCat("compactpart")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.cp (id BIGINT, day BIGINT) " +
+      s"PARTITIONED BY (day) TBLPROPERTIES ('graft.stats' = 'id')")
+    (0 until 3).foreach { k =>
+      spark.sql(s"INSERT INTO $c.cp SELECT id, id % 4 AS day " +
+        s"FROM range(${k * 400}, ${k * 400 + 400})")
+    }
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "cp")
+    assert(Txn.partitionProbe(spark, tRoot, "day", Seq(1L)) == ((3, 12)))
+    spark.sql(s"CALL $c.compact(`table` => 'cp', zorder => '', " +
+      s"target_files => 4)")
+    // the compacted snapshot is STILL hive-partitioned: one dir chain,
+    // 4 day dirs, and the directory rung fires through SQL
+    assert(Txn.partitionProbe(spark, tRoot, "day", Seq(1L)) == ((1, 4)),
+      "compaction must preserve the partitioned layout")
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.cp WHERE day = 1")
+      .head().getLong(0) == 300L)
+    val d = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d.dirsKept == 1 && d.dirsTotal == 4,
+      s"dir pruning must survive compaction: $d")
+    // zorder composes: clusters WITHIN partitions, layout intact
+    spark.sql(s"CALL $c.compact(`table` => 'cp', zorder => 'id', " +
+      s"target_files => 4)")
+    assert(Txn.partitionProbe(spark, tRoot, "day", Seq(1L)) == ((1, 4)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.cp").head().getLong(0) == 1200L)
+  }
+
   test("atomic rename: one mapping at every instant, no silent remap") {
     import spark.implicits._
     val cat = fresh("ren")
