@@ -1863,6 +1863,70 @@ object Txn {
     true
   }
 
+  /** Total parquet bytes of version `n`'s data dirs (tombstone key dirs
+    * excluded) — the [[tableDetail]] bytes gauge pinned at a version:
+    * the SQL V1 bridge reports it as the scan's sizeInBytes so the
+    * optimizer can cost (and broadcast) tombstoned/partitioned chains
+    * (r13, r12 verdict item 2). O(files) driver-side listing, the same
+    * bill the prune planner already pays. */
+  private[graft] def versionBytes(spark: SparkSession, root: String,
+      n: Long): Long = {
+    val f = fs(spark, root)
+    var bytes = 0L
+    manifestDirs(f, root, n).map(parseEntry).foreach {
+      case (_, Some(_)) => ()
+      case (dir, None) =>
+        val it = f.listFiles(new Path(resolveDir(root, dir)), true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            bytes += st.getLen
+        }
+    }
+    bytes
+  }
+
+  /** DETERMINISTIC file-key enumeration of a version's data files (r13,
+    * the initial-snapshot chunking substrate): manifest-entry order,
+    * then sorted partition subdirs, then sorted file basenames — stable
+    * across processes and replays because manifests are immutable and
+    * names sort identically everywhere (listStatus order is NOT
+    * guaranteed, hence the explicit sorts). Keys match the sidecar/
+    * [[prunePlanBy]] convention: `basename` for flat dirs,
+    * `subdir/basename` inside partitioned dirs. */
+  private[graft] def snapshotFileKeys(spark: SparkSession, root: String,
+      version: Long): Seq[String] = {
+    val f = fs(spark, root)
+    def names(dir: Path): Seq[String] = f.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted
+    manifestDirs(f, root, version).map(parseEntry).flatMap {
+      case (dir, None) =>
+        val abs = resolveDir(root, dir)
+        if (!isPartitionedDir(f, abs)) names(new Path(abs))
+        else f.listStatus(new Path(abs)).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .sortBy(_.getPath.getName)
+          .flatMap(st => names(st.getPath).map(n => s"${st.getPath.getName}/$n"))
+      case _ => Seq.empty
+    }
+  }
+
+  /** One CHUNK of a version's snapshot: exactly the rows of the data
+    * files whose key is in `keys`, with every LATER tombstone's
+    * anti-join folded (r13 — the rate-limited streaming source's
+    * initial-snapshot batches). The union over a partition of the full
+    * key list equals [[readVersion]] exactly: the tombstone fold
+    * distributes over row unions (anti-join(A ∪ B, K) =
+    * anti-join(A, K) ∪ anti-join(B, K)), and a tombstone only ever
+    * applies to dirs BEFORE it in the manifest — both already the
+    * [[scanPruned]] contract. */
+  private[graft] def snapshotChunk(spark: SparkSession, root: String,
+      version: Long, keys: Set[String]): DataFrame = {
+    val (plan, _) = prunePlanBy(spark, root, version, keys.contains)
+    scanPruned(spark, root, version, plan)
+  }
+
   /** STREAMING-SOURCE batch (r12, r11 verdict item 4 — the feed behind
     * `spark.readStream.format("graft")`): rows added in versions
     * `(fromExclusive, toInclusive]`, each stamped `_commit_version`.

@@ -2,7 +2,6 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -72,9 +71,17 @@ class GraftSourceProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    def posLong(key: String): Option[Long] = parameters.get(key).map { s =>
+      val v = s.toLong
+      require(v > 0, s"graft source: $key must be positive, got $v")
+      v
+    }
     new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
-      isCdc(parameters))
+      isCdc(parameters),
+      maxFilesPerTrigger = posLong("maxFilesPerTrigger"),
+      maxVersionsPerTrigger = posLong("maxVersionsPerTrigger"))
+  }
 
   /** EXACTLY-ONCE streaming SINK (r12): `writeStream.format("graft")` —
     * every micro-batch lands through [[Txn.appendIdempotent]] (or
@@ -154,8 +161,41 @@ object GraftStreamSource {
   }
 }
 
+/** Source offset (r13, r12 verdict item 1 — rate limiting): `version`
+  * plus SUB-VERSION snapshot progress. `filesServed == -1` means the
+  * table is fully served through `version` (the r12 regime — its json
+  * is the bare version number, so every pre-r13 checkpoint parses
+  * unchanged and an unlimited stream writes the identical offset log);
+  * `filesServed >= 0` means the INITIAL SNAPSHOT of `version` is
+  * mid-flight with that many files (of the deterministic
+  * [[Txn.snapshotFileKeys]] order) already emitted — the state that
+  * lets a 100 TB onboarding land as N bounded, individually
+  * checkpointed micro-batches instead of one unbounded batch. */
+case class GraftSourceOffset(version: Long, filesServed: Long)
+  extends Offset {
+  override def json(): String =
+    if (filesServed < 0L) version.toString
+    else s"""{"version":$version,"filesServed":$filesServed}"""
+}
+
+object GraftSourceOffset {
+  private val VersionRe = """"version"\s*:\s*(-?\d+)""".r.unanchored
+  private val FilesRe = """"filesServed"\s*:\s*(-?\d+)""".r.unanchored
+  def parse(json: String): GraftSourceOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val v = VersionRe.findFirstMatchIn(t).getOrElse(
+        sys.error(s"malformed graft offset: $t")).group(1).toLong
+      val fsv = FilesRe.findFirstMatchIn(t).getOrElse(
+        sys.error(s"malformed graft offset: $t")).group(1).toLong
+      GraftSourceOffset(v, fsv)
+    } else GraftSourceOffset(t.toLong, -1L)
+  }
+}
+
 class GraftStreamSource(spark: SparkSession, root: String,
-    cdc: Boolean = false) extends Source {
+    cdc: Boolean = false, maxFilesPerTrigger: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   // pinned at stream start: every batch projects to this shape, so a
   // mid-stream schema evolution cannot tear a running query's plan
@@ -164,29 +204,116 @@ class GraftStreamSource(spark: SparkSession, root: String,
 
   override def schema: StructType = pinned
 
-  override def getOffset: Option[Offset] =
-    Txn.currentVersion(spark, root).map(LongOffset(_))
+  /** Last offset this source served (or re-initialized to on restart —
+    * MicroBatchExecution replays getBatch with the checkpointed range
+    * before asking for new offsets, so the var survives restarts).
+    * getOffset advances FROM here, which is what bounds each trigger:
+    * the V1 Source contract has no start parameter on getOffset. */
+  private var current: Option[GraftSourceOffset] = None
 
-  /** Deterministic, replayable: `(start, end]` re-reads the same
-    * immutable manifests after any crash. Offsets arrive re-serialized
-    * on restart, so they parse from json rather than by type. */
+  /** Deterministic snapshot file-key list, cached per version (the
+    * mid-snapshot regime re-reads it every trigger; manifests are
+    * immutable so the list never changes for a given version). */
+  private var keysCache: Option[(Long, Seq[String])] = None
+  private def fileKeys(v: Long): Seq[String] = keysCache match {
+    case Some((cv, ks)) if cv == v => ks
+    case _ =>
+      val ks = Txn.snapshotFileKeys(spark, root, v)
+      keysCache = Some((v, ks))
+      ks
+  }
+
+  /** Rate-limited availability (r13): a fresh stream starts the initial
+    * snapshot of the CURRENT version — chunked to `maxFilesPerTrigger`
+    * files per batch when set; the snapshot stays pinned at that
+    * version until fully served (versions landing meanwhile queue
+    * behind it), then the incremental regime advances at most
+    * `maxVersionsPerTrigger` versions per batch — so a post-downtime
+    * backlog drains as bounded, individually checkpointed batches
+    * (Delta's maxFilesPerTrigger role). Unset = the r12 behavior. */
+  override def getOffset: Option[Offset] = {
+    Txn.currentVersion(spark, root).map { latest =>
+      val next = current match {
+        case None =>
+          maxFilesPerTrigger match {
+            case Some(n) =>
+              val total = fileKeys(latest).size.toLong
+              if (n >= total) GraftSourceOffset(latest, -1L)
+              else GraftSourceOffset(latest, n)
+            case None => GraftSourceOffset(latest, -1L)
+          }
+        case Some(GraftSourceOffset(v, fsv)) if fsv >= 0L =>
+          val total = fileKeys(v).size.toLong
+          val f2 = maxFilesPerTrigger.map(n => math.min(fsv + n, total))
+            .getOrElse(total)
+          if (f2 >= total) GraftSourceOffset(v, -1L)
+          else GraftSourceOffset(v, f2)
+        case Some(GraftSourceOffset(v, _)) =>
+          val v2 = maxVersionsPerTrigger.map(m => math.min(latest, v + m))
+            .getOrElse(latest)
+          GraftSourceOffset(v2, -1L)
+      }
+      current = Some(next)
+      next
+    }
+  }
+
+  /** The snapshot-chunk frame: rows of files [from, until) of version
+    * `v`'s deterministic file order, later tombstones folded — stamped
+    * like the full initial image. */
+  private def chunkFrame(v: Long, from: Long, until: Long): DataFrame = {
+    val keys = fileKeys(v).slice(from.toInt, until.toInt).toSet
+    val df = Txn.snapshotChunk(spark, root, v, keys)
+      .withColumn("_commit_version", lit(v))
+    if (cdc) df.withColumn("_change_type", lit("insert")) else df
+  }
+
+  /** The incremental frame for versions `(from, to]` — the r12 body. */
+  private def incrementFrame(from: Long, to: Long): DataFrame =
+    if (!cdc) Txn.streamBatch(spark, root, from, to)
+    else if (from <= 0L)
+      // initial image: the snapshot as inserts (the CDC genesis)
+      Txn.readVersion(spark, root, to)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(to))
+    else
+      // per-version row-level diffs off the batch CDC feed: appends
+      // serve at file level, rewrites/tombstones diff (Txn.changes'
+      // two regimes) — deletes arrive as _change_type = 'delete'
+      Txn.changes(spark, root, from, to)
+        .withColumnRenamed("change_op", "_change_type")
+        .withColumnRenamed("change_version", "_commit_version")
+
+  /** Deterministic, replayable: any offset range re-reads the same
+    * immutable manifests (and the same sorted file order) after any
+    * crash. Offsets arrive re-serialized on restart, so they parse
+    * from json rather than by type. */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(_.json().toLong).getOrElse(0L)
-    val to = end.json().toLong
-    val batch =
-      if (!cdc) Txn.streamBatch(spark, root, from, to)
-      else if (from <= 0L)
-        // initial image: the snapshot as inserts (the CDC genesis)
-        Txn.readVersion(spark, root, to)
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(to))
-      else
-        // per-version row-level diffs off the batch CDC feed: appends
-        // serve at file level, rewrites/tombstones diff (Txn.changes'
-        // two regimes) — deletes arrive as _change_type = 'delete'
-        Txn.changes(spark, root, from, to)
-          .withColumnRenamed("change_op", "_change_type")
-          .withColumnRenamed("change_version", "_commit_version")
+    val endO = GraftSourceOffset.parse(end.json())
+    val startO = start.map(o => GraftSourceOffset.parse(o.json()))
+    // restart re-initialization AND normal progress both land here
+    current = Some(endO)
+    val batch = (startO, endO) match {
+      case (None, GraftSourceOffset(v, -1L)) =>
+        incrementFrame(0L, v) // full initial snapshot (r12 shape)
+      case (None, GraftSourceOffset(v, f)) =>
+        chunkFrame(v, 0L, f) // first bounded snapshot chunk
+      case (Some(GraftSourceOffset(v1, f1)), GraftSourceOffset(v2, f2))
+          if f1 >= 0L =>
+        // mid-snapshot: serve the next slice of v1's file order; when
+        // the end offset already moved past the snapshot (complete, or
+        // robustness against an offset-log edge), close the snapshot
+        // and append the increments in the same batch
+        val total = fileKeys(v1).size.toLong
+        val until = if (v2 == v1 && f2 >= 0L) f2 else total
+        val chunk = chunkFrame(v1, f1, until)
+        if (v2 > v1)
+          chunk.unionByName(incrementFrame(v1, v2),
+            allowMissingColumns = true)
+        else chunk
+      case (Some(GraftSourceOffset(v1, _)), GraftSourceOffset(v2, _)) =>
+        incrementFrame(v1, v2)
+    }
     // project to the pinned schema: extra evolved columns drop, missing
     // nullable columns null-fill (the mergeSchema contract, per batch)
     val aligned = batch.select(pinned.fields.map { f =>

@@ -817,6 +817,49 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.cp").head().getLong(0) == 1200L)
   }
 
+  test("V1-bridge scans report real statistics: a small tombstoned dim " +
+      "joined through SQL plans as a broadcast hash join (r13)") {
+    val c = sqlCat("v1stats")
+    spark.sql(s"CREATE TABLE $c.dim (k BIGINT, name STRING)")
+    spark.sql(s"INSERT INTO $c.dim SELECT id, concat('n', id) FROM range(0, 25)")
+    // the tombstone routes reads through the V1 bridge — the exact
+    // chain shape a delta MERGE leaves behind, which r12 costed at
+    // defaultSizeInBytes (≈ ∞) and therefore never broadcast
+    spark.sql(s"DELETE FROM $c.dim WHERE k = 3")
+    spark.sql(s"CREATE TABLE $c.fact (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.fact SELECT id % 25, id FROM range(0, 20000)")
+    val q = spark.sql(
+      s"SELECT f.k, d.name, f.v FROM $c.fact f JOIN $c.dim d ON f.k = d.k")
+    // the discriminating claim: the STATIC plan (pre-execution, not an
+    // AQE runtime rescue) picks the broadcast join — r12 planned SMJ
+    // here because V1ScanWrapper costs at defaultSizeInBytes
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"expected a statically-planned BroadcastHashJoin:\n" +
+        q.queryExecution.executedPlan)
+    assert(q.count() == 20000L - 800L) // k=3 rows lost their dim match
+    // the un-wrapped scan reports its real bytes (the substrate the
+    // broadcast decision reads; V1ScanWrapper hides the interface from
+    // computeStats, which is why the hint rule exists)
+    val hints = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+    }
+    assert(hints.exists(h => h.leftHint.nonEmpty || h.rightHint.nonEmpty),
+      s"stats rule must hint the small graft side: $hints")
+    // a LARGE tombstoned table must NOT be hinted: same chain shape,
+    // bytes above the threshold
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+    try {
+      val q2 = spark.sql(
+        s"SELECT f.k, d.name FROM $c.fact f JOIN $c.dim d ON f.k = d.k")
+      val hints2 = q2.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+      }
+      assert(hints2.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+        s"an over-threshold side must stay unhinted: $hints2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (10L << 20).toString)
+  }
+
   test("atomic rename: one mapping at every instant, no silent remap") {
     import spark.implicits._
     val cat = fresh("ren")

@@ -740,6 +740,106 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("a", 2L), ("b", 10L)), s"upsert sink drifted: $got")
   }
 
+  test("graft streaming source rate limiting: the initial snapshot " +
+      "chunks to maxFilesPerTrigger files per micro-batch (r13)") {
+    import graft.ops.Txn
+    val root = java.nio.file.Files.createTempDirectory("gsrc_rl").toString + "/t"
+    val out = java.nio.file.Files.createTempDirectory("gsrc_rl_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gsrc_rl_ck").toString
+    // an 8-file snapshot (plus a tombstone, so chunking must compose
+    // with the fold) — the 100 TB onboarding shape in miniature
+    Txn.commit((1L to 800L).map(i => (i, i % 7L)).toDF("id", "v")
+      .repartition(8), root)
+    Txn.commitDelete(spark, root, "id", Seq(13L, 14L).toDF("id"))
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "3").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val nBatches = q.lastProgress.batchId + 1
+    q.stop()
+    // 8 files / 3 per trigger => at least 3 snapshot batches, and no
+    // batch carried more than 3 files' worth of rows (100 per file)
+    assert(nBatches >= 3, s"snapshot must chunk into >=3 batches: $nBatches")
+    val got = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(got == (1L to 800L).filterNot(Set(13L, 14L)),
+      "chunked snapshot must union to the exact tombstone-folded image")
+    assert(got.size == got.distinct.size, "no duplicates across chunks")
+  }
+
+  test("graft streaming source rate limiting: a version backlog drains " +
+      "maxVersionsPerTrigger at a time, exactly-once across a " +
+      "mid-backlog kill/restart (r13)") {
+    import graft.ops.Txn
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("gsrc_vb").toString + "/t"
+    val out = java.nio.file.Files.createTempDirectory("gsrc_vb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gsrc_vb_ck").toString
+    Txn.commit(Seq((0L, 0L)).toDF("id", "v"), root) // v1
+    def start(trigger: Option[Trigger]) = {
+      val w = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+      trigger.fold(w)(w.trigger).start()
+    }
+    // serve the initial snapshot, then build a 4-version backlog DOWN
+    val q0 = start(None); q0.processAllAvailable(); q0.stop()
+    (1L to 4L).foreach { k =>
+      Txn.commitAppend(Seq((k, k)).toDF("id", "v"), root) // v2..v5
+    }
+    // ONE trigger mid-backlog: exactly one version's rows land, then
+    // the query is killed with the backlog unfinished
+    val q1 = start(Some(Trigger.Once()))
+    q1.awaitTermination()
+    val afterOne = spark.read.parquet(out)
+      .select("_commit_version").distinct().collect().map(_.getLong(0)).toSet
+    assert(afterOne == Set(1L, 2L),
+      s"one bounded trigger must advance exactly one version: $afterOne")
+    // restart drains the rest, one version per batch, exactly once
+    val q2 = start(None)
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).select("id", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows == Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      s"backlog drain drifted: $rows")
+  }
+
+  test("graft streaming source rate limiting: a mid-SNAPSHOT kill/restart " +
+      "resumes the file cursor from the checkpoint, exactly-once (r13)") {
+    import graft.ops.Txn
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("gsrc_ms").toString + "/t"
+    val out = java.nio.file.Files.createTempDirectory("gsrc_ms_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gsrc_ms_ck").toString
+    Txn.commit((1L to 600L).map(i => (i, i)).toDF("id", "v")
+      .repartition(6), root)
+    def start(trigger: Option[Trigger]) = {
+      val w = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2").load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+      trigger.fold(w)(w.trigger).start()
+    }
+    // one bounded trigger: 2 of 6 snapshot files, then die
+    val q1 = start(Some(Trigger.Once())); q1.awaitTermination()
+    val served = spark.read.parquet(out).count()
+    assert(served == 200L, s"first chunk must be 2 files (200 rows): $served")
+    // a version lands while the snapshot is mid-flight: it must queue
+    // BEHIND the pinned snapshot, not interleave
+    Txn.commitAppend(Seq((9999L, 9999L)).toDF("id", "v"), root)
+    val q2 = start(None); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(got == ((1L to 600L) :+ 9999L),
+      s"mid-snapshot restart lost or duplicated rows (n=${got.size})")
+  }
+
   test("checkpoint restart: no loss, no duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_out").toString
