@@ -46,6 +46,11 @@ private[catalog] object GraftBatchWrite {
   sealed trait Mode
   case object Append extends Mode
   case object Replace extends Mode
+  /** Replace ONLY the partitions present in the written batch (r13,
+    * `partitionOverwriteMode=dynamic`): one
+    * `~touchedTuples@cols, newDir` manifest extension via
+    * [[Txn.publishDynamicOverwrite]]. */
+  case object DynamicOverwrite extends Mode
 
   /** StructType → parquet MessageType for the supported flat set; all
     * fields optional (Spark's reader null-fills; nullability is
@@ -132,13 +137,15 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
     bloomCols: Seq[String] = Nil) extends BatchWrite {
 
   private val dataRel = s"data/${UUID.randomUUID().toString}"
+  // the partition spec is one column or a comma list (r13 multi-level)
+  private val partCols: Seq[String] = partCol.toSeq.flatMap(Txn.partitionCols)
   // fail loud on unsupported schemas at PLAN time, before any task runs
-  // (partitioned writes validate the FILE schema — the partition column
-  // lives in directory names, not in the files)
+  // (partitioned writes validate the FILE schema — the partition columns
+  // live in directory names, not in the files)
   GraftBatchWrite.schemaToParquet(
-    StructType(schema.fields.filterNot(f => partCol.contains(f.name))),
+    StructType(schema.fields.filterNot(f => partCols.contains(f.name))),
     "graft")
-  partCol.foreach { c =>
+  partCols.foreach { c =>
     require(GraftBatchWrite.supportedPartitionType(schema(c).dataType),
       s"graft native partitioned writer supports integral/string/boolean " +
         s"partition columns; $c is ${schema(c).dataType}")
@@ -157,8 +164,16 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
     // data — every SQL INSERT keeps the skipping index current (r12)
     if (wroteFiles && (statsCols.nonEmpty || bloomCols.nonEmpty))
       Txn.writeSidecars(spark, root, dataRel,
-        statsCols.filterNot(partCol.contains), bloomCols.filterNot(partCol.contains))
+        statsCols.filterNot(partCols.contains), bloomCols.filterNot(partCols.contains))
     mode match {
+      case GraftBatchWrite.DynamicOverwrite =>
+        // an empty batch replaces no partitions — a valid no-op, the
+        // table stays at its pinned version (Spark's own dynamic-
+        // overwrite semantics: nothing touched, nothing dropped)
+        if (wroteFiles)
+          Txn.publishDynamicOverwrite(spark, root, dataRel, partCols,
+            pinnedBase.getOrElse(sys.error(
+              "dynamic overwrite requires a pinned base version")), meta)
       case GraftBatchWrite.Append =>
         // an INSERT of an empty source: nothing to add, the table is
         // unchanged — a valid (non-)commit
@@ -195,7 +210,7 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(s"$root/$dataRel", schema, rowLevel, partCol)
+    new GraftWriterFactory(s"$root/$dataRel", schema, rowLevel, partCols)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // no manifest references the dir — deleting it is cleanup, not
@@ -208,14 +223,14 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
 
 private[catalog] class GraftWriterFactory(dataDir: String,
     schema: StructType, rowLevel: Boolean,
-    partCol: Option[String] = None) extends DataWriterFactory {
+    partCols: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] = partCol match {
-    case Some(c) =>
-      new GraftPartitionedParquetWriter(dataDir, schema, c, partitionId, taskId)
-    case None =>
+      taskId: Long): DataWriter[InternalRow] =
+    if (partCols.nonEmpty)
+      new GraftPartitionedParquetWriter(dataDir, schema, partCols,
+        partitionId, taskId)
+    else
       new GraftParquetWriter(dataDir, schema, partitionId, taskId, rowLevel)
-  }
 }
 
 /** Native HIVE-PARTITIONED task writer (r12): each row routes to a
@@ -231,15 +246,17 @@ private[catalog] class GraftWriterFactory(dataDir: String,
   * the partition column keeps the file count at one-per-partition — the
   * same knob Spark's own partitioned writer exposes. */
 private[catalog] class GraftPartitionedParquetWriter(dataDir: String,
-    schema: StructType, partCol: String, partitionId: Int, taskId: Long)
+    schema: StructType, partCols: Seq[String], partitionId: Int,
+    taskId: Long)
   extends DataWriter[InternalRow] {
 
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 
-  private val partIdx = schema.fieldIndex(partCol)
-  private val partType = schema.fields(partIdx).dataType
-  private val fileSchema = StructType(schema.fields.filterNot(_.name == partCol))
-  // bound projection dropping the partition column; the inner writer
+  private val partIdxs = partCols.map(schema.fieldIndex).toArray
+  private val partTypes = partIdxs.map(schema.fields(_).dataType)
+  private val fileSchema =
+    StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+  // bound projection dropping the partition columns; the inner writer
   // consumes each projected row before the next call, so the reused
   // UnsafeRow buffer is safe
   private val drop = UnsafeProjection.create(
@@ -248,23 +265,31 @@ private[catalog] class GraftPartitionedParquetWriter(dataDir: String,
   private val writers =
     scala.collection.mutable.Map.empty[String, GraftParquetWriter]
 
+  /** Nested `a=v/b=w` chain in declaration order (r13 multi-level). */
   private def dirOf(row: InternalRow): String = {
-    val raw =
-      if (row.isNullAt(partIdx)) "__HIVE_DEFAULT_PARTITION__"
-      else {
-        val v = partType match {
-          case LongType    => row.getLong(partIdx).toString
-          case IntegerType => row.getInt(partIdx).toString
-          case ShortType   => row.getShort(partIdx).toString
-          case ByteType    => row.getByte(partIdx).toString
-          case StringType  => row.getUTF8String(partIdx).toString
-          case BooleanType => row.getBoolean(partIdx).toString
-          case other => throw new IllegalStateException(
-            s"unreachable: partition type $other passed the plan-time check")
+    val sb = new StringBuilder(dataDir)
+    var i = 0
+    while (i < partIdxs.length) {
+      val partIdx = partIdxs(i)
+      val raw =
+        if (row.isNullAt(partIdx)) "__HIVE_DEFAULT_PARTITION__"
+        else {
+          val v = partTypes(i) match {
+            case LongType    => row.getLong(partIdx).toString
+            case IntegerType => row.getInt(partIdx).toString
+            case ShortType   => row.getShort(partIdx).toString
+            case ByteType    => row.getByte(partIdx).toString
+            case StringType  => row.getUTF8String(partIdx).toString
+            case BooleanType => row.getBoolean(partIdx).toString
+            case other => throw new IllegalStateException(
+              s"unreachable: partition type $other passed the plan-time check")
+          }
+          Txn.escapePathName(v)
         }
-        Txn.escapePathName(v)
-      }
-    s"$dataDir/$partCol=$raw"
+      sb.append('/').append(partCols(i)).append('=').append(raw)
+      i += 1
+    }
+    sb.toString
   }
 
   override def write(row: InternalRow): Unit = {

@@ -39,16 +39,16 @@ import graft.ops.Txn
   * flat-in-table-size by SQLMERGE_r12 vs the COW form's linear
   * rewrite. */
 private[catalog] class GraftDeltaWrite(root: String, rowSchema: StructType,
-    keySchema: StructType, keyCol: String, pinnedBase: Long,
+    keySchema: StructType, keyCols: Seq[String], pinnedBase: Long,
     opName: String, statsCols: Seq[String] = Nil,
     bloomCols: Seq[String] = Nil) extends DeltaWrite {
   override def toBatch: DeltaBatchWrite =
-    new GraftDeltaBatchWrite(root, rowSchema, keySchema, keyCol,
+    new GraftDeltaBatchWrite(root, rowSchema, keySchema, keyCols,
       pinnedBase, opName, statsCols, bloomCols)
 }
 
 private[catalog] class GraftDeltaBatchWrite(root: String,
-    rowSchema: StructType, keySchema: StructType, keyCol: String,
+    rowSchema: StructType, keySchema: StructType, keyCols: Seq[String],
     pinnedBase: Long, opName: String, statsCols: Seq[String] = Nil,
     bloomCols: Seq[String] = Nil) extends DeltaBatchWrite {
 
@@ -82,7 +82,7 @@ private[catalog] class GraftDeltaBatchWrite(root: String,
       // treatment an INSERT's dir gets, atomic with the publish (r12)
       if (anyRows && (statsCols.nonEmpty || bloomCols.nonEmpty))
         Txn.writeSidecars(spark, root, rowsRel, statsCols, bloomCols)
-      Txn.publishDeltaIf(spark, root, pinnedBase, keyCol,
+      Txn.publishDeltaIf(spark, root, pinnedBase, keyCols,
         if (anyKeys) Some(keysRel) else None,
         if (anyRows) Some(rowsRel) else None,
         meta = Map("op" -> opName))

@@ -168,11 +168,12 @@ private[catalog] object GraftProcedures {
           }
         val clustered = partCol match {
           case Some(pc) =>
+            val pcols = Txn.partitionCols(pc).map(col)
             val (d, zk) = zkeyed(df)
             val laid = zk match {
-              case None    => d.repartition(col(pc))
-              case Some(k) => d.repartition(col(pc))
-                .sortWithinPartitions(col(pc), col(k))
+              case None    => d.repartition(pcols: _*)
+              case Some(k) => d.repartition(pcols: _*)
+                .sortWithinPartitions(pcols :+ col(k): _*)
             }
             if (laid.columns.contains("__zkey")) laid.drop("__zkey") else laid
           case None =>

@@ -90,6 +90,25 @@ object GraftSqlCatalog {
     * maintained automatically across the table's life. */
   val StatsProp = "graft.stats"
   val BloomProp = "graft.bloom"
+
+  /** COLUMN MAPPING codec (r13, r12 verdict item 5): the ordered
+    * (physical, logical) pairs of the table's LIVE columns, carried as
+    * the `colmap` key in COMMIT metadata. Physical = the name stored in
+    * parquet files (fixed at column birth, Delta's invariant); logical
+    * = the name SQL sees. RENAME changes only the logical half; DROP
+    * removes the pair (the physical column stays in old files,
+    * invisible). URL-encoding keeps arbitrary names tab/comma-safe. */
+  private[catalog] def encodeColMap(m: Seq[(String, String)]): String =
+    m.map { case (p, l) =>
+      java.net.URLEncoder.encode(p, "UTF-8") + ":" +
+        java.net.URLEncoder.encode(l, "UTF-8")
+    }.mkString(",")
+  private[catalog] def decodeColMap(s: String): Seq[(String, String)] =
+    s.split(',').toSeq.filter(_.nonEmpty).map { pair =>
+      val Array(p, l) = pair.split(':')
+      (java.net.URLDecoder.decode(p, "UTF-8"),
+        java.net.URLDecoder.decode(l, "UTF-8"))
+    }
 }
 
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
@@ -178,29 +197,38 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     checkNs(ident.namespace())
-    val partCol = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) =>
-        val refs = t.references()
-        require(t.name() == "identity" && refs.length == 1 &&
-          refs.head.fieldNames().length == 1,
-          s"graft SQL catalog takes PARTITIONED BY a single top-level " +
-            s"column, got $t")
-        val c = refs.head.fieldNames().head
-        require(schema.fieldNames.contains(c),
-          s"partition column $c absent from the schema")
-        Some(c)
-      case many => sys.error(
-        s"graft SQL catalog takes at most one partition column, got $many")
+    // MULTI-COLUMN PARTITIONED BY (r13, r12 verdict item 4): each
+    // transform must be a top-level identity column; the nested
+    // `a=v/b=w` dir chain follows the declaration order
+    val partColsList = partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(t.name() == "identity" && refs.length == 1 &&
+        refs.head.fieldNames().length == 1,
+        s"graft SQL catalog takes PARTITIONED BY top-level identity " +
+          s"columns, got $t")
+      val c = refs.head.fieldNames().head
+      require(schema.fieldNames.contains(c),
+        s"partition column $c absent from the schema")
+      c
     }
-    val keyCol = Option(properties.get(GraftSqlCatalog.KeyProp))
-    keyCol.foreach { k =>
-      require(schema.fieldNames.contains(k),
-        s"declared key column $k absent from the schema")
-    }
+    require(partColsList.distinct == partColsList,
+      s"partition columns must be distinct: $partColsList")
+    val partCol =
+      if (partColsList.isEmpty) None else Some(partColsList.mkString(","))
     def colsProp(key: String): Seq[String] =
       Option(properties.get(key)).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    // COMPOSITE primary keys (r13, r12 verdict item 3): 'graft.key' is
+    // a comma-separated column list — (date, id)-style natural keys
+    // keep the O(batch) delta row-level path instead of falling back
+    // to whole-table COW
+    val keyCols = colsProp(GraftSqlCatalog.KeyProp)
+    keyCols.foreach { k =>
+      require(schema.fieldNames.contains(k),
+        s"declared key column $k absent from the schema")
+    }
+    require(keyCols.distinct == keyCols,
+      s"declared key columns must be distinct: $keyCols")
     val statsCols = colsProp(GraftSqlCatalog.StatsProp)
     val bloomCols = colsProp(GraftSqlCatalog.BloomProp)
     (statsCols ++ bloomCols).foreach { ic =>
@@ -218,7 +246,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       spark.sparkContext.emptyRDD[Row], schema)
     Txn.commit(empty, root, meta = Map("op" -> "sql-create-table"))
     val props = partCol.map("partition" -> _).toMap ++
-      keyCol.map("key" -> _).toMap ++
+      (if (keyCols.nonEmpty) Map("key" -> keyCols.mkString(","))
+       else Map.empty) ++
       (if (statsCols.nonEmpty) Map("stats" -> statsCols.mkString(","))
        else Map.empty) ++
       (if (bloomCols.nonEmpty) Map("bloom" -> bloomCols.mkString(","))
@@ -238,13 +267,26 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     checkNs(ident.namespace())
     val root = resolveOrThrow(ident)
-    val current = Txn.read(spark, root).schema
+    // the LOGICAL view (column mapping applied) is what ALTER validates
+    // against; the physical union schema guards name reuse (r13)
+    val tbl = loadPinned(ident, pin = None).asInstanceOf[GraftSqlTable]
+    val current = tbl.schema()
+    val physNames = tbl.physicalFieldNames
+    // columns the table CONTRACT (partition/key/index props) names may
+    // not be renamed or dropped — the layout and manifests reference
+    // them physically
+    val props = Txn.tableProps(spark, root)
+    val contractCols: Set[String] = Seq("partition", "key", "stats", "bloom")
+      .flatMap(k => props.get(k).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))).toSet
     // VALIDATE every change first, COLLECT effects, APPLY after the
     // loop (r12 advice, low): applying SetProperty effects eagerly
     // while iterating left a multi-change ALTER TABLE that failed
     // validation on a later change with earlier property updates
     // already persisted — non-atomic DDL with partial application.
     var added = Seq.empty[org.apache.spark.sql.types.StructField]
+    var renames = Seq.empty[(String, String)]
+    var drops = Seq.empty[String]
     var propUpdates = Map.empty[String, String]
     changes.foreach {
       case a: TableChange.AddColumn =>
@@ -260,12 +302,49 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         require(!current.fieldNames.exists(_.equalsIgnoreCase(name)) &&
           !added.exists(_.name.equalsIgnoreCase(name)),
           s"column $name already exists")
+        // the new column's PHYSICAL name is its logical name — it may
+        // not collide with any physical name still present in files
+        // (a dropped or renamed-away column's storage, r13)
+        require(!physNames.exists(_.equalsIgnoreCase(name)),
+          s"column name $name is still used physically by old files " +
+            "(dropped or renamed column) — pick a different name")
         added :+= org.apache.spark.sql.types.StructField(
           name, a.dataType(), nullable = true)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "graft SQL catalog: nested RENAME COLUMN is not supported: " +
+            r.fieldNames().mkString("."))
+        val from = r.fieldNames().head
+        val to = r.newName()
+        require(current.fieldNames.contains(from), s"no column $from")
+        require(!current.fieldNames.exists(_.equalsIgnoreCase(to)) &&
+          !added.exists(_.name.equalsIgnoreCase(to)),
+          s"column $to already exists")
+        require(!contractCols.contains(from),
+          s"column $from is part of the table contract " +
+            s"(partition/key/index properties) — renaming it would " +
+            "orphan the declared layout; update the properties first")
+        renames :+= ((from, to))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "graft SQL catalog: nested DROP COLUMN is not supported: " +
+            d.fieldNames().mkString("."))
+        val name = d.fieldNames().head
+        require(current.fieldNames.contains(name), s"no column $name")
+        require(!contractCols.contains(name),
+          s"column $name is part of the table contract " +
+            s"(partition/key/index properties) — dropping it would " +
+            "orphan the declared layout; update the properties first")
+        drops :+= name
       case p: TableChange.SetProperty if p.property() == GraftSqlCatalog.KeyProp =>
-        require(current.fieldNames.contains(p.value()),
-          s"declared key column ${p.value()} absent from the schema")
-        propUpdates += ("key" -> p.value())
+        val ks = p.value().split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(ks.nonEmpty && ks.distinct == ks,
+          s"declared key columns must be non-empty and distinct: ${p.value()}")
+        ks.foreach { k =>
+          require(current.fieldNames.contains(k),
+            s"declared key column $k absent from the schema")
+        }
+        propUpdates += ("key" -> ks.mkString(","))
       case p: TableChange.SetProperty
           if p.property() == GraftSqlCatalog.StatsProp ||
             p.property() == GraftSqlCatalog.BloomProp =>
@@ -278,15 +357,49 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         propUpdates += (k -> cols.mkString(","))
       case other => sys.error(
         s"graft SQL catalog: unsupported ALTER TABLE change $other — " +
-          "supported: ADD COLUMN (nullable), SET TBLPROPERTIES " +
+          "supported: ADD COLUMN (nullable), RENAME COLUMN, " +
+          "DROP COLUMN, SET TBLPROPERTIES " +
           s"('${GraftSqlCatalog.KeyProp}' = ...)")
     }
     if (propUpdates.nonEmpty) Txn.setTableProps(spark, root, propUpdates)
+    // RENAME/DROP are metadata-only (r13): fold them into the column
+    // mapping and publish it as commit metadata — no data moves, the
+    // old versions keep their old mapping (time travel reads old names)
+    val baseMap: Seq[(String, String)] =
+      if (tbl.colMap.nonEmpty) tbl.colMap
+      else current.fields.toSeq.map(f => f.name -> f.name)
+    val newMap: Option[Seq[(String, String)]] =
+      if (renames.isEmpty && drops.isEmpty) None
+      else {
+        val renamed = baseMap.map { case (p, l) =>
+          renames.find(_._1 == l).fold((p, l)) { case (_, to) => (p, to) }
+        }
+        val dropped = renamed.filterNot { case (_, l) => drops.contains(l) }
+        require(dropped.nonEmpty,
+          "cannot DROP the table's last column")
+        Some(dropped)
+      }
     if (added.nonEmpty) {
-      val evolved = StructType(current.fields.toSeq ++ added)
+      // the evolution shard carries PHYSICAL names for existing columns
+      // (plus identity names for the adds); when a mapping is active
+      // the commit also carries it, extended with the new columns
+      val evolvedPhys = StructType(
+        newMap.getOrElse(baseMap).map { case (p, l) =>
+          current(l).copy(name = p)
+        } ++ added)
+      val mapMeta: Map[String, String] =
+        if (newMap.isEmpty && tbl.colMap.isEmpty) Map.empty
+        else Map("colmap" -> GraftSqlCatalog.encodeColMap(
+          newMap.getOrElse(baseMap) ++ added.map(f => f.name -> f.name)))
       val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], evolved)
-      Txn.commitAppend(empty, root, meta = Map("op" -> "sql-add-column"))
+        spark.sparkContext.emptyRDD[Row], evolvedPhys)
+      Txn.commitAppend(empty, root,
+        meta = Map("op" -> "sql-add-column") ++ mapMeta)
+    } else newMap.foreach { m =>
+      Txn.commitMetaOnly(spark, root, Map(
+        "op" -> (if (renames.nonEmpty) "sql-rename-column"
+                 else "sql-drop-column"),
+        "colmap" -> GraftSqlCatalog.encodeColMap(m)))
     }
     loadTable(ident)
   }
@@ -366,31 +479,73 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations {
 
-  private lazy val snapshot: DataFrame = Txn.readVersion(spark, root, version)
+  /** The PHYSICAL snapshot — file column names as committed. */
+  private lazy val physSnapshot: DataFrame =
+    Txn.readVersion(spark, root, version)
+
+  /** Effective COLUMN MAPPING at this pinned version (r13): the last
+    * `colmap` commit-metadata entry at or below `version` — empty on
+    * never-renamed tables (the overwhelmingly common case, which then
+    * skips every mapping hop). Because the mapping rides the commit
+    * log, `VERSION AS OF` a pre-rename version reads with the OLD
+    * names, exactly Delta's versioned-mapping behavior. */
+  private[catalog] lazy val colMap: Seq[(String, String)] =
+    Txn.history(spark, root).filter(_._1 <= version).reverse
+      .collectFirst { case (_, _, m) if m.contains("colmap") => m("colmap") }
+      .map(GraftSqlCatalog.decodeColMap).getOrElse(Nil)
+  private def toPhysical(logical: String): String =
+    colMap.collectFirst { case (p, l) if l == logical => p }
+      .getOrElse(logical)
+  /** Logical→physical rename of a batch about to be WRITTEN (columns
+    * beyond the map — e.g. evolution adds — pass through unchanged). */
+  private def physify(df: DataFrame): DataFrame =
+    if (colMap.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(toPhysical(c))).toSeq: _*)
+  private def physifySchema(s: StructType): StructType =
+    if (colMap.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = toPhysical(f.name))))
+
+  /** The LOGICAL snapshot a SQL statement sees: the physical frame
+    * projected through the mapping (renames applied, dropped columns
+    * hidden). Identity when no mapping exists. */
+  private lazy val snapshot: DataFrame =
+    if (colMap.isEmpty) physSnapshot
+    else physSnapshot.select(colMap.map { case (p, l) =>
+      col(p).as(l)
+    }: _*)
+
+  /** Every physical column name still present in this version's files
+    * — the reuse guard for ADD COLUMN under an active mapping. */
+  private[catalog] def physicalFieldNames: Seq[String] =
+    physSnapshot.schema.fieldNames.toSeq
   /** Table contract from `_props` (r12): declared partition column
     * (SQL INSERTs land hive-partitioned) and primary key (row-level ops
     * take the O(batch) delta path). One small-file read per statement. */
   private lazy val tableProps: Map[String, String] = Txn.tableProps(spark, root)
+  /** Declared partition spec — one column or a comma list (r13). */
   private def partCol: Option[String] = tableProps.get("partition")
-  private[catalog] def keyCol: Option[String] = tableProps.get("key")
+  private def partColsSeq: Seq[String] = partCol.toSeq.flatMap(Txn.partitionCols)
   private def colsOf(prop: String): Seq[String] = tableProps.get(prop).toSeq
     .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+  /** Declared primary-key columns — possibly COMPOSITE (r13): the
+    * comma-separated `graft.key` list, each column a rowId attribute
+    * of the delta row-level path. */
+  private[catalog] def keyCols: Seq[String] = colsOf("key")
   private def statsCols: Seq[String] = colsOf("stats")
   private def bloomCols: Seq[String] = colsOf("bloom")
 
   override def name(): String = tableName
-  /** The declared key column surfaces NOT NULL (r12): a primary key is
-    * a non-null contract by definition, and Spark's delta row-level
-    * rewrite requires non-nullable row-ID attributes (Iceberg's
-    * identifier-field rule). Parquet reads everything nullable, so the
-    * flag is re-tightened here — the write side enforces it at DDL
-    * level (a NULL key breaks the user's declared uniqueness promise
-    * regardless). */
-  override def schema(): StructType = keyCol match {
-    case Some(k) => StructType(snapshot.schema.fields.map(f =>
-      if (f.name == k) f.copy(nullable = false) else f))
-    case None => snapshot.schema
-  }
+  /** The declared key columns surface NOT NULL (r12; r13 composite): a
+    * primary key is a non-null contract by definition, and Spark's
+    * delta row-level rewrite requires non-nullable row-ID attributes
+    * (Iceberg's identifier-field rule). Parquet reads everything
+    * nullable, so the flag is re-tightened here — the write side
+    * enforces it at DDL level (a NULL key breaks the user's declared
+    * uniqueness promise regardless). */
+  override def schema(): StructType =
+    if (keyCols.isEmpty) snapshot.schema
+    else StructType(snapshot.schema.fields.map(f =>
+      if (keyCols.contains(f.name)) f.copy(nullable = false) else f))
   /** Write capability follows the SCHEMA and LAYOUT (Spark requires the
     * declared kind to match the Write object): flat primitive schemas —
     * including PARTITIONED tables whose partition type renders to
@@ -400,25 +555,38 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     * commits handle any Spark schema. */
   override def capabilities(): util.Set[TableCapability] = {
     val fileSchema = StructType(
-      schema().fields.filterNot(f => partCol.contains(f.name)))
+      schema().fields.filterNot(f => partColsSeq.contains(f.name)))
     val writeCap =
       try {
         GraftBatchWrite.schemaToParquet(fileSchema, "probe")
-        if (partCol.forall(c =>
+        if (colMap.isEmpty && partColsSeq.forall(c =>
           GraftBatchWrite.supportedPartitionType(schema()(c).dataType)))
           TableCapability.BATCH_WRITE
         else TableCapability.V1_BATCH_WRITE
       }
       catch { case _: UnsupportedOperationException =>
         TableCapability.V1_BATCH_WRITE }
+    // OVERWRITE_DYNAMIC (r13): partitionOverwriteMode=dynamic INSERTs
+    // replace only the touched partitions (one manifest extension);
+    // on an unpartitioned table dynamic degenerates to the full
+    // replace, so the capability is always sound to declare
     util.EnumSet.of(TableCapability.BATCH_READ, writeCap,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
   }
+
+  /** The declared partition transforms (r13): surfaced so DESCRIBE and
+    * the analyzer see the layout the `_props` contract declares. */
+  override def partitioning(): Array[Transform] =
+    partColsSeq.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
   override def properties(): util.Map[String, String] =
     (Map("location" -> root, "version" -> version.toString,
       "provider" -> "graft") ++
       partCol.map("partition" -> _) ++
-      keyCol.map(GraftSqlCatalog.KeyProp -> _) ++
+      (if (keyCols.nonEmpty)
+        Map(GraftSqlCatalog.KeyProp -> keyCols.mkString(","))
+      else Map.empty) ++
       (if (statsCols.nonEmpty)
         Map(GraftSqlCatalog.StatsProp -> statsCols.mkString(","))
       else Map.empty) ++
@@ -439,7 +607,9 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     * whose inner plan expresses the anti-joins and prunes via the same
     * probe planner. */
   private def nativeScanBuilder(): Option[ScanBuilder] =
-    Txn.flatDataDirs(spark, root, version).map { dirs =>
+    if (colMap.nonEmpty) None // mapped tables read through the V1
+    // bridge's projected frame (files carry physical names)
+    else Txn.flatDataDirs(spark, root, version).map { dirs =>
       new GraftNativeScanBuilder(spark, root, version, dirs,
         snapshot.schema, s"graft.$tableName@v$version")
     }
@@ -448,7 +618,10 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     * scan: the COW rewrite must return EVERY carried row, so no filter
     * pushdown and no file skipping may apply there. */
   private def rawNativeScanBuilder(): Option[ScanBuilder] =
-    Txn.flatDataDirs(spark, root, version).map { dirs =>
+    if (colMap.nonEmpty) None // COW on mapped tables takes the
+    // materialize branch (the tmp snapshot is written in LOGICAL names,
+    // matching the rewrite's row shape; the write side physifies back)
+    else Txn.flatDataDirs(spark, root, version).map { dirs =>
       new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
         s"graft.$tableName@v$version", spark, CaseInsensitiveStringMap.empty(),
         dirs, Some(snapshot.schema),
@@ -459,11 +632,16 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     nativeScanBuilder().getOrElse(
       new GraftScanBuilder(spark, root, version, snapshot,
-        s"graft.$tableName@v$version"))
+        s"graft.$tableName@v$version",
+        toPhys = toPhysical,
+        mapFrame = phys =>
+          if (colMap.isEmpty) phys
+          else phys.select(colMap.map { case (p, l) => col(p).as(l) }: _*)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info.schema(), version, partCol,
-      statsCols, bloomCols)
+      statsCols, bloomCols, mapped = colMap.nonEmpty,
+      physifyFrame = physify, physifySchemaF = physifySchema)
 
   /** UPDATE / MERGE INTO / predicate DELETE. Two regimes (r12):
     *
@@ -481,21 +659,24 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     *    rules. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
-    val deltaKey = keyCol.filter { k =>
-      snapshot.schema.fieldNames.contains(k) &&
+    val deltaKeys = Some(keyCols).filter { ks =>
+      ks.nonEmpty && ks.forall(snapshot.schema.fieldNames.contains) &&
         (try { GraftBatchWrite.schemaToParquet(snapshot.schema, "probe"); true }
         catch { case _: UnsupportedOperationException => false })
     }
-    deltaKey match {
-      case Some(k) => new RowLevelOperationBuilder {
+    deltaKeys match {
+      case Some(ks) => new RowLevelOperationBuilder {
         override def build(): RowLevelOperation =
           new RowLevelOperation
             with org.apache.spark.sql.connector.write.SupportsDelta {
             override def command: RowLevelOperation.Command = info.command()
+            // one rowId attribute per declared key column (r13:
+            // composite keys emit composite rowIds — the tuple the
+            // `~keys@a+b` tombstone deletes)
             override def rowId(): Array[
                 org.apache.spark.sql.connector.expressions.NamedReference] =
-              Array(org.apache.spark.sql.connector.expressions.Expressions
-                .column(k))
+              ks.map(org.apache.spark.sql.connector.expressions.Expressions
+                .column).toArray
             // the delta rewrite only needs rows the operation may
             // touch: the REGULAR scan (pushdown + sidecar skipping)
             // serves it — Spark pushes only what is sound for the
@@ -510,9 +691,10 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
                     : org.apache.spark.sql.connector.write.DeltaWrite = {
                   val keySchema =
                     if (wInfo.rowIdSchema().isPresent) wInfo.rowIdSchema().get()
-                    else StructType(Seq(snapshot.schema(k).copy(nullable = true)))
-                  new GraftDeltaWrite(root, wInfo.schema(), keySchema, k,
-                    version,
+                    else StructType(
+                      ks.map(k => snapshot.schema(k).copy(nullable = true)))
+                  new GraftDeltaWrite(root, physifySchema(wInfo.schema()),
+                    keySchema, ks, version,
                     s"sql-${info.command().toString.toLowerCase(java.util.Locale.ROOT)}-delta",
                     statsCols, bloomCols)
                 }
@@ -559,7 +741,7 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
           new WriteBuilder {
             override def build(): Write = new Write {
               override def toBatch: BatchWrite =
-                new GraftBatchWrite(root, wInfo.schema(),
+                new GraftBatchWrite(root, physifySchema(wInfo.schema()),
                   GraftBatchWrite.Replace,
                   s"sql-${info.command().toString.toLowerCase(java.util.Locale.ROOT)}",
                   rowLevel = true,
@@ -613,7 +795,7 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     * group-based row-level plan. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.isEmpty || tombstoneKeys(filters).isDefined ||
-      (keyCol.isEmpty &&
+      (keyCols.isEmpty &&
         filters.forall(f => GraftFilters.translate(f).isDefined))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -621,11 +803,16 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     else tombstoneKeys(filters) match {
       case Some((cols, tuples)) =>
         import org.apache.spark.sql.Row
-        val keySchema = StructType(cols.map(c => snapshot.schema(c)))
+        // tombstones anti-join against PHYSICAL frames — translate the
+        // (logical) predicate columns through the mapping (r13)
+        val physCols = cols.map(toPhysical)
+        val keySchema = StructType(cols.zip(physCols).map { case (c, pc) =>
+          snapshot.schema(c).copy(name = pc)
+        })
         val keys = spark.createDataFrame(
           spark.sparkContext.parallelize(tuples.map(t => Row(t: _*)), 1),
           keySchema)
-        Txn.commitDeleteComposite(spark, root, cols, keys,
+        Txn.commitDeleteComposite(spark, root, physCols, keys,
           meta = Map("op" -> "sql-delete"))
         ()
       case None =>
@@ -635,8 +822,8 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
         // alone is NULL there and where() drops the row — silent data
         // loss on nullable predicate columns (r11 advice, high). Keep
         // rows where the condition is not TRUE.
-        Txn.commitIf(snapshot.where(!coalesce(pred, lit(false))), root,
-          expectedBase = version,
+        Txn.commitIf(physify(snapshot.where(!coalesce(pred, lit(false)))),
+          root, expectedBase = version,
           meta = Map("op" -> "sql-delete-rewrite"))
         ()
     }
@@ -644,7 +831,8 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
 
   override def truncateTable(): Boolean = {
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapshot.schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      physifySchema(snapshot.schema))
     Txn.commitIf(empty, root, expectedBase = version,
       meta = Map("op" -> "sql-truncate"))
     true
@@ -715,7 +903,9 @@ private[catalog] class GraftMetaTable(tableName: String, kind: String,
   * `WHERE year = 2024 AND key BETWEEN …` on a partitioned indexed
   * table now lists one directory and opens only admitting files. */
 private[catalog] class GraftScanBuilder(spark: SparkSession, root: String,
-    version: Long, snapshot: DataFrame, label: String)
+    version: Long, snapshot: DataFrame, label: String,
+    toPhys: String => String = identity,
+    mapFrame: DataFrame => DataFrame = identity)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters {
 
@@ -733,14 +923,21 @@ private[catalog] class GraftScanBuilder(spark: SparkSession, root: String,
     required = Some(requiredSchema)
 
   override def build(): Scan = {
-    val probes = GraftSkipping.probesOf(pushed.toSeq)
+    // probes consult PHYSICAL sidecars/dir names — translate the pushed
+    // (logical) column names through the column mapping (r13)
+    val probes = GraftSkipping.probesOf(pushed.toSeq).map {
+      case Txn.RangeProbe(c, lo, hi)  => Txn.RangeProbe(toPhys(c), lo, hi)
+      case Txn.PointProbe(c, vs)      => Txn.PointProbe(toPhys(c), vs)
+      case Txn.PartProbe(c, vs)       => Txn.PartProbe(toPhys(c), vs)
+      case Txn.StrPointProbe(c, vs)   => Txn.StrPointProbe(toPhys(c), vs)
+    }
     val base =
       if (probes.isEmpty) snapshot
       else {
         val (frame, kept, total, dirsKept, dirsTotal) =
           Txn.readSqlPruned(spark, root, version, probes)
         GraftScanStats.record(label, kept, total, dirsKept, dirsTotal)
-        frame
+        mapFrame(frame)
       }
     // push translated predicates into the inner plan (parquet footer
     // pushdown) and prune to the required columns
@@ -902,30 +1099,53 @@ private[catalog] class GraftV1Scan(pruned: DataFrame, label: String,
   * bridge, whose Txn commits handle any Spark schema. */
 private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
     pinnedVersion: Long, partCol: Option[String],
-    statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
-  extends WriteBuilder with SupportsTruncate {
+    statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+    mapped: Boolean = false,
+    physifyFrame: DataFrame => DataFrame = identity,
+    physifySchemaF: StructType => StructType = identity)
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var overwrite = false
+  private var dynamic = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
+  /** `partitionOverwriteMode=dynamic` INSERT OVERWRITE (r13): replace
+    * only the partitions present in the batch — O(touched partitions),
+    * never a table rewrite. Unpartitioned tables degrade to the full
+    * replace (dynamic ≡ static there, Spark's own semantics). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    overwrite = true
+    dynamic = partCol.nonEmpty
+    this
+  }
 
-  /** Native eligibility (r12: partitioned tables included): the FILE
-    * schema (minus the partition column, which lives in dir names) must
-    * be flat-primitive and the partition type directory-renderable —
-    * then INSERTs stream executor-parallel into `col=value` subdirs
-    * with no V1 row bridge, the canonical ingest loop at native speed. */
+  /** Native eligibility (r12: partitioned tables included; r13:
+    * multi-level): the FILE schema (minus the partition columns, which
+    * live in dir names) must be flat-primitive and every partition type
+    * directory-renderable — then INSERTs stream executor-parallel into
+    * nested `col=value` subdirs with no V1 row bridge, the canonical
+    * ingest loop at native speed. */
+  private def partCols: Seq[String] = partCol.toSeq.flatMap(Txn.partitionCols)
   private def nativeSupported: Boolean =
+    !mapped && // mapped tables write through the V1 translation
     (try {
       GraftBatchWrite.schemaToParquet(StructType(
-        schema.fields.filterNot(f => partCol.contains(f.name))), "probe")
+        schema.fields.filterNot(f => partCols.contains(f.name))), "probe")
       true
     } catch { case _: UnsupportedOperationException => false }) &&
-      partCol.forall(c => schema.fieldNames.contains(c) &&
+      partCols.forall(c => schema.fieldNames.contains(c) &&
         GraftBatchWrite.supportedPartitionType(schema(c).dataType))
 
   override def build(): Write =
     if (nativeSupported) new Write {
       override def toBatch: BatchWrite =
-        if (overwrite)
+        if (dynamic)
+          // dynamic overwrite: executors write the touched partitions,
+          // commit publishes ONE replace-partitions extension (r13)
+          new GraftBatchWrite(root, schema, GraftBatchWrite.DynamicOverwrite,
+            "sql-overwrite-dynamic", pinnedBase = Some(pinnedVersion),
+            partCol = partCol, statsCols = statsCols, bloomCols = bloomCols)
+        else if (overwrite)
           // OVERWRITE replaces from a pinned base: CAS at version+1, so
           // a concurrent commit fails this writer loud (r11 advice)
           new GraftBatchWrite(root, schema, GraftBatchWrite.Replace,
@@ -939,8 +1159,17 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
     else new V1Write {
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
-          override def insert(data: DataFrame, ow: Boolean): Unit = {
+          override def insert(data0: DataFrame, ow: Boolean): Unit = {
+            // under a column mapping the batch arrives with LOGICAL
+            // names — land it under the physical ones (r13)
+            val data = physifyFrame(data0)
             (overwrite || ow, partCol) match {
+              case (true, Some(c)) if dynamic =>
+                Txn.commitReplacePartitions(data, root, c,
+                  expectedBase = pinnedVersion, statsCols = statsCols,
+                  bloomCols = bloomCols,
+                  meta = Map("op" -> "sql-overwrite-dynamic",
+                    "partitionCol" -> c))
               case (true, None) =>
                 Txn.commitIf(data, root, expectedBase = pinnedVersion,
                   statsCols = statsCols,

@@ -488,6 +488,66 @@ object GraftCatalog {
     }
   }
 
+  /** COMPOSITE-KEY SQL MERGE (r13, r12 verdict item 3): the same
+    * three-branch MERGE economics as [[txnSqlUpsert]], on a table whose
+    * declared key is a column LIST — `TBLPROPERTIES ('graft.key' =
+    * 'k1,k2')`, the (date, id)-style natural key most warehouse tables
+    * actually carry. r12 silently downgraded this shape to whole-table
+    * copy-on-write; now the row-level rewrite emits composite rowIds
+    * and the commit is ONE `~keys@k1+k2` tombstone + rows manifest
+    * extension (history op `sql-merge-delta`, pinned in CatalogSpec).
+    * The key splits c_custkey into (custkey % 97, custkey DIV 97) — a
+    * bijection, so the MERGE cardinality contract holds and the oracle
+    * recomputes the exact relational semantics over both columns. */
+  val txnSqlUpsertComposite: Q = Q(
+    "txn_sql_upsert_composite",
+    """WITH src AS (
+      |  SELECT c_custkey % 97 AS k1, c_custkey // 97 AS k2,
+      |         c_acctbal * 2 AS nb
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT (c_custkey + 9000000) % 97, (c_custkey + 9000000) // 97,
+      |         c_acctbal
+      |  FROM customer WHERE c_custkey % 50 = 0),
+      |tgt AS (SELECT c_custkey % 97 AS k1, c_custkey // 97 AS k2,
+      |        c_acctbal AS acctbal, c_mktsegment AS mktsegment
+      |        FROM customer)
+      |SELECT k1, k2, acctbal, mktsegment FROM (
+      |  SELECT t.k1, t.k2,
+      |    CASE WHEN s.k1 IS NOT NULL THEN s.nb ELSE t.acctbal END AS acctbal,
+      |    t.mktsegment
+      |  FROM tgt t LEFT JOIN src s ON t.k1 = s.k1 AND t.k2 = s.k2
+      |  WHERE NOT (s.k1 IS NOT NULL AND t.mktsegment = 'BUILDING')
+      |  UNION ALL
+      |  SELECT s.k1, s.k2, s.nb, 'NEW' FROM src s
+      |  LEFT JOIN tgt t ON s.k1 = t.k1 AND s.k2 = t.k2
+      |  WHERE t.k1 IS NULL)
+      |ORDER BY k1, k2""".stripMargin
+  ) { (s, dir) =>
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val t = "cust_upsert_ck"
+      resetSqlTable(s, catRootDir, t)
+      s.sql(s"""CREATE TABLE $c.$t TBLPROPERTIES ('graft.key' = 'k1,k2') AS
+        |SELECT c_custkey % 97 AS k1, c_custkey DIV 97 AS k2,
+        |  c_acctbal AS acctbal, c_mktsegment AS mktsegment
+        |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+      s.sql(s"""MERGE INTO $c.$t t USING (
+        |  SELECT c_custkey % 97 AS k1, c_custkey DIV 97 AS k2,
+        |    c_acctbal * 2 AS nb
+        |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT (c_custkey + 9000000) % 97, (c_custkey + 9000000) DIV 97,
+        |    c_acctbal
+        |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 50 = 0) s
+        |ON t.k1 = s.k1 AND t.k2 = s.k2
+        |WHEN MATCHED AND t.mktsegment = 'BUILDING' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET acctbal = s.nb
+        |WHEN NOT MATCHED THEN INSERT (k1, k2, acctbal, mktsegment)
+        |  VALUES (s.k1, s.k2, s.nb, 'NEW')""".stripMargin)
+      s.sql(s"SELECT k1, k2, acctbal, mktsegment FROM $c.$t ORDER BY k1, k2")
+    }
+  }
+
   /** SQL RESTORE through metadata tables + CALL (r12): the rollback
     * flow a warehouse operator actually runs — find the version to
     * return to by QUERYING `graft.t.history` (the metadata table is
@@ -556,5 +616,5 @@ object GraftCatalog {
 
   def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog, txnSqlMerge,
     txnSqlSkipping, txnSqlPartitioned, txnSqlEvolve, txnSqlUpsert,
-    txnSqlRestore, txnSqlSkippingStr)
+    txnSqlUpsertComposite, txnSqlRestore, txnSqlSkippingStr)
 }

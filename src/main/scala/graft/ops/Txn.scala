@@ -156,6 +156,12 @@ object Txn {
   private def decodeUriSegment(s: String): String =
     scala.util.Try(new java.net.URI(s).getPath).toOption.getOrElse(s)
 
+  /** [[decodeUriSegment]] per `/`-separated segment of a partition-dir
+    * CHAIN (`a=1/b=x%20y` → `a=1/b=x y`, r13 multi-level): the chain
+    * separator itself must not decode, only each dir name. */
+  private def decodeUriChain(s: String): String =
+    s.split('/').map(decodeUriSegment).mkString("/")
+
   /** A tombstone entry's key-column spec: single column (`~dir@a`) or
     * COMPOSITE (`~dir@a+b`, r12 — a conjunctive-equality DELETE's
     * natural key). '+' never appears in a committed key column name
@@ -287,9 +293,15 @@ object Txn {
           val cols = tombstoneCols(keyCol)
           val keys = spark.read.parquet(resolveDir(root, dir))
             .select(cols.map(col): _*).distinct()
-          Some(acc.getOrElse(sys.error(
-              s"tombstone $dir precedes any data dir at $root"))
-            .join(keys, cols, "left_anti"))
+          val base = acc.getOrElse(sys.error(
+            s"tombstone $dir precedes any data dir at $root"))
+          // a USING-column anti-join moves the key columns to the FRONT
+          // of the output — restore the committed column order, or a
+          // tombstone on a non-leading column silently reorders the
+          // table's schema (found by the r13 dynamic-overwrite work:
+          // positional INSERTs then bind wrong columns)
+          Some(base.join(keys, cols, "left_anti")
+            .select(base.columns.map(col).toSeq: _*))
       }.getOrElse(sys.error(s"empty manifest for version $n at $root"))
     }
   }
@@ -303,6 +315,14 @@ object Txn {
     readVersion(spark, root, n)
   }
 
+  /** A `partitionBy` spec is ONE column name or a COMMA-SEPARATED list
+    * (r13, multi-level layouts: "year,source" → `year=…/source=…`
+    * nested dirs). Column names may not contain ',' (the manifest
+    * reserves it), so the split is unambiguous and every single-column
+    * caller parses unchanged. */
+  private[graft] def partitionCols(spec: String): Seq[String] =
+    spec.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
   /** Write `df` as a fresh immutable snapshot dir (plus its optional
     * stats sidecar) and return its root-relative path — the shared
     * first phase of every commit flavor (r9 review: previously
@@ -312,10 +332,34 @@ object Txn {
     val spark = df.sparkSession
     val dataRel = s"data/${java.util.UUID.randomUUID().toString}"
     val w = df.write.mode("overwrite")
-    partitionBy.fold(w)(c => w.partitionBy(c)).parquet(s"$root/$dataRel")
+    partitionBy.fold(w)(c => w.partitionBy(partitionCols(c): _*))
+      .parquet(s"$root/$dataRel")
     if (statsCols.nonEmpty)
       writeStats(spark, fs(spark, root), s"$root/$dataRel", statsCols)
     dataRel
+  }
+
+  /** All LEAF partition directories under a hive-partitioned snapshot
+    * dir (r13, multi-level): depth-first through the `col=value` chain,
+    * each leaf as (relative path, partition (col, rawValue) pairs in
+    * nesting order). Single-level dirs yield their immediate children —
+    * every pre-r13 layout walks unchanged. */
+  private def partitionLeafDirs(f: FileSystem,
+      abs: String): Seq[(String, Seq[(String, String)])] = {
+    def recurse(p: Path, rel: String,
+        parts: Seq[(String, String)]): Seq[(String, Seq[(String, String)])] = {
+      val children = f.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (children.isEmpty) {
+        if (parts.isEmpty) Seq.empty else Seq((rel, parts))
+      } else children.flatMap { st =>
+        val n = st.getPath.getName
+        val eq = n.indexOf('=')
+        recurse(st.getPath, if (rel.isEmpty) n else s"$rel/$n",
+          parts :+ ((n.substring(0, eq), n.substring(eq + 1))))
+      }
+    }
+    recurse(new Path(abs), "", Nil)
   }
 
   /** A snapshot dir is HIVE-PARTITIONED iff its immediate children are
@@ -494,19 +538,105 @@ object Txn {
     * blind appends they must NOT rebase over a concurrent commit —
     * losers throw [[java.util.ConcurrentModificationException]]. */
   private[graft] def publishDeltaIf(spark: SparkSession, root: String,
-      expectedBase: Long, keyCol: String, keysRel: Option[String],
+      expectedBase: Long, keyCols: Seq[String], keysRel: Option[String],
       rowsRel: Option[String], meta: Map[String, String] = Map.empty): Long = {
     require(keysRel.nonEmpty || rowsRel.nonEmpty,
       "delta publish needs keys, rows, or both")
-    require(!keyCol.contains(',') && !keyCol.contains('\n') &&
-      !keyCol.contains('@') && !keyCol.contains('+'),
-      s"delta key column must be free of ',', '@', '+' and newlines: $keyCol")
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"delta key columns must be non-empty and distinct: $keyCols")
+    keyCols.foreach { keyCol =>
+      require(!keyCol.contains(',') && !keyCol.contains('\n') &&
+        !keyCol.contains('@') && !keyCol.contains('+'),
+        s"delta key column must be free of ',', '@', '+' and newlines: $keyCol")
+    }
+    // composite keys land as the r12 `~dir@a+b` tombstone form — every
+    // reader already folds the tuple anti-join (r13, r12 verdict item 3)
+    val keySpec = keyCols.mkString("+")
     val f = fs(spark, root)
     val dirs = manifestDirs(f, root, expectedBase) ++
-      keysRel.map(k => s"~$k@$keyCol").toSeq ++ rowsRel.toSeq
+      keysRel.map(k => s"~$k@$keySpec").toSeq ++ rowsRel.toSeq
     casPublish(spark, root, expectedBase,
       s"delta-${java.util.UUID.randomUUID()}",
       manifestBody(dirs.mkString(","), meta))
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE publish (r13, r12 verdict item 6):
+    * replace exactly the partitions the freshly-written snapshot dir
+    * `dataRel` touches, leaving every other partition's files (and the
+    * prior manifest entries) untouched — the
+    * `partitionOverwriteMode=dynamic` contract, expressed in the
+    * manifest language the readers already fold: ONE extension
+    * `…prior dirs, ~touchedPartitionTuples@a+b, dataRel`. The
+    * tombstone's keys are the partition VALUES of the new dir's leaf
+    * directories (derived from the listing — no data scan), so the old
+    * copies of those partitions anti-join away and the new dir
+    * re-inserts them; refreshing one day of a 100 TB table writes one
+    * day, not 100 TB. The old partition dirs keep being LISTED (and
+    * scanned, then folded empty) until a compacting commit collapses
+    * the chain — the standard tombstone read tax, honestly the trade
+    * against Delta's per-file log (which drops replaced files from the
+    * listing immediately).
+    *
+    * CAS-pinned at `expectedBase` like every replace computed from a
+    * pinned scan. NULL partition values refuse loud: an anti-join on a
+    * null key matches nothing, so the sentinel partition cannot be
+    * dynamically replaced — rewrite it explicitly instead. */
+  private[graft] def publishDynamicOverwrite(spark: SparkSession,
+      root: String, dataRel: String, partColsSeq: Seq[String],
+      expectedBase: Long, meta: Map[String, String] = Map.empty): Long = {
+    require(partColsSeq.nonEmpty, "dynamic overwrite needs partition columns")
+    val f = fs(spark, root)
+    val leaves = partitionLeafDirs(f, s"$root/$dataRel")
+    require(leaves.nonEmpty,
+      s"dynamic overwrite wrote no partition dirs under $dataRel")
+    val tuples = leaves.map { case (rel, parts) =>
+      val byCol = parts.toMap
+      require(parts.map(_._1) == partColsSeq,
+        s"partition chain $rel does not match declared columns $partColsSeq")
+      partColsSeq.map { c =>
+        val raw = byCol(c)
+        require(raw != hiveDefaultPartition,
+          s"dynamic overwrite cannot replace the NULL partition ($rel): " +
+            "a null key matches no rows in the tombstone anti-join — " +
+            "rewrite the null partition explicitly")
+        unescapePathName(raw)
+      }
+    }.distinct
+    // type the tuples at the TABLE schema (the dir names are strings;
+    // the anti-join must compare at the column type, same cast rule as
+    // the partition-column reconstruction in scanPruned)
+    val schema = readVersion(spark, root, expectedBase).schema
+    val strSchema = org.apache.spark.sql.types.StructType(partColsSeq.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val strDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        tuples.map(t => org.apache.spark.sql.Row(t: _*)), 1), strSchema)
+    val typed = strDf.select(partColsSeq.map(c =>
+      col(c).cast(schema(c).dataType).as(c)): _*)
+    val keysRel = writeSnapshot(typed, root, Nil)
+    publishDeltaIf(spark, root, expectedBase, partColsSeq, Some(keysRel),
+      Some(dataRel), meta)
+  }
+
+  /** [[publishDynamicOverwrite]] from a DataFrame (the V1 write-bridge
+    * path): write the batch hive-partitioned, then publish the
+    * replace-touched-partitions extension. O(batch) end to end. */
+  def commitReplacePartitions(df: DataFrame, root: String, partSpec: String,
+      expectedBase: Long, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Long = {
+    val cols = partitionCols(partSpec)
+    cols.foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"partition column $c absent from the batch schema")
+    }
+    val spark = df.sparkSession
+    val dataRel = writeSnapshot(df, root, statsCols,
+      partitionBy = Some(partSpec))
+    if (bloomCols.nonEmpty)
+      writeBloom(spark, fs(spark, root), s"$root/$dataRel", bloomCols, 1 << 20)
+    publishDynamicOverwrite(spark, root, dataRel, cols, expectedBase, meta)
   }
 
   /** Shared OCC publish: stage `body`, rename to `expectedBase + 1`
@@ -712,10 +842,9 @@ object Txn {
       val partCols: Set[String] = (manifestDirs(f, root, base)
         .map(parseEntry).collect { case (dir, None) => resolveDir(root, dir) }
         .filter(isPartitionedDir(f, _))
-        .flatMap(d => f.listStatus(new Path(d)).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-          .map(_.getPath.getName.takeWhile(_ != '=')))
-        .toSet ++ partitionBy).map(resolvedName)
+        // every LEVEL's column names (r13: nested a=v/b=w chains)
+        .flatMap(d => partitionLeafDirs(f, d).flatMap(_._2.map(_._1)))
+        .toSet ++ partitionBy.toSeq.flatMap(partitionCols)).map(resolvedName)
       val baseFields = readVersion(spark, root, base).schema.fields
         .map(fld => resolvedName(fld.name) -> fld.dataType).toMap
       df.schema.fields
@@ -932,6 +1061,34 @@ object Txn {
     -1L // unreachable
   }
 
+  /** METADATA-ONLY commit (r13, the column-mapping carrier): publish
+    * the CURRENT version's exact dir list as the next version with new
+    * commit metadata — no data moves, O(manifest), the RESTORE shape
+    * pointed at the tip. RENAME/DROP COLUMN ride this: the mapping
+    * lives in the commit log, so `VERSION AS OF` a pre-rename version
+    * naturally reads with the OLD mapping (Delta versions its column
+    * mapping through the log the same way). */
+  def commitMetaOnly(spark: SparkSession, root: String,
+      meta: Map[String, String]): Long = {
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val base = committedVersions(f, root).foldLeft(0L)(math.max)
+      require(base >= 1, s"metadata commit on uninitialized table at $root")
+      val dirs = manifestDirs(f, root, base)
+      val tmp = stageManifest(f, root, s"meta-$base-$attempt",
+        manifestBody(dirs.mkString(","), meta))
+      val target = new Path(s"$root/_commits/${base + 1}")
+      val won = publishLock(root).synchronized {
+        !f.exists(target) && f.rename(tmp, target) && stampPublish(f, target)
+      }
+      if (won) return base + 1
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    -1L // unreachable
+  }
+
   /** Zero-copy SHALLOW CLONE (r10): initialize `dstRoot` as version 1
     * of a NEW table whose manifest references `srcRoot`'s current
     * snapshot dirs ABSOLUTELY — no data is copied, the clone of a
@@ -991,8 +1148,10 @@ object Txn {
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomBits: Int = 1 << 20): Long = {
-    require(df.schema.fieldNames.contains(partCol),
-      s"partition column $partCol absent from the schema")
+    partitionCols(partCol).foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"partition column $c absent from the schema")
+    }
     val f = fs(df.sparkSession, root)
     val dataRel = writeSnapshot(df, root, statsCols, partitionBy = Some(partCol))
     if (bloomCols.nonEmpty)
@@ -1009,8 +1168,10 @@ object Txn {
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomBits: Int = 1 << 20): Long = {
-    require(df.schema.fieldNames.contains(partCol),
-      s"partition column $partCol absent from the shard schema")
+    partitionCols(partCol).foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"partition column $c absent from the shard schema")
+    }
     appendCore(df, root, statsCols, meta + ("partitionCol" -> partCol),
       dedupKey = None, partitionBy = Some(partCol),
       bloomCols = bloomCols, bloomBits = bloomBits)
@@ -1036,34 +1197,15 @@ object Txn {
     require(values.nonEmpty, "readPartitionPruned needs at least one value")
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
-    val f = fs(spark, root)
-    val wanted = values.map(x => s"$partCol=${dirValue(x)}").toSet
-    val base = manifestDirs(f, root, v).map(parseEntry)
-      .foldLeft(Option.empty[DataFrame]) {
-        case (acc, (dir, None)) =>
-          val abs = resolveDir(root, dir)
-          val d: Option[DataFrame] =
-            if (isPartitionedDir(f, abs)) {
-              val kept = f.listStatus(new Path(abs)).toSeq
-                .filter(st => st.isDirectory && wanted(st.getPath.getName))
-                .map(_.getPath.toString)
-              if (kept.isEmpty) None
-              else Some(spark.read.option("basePath", abs).parquet(kept: _*))
-            } else Some(readDir(spark, f, abs)) // flat dir: read whole
-          d match {
-            case None => acc
-            case Some(df) =>
-              Some(acc.fold(df)(_.unionByName(df, allowMissingColumns = true)))
-          }
-        case (acc, (dir, Some(keyCol))) =>
-          acc.map { a =>
-            val cols = tombstoneCols(keyCol)
-            val keys = spark.read.parquet(resolveDir(root, dir))
-              .select(cols.map(col): _*).distinct()
-            a.join(keys, cols, "left_anti")
-          }
-      }
-    base.fold(readVersion(spark, root, v).limit(0))(identity)
+    // the shared recursive walk (r13): the directory rung drops
+    // non-matching `partCol=value` subtrees AT WHATEVER LEVEL the
+    // column lives, flat dirs in a mixed chain read whole (one-sided),
+    // tombstones fold in log order — semantics ≡ read().where(isin),
+    // same as before, now multi-level-aware
+    val wanted = values.map(dirValue).toSet
+    val (plan, _) = prunePlanBy(spark, root, v, _ => true,
+      keepPart = (c, pv) => c != partCol || wanted(pv))
+    scanPruned(spark, root, v, plan)
       .where(col(partCol).isin(values: _*))
   }
 
@@ -1075,18 +1217,20 @@ object Txn {
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
     val f = fs(spark, root)
-    val wanted = values.map(x => s"$partCol=${dirValue(x)}").toSet
+    val wanted = values.map(dirValue).toSet
     var kept = 0
     var total = 0
     manifestDirs(f, root, v).map(parseEntry).foreach {
       case (dir, None) =>
         val abs = resolveDir(root, dir)
         if (isPartitionedDir(f, abs))
-          f.listStatus(new Path(abs)).foreach { st =>
-            if (st.isDirectory && st.getPath.getName.contains("=")) {
-              total += 1
-              if (wanted(st.getPath.getName)) kept += 1
-            }
+          // LEAF granularity (r13): single-level layouts count their
+          // immediate subdirs exactly as before; multi-level layouts
+          // count leaves, kept iff the probed column's level admits
+          partitionLeafDirs(f, abs).foreach { case (_, parts) =>
+            total += 1
+            if (parts.forall { case (c, pv) => c != partCol || wanted(pv) })
+              kept += 1
           }
       case _ => ()
     }
@@ -1205,19 +1349,21 @@ object Txn {
       val out = f.create(new Path(s"$dataDir/$sidecar"), false)
       try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
     } else {
-      // HIVE-PARTITIONED snapshot (r11): one sidecar INSIDE each
-      // `col=value` subdir holding only that partition's files — so the
-      // metadata read composes with directory pruning, and because one
-      // write task emits SAME-BASENAME files into several partition
-      // dirs, per-subdir placement keeps the file key unambiguous
-      // (read-side keys are `subdir/basename`).
+      // HIVE-PARTITIONED snapshot (r11; r13 multi-level): one sidecar
+      // INSIDE each LEAF `col=value` subdir holding only that
+      // partition's files — so the metadata read composes with
+      // directory pruning, and because one write task emits
+      // SAME-BASENAME files into several partition dirs, per-subdir
+      // placement keeps the file key unambiguous (read-side keys are
+      // `chain/basename` with the full a=v/b=w relative path).
       val rows = snap
         .groupBy(
-          regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1).as("pdir"),
+          regexp_extract(input_file_name(),
+            "/([^/]+=[^/]*(?:/[^/]+=[^/]*)*)/[^/]+$", 1).as("pdir"),
           regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect() // one row per data FILE — bounded by snapshot file count
-      rows.groupBy(r => decodeUriSegment(r.getString(0))).foreach { case (pdir, rs) =>
+      rows.groupBy(r => decodeUriChain(r.getString(0))).foreach { case (pdir, rs) =>
         val sb = new StringBuilder
         rs.foreach { r =>
           val file = decodeUriSegment(r.getString(1))
@@ -1255,19 +1401,18 @@ object Txn {
 
   /** The sidecar files named `name` under a snapshot dir with their
     * file-key prefixes: the dir-root sidecar (flat snapshots, prefix
-    * "") plus one per partition subdir (prefix `subdir/`). */
+    * "") plus one per LEAF partition subdir (prefix `chain/` — the full
+    * `a=v/b=w/` relative path for multi-level layouts, r13). */
   private def sidecarsNamed(f: FileSystem, dir: String,
       name: String): Seq[(String, Path)] = {
     val flat = new Path(s"$dir/$name")
     val fromRoot = if (f.exists(flat)) Seq(("", flat)) else Seq.empty
     val fromParts =
       if (!isPartitionedDir(f, dir)) Seq.empty
-      else f.listStatus(new Path(dir)).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .flatMap { st =>
-          val p = new Path(st.getPath, name)
-          if (f.exists(p)) Seq((s"${st.getPath.getName}/", p)) else Seq.empty
-        }
+      else partitionLeafDirs(f, dir).flatMap { case (rel, _) =>
+        val p = new Path(s"$dir/$rel/$name")
+        if (f.exists(p)) Seq((s"$rel/", p)) else Seq.empty
+      }
     fromRoot ++ fromParts
   }
 
@@ -1339,18 +1484,20 @@ object Txn {
       val out = f.create(new Path(s"$dataDir/_bloom.tsv"), false)
       try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
     } else {
-      // per-partition-subdir sidecars, subdir-qualified keys — same
-      // layout rationale as the partitioned [[writeStats]] branch
+      // per-leaf-subdir sidecars, chain-qualified keys — same layout
+      // rationale as the partitioned [[writeStats]] branch (r13: the
+      // pdir regex captures the whole a=v/b=w chain)
       val perDir = scala.collection.mutable.Map.empty[String, StringBuilder]
       bloomCols.foreach { c =>
         snap.where(col(c).cast("long").isNotNull)
           .groupBy(
-            regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1).as("pdir"),
+            regexp_extract(input_file_name(),
+              "/([^/]+=[^/]*(?:/[^/]+=[^/]*)*)/[^/]+$", 1).as("pdir"),
             regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
           .agg(agg(col(c).cast("long")).as("bits"))
           .collect()
           .foreach { r =>
-            perDir.getOrElseUpdate(decodeUriSegment(r.getString(0)), new StringBuilder)
+            perDir.getOrElseUpdate(decodeUriChain(r.getString(0)), new StringBuilder)
               .append(s"${decodeUriSegment(r.getString(1))}\t$c\t${encode(r, 2)}\n")
           }
       }
@@ -1443,11 +1590,12 @@ object Txn {
     * file list and the schema (r10 advice: resolving twice let a
     * concurrent commit mix two versions' views). */
   /** One file group of a pruned scan: `files` read together, plus the
-    * partition (col, rawValue) they sit under when they come from a
-    * hive-partitioned subdir — the scan reconstructs that column from
-    * the value (the files themselves don't store it). */
+    * partition (col, rawValue) chain they sit under when they come from
+    * a hive-partitioned subdir (one pair per nesting level, r13) — the
+    * scan reconstructs those columns from the values (the files
+    * themselves don't store them). */
   private case class ScanGroup(files: Seq[String],
-      part: Option[(String, String)])
+      parts: Seq[(String, String)])
 
   /** Shared file-skipping walk (r11: partition-aware — the r10 refusal
     * guard is gone): every data file in version `version` passes
@@ -1477,24 +1625,31 @@ object Txn {
         if (!isPartitionedDir(f, abs)) {
           val files = parquetFiles(new Path(abs))
           total += files.size
-          Left(Seq(ScanGroup(files.filter(p => keepFile(base(p))), None)))
+          Left(Seq(ScanGroup(files.filter(p => keepFile(base(p))), Nil)))
         } else {
-          val groups = f.listStatus(new Path(abs)).toSeq
-            .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-            .flatMap { st =>
+          // recursive walk (r13, multi-level layouts): the directory
+          // rung applies PER LEVEL — a dropped `col=value` subtree is
+          // never listed below, so a two-level `year=…/source=…` table
+          // pays O(kept year dirs) + O(kept source dirs) metadata, and
+          // file keys inside a leaf carry the full relative chain
+          def walk(p: Path, rel: String,
+              parts: Seq[(String, String)]): Seq[ScanGroup] = {
+            val children = f.listStatus(p).toSeq
+              .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+            if (children.isEmpty) {
+              val files = parquetFiles(p)
+              total += files.size
+              Seq(ScanGroup(
+                files.filter(fp => keepFile(s"$rel${base(fp)}")), parts))
+            } else children.flatMap { st =>
               val pdir = st.getPath.getName
               val eq = pdir.indexOf('=')
               val (c, v) = (pdir.substring(0, eq), pdir.substring(eq + 1))
-              if (!keepPart(c, v)) None // directory rung: never listed
-              else {
-                val files = parquetFiles(st.getPath)
-                total += files.size
-                Some(ScanGroup(
-                  files.filter(p => keepFile(s"$pdir/${base(p)}")),
-                  Some((c, v))))
-              }
+              if (!keepPart(c, v)) Nil // directory rung: never listed
+              else walk(st.getPath, s"$rel$pdir/", parts :+ ((c, v)))
             }
-          Left(groups)
+          }
+          Left(walk(new Path(abs), "", Nil))
         }
       case (dir, Some(keyCol)) => Right((dir, keyCol))
     }
@@ -1581,26 +1736,30 @@ object Txn {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     def scan(g: ScanGroup): DataFrame = g match {
       case ScanGroup(files, _) if files.isEmpty => empty
-      case ScanGroup(files, None) =>
+      case ScanGroup(files, Nil) =>
         spark.read.schema(schema).parquet(files: _*)
-      case ScanGroup(files, Some((c, raw))) =>
+      case ScanGroup(files, parts) =>
         // a partitioned subdir's files do not STORE the partition
-        // column — reconstruct it from the directory value at the
-        // version schema's type, then restore column order (this is
+        // columns — reconstruct each level from its directory value at
+        // the version schema's type, then restore column order (this is
         // what made the r10 guard refuse partitioned dirs: an
-        // explicit-schema scan would have null-filled it).
-        // The raw directory value is hive-ESCAPED (r11 advice: Spark
+        // explicit-schema scan would have null-filled them).
+        // The raw directory values are hive-ESCAPED (r11 advice: Spark
         // writes 'a b' as 'a%20b' and null as the default-partition
         // sentinel) — unescape before casting, and surface the null
         // sentinel as an actual null literal.
-        val pType = schema(c).dataType
+        val partCols = parts.map(_._1)
         val fileSchema = org.apache.spark.sql.types.StructType(
-          schema.fields.filterNot(_.name == c))
-        val value =
-          if (raw == hiveDefaultPartition) lit(null).cast(pType)
-          else lit(unescapePathName(raw)).cast(pType)
-        spark.read.schema(fileSchema).parquet(files: _*)
-          .withColumn(c, value)
+          schema.fields.filterNot(f => partCols.contains(f.name)))
+        parts.foldLeft(
+          spark.read.schema(fileSchema).parquet(files: _*)) {
+            case (df, (c, raw)) =>
+              val pType = schema(c).dataType
+              val value =
+                if (raw == hiveDefaultPartition) lit(null).cast(pType)
+                else lit(unescapePathName(raw)).cast(pType)
+              df.withColumn(c, value)
+          }
           .select(schema.fieldNames.map(col).toSeq: _*)
     }
     plan.foldLeft(Option.empty[DataFrame]) {
@@ -1615,9 +1774,12 @@ object Txn {
         val cols = tombstoneCols(keyCol)
         val keys = spark.read.parquet(resolveDir(root, dir))
           .select(cols.map(col): _*).distinct()
-        Some(acc.getOrElse(sys.error(
-            s"tombstone $dir precedes any data dir at $root"))
-          .join(keys, cols, "left_anti"))
+        val base = acc.getOrElse(sys.error(
+          s"tombstone $dir precedes any data dir at $root"))
+        // restore column order after the USING anti-join (see the
+        // readVersion fold — same reordering hazard)
+        Some(base.join(keys, cols, "left_anti")
+          .select(base.columns.map(col).toSeq: _*))
     }.getOrElse(empty)
   }
 
@@ -1715,18 +1877,17 @@ object Txn {
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
     val f = fs(spark, root)
-    val wanted = values.map(x => s"$partCol=${dirValue(x)}").toSet
+    val wanted = values.map(dirValue).toSet
     var dirsKept = 0
     var dirsTotal = 0
     manifestDirs(f, root, v).map(parseEntry).foreach {
       case (dir, None) =>
         val abs = resolveDir(root, dir)
         if (isPartitionedDir(f, abs))
-          f.listStatus(new Path(abs)).foreach { st =>
-            if (st.isDirectory && st.getPath.getName.contains("=")) {
-              dirsTotal += 1
-              if (wanted(st.getPath.getName)) dirsKept += 1
-            }
+          partitionLeafDirs(f, abs).foreach { case (_, parts) =>
+            dirsTotal += 1
+            if (parts.forall { case (c, pv) => c != partCol || wanted(pv) })
+              dirsKept += 1
           }
       case _ => ()
     }
@@ -1904,10 +2065,10 @@ object Txn {
       case (dir, None) =>
         val abs = resolveDir(root, dir)
         if (!isPartitionedDir(f, abs)) names(new Path(abs))
-        else f.listStatus(new Path(abs)).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-          .sortBy(_.getPath.getName)
-          .flatMap(st => names(st.getPath).map(n => s"${st.getPath.getName}/$n"))
+        else partitionLeafDirs(f, abs).sortBy(_._1).flatMap {
+          case (rel, _) =>
+            names(new Path(s"$abs/$rel")).map(n => s"$rel/$n")
+        }
       case _ => Seq.empty
     }
   }
@@ -2148,17 +2309,17 @@ object Txn {
       // partitions, one file per col=value dir — instead of
       // flattening the table into an unpartitioned snapshot
       val f = fs(spark, root)
+      // the full partition-column CHAIN (r13: a=v/b=w nests keep both)
       val partCol = manifestDirs(f, root, base).map(parseEntry)
         .collectFirst { case (dir, None)
             if isPartitionedDir(f, resolveDir(root, dir)) =>
-          f.listStatus(new Path(resolveDir(root, dir)))
-            .find(st => st.isDirectory && st.getPath.getName.contains("="))
-            .map(_.getPath.getName.takeWhile(_ != '=')).get
+          partitionLeafDirs(f, resolveDir(root, dir))
+            .head._2.map(_._1).mkString(",")
         }
       val nFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
       val folded = readVersion(spark, root, base)
       val laid = partCol match {
-        case Some(c) => folded.repartition(col(c))
+        case Some(c) => folded.repartition(partitionCols(c).map(col): _*)
         case None    => folded.repartition(nFiles.toInt)
       }
       try Some(commitIf(laid, root, expectedBase = base,

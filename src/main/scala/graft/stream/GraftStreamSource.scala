@@ -99,16 +99,17 @@ class GraftSourceProvider extends StreamSourceProvider
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
     val root = rootOf(parameters)
-    require(partitionColumns.size <= 1,
-      "graft sink partitions by at most one column")
     val appId = parameters.getOrElse("appId",
       parameters.get("checkpointLocation")
         .map(p => s"graft-sink-${Integer.toHexString(p.hashCode)}")
         .getOrElse(sys.error(
           "graft sink needs a checkpointLocation (or an explicit appId) " +
             "for its exactly-once identity")))
+    // multi-column partitionBy lands as the nested a=v/b=w layout via
+    // the comma-separated partition spec (r13)
     new GraftStreamSink(root, appId, parameters.get("keyCol"),
-      partitionColumns.headOption)
+      if (partitionColumns.isEmpty) None
+      else Some(partitionColumns.mkString(",")))
   }
 }
 

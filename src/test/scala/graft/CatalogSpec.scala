@@ -605,9 +605,10 @@ class CatalogSpec extends SparkSpec {
     // time travel to the pre-evolution version surfaces the OLD schema
     assert(spark.sql(s"SELECT * FROM $c.ev VERSION AS OF 2")
       .schema.fieldNames.toSeq == Seq("id", "v"))
-    // unsupported ALTERs stay loud
+    // unsupported ALTERs stay loud (RENAME COLUMN is supported since
+    // r13 — type changes are the remaining wall)
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $c.ev RENAME COLUMN v TO w")
+      spark.sql(s"ALTER TABLE $c.ev ALTER COLUMN v TYPE STRING")
     }
   }
 
@@ -815,6 +816,272 @@ class CatalogSpec extends SparkSpec {
       s"target_files => 4)")
     assert(Txn.partitionProbe(spark, tRoot, "day", Seq(1L)) == ((1, 4)))
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.cp").head().getLong(0) == 1200L)
+  }
+
+  test("multi-column PARTITIONED BY: nested a=v/b=w layout, per-level " +
+      "directory pruning, native writes, OVERWRITE keeps layout (r13)") {
+    import graft.ops.Txn
+    val c = sqlCat("multipart")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.mp (id BIGINT, year BIGINT, src STRING) " +
+      s"PARTITIONED BY (year, src)")
+    spark.sql(s"INSERT INTO $c.mp SELECT id, 2020 + id % 3, " +
+      s"CASE WHEN id % 2 = 0 THEN 'web' ELSE 'book' END FROM range(600)")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "mp")
+    // on-disk: nested year=…/src=… dirs, written by the NATIVE writer
+    val leafFiles = new java.io.File(tRoot, "data").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(d => d.isDirectory && d.getName.startsWith("year="))
+      .flatMap(_.listFiles()).filter(d => d.isDirectory &&
+        d.getName.startsWith("src="))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet"))
+    assert(leafFiles.nonEmpty && leafFiles.forall(n => !n.contains("c000")),
+      s"expected native nested partition files: ${leafFiles.take(3).toSeq}")
+    // the partition columns reconstruct from BOTH levels
+    assert(spark.sql(s"SELECT sum(year) AS s FROM $c.mp").head().getLong(0) ==
+      (0L until 600L).map(i => 2020L + i % 3).sum)
+    // doubly-pruned SELECT: the year rung drops 2 of 3 year subtrees
+    // (their src children are never listed), the src rung drops 1 of
+    // the kept year's 2 children → 2 kept of 5 listed
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mp " +
+      s"WHERE year = 2021 AND src = 'web'").head().getLong(0) == 100L)
+    val d = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d.dirsKept == 2 && d.dirsTotal == 5,
+      s"both directory rungs must fire: $d")
+    // pruning on the SECOND-level column alone composes too
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mp WHERE src = 'book'")
+      .head().getLong(0) == 300L)
+    val d2 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d2.dirsKept == 6 && d2.dirsTotal == 9,
+      s"second-level rung must drop 3 of 6 leaf dirs: $d2")
+    // programmatic probes see LEAF granularity
+    assert(Txn.partitionProbe(spark, tRoot, "year", Seq(2021L)) == ((2, 6)))
+    assert(Txn.partitionProbe(spark, tRoot, "src", Seq("web")) == ((3, 6)))
+    // NULL partition values land in the sentinel dir and round-trip
+    spark.sql(s"INSERT INTO $c.mp VALUES (9999, 2020, NULL)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mp WHERE src IS NULL")
+      .head().getLong(0) == 1L)
+    // INSERT OVERWRITE keeps the two-level layout (CAS-pinned commit)
+    spark.sql(s"INSERT OVERWRITE $c.mp SELECT id, 2030 + id % 2, 'x' " +
+      s"FROM range(10)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mp").head().getLong(0) == 10L)
+    assert(Txn.partitionProbe(spark, tRoot, "year", Seq(2030L)) == ((1, 2)))
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN via column mapping: metadata-only, " +
+      "old versions time-travel with old names, writes land physically (r13)") {
+    import graft.ops.Txn
+    val c = sqlCat("colmap")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.cm (id BIGINT, v BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $c.cm VALUES (1, 10, 'a'), (2, 20, 'b')")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "cm")
+    val dataVersion = Txn.currentVersion(spark, tRoot).get
+    // RENAME is metadata-only: one commit, no data moved
+    val filesBefore = Txn.tableDetail(spark, tRoot)._2
+    spark.sql(s"ALTER TABLE $c.cm RENAME COLUMN v TO score")
+    assert(Txn.currentVersion(spark, tRoot).get == dataVersion + 1)
+    assert(Txn.tableDetail(spark, tRoot)._2 == filesBefore,
+      "rename must not rewrite data")
+    assert(spark.table(s"$c.cm").schema.fieldNames.toSeq ==
+      Seq("id", "score", "tag"))
+    assert(spark.sql(s"SELECT score FROM $c.cm WHERE id = 1")
+      .head().getLong(0) == 10L)
+    // time travel BEFORE the rename reads the OLD name
+    assert(spark.sql(s"SELECT * FROM $c.cm VERSION AS OF $dataVersion")
+      .schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    // INSERTs after the rename land under the PHYSICAL name: old and
+    // new rows serve through one mapped read
+    spark.sql(s"INSERT INTO $c.cm VALUES (3, 30, 'c')")
+    assert(spark.sql(s"SELECT id, score FROM $c.cm ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // filters on the renamed column push correctly
+    assert(spark.sql(s"SELECT id FROM $c.cm WHERE score >= 20 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // DROP hides the column without rewriting data
+    spark.sql(s"ALTER TABLE $c.cm DROP COLUMN tag")
+    assert(Txn.tableDetail(spark, tRoot)._2 == Txn.tableDetail(spark, tRoot)._2)
+    assert(spark.table(s"$c.cm").schema.fieldNames.toSeq == Seq("id", "score"))
+    assert(spark.sql(s"SELECT * FROM $c.cm WHERE id = 2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 20L)))
+    // reusing the dropped column's PHYSICAL name refuses loud; a fresh
+    // name works and null-fills
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.cm ADD COLUMN tag STRING")
+    }
+    spark.sql(s"ALTER TABLE $c.cm ADD COLUMN label STRING")
+    spark.sql(s"INSERT INTO $c.cm VALUES (4, 40, 'lab')")
+    val got = spark.sql(s"SELECT id, score, label FROM $c.cm ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, None), (4L, 40L, Some("lab"))))
+    // UPDATE/DELETE work through the mapping (keyless COW + tombstone)
+    spark.sql(s"DELETE FROM $c.cm WHERE id = 1")
+    spark.sql(s"UPDATE $c.cm SET score = 99 WHERE id = 2")
+    assert(spark.sql(s"SELECT id, score FROM $c.cm ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 99L), (3L, 30L), (4L, 40L)))
+    // contract columns refuse rename (declared index)
+    spark.sql(s"ALTER TABLE $c.cm SET TBLPROPERTIES ('graft.stats' = 'id')")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.cm RENAME COLUMN id TO key_id")
+    }
+  }
+
+  test("dynamic partition overwrite: refreshing one partition writes one " +
+      "partition and leaves every other partition's files untouched (r13)") {
+    import graft.ops.Txn
+    val c = sqlCat("dynover")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.dp (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $c.dp SELECT id, id % 4 AS day FROM range(400)")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "dp")
+    val before = Txn.currentVersion(spark, tRoot).get
+    val beforeEntries = Txn.history(spark, tRoot)
+      .find(_._1 == before).get._2.split(',').map(_.trim).toSeq
+    def filesOnDisk(): Set[String] = {
+      val it = new org.apache.hadoop.fs.Path(s"$tRoot/data")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listFiles(new org.apache.hadoop.fs.Path(s"$tRoot/data"), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString
+      }
+      b.result()
+    }
+    val beforeFiles = filesOnDisk()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql(s"INSERT OVERWRITE $c.dp SELECT id + 10000, 2 AS day " +
+        s"FROM range(50)")
+      // ONE manifest extension: prior entries + ~tuples@day + new dir
+      val after = Txn.currentVersion(spark, tRoot).get
+      assert(after == before + 1)
+      val (_, line, meta) = Txn.history(spark, tRoot).find(_._1 == after).get
+      assert(meta.get("op").contains("sql-overwrite-dynamic"), s"$meta")
+      val entries = line.split(',').map(_.trim).toSeq
+      assert(entries.take(beforeEntries.size) == beforeEntries,
+        "prior manifest entries must carry over unchanged")
+      assert(entries.size == beforeEntries.size + 2 &&
+        entries.exists(_.matches("~.*@day")), s"unexpected manifest: $entries")
+      // the untouched partitions' FILES are bit-identical on disk
+      assert(beforeFiles.subsetOf(filesOnDisk()),
+        "dynamic overwrite must not rewrite existing files")
+      // semantics: day=2 fully replaced, other days intact
+      assert(spark.sql(s"SELECT count(*) AS n FROM $c.dp WHERE day = 2")
+        .head().getLong(0) == 50L)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $c.dp").head().getLong(0)
+        == 300L + 50L)
+      assert(spark.sql(s"SELECT min(id) AS m FROM $c.dp WHERE day = 2")
+        .head().getLong(0) == 10000L)
+      // NULL partitions refuse loud under dynamic (an anti-join on a
+      // null key deletes nothing — silent non-replacement otherwise)
+      val err = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE $c.dp VALUES (1, NULL)")
+      }
+      assert(err.getMessage.contains("NULL partition") ||
+        Option(err.getCause).exists(_.getMessage.contains("NULL partition")),
+        s"expected the null-partition refusal: ${err.getMessage}")
+      // dynamic on an UNPARTITIONED table degenerates to full replace
+      spark.sql(s"CREATE TABLE $c.flat (id BIGINT)")
+      spark.sql(s"INSERT INTO $c.flat SELECT id FROM range(10)")
+      spark.sql(s"INSERT OVERWRITE $c.flat SELECT id FROM range(3)")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $c.flat")
+        .head().getLong(0) == 3L)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    // STATIC mode still replaces the whole table
+    spark.sql(s"INSERT OVERWRITE $c.dp SELECT id, id % 2 AS day FROM range(10)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.dp").head().getLong(0) == 10L)
+  }
+
+  test("dynamic partition overwrite composes with multi-level layouts: " +
+      "one (year,src) leaf refresh (r13)") {
+    import graft.ops.Txn
+    val c = sqlCat("dynover2")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.dp2 (id BIGINT, year BIGINT, src STRING) " +
+      s"PARTITIONED BY (year, src)")
+    spark.sql(s"INSERT INTO $c.dp2 SELECT id, 2020 + id % 2, " +
+      s"CASE WHEN id % 2 = 0 THEN 'web' ELSE 'book' END FROM range(200)")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "dp2")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql(s"INSERT OVERWRITE $c.dp2 SELECT id + 5000, 2020, 'web' " +
+        s"FROM range(7)")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $c.dp2 " +
+        s"WHERE year = 2020 AND src = 'web'").head().getLong(0) == 7L)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $c.dp2")
+        .head().getLong(0) == 100L + 7L)
+      val (_, line, _) = Txn.history(spark, tRoot).last
+      assert(line.split(',').exists(_.matches("~.*@year\\+src")),
+        s"expected a composite year+src tombstone: $line")
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+  }
+
+  test("composite graft.key: a three-branch MERGE on a (k1,k2)-keyed " +
+      "table lands as ONE delta manifest extension (r13)") {
+    import graft.ops.Txn
+    val c = sqlCat("compkey")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.ck (k1 BIGINT, k2 BIGINT, v BIGINT, " +
+      s"tag STRING) TBLPROPERTIES ('graft.key' = 'k1,k2')")
+    spark.sql(s"INSERT INTO $c.ck SELECT id % 10, id DIV 10, id, " +
+      s"CASE WHEN id % 3 = 0 THEN 'del' ELSE 'keep' END FROM range(0, 1000)")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "ck")
+    val before = Txn.currentVersion(spark, tRoot).get
+    val beforeDirs = Txn.history(spark, tRoot)
+      .find(_._1 == before).get._2.split(',').length
+    spark.sql(s"""MERGE INTO $c.ck t USING (
+      |  SELECT id % 10 AS k1, id DIV 10 AS k2, id * 100 AS nv
+      |  FROM range(0, 2000) WHERE id % 7 = 0) s
+      |ON t.k1 = s.k1 AND t.k2 = s.k2
+      |WHEN MATCHED AND t.tag = 'del' THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET v = s.nv
+      |WHEN NOT MATCHED THEN INSERT (k1, k2, v, tag)
+      |  VALUES (s.k1, s.k2, s.nv, 'new')""".stripMargin)
+    // ONE version, op sql-merge-delta, manifest extended by exactly a
+    // composite tombstone + a rows dir — O(batch), not a rewrite
+    val after = Txn.currentVersion(spark, tRoot).get
+    assert(after == before + 1)
+    val (_, dirsLine, meta) = Txn.history(spark, tRoot).find(_._1 == after).get
+    assert(meta.get("op").contains("sql-merge-delta"),
+      s"composite key must take the delta path: $meta")
+    val entries = dirsLine.split(',').map(_.trim)
+    assert(entries.length == beforeDirs + 2,
+      s"expected prior dirs + tombstone + rows: ${entries.toSeq}")
+    assert(entries.exists(_.matches("~.*@k1\\+k2")),
+      s"expected a composite ~dir@k1+k2 tombstone: ${entries.toSeq}")
+    // semantics ≡ the relational recompute
+    val got = spark.sql(s"SELECT k1, k2, v, tag FROM $c.ck " +
+      s"ORDER BY k1, k2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val src = (0L until 2000L).filter(_ % 7 == 0).map(i => (i % 10, i / 10) -> (i * 100))
+    val srcMap = src.toMap
+    val tgt = (0L until 1000L).map(i => ((i % 10, i / 10), i,
+      if (i % 3 == 0) "del" else "keep"))
+    val want = (tgt.flatMap { case (k, v, tag) =>
+      srcMap.get(k) match {
+        case Some(_) if tag == "del" => None
+        case Some(nv)                => Some((k._1, k._2, nv, tag))
+        case None                    => Some((k._1, k._2, v, tag))
+      }
+    } ++ src.collect {
+      case (k, nv) if !tgt.exists(_._1 == k) => (k._1, k._2, nv, "new")
+    }).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want, s"composite MERGE drifted (n=${got.length})")
+    // composite-key UPDATE and DELETE ride the same delta path
+    spark.sql(s"UPDATE $c.ck SET v = -1 WHERE tag = 'new'")
+    assert(Txn.history(spark, tRoot).last._3.get("op")
+      .contains("sql-update-delta"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ck WHERE v = -1")
+      .head().getLong(0) == src.count { case (k, _) => !tgt.exists(_._1 == k) })
   }
 
   test("V1-bridge scans report real statistics: a small tombstoned dim " +
