@@ -39,7 +39,8 @@ object Plans {
       "txn_sql_catalog", "llm_bpe_train", "llm_bpe_apply",
       "txn_partition_skipping", "txn_maintain", "llm_cluster_best",
       "txn_sql_merge", "txn_sql_skipping", "txn_sql_partitioned",
-      "txn_sql_evolve", "txn_sql_upsert")
+      "txn_sql_evolve", "txn_sql_upsert",
+      "txn_sql_partitioned2", "txn_sql_upsert_composite")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)
@@ -78,6 +79,32 @@ object Plans {
         sb.append("\n")
       }
       spark.conf.unset("spark.graft.dedup.broadcastVerify")
+    }
+    // r13 golden (r12 verdict item 2): a SQL join against a TOMBSTONED
+    // graft table must plan a BroadcastHashJoin STATICALLY — the V1
+    // bridge reports manifest bytes and GraftV1StatsBroadcast turns
+    // them into the hint V1ScanWrapper otherwise swallows; r12 planned
+    // a full shuffle SMJ here.
+    locally {
+      val cat = java.nio.file.Files.createTempDirectory("plans_cat").toString
+      spark.conf.set("spark.sql.catalog.plans_g",
+        classOf[graft.catalog.GraftSqlCatalog].getName)
+      spark.conf.set("spark.sql.catalog.plans_g.root", cat)
+      spark.sql("CREATE TABLE plans_g.dim (k BIGINT, name STRING)")
+      spark.sql(
+        "INSERT INTO plans_g.dim SELECT id, concat('n', id) FROM range(0, 25)")
+      spark.sql("DELETE FROM plans_g.dim WHERE k = 3") // tombstones the chain
+      spark.sql("CREATE TABLE plans_g.fact (k BIGINT, v BIGINT)")
+      spark.sql(
+        "INSERT INTO plans_g.fact SELECT id % 25, id FROM range(0, 20000)")
+      val j = spark.sql("SELECT f.k, d.name, f.v FROM plans_g.fact f " +
+        "JOIN plans_g.dim d ON f.k = d.k")
+      sb.append("==== v1_stats_broadcast (tombstoned dim x fact, r13) ====\n")
+      sb.append(j.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("\n")
+      spark.conf.unset("spark.sql.catalog.plans_g")
+      spark.conf.unset("spark.sql.catalog.plans_g.root")
     }
     Files.writeString(Paths.get(outFile), sb.toString)
     spark.stop()

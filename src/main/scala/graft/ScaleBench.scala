@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Env knobs: SPARK_GRAFT_SCALE_MULTS (default "1,10"),
   * SPARK_GRAFT_SCALE_PASSES (default 2, min-of-passes like Bench),
   * SPARK_GRAFT_SCALE_ONLY (comma-filter on query keys).
-  * Writes SCALING_r12.json (per-query seconds and output rows per
+  * Writes SCALING_r13.json (per-query seconds and output rows per
   * multiplier, plus the x10/x1 ratio).
   */
 object ScaleBench {
@@ -146,7 +146,7 @@ object ScaleBench {
     * parquet, RELOAD it, and probe from the RELOADED index — build and
     * write are the amortized once-per-corpus-version costs, probe (from
     * the reloaded frames) is the recurring per-shard cost. Writes
-    * INGEST_r12.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
+    * INGEST_r13.json. Enabled with SPARK_GRAFT_SCALE_INGEST=1 (runs
     * INSTEAD of the query curve). */
   private def ingestCurve(spark: SparkSession, dirs: Seq[(Int, String)],
       passes: Int): Unit = {
@@ -191,7 +191,7 @@ object ScaleBench {
     val s =
       s"""{"shard_docs":$nShard,"passes":$passes,"note":"fixed shard vs growing corpus; build+write are the amortized once-per-corpus-version costs, probe runs against the RELOADED parquet index (r7 persistence leg)","corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("INGEST_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("INGEST_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -246,7 +246,7 @@ object ScaleBench {
     val s =
       s"""{"note":"every doc carries a planted stop-bigram; registered llm_ngram_jaccard timed WITH the df cap ${graft.ops.DedupOps.NgramDfCap}; uncapped_cand_pairs is the analytic single-key bomb the cap removed","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("STOPGRAM_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("STOPGRAM_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -266,7 +266,7 @@ object ScaleBench {
     * shuffle shape, skew thresholds lowered to 8MB/4MB (local partition
     * sizes must be ABLE to trip the rule for the "it never fires"
     * finding to mean anything), outputs asserted equal across all
-    * three. Writes LMSKEW_r12.json. Enabled with
+    * three. Writes LMSKEW_r13.json. Enabled with
     * SPARK_GRAFT_SCALE_LMSKEW=1. */
   private def lmSkewCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -346,7 +346,7 @@ object ScaleBench {
       val s =
         s"""{"note":"every doc opens with $repeat copies of an 8-token line => ~8 planted bigram keys each at frequency ${repeat}x corpus; auto-broadcast disabled so the bigram join takes its web-scale shuffle shape; skew thresholds lowered to 8MB/4MB. FINDING 1: AQE's OptimizeSkewedJoin NEVER fires on the naive form (naive_skew_on ~= naive_skew_off within noise, zero isSkew markers at any threshold) because c12 aggregates over the same exchange the join probes (join child = Sort(HashAgg(ShuffleStage)), not the Sort(ShuffleStage) pattern the rule rewrites) -- the r10 'AQE splits it' scaladoc claim was wrong and is withdrawn. FINDING 2: the registered r11 hot/cold form removes the bomb STRUCTURALLY -- its cold exchange carries cold_exchange_rows (every key bounded by the K-th hot frequency) vs the naive form's naive_exchange_rows with max_bigram_df of them in ONE AQE-unsplittable task. Local wall SLIGHTLY favors the naive form (32 page-cached cores absorb a few-million-row hot task; the hot/cold form pays a broadcast + union) -- the gated claim is the exchange bound, which is what stragglers/spill/OOM scale with at 100 TB, not local seconds","bp_repeat":$repeat,"passes":$passes,"hot_k":${graft.ops.TextOps.LmHotBigrams},"corpora":{$json}}"""
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("LMSKEW_r12.json"), s.getBytes)
+        java.nio.file.Paths.get("LMSKEW_r13.json"), s.getBytes)
       println(s)
     } finally restore()
   }
@@ -361,7 +361,7 @@ object ScaleBench {
     * shuffle), which grows linearly with the corpus while the aggregate
     * form's per-task state stays O(1) per hash via map-side combine.
     * Both forms' outputs are asserted identical before timing counts.
-    * Writes BOILERPLATE_r12.json. Enabled with
+    * Writes BOILERPLATE_r13.json. Enabled with
     * SPARK_GRAFT_SCALE_BOILERPLATE=1 (runs INSTEAD of the query curve). */
   private def boilerplateCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -406,7 +406,7 @@ object ScaleBench {
     val s =
       s"""{"note":"every doc opens with $repeat planted copies of one 8-token boilerplate line (template-heavy pages repeat identical lines); registered join-free aggregate-election lineDedup vs the r8 row_number-window form on identical inputs (outputs asserted equal); max_line_df is the single-task window partition the window form sorts — linear in corpus, the unsplittable straggler/OOM at web scale — while the aggregate form map-side-combines every hot hash to one struct per map task (O(1) per-group state at any f)","bp_repeat":$repeat,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BOILERPLATE_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("BOILERPLATE_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -418,7 +418,7 @@ object ScaleBench {
     * Times the registered aggregate-election llm_chunk_dedup against
     * the r9 row_number-window form on identical inputs (outputs
     * asserted equal); max_chunk_df is the single-task window partition
-    * the window form sorts. Writes CHUNKBOILER_r12.json. Enabled with
+    * the window form sorts. Writes CHUNKBOILER_r13.json. Enabled with
     * SPARK_GRAFT_SCALE_CHUNKBOILER=1. */
   private def chunkBoilerCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -459,7 +459,7 @@ object ScaleBench {
     val s =
       s"""{"note":"every doc opens with $repeat planted copies of one 8-token boilerplate line => chunks 0..2 identical across the corpus; registered min(struct) aggregate-election llm_chunk_dedup vs the r9 row_number-window form on identical inputs (outputs asserted equal); max_chunk_df is the single-task window partition the window form sorts -- linear in corpus, unsplittable by AQE -- while the aggregate form map-side-combines every hot hash to one struct per map task","bp_repeat":$repeat,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("CHUNKBOILER_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("CHUNKBOILER_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -475,7 +475,7 @@ object ScaleBench {
     * asserted equal. The synthetic frame isolates the ELECTION (the
     * component machinery upstream is shared by both forms and already
     * measured by SCALING's contraction curves). Writes
-    * CLUSTERBEST_r12.json. Enabled with SPARK_GRAFT_SCALE_CLUSTERBEST=1. */
+    * CLUSTERBEST_r13.json. Enabled with SPARK_GRAFT_SCALE_CLUSTERBEST=1. */
   private def clusterBestCurve(spark: SparkSession,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.DedupOps
@@ -517,7 +517,7 @@ object ScaleBench {
     val s =
       s"""{"note":"synthetic (doc_id, label, quality_micro) frames with ONE label covering 99% of docs (the crawl template-family shape); registered r11 aggregate election (min(struct(-quality,doc_id)) + count in one groupBy, map-side combining) vs the r10 count+row_number window form on identical inputs, outputs asserted equal. The window form's hot label is a single-task AQE-unsplittable sort linear in the corpus; mega_label_docs is that partition's size","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("CLUSTERBEST_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("CLUSTERBEST_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -530,7 +530,7 @@ object ScaleBench {
     * single-task sort, linear in the multiplier and AQE-unsplittable;
     * the hierarchical form's largest partition is PackBucketDocs rows
     * at level 1 and corpus/PackBucketDocs 24-byte rows at level 2.
-    * Writes PACK_r12.json. Enabled with SPARK_GRAFT_SCALE_PACK=1. */
+    * Writes PACK_r13.json. Enabled with SPARK_GRAFT_SCALE_PACK=1. */
   private def packCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.TextOps
@@ -569,7 +569,7 @@ object ScaleBench {
     val s =
       s"""{"note":"single-source corpora (one dominant crawl -- the common real mix): registered hierarchical two-pass prefix sum (bucket B=${TextOps.PackBucketDocs}: bounded level-1 windows + 1/B-size level-2 subtotal window) vs the r9 one-window-per-source form on identical inputs (outputs asserted equal); the window form's hot source is one full-corpus single-task sort, linear in the multiplier and AQE-unsplittable","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("PACK_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("PACK_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -635,7 +635,7 @@ object ScaleBench {
     val s =
       s"""{"note":"star graph (one celebrity hub + spoke path): unoriented wedge enumeration emits d(d-1)/2 ~ n^2/2 join rows from the hub on one key; degree-ordered orientation points every hub edge INTO the hub (<= 1 oriented wedge per spoke, O(n) total). naive timed only at the smallest multiplier (outputs asserted equal there); naive_sec -1.00 = reported analytically via naive_wedge_rows, not detonated","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("CELEBRITY_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("CELEBRITY_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -658,7 +658,7 @@ object ScaleBench {
     * shape: delta ~flat in table size (the batch is fixed), COW linear
     * (it rewrites the table); at 100 TB that is the difference between
     * landing a CDC batch in seconds and rewriting the warehouse.
-    * Writes SQLMERGE_r12.json. Enabled with SPARK_GRAFT_SCALE_SQLMERGE=1. */
+    * Writes SQLMERGE_r13.json. Enabled with SPARK_GRAFT_SCALE_SQLMERGE=1. */
   private def sqlMergeCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.{GraftCatalog, Txn}
@@ -757,7 +757,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed MERGE batch (1-in-97 updates + 200 inserts from a $nShard-row shard) into a table grown nx through pasted SQL: declared-key table takes the delta row-level path (ONE tombstone+rows manifest extension, history op asserted sql-merge-delta) vs keyless group-based COW (full rewrite). keyed_read_sec = post-merge full count on the keyed table (the anti-join tax until compaction). write_bytes is the construction-level claim (old snapshots are immutable, so root growth = bytes the merge wrote): delta writes O(batch) regardless of table size while cow rewrites the table — local WALL times tie because the shared target-scan join dominates at page-cached local scale; at 100 TB the write volume is the cost. The UPSERT_r11 economics, now reachable from SQL","shard_rows":$nShard,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SQLMERGE_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("SQLMERGE_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -769,7 +769,7 @@ object ScaleBench {
     * claim at local scale is FILES OPENED (the page cache hides IO):
     * kept stays ~constant while total grows linearly, so the kept
     * fraction falls as 1/n — at 100 TB that fraction IS the point-query
-    * latency. Writes SQLSKIP_r12.json. Enabled with
+    * latency. Writes SQLSKIP_r13.json. Enabled with
     * SPARK_GRAFT_SCALE_SQLSKIP=1. */
   private def sqlSkipCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -843,7 +843,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed 4-key SQL point probe (IN list on the clustered column) against an indexed table grown nx ($nShard-row shard, replica keys shifted so probes match only the original): files_kept stays ~flat while files_total grows linearly -- the kept FRACTION is the claim (local wall times tie because the page cache hides the IO the skipped footers would cost; at 100 TB files opened IS the latency). Unindexed control answers identically (one-sided contract, checked per pass)","shard_rows":$nShard,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SQLSKIP_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("SQLSKIP_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -897,7 +897,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed $nShard-row shard into a table grown nx: commitAppend (manifest extension, O(shard)) vs full-snapshot commit of the grown table (O(table)); cdc_read_sec = changes() over the append step (file-level fast path). The gap at the top multiplier is ingest-into-100TB vs rewrite-100TB-per-shard","shard_rows":$nShard,"passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("TXNAPPEND_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("TXNAPPEND_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -916,7 +916,7 @@ object ScaleBench {
     * O(table)). The claim: upsert commit time is FLAT in table size
     * while the rewrite is linear — at 100 TB that is the difference
     * between a CDC sink that keeps up and one that rewrites the world
-    * per batch. Writes UPSERT_r12.json. Enabled with
+    * per batch. Writes UPSERT_r13.json. Enabled with
     * SPARK_GRAFT_SCALE_UPSERT=1. */
   private def upsertCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -972,7 +972,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed ~2k-row upsert batch (updates + inserts) into a table grown nx: commitUpsert (one tombstone+dir manifest extension, O(batch)) vs the MERGE-rewrite alternative (anti-join + full commit, O(table)); folded_read_sec is the per-read anti-join tax until compaction","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("UPSERT_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("UPSERT_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -985,7 +985,7 @@ object ScaleBench {
     * alternative. The claim: kept-file fraction FALLS as the table
     * grows (probe cost tracks matching files, not table size) while
     * the full scan is linear — the Delta bloom-index story measured.
-    * Writes BLOOM_r12.json. Enabled with SPARK_GRAFT_SCALE_BLOOM=1. */
+    * Writes BLOOM_r13.json. Enabled with SPARK_GRAFT_SCALE_BLOOM=1. */
   private def bloomCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.Txn
@@ -1044,7 +1044,7 @@ object ScaleBench {
     val s =
       s"""{"note":"table clustered by o_custkey grown nx with per-file bloom sidecars on the UNCLUSTERED o_orderkey; fixed 8-key point probe: files_kept/files_total is the bloom skipping decision (min/max keeps ~all files for an unclustered key). The CLAIM is files_kept staying ~constant as files_total grows nx -- at 100 TB that is 6 file opens vs 400; local wall times tie because the page cache hides the IO a cluster would pay","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BLOOM_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("BLOOM_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -1056,7 +1056,7 @@ object ScaleBench {
     * cost tracks PARTITION size (flat as the table grows) while the
     * scan is linear — the one skipping mechanism that needs no sidecar
     * because the directory listing is the index. Writes
-    * PARTITION_r12.json. Enabled with SPARK_GRAFT_SCALE_PARTITION=1. */
+    * PARTITION_r13.json. Enabled with SPARK_GRAFT_SCALE_PARTITION=1. */
   private def partitionCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.Txn
@@ -1106,7 +1106,7 @@ object ScaleBench {
     val s =
       s"""{"note":"table grown nx by ADDING years (new partitions of constant size -- the time-partitioned ingest shape); fixed one-year query: readPartitionPruned opens dirs_kept of dirs_total partition dirs straight off the directory listing (no sidecar). The claim is pruned_read_sec flat in table size (tracks the partition, 1/nx of the table) vs the full scan linear","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("PARTITION_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("PARTITION_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -1123,7 +1123,7 @@ object ScaleBench {
     * dir, and at 100 TB rung (b)→(a) is another ~10× fewer file opens
     * on top of partition pruning's n× (local wall times may tie — the
     * page cache hides IO; the gated claim is the open counts). Writes
-    * PARTSKIP_r12.json. Enabled with SPARK_GRAFT_SCALE_PARTSKIP=1. */
+    * PARTSKIP_r13.json. Enabled with SPARK_GRAFT_SCALE_PARTSKIP=1. */
   private def partSkipCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
     import graft.ops.Txn
@@ -1173,20 +1173,168 @@ object ScaleBench {
         scanMin = math.min(scanMin, (t4 - t3) / 1e9)
         f.delete(new org.apache.hadoop.fs.Path(root), true)
       }
+      // TWO-LEVEL layout (r13, r12 verdict item 4): the same corpus
+      // laid out year=…/src=… (4 sources per year); a (year, src)
+      // probe walks the recursive directory rung — non-matching year
+      // SUBTREES are never listed, then 1 of 4 src dirs inside the
+      // kept year survives. dirs2_kept stays FLAT at 2 while the leaf
+      // count grows ~7m*4: the per-level listing cost IS the claim.
+      var twoLevelMin = Double.MaxValue
+      var d2 = (-1, -1, -1, -1)
+      var nHits2 = -1L
+      (1 to passes).foreach { _ =>
+        spark.catalog.clearCache()
+        val root2 = s"/tmp/graft_txnpartskip2_x$m"
+        val f2a = new org.apache.hadoop.fs.Path(root2)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f2a.delete(new org.apache.hadoop.fs.Path(root2), true)
+        val base2 = base.withColumn("o_src",
+          concat(lit("s"), (col("o_custkey") % 4).cast("string")))
+        Txn.commitPartitioned(
+          base2.repartition(col("o_year"), col("o_src")),
+          root2, "o_year,o_src")
+        val t0b = System.nanoTime()
+        val (frame, kept, total, dirsKept, dirsTotal) =
+          Txn.readSqlPruned(spark, root2, Txn.currentVersion(spark, root2).get,
+            Seq(Txn.PartProbe("o_year", Seq(1995L)),
+              Txn.PartProbe("o_src", Seq("s1"))))
+        nHits2 = frame.count()
+        val t1b = System.nanoTime()
+        d2 = (dirsKept, dirsTotal, kept, total)
+        twoLevelMin = math.min(twoLevelMin, (t1b - t0b) / 1e9)
+        f2a.delete(new org.apache.hadoop.fs.Path(root2), true)
+      }
       val (dk, dt, fk, fit) = probe
       System.err.println(f"partskip x$m (dirs $dk/$dt, files $fk/$fit, " +
         f"hits=$nHits): build $buildMin%.2f s, two-rung $twoRungMin%.2f s, " +
-        f"dir-rung $dirRungMin%.2f s, scan $scanMin%.2f s")
-      (m, dk, dt, fk, fit, nHits, buildMin, twoRungMin, dirRungMin, scanMin)
+        f"dir-rung $dirRungMin%.2f s, scan $scanMin%.2f s; " +
+        f"two-level dirs ${d2._1}/${d2._2} files ${d2._3}/${d2._4} " +
+        f"hits=$nHits2 ${twoLevelMin}%.2f s")
+      (m, dk, dt, fk, fit, nHits, buildMin, twoRungMin, dirRungMin, scanMin,
+        d2, nHits2, twoLevelMin)
     }
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val json = out.map { case (m, dk, dt, fk, fit, h, b, two, dir, sc) =>
-      s""""x$m":{"dirs_kept":$dk,"dirs_total":$dt,"files_kept":$fk,"files_in_kept_dirs":$fit,"hits":$h,"build_sec":${f2(b)},"two_rung_sec":${f2(two)},"dir_rung_sec":${f2(dir)},"full_scan_sec":${f2(sc)}}"""
+    val json = out.map {
+      case (m, dk, dt, fk, fit, h, b, two, dir, sc, dd2, h2, tl) =>
+        s""""x$m":{"dirs_kept":$dk,"dirs_total":$dt,"files_kept":$fk,"files_in_kept_dirs":$fit,"hits":$h,"build_sec":${f2(b)},"two_rung_sec":${f2(two)},"dir_rung_sec":${f2(dir)},"full_scan_sec":${f2(sc)},"two_level":{"dirs_kept":${dd2._1},"dirs_total":${dd2._2},"files_kept":${dd2._3},"files_total":${dd2._4},"hits":$h2,"sec":${f2(tl)}}}"""
     }.mkString(",")
     val s =
-      s"""{"note":"year-partitioned table grown nx by adding years, each year range-laid-out by o_custkey into ~16 files with per-partition _stats.tsv sidecars; fixed one-year narrow-custkey query. Two rungs compose: dirs_kept/dirs_total is the directory rung (flat 1 vs nx), files_kept/files_in_kept_dirs the file rung inside the kept year (~2 of ~16). At 100 TB the product is the point-query read path (partition -> file -> row); local wall times can tie because the page cache hides the file opens the counts gate","passes":$passes,"probe":{"year":1995,"custkey_lo":$cLo,"custkey_hi":$cHi},"corpora":{$json}}"""
+      s"""{"note":"year-partitioned table grown nx by adding years, each year range-laid-out by o_custkey into ~16 files with per-partition _stats.tsv sidecars; fixed one-year narrow-custkey query. Two rungs compose: dirs_kept/dirs_total is the directory rung (flat 1 vs nx), files_kept/files_in_kept_dirs the file rung inside the kept year (~2 of ~16). two_level (r13): the same corpus as a NESTED year=/src= layout probed on (year, src) — dirs_kept counts PER-LEVEL listing decisions and stays FLAT at 2 (1 year subtree listed of 7m, then 1 src dir of 4) while leaves grow 28m; dropped year subtrees are never listed at all. At 100 TB the product is the point-query read path (partition -> file -> row); local wall times can tie because the page cache hides the file opens the counts gate","passes":$passes,"probe":{"year":1995,"custkey_lo":$cLo,"custkey_hi":$cHi,"two_level_src":"s1"},"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("PARTSKIP_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("PARTSKIP_r13.json"), s.getBytes)
+    println(s)
+  }
+
+  /** STREAMING-SOURCE BACKLOG drain (r13, r12 verdict item 1): a graft
+    * table with an m-scaled version backlog (and an m-scaled initial
+    * snapshot) drains through a RATE-LIMITED stream
+    * (`maxVersionsPerTrigger=1`, `maxFilesPerTrigger=4`) vs the r12
+    * unlimited source. The claim the curve gates: the bounded stream's
+    * MAX micro-batch stays FLAT (one version's rows, resp. 4 files'
+    * rows) while the backlog/snapshot grows m× — every batch is
+    * individually checkpointed, so a failure mid-drain loses one
+    * bounded batch, not the whole 100 TB onboarding; the unlimited
+    * form's single batch grows linearly (reported, not detonated past
+    * x10). Writes STREAMBACKLOG_r13.json. Enabled with
+    * SPARK_GRAFT_SCALE_STREAMBACKLOG=1. */
+  private def streamBacklogCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.Txn
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val shard = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("v"))
+      .limit(20000).cache()
+    shard.count()
+    // per-batch input sizes via the listener — recentProgress caps out
+    val batchRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        batchRows.synchronized {
+          if (e.progress.numInputRows > 0) batchRows += e.progress.numInputRows
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    def drain(root: String, ckpt: String, out: String,
+        opts: Map[String, String]): (Long, Int, Double) = {
+      batchRows.synchronized(batchRows.clear())
+      val t0 = System.nanoTime()
+      val r = opts.foldLeft(spark.readStream.format("graft")) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      val q = r.load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rows = batchRows.synchronized(batchRows.toSeq)
+      (if (rows.isEmpty) 0L else rows.max, rows.size, wall)
+    }
+    val unit = shard.limit(5000).cache(); unit.count()
+    val bounded = Map(
+      "maxFilesPerTrigger" -> "4", "maxVersionsPerTrigger" -> "1")
+    val out = mults.map { m =>
+      val root = s"/tmp/graft_sbk_x$m/t"
+      val f = new org.apache.hadoop.fs.Path(s"/tmp/graft_sbk_x$m")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(s"/tmp/graft_sbk_x$m"), true)
+      // initial snapshot: 4m uniform ~5000-row files
+      Txn.commit((0 until m).map(k => unit.select(
+        (col("id") + lit(k * 1000000L)).as("id"), col("v")))
+        .reduce(_.unionByName(_)).repartition(4 * m), root)
+      var snapMax = Long.MaxValue; var snapBatches = 0
+      var snapWall = Double.MaxValue
+      var catchMax = Long.MaxValue; var catchBatches = 0
+      var catchWall = Double.MaxValue
+      var unlimMax = 0L; var unlimWall = Double.MaxValue
+      (1 to passes).foreach { p =>
+        // phase 1: the bounded INITIAL SNAPSHOT drain (fresh checkpoint)
+        val ckpt = java.nio.file.Files.createTempDirectory("sbk_ck").toString
+        // the file sink pins its _spark_metadata to the checkpoint: the
+        // catch-up drain must reuse the SAME output dir
+        val outDir = java.nio.file.Files.createTempDirectory("sbk_out").toString
+        val (sm, sb, sw) = drain(root, ckpt, outDir, bounded)
+        snapMax = math.min(snapMax, sm); snapBatches = sb
+        snapWall = math.min(snapWall, sw)
+        // phase 2: a 3m-version backlog lands while the stream is DOWN,
+        // then the SAME checkpoint catches up one version per batch
+        if (p == 1) (1 to 3 * m).foreach { k =>
+          Txn.commitAppend(unit.select(
+            (col("id") + lit((1000 + k) * 1000000L)).as("id"), col("v"))
+            .coalesce(1), root)
+        }
+        val (cm, cb, cw) = drain(root, ckpt, outDir, bounded)
+        catchMax = math.min(catchMax, cm); catchBatches = cb
+        catchWall = math.min(catchWall, cw)
+        // the r12 shape: everything in ONE unbounded batch
+        val ckptU = java.nio.file.Files.createTempDirectory("sbk_cku").toString
+        val outU = java.nio.file.Files.createTempDirectory("sbk_outu").toString
+        val (um, _, uw) = drain(root, ckptU, outU, Map.empty)
+        unlimMax = math.max(unlimMax, um); unlimWall = math.min(unlimWall, uw)
+      }
+      System.err.println(f"streambacklog x$m: snapshot max-batch $snapMax " +
+        f"rows/$snapBatches batches ($snapWall%.2f s); catch-up max-batch " +
+        f"$catchMax rows/$catchBatches batches ($catchWall%.2f s); " +
+        f"unlimited max-batch $unlimMax rows ($unlimWall%.2f s)")
+      (m, snapMax, snapBatches, snapWall, catchMax, catchBatches, catchWall,
+        unlimMax, unlimWall)
+    }
+    spark.streams.removeListener(listener)
+    shard.unpersist(); unit.unpersist()
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, sm, sb, sw, cm, cb, cw, um, uw) =>
+      s""""x$m":{"snapshot_max_batch_rows":$sm,"snapshot_batches":$sb,"snapshot_wall_sec":${f2(sw)},"catchup_max_batch_rows":$cm,"catchup_batches":$cb,"catchup_wall_sec":${f2(cw)},"unlimited_max_batch_rows":$um,"unlimited_wall_sec":${f2(uw)}}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"graft streaming source rate limiting (r13): table = 4m uniform ~5000-row files, then a 3m-version backlog lands while the stream is DOWN. snapshot = the bounded initial-snapshot drain from a fresh checkpoint (maxFilesPerTrigger=4): max micro-batch FLAT at ~4 files' rows while the snapshot grows m-fold, every chunk checkpointed via sub-version offsets; catchup = the SAME checkpoint resuming over the backlog (maxVersionsPerTrigger=1): max batch FLAT at one version's rows while the backlog grows m-fold; unlimited = the r12 behavior, ONE batch of everything, growing linearly - the shape that loses all progress on failure. Local walls favor fewer micro-batch roundtrips at page-cached scale; the claim is the bounded max-batch row counts","passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("STREAMBACKLOG_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -1196,7 +1344,7 @@ object ScaleBench {
     * milliseconds regardless of table size (a 100 TB dev/test branch
     * for free) — while the deep copy is O(table); first-read-from-clone
     * included to show the clone read costs the same as reading the
-    * source (it IS the source's files). Writes CLONE_r12.json.
+    * source (it IS the source's files). Writes CLONE_r13.json.
     * Enabled with SPARK_GRAFT_SCALE_CLONE=1. */
   private def cloneCurve(spark: SparkSession, baseDir: String,
       mults: Seq[Int], passes: Int): Unit = {
@@ -1247,7 +1395,7 @@ object ScaleBench {
     val s =
       s"""{"note":"shallow clone of a table grown nx vs the deep-copy alternative (full commit of read(src)): cloneTable is O(manifest) -- flat milliseconds at any table size (the free dev/test branch) -- while deep copy is O(table); first_read_sec shows the clone read costs what reading the source costs (same files)","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("CLONE_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("CLONE_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -1300,7 +1448,7 @@ object ScaleBench {
     val s =
       s"""{"note":"fixed 1000-key erasure against a table grown nx: commitDelete (tombstone entry, O(keys)) vs the rewrite alternative (full commit of the anti-joined table, O(table)); folded_read_sec is the per-read anti-join tax a tombstoned version carries until compaction","passes":$passes,"corpora":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("TXNDELETE_r12.json"), s.getBytes)
+      java.nio.file.Paths.get("TXNDELETE_r13.json"), s.getBytes)
     println(s)
   }
 
@@ -1382,6 +1530,10 @@ object ScaleBench {
       sqlMergeCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_STREAMBACKLOG").contains("1")) {
+      streamBacklogCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_SQLSKIP").contains("1")) {
       sqlSkipCurve(spark, baseDir, mults, passes)
       spark.stop(); return
@@ -1449,7 +1601,7 @@ object ScaleBench {
     val out =
       s"""{"base":"$baseDir","multipliers":[${mults.mkString(",")}],"passes":$passes,"docs":$docsJson,"queries":$qJson}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALING_r12.json"), out.getBytes)
+      java.nio.file.Paths.get("SCALING_r13.json"), out.getBytes)
     println(out)
     spark.stop()
   }

@@ -51,6 +51,12 @@ private[catalog] object GraftBatchWrite {
     * `~touchedTuples@cols, newDir` manifest extension via
     * [[Txn.publishDynamicOverwrite]]. */
   case object DynamicOverwrite extends Mode
+  /** Replace the partition subtree the STATEMENT names (r13,
+    * `INSERT OVERWRITE t PARTITION (col=v, …)`): one
+    * `~(v,…)@cols, newDir` extension via
+    * [[Txn.publishPartitionReplace]]; an empty batch still clears the
+    * named partition. */
+  final case class ReplaceWhere(colVals: Seq[(String, Any)]) extends Mode
 
   /** StructType → parquet MessageType for the supported flat set; all
     * fields optional (Spark's reader null-fills; nullability is
@@ -166,6 +172,11 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
       Txn.writeSidecars(spark, root, dataRel,
         statsCols.filterNot(partCols.contains), bloomCols.filterNot(partCols.contains))
     mode match {
+      case GraftBatchWrite.ReplaceWhere(colVals) =>
+        Txn.publishPartitionReplace(spark, root,
+          if (wroteFiles) Some(dataRel) else None, colVals,
+          pinnedBase.getOrElse(sys.error(
+            "partition replace requires a pinned base version")), meta)
       case GraftBatchWrite.DynamicOverwrite =>
         // an empty batch replaces no partitions — a valid no-op, the
         // table stays at its pinned version (Spark's own dynamic-

@@ -571,7 +571,8 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     // on an unpartitioned table dynamic degenerates to the full
     // replace, so the capability is always sound to declare
     util.EnumSet.of(TableCapability.BATCH_READ, writeCap,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.OVERWRITE_BY_FILTER)
   }
 
   /** The declared partition transforms (r13): surfaced so DESCRIBE and
@@ -1104,11 +1105,49 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
     physifyFrame: DataFrame => DataFrame = identity,
     physifySchemaF: StructType => StructType = identity)
   extends WriteBuilder with SupportsTruncate
-  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var overwrite = false
   private var dynamic = false
+  /** Static `INSERT OVERWRITE t PARTITION (col=v, …)` (r13): the named
+    * partition-equality tuple, replaced via one manifest extension. */
+  private var replaceWhere: Option[Seq[(String, Any)]] = None
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** The delete-filters of a static partition overwrite: accepted iff
+    * every filter is TRUE or a non-null equality on a declared
+    * partition column (distinct columns) — exactly the shapes the
+    * tombstone can replace; anything else refuses at plan time. */
+  private def parseReplaceWhere(
+      filters: Array[Filter]): Option[Seq[(String, Any)]] = {
+    val pcs = partCols.toSet
+    val eqs = filters.toSeq.flatMap {
+      case sources.AlwaysTrue()                          => Seq.empty
+      case sources.EqualTo(a, v) if pcs(a) && v != null  => Seq((a, v))
+      case sources.EqualNullSafe(a, v)
+          if pcs(a) && v != null                         => Seq((a, v))
+      case _                                             => return None
+    }
+    if (eqs.nonEmpty && eqs.map(_._1).distinct.size == eqs.size) Some(eqs)
+    else None
+  }
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall { case sources.AlwaysTrue() => true; case _ => false } ||
+      parseReplaceWhere(filters).isDefined
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall { case sources.AlwaysTrue() => true; case _ => false })
+      truncate()
+    else {
+      replaceWhere = Some(parseReplaceWhere(filters).getOrElse(sys.error(
+        s"graft overwrite-by-filter supports partition-column equality " +
+          s"conjunctions, got ${filters.mkString(", ")}")))
+      overwrite = true
+      this
+    }
+  }
   /** `partitionOverwriteMode=dynamic` INSERT OVERWRITE (r13): replace
     * only the partitions present in the batch — O(touched partitions),
     * never a table rewrite. Unpartitioned tables degrade to the full
@@ -1139,7 +1178,12 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
   override def build(): Write =
     if (nativeSupported) new Write {
       override def toBatch: BatchWrite =
-        if (dynamic)
+        if (replaceWhere.isDefined)
+          new GraftBatchWrite(root, schema,
+            GraftBatchWrite.ReplaceWhere(replaceWhere.get),
+            "sql-overwrite-partition", pinnedBase = Some(pinnedVersion),
+            partCol = partCol, statsCols = statsCols, bloomCols = bloomCols)
+        else if (dynamic)
           // dynamic overwrite: executors write the touched partitions,
           // commit publishes ONE replace-partitions extension (r13)
           new GraftBatchWrite(root, schema, GraftBatchWrite.DynamicOverwrite,
@@ -1164,6 +1208,11 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
             // names — land it under the physical ones (r13)
             val data = physifyFrame(data0)
             (overwrite || ow, partCol) match {
+              case (true, Some(c)) if replaceWhere.isDefined =>
+                Txn.commitReplaceWhere(data, root, c, replaceWhere.get,
+                  expectedBase = pinnedVersion, statsCols = statsCols,
+                  meta = Map("op" -> "sql-overwrite-partition",
+                    "partitionCol" -> c))
               case (true, Some(c)) if dynamic =>
                 Txn.commitReplacePartitions(data, root, c,
                   expectedBase = pinnedVersion, statsCols = statsCols,

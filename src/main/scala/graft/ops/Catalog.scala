@@ -488,6 +488,59 @@ object GraftCatalog {
     }
   }
 
+  /** TWO-LEVEL PARTITIONED DDL (r13, r12 verdict item 4): `PARTITIONED
+    * BY (yr, pr)` lays shards as nested `yr=…/pr=…` dir chains — the
+    * year/source layout of a real corpus drop. The probe filters BOTH
+    * levels, so the recursive directory rung fires twice (non-matching
+    * year subtrees are never even listed; inside the kept years only
+    * the matching priority dirs are) and a static
+    * `INSERT OVERWRITE … PARTITION (yr=…, pr=…)` refreshes exactly one
+    * leaf through one `~(yr,pr)@yr+pr` manifest extension — the oracle
+    * recomputes the post-overwrite state relationally, so the hash pins
+    * partition reconstruction at both levels AND the subtree-replace
+    * semantics. CatalogSpec pins the per-level dirsKept counts. */
+  val txnSqlPartitioned2: Q = Q(
+    "txn_sql_partitioned2",
+    """WITH base AS (
+      |  SELECT o_orderkey AS orderkey, o_totalprice AS price,
+      |    CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority AS pr
+      |  FROM orders),
+      |repl AS (SELECT orderkey + 50000000 AS orderkey, price * 0.5 AS price,
+      |  CAST(1995 AS BIGINT) AS yr, '1-URGENT' AS pr
+      |  FROM base WHERE yr = 1994 AND pr = '1-URGENT'),
+      |final AS (
+      |  SELECT * FROM base WHERE NOT (yr = 1995 AND pr = '1-URGENT')
+      |  UNION ALL SELECT * FROM repl)
+      |SELECT yr, pr, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(orderkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(price) AS DOUBLE) AS hi
+      |FROM final WHERE yr IN (1995, 1997) AND pr IN ('1-URGENT', '5-LOW')
+      |GROUP BY yr, pr ORDER BY yr, pr""".stripMargin
+  ) { (s, dir) =>
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val t = "ord_part2"
+      resetSqlTable(s, catRootDir, t)
+      s.sql(s"""CREATE TABLE $c.$t
+        |(orderkey BIGINT, price DOUBLE, yr BIGINT, pr STRING)
+        |PARTITIONED BY (yr, pr)""".stripMargin)
+      s.sql(s"""INSERT INTO $c.$t
+        |SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS BIGINT),
+        |  o_orderpriority
+        |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      // static partition overwrite: ONE (yr, pr) leaf refreshed via a
+      // single manifest extension, every other leaf untouched
+      s.sql(s"""INSERT OVERWRITE $c.$t PARTITION (yr = 1995, pr = '1-URGENT')
+        |SELECT o_orderkey + 50000000, o_totalprice * 0.5
+        |FROM parquet.`$dir/orders.parquet`
+        |WHERE year(o_orderdate) = 1994 AND o_orderpriority = '1-URGENT'""".stripMargin)
+      s.sql(s"""SELECT yr, pr, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(price) AS DOUBLE) AS hi
+        |FROM $c.$t WHERE yr IN (1995, 1997) AND pr IN ('1-URGENT', '5-LOW')
+        |GROUP BY yr, pr ORDER BY yr, pr""".stripMargin)
+    }
+  }
+
   /** COMPOSITE-KEY SQL MERGE (r13, r12 verdict item 3): the same
     * three-branch MERGE economics as [[txnSqlUpsert]], on a table whose
     * declared key is a column LIST — `TBLPROPERTIES ('graft.key' =
@@ -615,6 +668,6 @@ object GraftCatalog {
   }
 
   def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog, txnSqlMerge,
-    txnSqlSkipping, txnSqlPartitioned, txnSqlEvolve, txnSqlUpsert,
-    txnSqlUpsertComposite, txnSqlRestore, txnSqlSkippingStr)
+    txnSqlSkipping, txnSqlPartitioned, txnSqlPartitioned2, txnSqlEvolve,
+    txnSqlUpsert, txnSqlUpsertComposite, txnSqlRestore, txnSqlSkippingStr)
 }

@@ -619,6 +619,64 @@ object Txn {
       Some(dataRel), meta)
   }
 
+  /** STATIC partition replace (r13, `INSERT OVERWRITE t PARTITION
+    * (col=v, …)`): replace exactly the partition subtree the statement
+    * NAMES — one `…prior, ~(v,…)@cols, dataRel` extension, the
+    * [[publishDynamicOverwrite]] shape with the tuple taken from the
+    * statement instead of the written dirs (so an EMPTY batch still
+    * clears the named partition, per SQL semantics). Values must be
+    * non-null (a null key anti-joins nothing). CAS-pinned. */
+  private[graft] def publishPartitionReplace(spark: SparkSession,
+      root: String, dataRel: Option[String], colVals: Seq[(String, Any)],
+      expectedBase: Long, meta: Map[String, String] = Map.empty): Long = {
+    require(colVals.nonEmpty, "partition replace needs at least one column")
+    colVals.foreach { case (c, v) =>
+      require(v != null,
+        s"cannot replace the NULL partition of $c: a null key matches " +
+          "no rows in the tombstone anti-join — rewrite it explicitly")
+    }
+    val schema = readVersion(spark, root, expectedBase).schema
+    val cols = colVals.map(_._1)
+    val strSchema = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val strDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(colVals.map(_._2.toString): _*)), 1),
+      strSchema)
+    val typed = strDf.select(cols.map(c =>
+      col(c).cast(schema(c).dataType).as(c)): _*)
+    val keysRel = writeSnapshot(typed, root, Nil)
+    publishDeltaIf(spark, root, expectedBase, cols, Some(keysRel),
+      dataRel, meta)
+  }
+
+  /** [[publishPartitionReplace]] from a DataFrame (the V1 write-bridge
+    * path). An EMPTY batch publishes the tombstone alone — the named
+    * partition clears, per INSERT OVERWRITE semantics (the fileless
+    * snapshot dir would otherwise break read-time schema inference). */
+  def commitReplaceWhere(df: DataFrame, root: String, partSpec: String,
+      colVals: Seq[(String, Any)], expectedBase: Long,
+      statsCols: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val dataRel = writeSnapshot(df, root, statsCols,
+      partitionBy = Some(partSpec))
+    val f = fs(spark, root)
+    val hasFiles = {
+      val it = f.listFiles(new Path(s"$root/$dataRel"), true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        found = st.isFile && st.getPath.getName.endsWith(".parquet")
+      }
+      found
+    }
+    if (!hasFiles) f.delete(new Path(s"$root/$dataRel"), true)
+    publishPartitionReplace(spark, root,
+      if (hasFiles) Some(dataRel) else None, colVals, expectedBase, meta)
+  }
+
   /** [[publishDynamicOverwrite]] from a DataFrame (the V1 write-bridge
     * path): write the batch hive-partitioned, then publish the
     * replace-touched-partitions extension. O(batch) end to end. */

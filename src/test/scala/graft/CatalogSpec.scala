@@ -1000,6 +1000,51 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.dp").head().getLong(0) == 10L)
   }
 
+  test("static INSERT OVERWRITE PARTITION (col=v): replaces exactly the " +
+      "named subtree, empty batch clears it, bad shapes refuse (r13)") {
+    import graft.ops.Txn
+    val c = sqlCat("statover")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.sp (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $c.sp SELECT id, id % 4 AS day FROM range(400)")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "sp")
+    val before = Txn.currentVersion(spark, tRoot).get
+    // named-partition overwrite: one manifest extension, O(batch)
+    spark.sql(s"INSERT OVERWRITE $c.sp PARTITION (day = 1) " +
+      s"SELECT id + 7000 FROM range(30)")
+    val after = Txn.currentVersion(spark, tRoot).get
+    assert(after == before + 1)
+    val (_, line, meta) = Txn.history(spark, tRoot).find(_._1 == after).get
+    assert(meta.get("op").contains("sql-overwrite-partition"), s"$meta")
+    assert(line.split(',').exists(_.matches("~.*@day")), s"$line")
+    assert(spark.sql(s"SELECT count(*) AS n, min(id) AS m FROM $c.sp " +
+      s"WHERE day = 1").head().toSeq == Seq(30L, 7000L))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.sp").head().getLong(0)
+      == 330L)
+    // an EMPTY batch still clears the named partition (SQL semantics)
+    spark.sql(s"INSERT OVERWRITE $c.sp PARTITION (day = 3) " +
+      s"SELECT id FROM range(0) WHERE id > 0")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.sp WHERE day = 3")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.sp").head().getLong(0)
+      == 230L)
+    // two-level: naming only the FIRST level replaces the whole subtree
+    spark.sql(s"CREATE TABLE $c.sp2 (id BIGINT, year BIGINT, src STRING) " +
+      s"PARTITIONED BY (year, src)")
+    spark.sql(s"INSERT INTO $c.sp2 SELECT id, 2020 + id % 2, " +
+      s"CASE WHEN id % 2 = 0 THEN 'web' ELSE 'book' END FROM range(100)")
+    spark.sql(s"INSERT OVERWRITE $c.sp2 PARTITION (year = 2020) " +
+      s"SELECT id + 900, 'web' FROM range(5)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.sp2 WHERE year = 2020")
+      .head().getLong(0) == 5L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.sp2").head().getLong(0)
+      == 55L)
+    // a non-partition-column filter shape refuses at plan time
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $c.sp PARTITION (day = null) VALUES (1)")
+    }
+  }
+
   test("dynamic partition overwrite composes with multi-level layouts: " +
       "one (year,src) leaf refresh (r13)") {
     import graft.ops.Txn

@@ -840,6 +840,44 @@ class StreamingSpec extends SparkSpec {
       s"mid-snapshot restart lost or duplicated rows (n=${got.size})")
   }
 
+  test("graft source rate limiting composes with CDC mode: chunked " +
+      "genesis, bounded catch-up, retractions intact (r13)") {
+    import graft.ops.Txn
+    val root = java.nio.file.Files.createTempDirectory("gsrc_cdc_rl").toString + "/t"
+    val out = java.nio.file.Files.createTempDirectory("gsrc_cdc_rl_o").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gsrc_cdc_rl_c").toString
+    Txn.commit((1L to 600L).map(i => (i, i % 5L)).toDF("id", "v")
+      .repartition(6), root)
+    Txn.commitDelete(spark, root, "id", Seq(10L).toDF("id")) // folds into genesis
+    def start() = spark.readStream.format("graft")
+      .option("changeFeed", "true")
+      .option("maxFilesPerTrigger", "2")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start(); q1.processAllAvailable()
+    val genesisBatches = q1.lastProgress.batchId + 1
+    q1.stop()
+    assert(genesisBatches >= 3,
+      s"CDC genesis must chunk (6 files / 2 per trigger): $genesisBatches")
+    // backlog lands down: an upsert (delete+insert retraction pair) and
+    // an append — the bounded catch-up serves them one version per batch
+    Txn.commitUpsert(Seq((5L, 999L)).toDF("id", "v"), root, "id")
+    Txn.commitAppend(Seq((1000L, 0L)).toDF("id", "v"), root)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // signed fold of the whole feed ≡ the table's final state
+    val folded = rows.groupBy(r => (r._1, r._2)).view.mapValues(g =>
+      g.count(_._3 == "insert") - g.count(_._3 == "delete"))
+      .filter(_._2 > 0).keys.toSeq.sorted
+    val want = Txn.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(folded == want, s"CDC fold drifted (n=${folded.size} vs ${want.size})")
+  }
+
   test("graft streaming sink schema evolution: a restart with a " +
       "nullable-add schema lands as an evolution append, old rows " +
       "null-fill, exactly-once intact (r13)") {
