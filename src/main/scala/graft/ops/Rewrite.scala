@@ -740,6 +740,35 @@ object Rewrite {
       .orderBy("o_orderkey")
   }
 
+  /** STRING-KEY bloom point lookup (r13): the [[txnBloomPoint]] story
+    * for the keys a 100 TB text corpus actually has — STRING doc IDs /
+    * URLs / content hashes. The table clusters by doc_id; the string
+    * key `suid` is doc_id REVERSED (injective, so the oracle is exact,
+    * and order-destroying, so per-file lexicographic min/max spans
+    * ~everything — string STATS cannot prune a point probe). The
+    * xxhash64-fed string bloom can: `readPointString` opens only files
+    * whose filter may contain a probe (one-sided; absent probes must
+    * return nothing). CatalogSpec measures kept ≤ 3 of 16 on the same
+    * shape through pasted SQL. */
+  val txnBloomPointStr: Q = Q(
+    "txn_bloom_point_str",
+    """SELECT doc_id, 'doc-' || reverse(CAST(doc_id AS VARCHAR)) AS suid
+      |FROM documents WHERE doc_id % 97 = 0
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val root = txnRoot(s, dir, "docs_strbloom")
+    val d = documents(s, dir).select(col("doc_id"),
+      concat(lit("doc-"), reverse(col("doc_id").cast("string"))).as("suid"))
+    Txn.commitIndexed(
+      d.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+      root, bloomCols = Seq("suid"), bloomBits = 1 << 18)
+    val probes = d.where(col("doc_id") % 97 === 0)
+      .select("suid").collect().map(_.getString(0)).toSeq // bounded ~docs/97
+    Txn.readPointString(s, root, "suid",
+      probes ++ Seq("doc-absent-a", "doc-absent-b")) // absent: must miss
+      .orderBy("doc_id")
+  }
+
   /** CHECK constraints on commit (r10, Delta's table constraints): a
     * commit whose snapshot violates any check publishes NOTHING — the
     * row plants a violating commit first (nulls injected into acctbal,
@@ -1066,7 +1095,8 @@ object Rewrite {
   def all: Seq[Q] = Seq(llmLineDedup, mergeUpsert, mergeUpsertTxn, mergeScd2,
     llmPipelineEnd2end, txnChanges, txnSkipping, txnSkippingTombstone,
     txnChangesEvolve, txnUpsertIncremental, txnRestore, txnClone,
-    txnBloomPoint, txnConstraints, txnPartitioned, txnPartitionSkipping,
+    txnBloomPoint, txnBloomPointStr, txnConstraints, txnPartitioned,
+    txnPartitionSkipping,
     txnMaintain, txnLifecycle,
     txnTimeTravel, txnIncrementalAgg, txnAppend, txnDelete)
 }

@@ -1516,6 +1516,31 @@ object Txn {
     * sidecar per file holds ~100k keys under 1% FP; size it to the
     * file row count, not the table. Null values contribute nothing (a
     * null never matches a point probe). */
+  /** The long a STRING value feeds its bloom as (r13): Spark's
+    * xxhash64 at the default seed — computed identically by the
+    * executor-side builder (`functions.xxhash64`) and the driver-side
+    * probe, so string point lookups (doc IDs, URLs — the natural keys
+    * of a 100 TB text corpus) get the same O(matching files) economics
+    * long keys have. */
+  private[graft] def bloomStringHash(v: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        org.apache.spark.sql.types.StringType)),
+      42L) // Spark's functions.xxhash64 default seed
+      .eval(null).asInstanceOf[Long]
+
+  /** A bloom column's long feed: STRING columns hash (r13 — a cast
+    * would drop every non-numeric value), everything else keeps the
+    * r10 cast('long'). Pre-r13 string "blooms" were cast-based: fully
+    * non-numeric columns produced NO sidecar rows (always kept, safe);
+    * a mixed numeric-string column's old sidecar would mislead the
+    * hashing reader — re-commit or compact such tables to refresh. */
+  private def bloomFeed(snap: DataFrame, c: String): org.apache.spark.sql.Column =
+    if (snap.schema(c).dataType == org.apache.spark.sql.types.StringType)
+      xxhash64(col(c))
+    else col(c).cast("long")
+
   private def writeBloom(spark: SparkSession, f: FileSystem,
       dataDir: String, bloomCols: Seq[String], mBits: Int): Unit = {
     val snap = readDir(spark, f, dataDir)
@@ -1532,9 +1557,9 @@ object Txn {
     if (!partitioned) {
       val sb = new StringBuilder
       bloomCols.foreach { c =>
-        snap.where(col(c).cast("long").isNotNull)
+        snap.where(col(c).isNotNull)
           .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-          .agg(agg(col(c).cast("long")).as("bits"))
+          .agg(agg(bloomFeed(snap, c)).as("bits"))
           .collect() // one row per data FILE — bounded by snapshot file count
           .foreach(r => sb.append(
             s"${decodeUriSegment(r.getString(0))}\t$c\t${encode(r, 1)}\n"))
@@ -1547,12 +1572,12 @@ object Txn {
       // pdir regex captures the whole a=v/b=w chain)
       val perDir = scala.collection.mutable.Map.empty[String, StringBuilder]
       bloomCols.foreach { c =>
-        snap.where(col(c).cast("long").isNotNull)
+        snap.where(col(c).isNotNull)
           .groupBy(
             regexp_extract(input_file_name(),
               "/([^/]+=[^/]*(?:/[^/]+=[^/]*)*)/[^/]+$", 1).as("pdir"),
             regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-          .agg(agg(col(c).cast("long")).as("bits"))
+          .agg(agg(bloomFeed(snap, c)).as("bits"))
           .collect()
           .foreach { r =>
             perDir.getOrElseUpdate(decodeUriChain(r.getString(0)), new StringBuilder)
@@ -1894,6 +1919,35 @@ object Txn {
     (plan.collect { case Left(gs) => gs.map(_.files.size).sum }.sum, total)
   }
 
+  /** STRING point-lookup read `col IN (values)` (r13): the
+    * [[readPoint]] economics for STRING keys — doc IDs, URLs, content
+    * hashes, the natural identifiers of a text corpus — via the
+    * xxhash64-fed blooms and the `_stats_str.tsv` lexicographic
+    * bounds. One-sided like every skipping read: ≡
+    * `read().where(col isin values)`, files without sidecar rows are
+    * always read; tombstones fold over the pruned scan. */
+  def readPointString(spark: SparkSession, root: String, colName: String,
+      values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "readPointString needs at least one probe value")
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val (plan, _) = prunePlanBy(spark, root, v,
+      probesKeepFile(spark, root, v, Seq(StrPointProbe(colName, values))))
+    scanPruned(spark, root, v, plan)
+      .where(col(colName).isin(values: _*))
+  }
+
+  /** The file-count decision [[readPointString]] would make: (kept,
+    * total) — the measurable string-bloom skipping claim. */
+  def probeFilesString(spark: SparkSession, root: String, colName: String,
+      values: Seq[String]): (Int, Int) = {
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val (plan, total) = prunePlanBy(spark, root, v,
+      probesKeepFile(spark, root, v, Seq(StrPointProbe(colName, values))))
+    (plan.collect { case Left(gs) => gs.map(_.files.size).sum }.sum, total)
+  }
+
   /** TWO-RUNG pruned read on a hive-partitioned table (r11, closing the
     * r10 "partitioned dirs refuse file skipping" gap): directory
     * pruning (`partCol IN values` straight off the listing) composes
@@ -1996,7 +2050,15 @@ object Txn {
             case None       => true
           })
       }
-      case StrPointProbe(c, vs) => strStats.get((base, c)) match {
+      case StrPointProbe(c, vs) =>
+        val bloomKeep = blooms.get((base, c)) match {
+          case Some(bits) =>
+            // string blooms carry xxhash64 feeds (r13): a probe value
+            // survives iff its hash may be present
+            vs.exists(v => bloomMayContain(bits, bloomStringHash(v)))
+          case None => true
+        }
+        bloomKeep && (strStats.get((base, c)) match {
         case Some((Some(mn), Some(mx))) =>
           // Compare in the WRITER's order: the sidecar min/max came from
           // Spark's min()/max() under UTF8String binary (UTF-8 byte)
@@ -2011,7 +2073,7 @@ object Txn {
             b.compareTo(bMn) >= 0 && b.compareTo(bMx) <= 0
           }
         case _ => true // no stats row or null bounds: always read
-      }
+      })
       case _: PartProbe => true
     }
   }

@@ -870,6 +870,45 @@ class CatalogSpec extends SparkSpec {
     assert(Txn.partitionProbe(spark, tRoot, "year", Seq(2030L)) == ((1, 2)))
   }
 
+  test("STRING bloom sidecars: point lookups on an UNCLUSTERED string " +
+      "key open O(matching) files where min/max stats keep everything (r13)") {
+    import graft.ops.Txn
+    val c = sqlCat("strbloom")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    val root = fresh("strbloom_t")
+    // files clustered by id; the STRING key suid is uniform across
+    // files — lexicographic min/max spans ~everything per file, so only
+    // the bloom can prune (the exact story long blooms tell, r10)
+    import org.apache.spark.sql.functions.{col => fcol, concat, lit, lpad}
+    val docs = spark.range(1, 16001).select(
+      fcol("id"),
+      concat(lit("doc-"), lpad(((fcol("id") * 2654435761L) % 100000L)
+        .cast("string"), 6, "0")).as("suid"))
+      .repartitionByRange(16, fcol("id"))
+    Txn.commitIndexed(docs, root, bloomCols = Seq("suid"))
+    GraftCatalog.create(spark, catRoot, "sb", root)
+    // programmatic claim: the bloom keeps O(matching) of 16 files
+    val probe = docs.where(fcol("id") === 7777L)
+      .select("suid").head().getString(0)
+    val (kept, total) = Txn.probeFilesString(spark, root, "suid", Seq(probe))
+    assert(total == 16 && kept <= 3,
+      s"string bloom must prune an unclustered key: $kept/$total")
+    // ≡ the unpruned read
+    val got = Txn.readPointString(spark, root, "suid", Seq(probe))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = Txn.read(spark, root).where(fcol("suid") === probe)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.contains(7777L))
+    // and through pasted SQL: the V1/native skipping path consults the
+    // string bloom for equality probes
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.sb WHERE suid = '$probe'")
+      .head().getLong(0) == want.size.toLong)
+    val d = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d.filesKept <= 3 && d.filesTotal == 16,
+      s"SQL string point query must open O(matching) files: $d")
+  }
+
   test("ALTER TABLE RENAME/DROP COLUMN via column mapping: metadata-only, " +
       "old versions time-travel with old names, writes land physically (r13)") {
     import graft.ops.Txn
