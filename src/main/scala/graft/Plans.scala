@@ -40,7 +40,8 @@ object Plans {
       "txn_partition_skipping", "txn_maintain", "llm_cluster_best",
       "txn_sql_merge", "txn_sql_skipping", "txn_sql_partitioned",
       "txn_sql_evolve", "txn_sql_upsert",
-      "txn_sql_partitioned2", "txn_sql_upsert_composite")
+      "txn_sql_partitioned2", "txn_sql_upsert_composite",
+      "txn_sql_join_prune", "txn_sql_widen")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)
@@ -105,6 +106,32 @@ object Plans {
       sb.append("\n")
       spark.conf.unset("spark.sql.catalog.plans_g")
       spark.conf.unset("spark.sql.catalog.plans_g.root")
+    }
+    // r13 golden: a join keyed on a declared-index fact column plans
+    // DYNAMIC PRUNING into the native scan — the BatchScan carries a
+    // RuntimeFilters entry (dynamicpruning subquery over the dim's
+    // surviving keys), which GraftRuntimeFilterableScan turns into a
+    // sidecar file-skipping decision at execution.
+    locally {
+      val cat = java.nio.file.Files.createTempDirectory("plans_dpp").toString
+      spark.conf.set("spark.sql.catalog.plans_d",
+        classOf[graft.catalog.GraftSqlCatalog].getName)
+      spark.conf.set("spark.sql.catalog.plans_d.root", cat)
+      spark.sql("CREATE TABLE plans_d.fact (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('graft.stats' = 'k', 'graft.bloom' = 'k')")
+      spark.sql(
+        "INSERT INTO plans_d.fact SELECT id % 1000, id FROM range(0, 20000)")
+      spark.sql("CREATE TABLE plans_d.dim (k BIGINT, tag STRING)")
+      spark.sql("INSERT INTO plans_d.dim SELECT id, " +
+        "CASE WHEN id % 7 = 0 THEN 'x' ELSE 'y' END FROM range(0, 1000)")
+      val j = spark.sql("SELECT f.k, f.v FROM plans_d.fact f " +
+        "JOIN plans_d.dim d ON f.k = d.k WHERE d.tag = 'x'")
+      sb.append("==== runtime_filter_scan (indexed fact x selective dim, r13) ====\n")
+      sb.append(j.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("\n")
+      spark.conf.unset("spark.sql.catalog.plans_d")
+      spark.conf.unset("spark.sql.catalog.plans_d.root")
     }
     Files.writeString(Paths.get(outFile), sb.toString)
     spark.stop()

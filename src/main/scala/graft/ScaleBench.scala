@@ -761,6 +761,118 @@ object ScaleBench {
     println(s)
   }
 
+  /** PARTITION-OVERWRITE write volume (r13, r12 verdict item 6's
+    * done-condition): a year-partitioned SQL table grown m× (m
+    * replicas of the orders shard, years shifted so partition count
+    * grows linearly), then ONE year refreshed three ways — static
+    * `INSERT OVERWRITE … PARTITION (yr=…)`, dynamic-mode
+    * `INSERT OVERWRITE` whose batch holds only that year, and the
+    * whole-table replace. Claims the curve gates: (1) both partition
+    * forms' WRITE BYTES stay FLAT while the full replace grows
+    * linearly with the table (old snapshots are immutable, so root
+    * growth = bytes written); (2) untouched partitions' FILES are
+    * untouched — the current version's scan re-points at the exact
+    * same paths (inputFiles asserted per pass). Local walls tie at
+    * page-cached scale; write volume is the 100 TB cost. Writes
+    * OVERWRITE_r13.json. Enabled with SPARK_GRAFT_SCALE_OVERWRITE=1. */
+  private def overwriteCurve(spark: SparkSession, baseDir: String,
+      mults: Seq[Int], passes: Int): Unit = {
+    import graft.ops.GraftCatalog
+    val shard = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select(col("o_orderkey").as("okey"),
+        col("o_totalprice").as("price"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+    val out = mults.map { m =>
+      val base = (0 until m).map { k =>
+        shard.withColumn("yr", col("yr") + lit(k * 100L))
+          .withColumn("okey", col("okey") + lit(k * 10000000L))
+      }.reduce(_.unionByName(_))
+      var staticMin = Double.MaxValue
+      var dynMin = Double.MaxValue
+      var fullMin = Double.MaxValue
+      var staticBytes = -1L
+      var dynBytes = -1L
+      var fullBytes = -1L
+      var nParts = -1L
+      def rootBytes(root: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(p)) 0L
+        else {
+          var total = 0L
+          val it = f.listFiles(p, true)
+          while (it.hasNext) { val st = it.next(); if (st.isFile) total += st.getLen }
+          total
+        }
+      }
+      (1 to passes).foreach { p =>
+        spark.catalog.clearCache()
+        val catName = s"gsbo${m}p$p"
+        val catRoot = s"/tmp/graft_overwrite_x${m}_p$p"
+        val f = new org.apache.hadoop.fs.Path(catRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(catRoot), true)
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          "graft.catalog.GraftSqlCatalog")
+        spark.conf.set(s"spark.sql.catalog.$catName.root", catRoot)
+        base.createOrReplaceTempView("ow_base")
+        spark.sql(s"CREATE TABLE $catName.part " +
+          "(okey BIGINT, price DOUBLE, yr BIGINT) PARTITIONED BY (yr)")
+        spark.sql(s"INSERT INTO $catName.part SELECT okey, price, yr FROM ow_base")
+        nParts = spark.sql(
+          s"SELECT count(DISTINCT yr) AS n FROM $catName.part").head().getLong(0)
+        val root = GraftCatalog.resolve(spark, catRoot, "part")
+        // the untouched-partition witness: the exact file paths the
+        // CURRENT version reads for a year the overwrites never touch
+        def filesOf(yr: Long): Set[String] =
+          spark.sql(s"SELECT * FROM $catName.part WHERE yr = $yr")
+            .inputFiles.toSet
+        val before1996 = filesOf(1996L)
+        val b0 = rootBytes(root)
+        val t0 = System.nanoTime()
+        spark.sql(s"INSERT OVERWRITE $catName.part PARTITION (yr=1995) " +
+          "SELECT okey, price * 2 FROM ow_base WHERE yr = 1995")
+        val t1 = System.nanoTime()
+        val b1 = rootBytes(root)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.sql(s"INSERT OVERWRITE $catName.part " +
+          "SELECT okey, price * 3, yr FROM ow_base WHERE yr = 1995")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        val t2 = System.nanoTime()
+        val b2 = rootBytes(root)
+        require(filesOf(1996L) == before1996,
+          "partition overwrite touched files of an un-overwritten partition")
+        spark.sql(s"INSERT OVERWRITE $catName.part " +
+          "SELECT okey, price, yr FROM ow_base")
+        val t3 = System.nanoTime()
+        val b3 = rootBytes(root)
+        staticMin = math.min(staticMin, (t1 - t0) / 1e9)
+        dynMin = math.min(dynMin, (t2 - t1) / 1e9)
+        fullMin = math.min(fullMin, (t3 - t2) / 1e9)
+        staticBytes = b1 - b0
+        dynBytes = b2 - b1
+        fullBytes = b3 - b2
+        spark.conf.unset(s"spark.sql.catalog.$catName")
+        spark.conf.unset(s"spark.sql.catalog.$catName.root")
+        f.delete(new org.apache.hadoop.fs.Path(catRoot), true)
+      }
+      System.err.println(f"overwrite x$m (partitions=$nParts): " +
+        f"static $staticMin%.2f s ($staticBytes B), " +
+        f"dynamic $dynMin%.2f s ($dynBytes B), " +
+        f"full $fullMin%.2f s ($fullBytes B)")
+      (m, nParts, staticMin, dynMin, fullMin, staticBytes, dynBytes, fullBytes)
+    }
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val json = out.map { case (m, np, st, dy, fu, sb, db, fb) =>
+      s""""x$m":{"partitions":$np,"static_sec":${f2(st)},"dynamic_sec":${f2(dy)},"full_sec":${f2(fu)},"static_write_bytes":$sb,"dynamic_write_bytes":$db,"full_write_bytes":$fb}"""
+    }.mkString(",")
+    val s =
+      s"""{"note":"year-partitioned SQL table grown nx (partitions grow linearly), ONE year refreshed three ways: static INSERT OVERWRITE PARTITION, dynamic-mode INSERT OVERWRITE (only the touched partitions replace, via one manifest extension whose tombstones come from the new dirs' leaf listing), and the whole-table replace. static/dynamic write_bytes stay FLAT (one partition's data) while full grows with the table; inputFiles of an untouched year asserted IDENTICAL across both partition overwrites per pass. At 100 TB the flat forms are the daily-refresh path; the linear form is what every refresh would cost without them","passes":$passes,"corpora":{$json}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("OVERWRITE_r13.json"), s.getBytes)
+    println(s)
+  }
+
   /** SQL file-skipping economics (r12, r11 verdict item 1's
     * done-condition): a fixed 4-key point probe through pasted SQL
     * against an INDEXED table (range-clustered, stats+bloom sidecars)
@@ -1536,6 +1648,10 @@ object ScaleBench {
     }
     if (sys.env.get("SPARK_GRAFT_SCALE_SQLSKIP").contains("1")) {
       sqlSkipCurve(spark, baseDir, mults, passes)
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_OVERWRITE").contains("1")) {
+      overwriteCurve(spark, baseDir, mults, passes)
       spark.stop(); return
     }
     val ingest = sys.env.get("SPARK_GRAFT_SCALE_INGEST").contains("1")

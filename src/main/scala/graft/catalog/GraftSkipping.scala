@@ -68,6 +68,13 @@ private[catalog] object GraftSkipping {
     else Seq.empty
   }
 
+  /** Point probes from runtime-filter values (r13): same derivation the
+    * static paths use — long-castable values feed the stats/bloom rungs,
+    * string values the string-stats rung. Values arrive type-gated by
+    * the caller (probeSafeType on the declared LiteralValue dataType). */
+  private[catalog] def runtimePointProbes(a: String,
+      vs: Seq[Any]): Seq[Txn.SkipProbe] = pointProbes(a, vs)
+
   private def probesOfOne(f: Filter): Seq[Txn.SkipProbe] = f match {
     case sources.EqualTo(a, v) =>
       asPartValue(v).map(p => Txn.PartProbe(a, Seq(p))).toSeq ++
@@ -105,7 +112,7 @@ private[catalog] object GraftSkipping {
     * stats written in epoch SECONDS / rendered dir names and silently
     * drop files holding matching rows (r12 advice, high). Gate on the
     * declared dataType, never the runtime value class. */
-  private def probeSafeType(
+  private[catalog] def probeSafeType(
       dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.ByteType |
          org.apache.spark.sql.types.ShortType |
@@ -226,7 +233,7 @@ object GraftScanStats {
   * other (1 - selectivity) of a 100 TB table's footers. */
 private[catalog] class GraftNativeScanBuilder(spark: SparkSession,
     root: String, version: Long, dirs: Seq[String], schema: StructType,
-    label: String) extends ScanBuilder
+    label: String, indexCols: Seq[String] = Nil) extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -267,7 +274,7 @@ private[catalog] class GraftNativeScanBuilder(spark: SparkSession,
     val decision =
       if (probes.isEmpty) None
       else Some(Txn.sqlKeptFiles(spark, root, version, probes))
-    decision match {
+    val static = decision match {
       case Some((keptPaths, kept, total)) if kept < total =>
         GraftScanStats.record(label, kept, total)
         // a fully-pruned scan still needs a valid (empty) file index —
@@ -283,5 +290,113 @@ private[catalog] class GraftNativeScanBuilder(spark: SparkSession,
         }
         inner.build()
     }
+    // declared-index tables additionally accept RUNTIME filters (DPP):
+    // a broadcast-join's build-side key set arrives post-exchange as an
+    // IN predicate and prunes files through the same sidecar probes
+    val filterable = indexCols.filter(c =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (filterable.isEmpty) static
+    else new GraftRuntimeFilterableScan(static, filterable, probes,
+      ps => {
+        val b = mkBuilder(ps)
+        b.pushFilters(pushedExprs)
+        required.foreach(b.pruneColumns)
+        b.build()
+      },
+      rps => Txn.sqlKeptFiles(spark, root, version, rps), label)
   }
+}
+
+/** Runtime-filterable wrapper over the native parquet scan (r13): a
+  * join whose OTHER side completed (broadcast exchange) hands its key
+  * set to [[filter]] as an `IN` predicate — Spark's dynamic pruning for
+  * DSv2 scans ([[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]).
+  * The values run through the SAME one-sided sidecar probe planner the
+  * static path uses, and when they keep fewer files the delegate scan is
+  * REBUILT over only those paths before `toBatch` plans partitions. At
+  * 100 TB this is the star-join economics: a fact table keyed/bloomed on
+  * the join column opens O(files holding the dim's surviving keys), not
+  * O(all files) — driven by data, not by a literal in the SQL text.
+  * One-sided as ever: Spark re-evaluates the join itself, so a kept-too-
+  * many decision only costs I/O. Type safety: values are gated on the
+  * declared column dataType exactly like static probes (the r12 advice
+  * gate), so timestamp/date internal encodings never feed a probe. */
+private[catalog] class GraftRuntimeFilterableScan(
+    private var delegate: Scan, filterable: Seq[String],
+    staticProbes: Seq[Txn.SkipProbe], rebuild: Seq[String] => Scan,
+    keptOf: Seq[Txn.SkipProbe] => (Seq[String], Int, Int), label: String)
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  /** Forward the delegate's REAL statistics — hiding them behind the
+    * wrapper would cost every indexed table `defaultSizeInBytes` (≈ ∞)
+    * and un-broadcast small dims, the exact V1-bridge regression fixed
+    * earlier this round. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = delegate match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def filterAttributes(): Array[NamedReference] =
+    filterable.map(c => Expressions.column(c)).toArray
+
+  /** Translate runtime V2 predicates to skipping probes. Only
+    * column-IN-literals / column=literal shapes contribute (the shapes
+    * Spark's runtime-filter translation emits); every literal must be a
+    * probe-safe declared type or the whole predicate contributes
+    * nothing — one-sided by construction. */
+  private def probesOfV2(ps: Array[V2Predicate]): Seq[Txn.SkipProbe] =
+    ps.toSeq.flatMap { p =>
+      val kids = p.children()
+      val colName = kids.headOption.collect {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          nr.fieldNames()(0)
+      }
+      val lits = kids.drop(1).toSeq.map {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value() != null && GraftSkipping.probeSafeType(l.dataType()) =>
+          Some(l.value(): Any)
+        case _ => None
+      }
+      (p.name(), colName) match {
+        case ("IN" | "=", Some(a))
+            if lits.nonEmpty && lits.forall(_.isDefined) =>
+          GraftSkipping.runtimePointProbes(a, lits.flatten)
+        case _ => Seq.empty
+      }
+    }
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val runtime = probesOfV2(predicates)
+    if (runtime.nonEmpty) {
+      val (keptPaths, kept, total) = keptOf(staticProbes ++ runtime)
+      if (kept < total) {
+        GraftScanStats.record(s"$label(runtime)", kept, total)
+        delegate = rebuild(keptPaths)
+      }
+    }
+  }
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    delegate.toBatch
+  override def description(): String =
+    s"${delegate.description()} (graft runtime-filterable: " +
+      s"${filterable.mkString(",")})"
+  override def columnarSupportMode()
+      : Scan.ColumnarSupportMode = delegate.columnarSupportMode()
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    delegate.supportedCustomMetrics()
 }

@@ -109,6 +109,27 @@ object GraftSqlCatalog {
       (java.net.URLDecoder.decode(p, "UTF-8"),
         java.net.URLDecoder.decode(l, "UTF-8"))
     }
+
+  /** Declared WIDENED column types (r13, ALTER COLUMN TYPE): (logical
+    * name, declared type) pairs carried as the `coltypes` key in commit
+    * metadata — versioned exactly like `colmap`, so `VERSION AS OF` a
+    * pre-widen version reads with the old type. Only same-chain
+    * widenings are ever declared (validated at ALTER time), which is
+    * what makes the read side a lossless metadata-only cast. */
+  private[catalog] def encodeColTypes(
+      m: Seq[(String, org.apache.spark.sql.types.DataType)]): String =
+    m.map { case (n, t) =>
+      java.net.URLEncoder.encode(n, "UTF-8") + ":" +
+        java.net.URLEncoder.encode(t.catalogString, "UTF-8")
+    }.mkString(",")
+  private[catalog] def decodeColTypes(
+      s: String): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    s.split(',').toSeq.filter(_.nonEmpty).map { pair =>
+      val Array(n, t) = pair.split(':')
+      (java.net.URLDecoder.decode(n, "UTF-8"),
+        org.apache.spark.sql.types.DataType.fromDDL(
+          java.net.URLDecoder.decode(t, "UTF-8")))
+    }
 }
 
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
@@ -287,6 +308,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     var added = Seq.empty[org.apache.spark.sql.types.StructField]
     var renames = Seq.empty[(String, String)]
     var drops = Seq.empty[String]
+    var widens = Seq.empty[(String, org.apache.spark.sql.types.DataType)]
     var propUpdates = Map.empty[String, String]
     changes.foreach {
       case a: TableChange.AddColumn =>
@@ -336,6 +358,34 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             s"(partition/key/index properties) — dropping it would " +
             "orphan the declared layout; update the properties first")
         drops :+= name
+      case u: TableChange.UpdateColumnType =>
+        // ALTER COLUMN TYPE is metadata-only and WIDENING-only (r13):
+        // byte→short→int→long / float→double are lossless — old files
+        // keep their narrow physical type and every read path widens
+        // (explicit-schema parquet reads promote per file; the V1
+        // bridge casts; mixed chains union-coerce). Anything else
+        // would need a data rewrite — refuse loud, like Delta without
+        // type widening enabled.
+        require(u.fieldNames().length == 1,
+          "graft SQL catalog: nested ALTER COLUMN is not supported: " +
+            u.fieldNames().mkString("."))
+        val name = u.fieldNames().head
+        require(current.fieldNames.contains(name), s"no column $name")
+        require(!contractCols.contains(name),
+          s"column $name is part of the table contract " +
+            s"(partition/key/index properties) — its type anchors the " +
+            "declared layout (dir names, sidecar domains, tombstone " +
+            "keys); update the properties first")
+        val oldT = current(name).dataType
+        val newT = u.newDataType()
+        require(oldT != newT, s"column $name is already $oldT")
+        require(Txn.sameWideningChain(oldT, newT) &&
+          Txn.widerType(oldT, newT) == newT,
+          s"graft SQL catalog: ALTER COLUMN $name TYPE $oldT -> $newT " +
+            "is not a lossless widening (supported: byte/short/int -> " +
+            "a wider integral, float -> double); a narrowing or " +
+            "cross-family change needs a rewrite")
+        widens :+= ((name, newT))
       case p: TableChange.SetProperty if p.property() == GraftSqlCatalog.KeyProp =>
         val ks = p.value().split(',').map(_.trim).filter(_.nonEmpty).toSeq
         require(ks.nonEmpty && ks.distinct == ks,
@@ -361,6 +411,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           "DROP COLUMN, SET TBLPROPERTIES " +
           s"('${GraftSqlCatalog.KeyProp}' = ...)")
     }
+    require(widens.isEmpty || (renames.isEmpty && drops.isEmpty),
+      "graft SQL catalog: combine ALTER COLUMN TYPE with RENAME/DROP " +
+        "COLUMN in separate statements")
     if (propUpdates.nonEmpty) Txn.setTableProps(spark, root, propUpdates)
     // RENAME/DROP are metadata-only (r13): fold them into the column
     // mapping and publish it as commit metadata — no data moves, the
@@ -379,6 +432,25 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           "cannot DROP the table's last column")
         Some(dropped)
       }
+    // declared TYPE overrides follow renames/drops (r13): entries are
+    // keyed by LOGICAL name, so a rename re-keys them and a drop
+    // removes them — in the SAME commit, or a widened column's
+    // override would detach from its column
+    val baseTypes = tbl.colTypes
+    val rekeyedTypes: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      baseTypes.flatMap { case (n, t) =>
+        if (drops.contains(n)) None
+        else Some((renames.find(_._1 == n).fold(n)(_._2), t))
+      }
+    val typesMeta: Map[String, String] =
+      if (widens.nonEmpty)
+        Map("coltypes" -> GraftSqlCatalog.encodeColTypes(
+          baseTypes.filterNot { case (n, _) =>
+            widens.exists(_._1 == n)
+          } ++ widens))
+      else if ((renames.nonEmpty || drops.nonEmpty) && baseTypes.nonEmpty)
+        Map("coltypes" -> GraftSqlCatalog.encodeColTypes(rekeyedTypes))
+      else Map.empty
     if (added.nonEmpty) {
       // the evolution shard carries PHYSICAL names for existing columns
       // (plus identity names for the adds); when a mapping is active
@@ -394,12 +466,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], evolvedPhys)
       Txn.commitAppend(empty, root,
-        meta = Map("op" -> "sql-add-column") ++ mapMeta)
-    } else newMap.foreach { m =>
+        meta = Map("op" -> "sql-add-column") ++ mapMeta ++ typesMeta)
+    } else if (newMap.nonEmpty) newMap.foreach { m =>
       Txn.commitMetaOnly(spark, root, Map(
         "op" -> (if (renames.nonEmpty) "sql-rename-column"
                  else "sql-drop-column"),
-        "colmap" -> GraftSqlCatalog.encodeColMap(m)))
+        "colmap" -> GraftSqlCatalog.encodeColMap(m)) ++ typesMeta)
+    } else if (widens.nonEmpty) {
+      Txn.commitMetaOnly(spark, root,
+        Map("op" -> "sql-widen-column") ++ typesMeta)
     }
     loadTable(ident)
   }
@@ -505,14 +580,35 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     if (colMap.isEmpty) s
     else StructType(s.fields.map(f => f.copy(name = toPhysical(f.name))))
 
+  /** Declared WIDENED column types at this pinned version (r13, ALTER
+    * COLUMN TYPE): the last `coltypes` commit-metadata entry at or
+    * below `version`, keyed by logical name — empty on never-widened
+    * tables. Versioned like the column mapping: `VERSION AS OF` a
+    * pre-widen version reads with the old (file) types. */
+  private[catalog] lazy val colTypes
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    Txn.history(spark, root).filter(_._1 <= version).reverse
+      .collectFirst { case (_, _, m) if m.contains("coltypes") => m("coltypes") }
+      .map(GraftSqlCatalog.decodeColTypes).getOrElse(Nil)
+
   /** The LOGICAL snapshot a SQL statement sees: the physical frame
     * projected through the mapping (renames applied, dropped columns
-    * hidden). Identity when no mapping exists. */
-  private lazy val snapshot: DataFrame =
-    if (colMap.isEmpty) physSnapshot
-    else physSnapshot.select(colMap.map { case (p, l) =>
-      col(p).as(l)
-    }: _*)
+    * hidden), then cast to any declared widened types — lossless by
+    * the ALTER-time widening-only validation, and a no-op column-wise
+    * once post-widen files (already the wide type) dominate. */
+  private lazy val snapshot: DataFrame = {
+    val mapped =
+      if (colMap.isEmpty) physSnapshot
+      else physSnapshot.select(colMap.map { case (p, l) =>
+        col(p).as(l)
+      }: _*)
+    if (colTypes.isEmpty) mapped
+    else {
+      val tm = colTypes.toMap
+      mapped.select(mapped.columns.map(c =>
+        tm.get(c).fold(col(c))(t => col(c).cast(t).as(c))).toSeq: _*)
+    }
+  }
 
   /** Every physical column name still present in this version's files
     * — the reuse guard for ADD COLUMN under an active mapping. */
@@ -612,7 +708,11 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
     // bridge's projected frame (files carry physical names)
     else Txn.flatDataDirs(spark, root, version).map { dirs =>
       new GraftNativeScanBuilder(spark, root, version, dirs,
-        snapshot.schema, s"graft.$tableName@v$version")
+        snapshot.schema, s"graft.$tableName@v$version",
+        // declared index columns accept RUNTIME join filters (r13):
+        // DPP hands the broadcast side's key set to the scan, which
+        // prunes files through the same sidecar probes
+        indexCols = (statsCols ++ bloomCols).distinct)
     }
 
   /** The raw (un-wrapped) native builder for the row-level-operation

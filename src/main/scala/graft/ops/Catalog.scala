@@ -667,7 +667,98 @@ object GraftCatalog {
     }
   }
 
+  /** SQL `ALTER COLUMN TYPE` lossless widening (r13): the table is
+    * created NARROW (INT key, FLOAT balance), widened to BIGINT/DOUBLE
+    * as two metadata-only commits, then an INSERT lands values only
+    * the wide types can hold (keys beyond int32) — the final scan
+    * reads a MIXED chain (int32+float files under int64+double
+    * declared types, promoted per file by the parquet readers). The
+    * oracle recomputes both batches with the same float32-then-widen
+    * rounding, so the hash pins the IEEE semantics of the widened
+    * read, not just row counts. 100 TB: schema migration without a
+    * table rewrite — the whole point of type widening. */
+  val txnSqlWiden: Q = Q(
+    "txn_sql_widen",
+    """SELECT custkey, CAST(bal AS DOUBLE) AS bal FROM (
+      |  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+      |    CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE) AS bal
+      |  FROM customer WHERE c_custkey <= 750
+      |  UNION ALL
+      |  SELECT CAST(c_custkey AS BIGINT) + 3000000000 AS custkey,
+      |    CAST(c_acctbal AS DOUBLE) AS bal
+      |  FROM customer WHERE c_custkey > 750
+      |) ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val t = "cust_widen"
+      resetSqlTable(s, catRootDir, t)
+      s.sql(s"CREATE TABLE $c.$t (custkey INT, bal FLOAT)")
+      s.sql(s"""INSERT INTO $c.$t
+        |SELECT CAST(c_custkey AS INT), CAST(c_acctbal AS FLOAT)
+        |FROM parquet.`$dir/customer.parquet`
+        |WHERE c_custkey <= 750""".stripMargin)
+      s.sql(s"ALTER TABLE $c.$t ALTER COLUMN custkey TYPE BIGINT")
+      s.sql(s"ALTER TABLE $c.$t ALTER COLUMN bal TYPE DOUBLE")
+      s.sql(s"""INSERT INTO $c.$t
+        |SELECT c_custkey + 3000000000, CAST(c_acctbal AS DOUBLE)
+        |FROM parquet.`$dir/customer.parquet`
+        |WHERE c_custkey > 750""".stripMargin)
+      s.sql(s"""SELECT custkey, CAST(bal AS DOUBLE) AS bal
+        |FROM $c.$t ORDER BY custkey""".stripMargin)
+    }
+  }
+
+  /** Join-driven RUNTIME file skipping (r13): the fact table declares
+    * stats+bloom on the join key, the dim side carries a selective
+    * predicate, and Spark's dynamic pruning hands the broadcast side's
+    * surviving key set to the fact scan at execution —
+    * [[graft.catalog.GraftRuntimeFilterableScan]] runs those keys
+    * through the same sidecar probes a literal IN would, so the fact
+    * opens O(files holding the dim's keys). No literal appears on the
+    * fact table anywhere in the SQL: the pruning is driven by DATA.
+    * The driver hash pins that runtime pruning never changes results
+    * (one-sided contract); CatalogSpec pins that it actually fires.
+    * 100 TB: this is the star-join economics — a selective dim filter
+    * prunes the fact scan without the user rewriting the query. */
+  val txnSqlJoinPrune: Q = Q(
+    "txn_sql_join_prune",
+    """SELECT o.o_orderkey AS orderkey,
+      |  CAST(o.o_totalprice AS DOUBLE) AS price,
+      |  c.c_mktsegment AS seg
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey % 100 = 7
+      |ORDER BY orderkey""".stripMargin
+  ) { (s, dir) =>
+    withSqlCatalog(s, dir) { (c, catRootDir) =>
+      val ft = "orders_rf"
+      val dt = "cust_rf"
+      resetSqlTable(s, catRootDir, ft)
+      resetSqlTable(s, catRootDir, dt)
+      s.sql(s"""CREATE TABLE $c.$ft (o_orderkey BIGINT, o_custkey BIGINT,
+        |  o_totalprice DOUBLE)
+        |TBLPROPERTIES ('graft.stats' = 'o_custkey',
+        |  'graft.bloom' = 'o_custkey')""".stripMargin)
+      val ord = orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, col("o_custkey"))
+      val view = s"orders_rf_src_${Integer.toHexString(dir.hashCode)}"
+      ord.createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $c.$ft SELECT * FROM $view")
+      s.sql(s"CREATE TABLE $c.$dt (c_custkey BIGINT, c_mktsegment STRING)")
+      s.sql(s"""INSERT INTO $c.$dt
+        |SELECT c_custkey, c_mktsegment
+        |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+      s.sql(s"""SELECT o.o_orderkey AS orderkey,
+        |  CAST(o.o_totalprice AS DOUBLE) AS price,
+        |  c.c_mktsegment AS seg
+        |FROM $c.$ft o JOIN $c.$dt c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey % 100 = 7
+        |ORDER BY orderkey""".stripMargin)
+    }
+  }
+
   def all: Seq[Q] = Seq(txnCatalog, txnSqlCatalog, txnSqlMerge,
     txnSqlSkipping, txnSqlPartitioned, txnSqlPartitioned2, txnSqlEvolve,
-    txnSqlUpsert, txnSqlUpsertComposite, txnSqlRestore, txnSqlSkippingStr)
+    txnSqlUpsert, txnSqlUpsertComposite, txnSqlRestore, txnSqlSkippingStr,
+    txnSqlJoinPrune, txnSqlWiden)
 }

@@ -279,7 +279,20 @@ object Txn {
         // cannot resolve partition columns across distinct roots
         dirs.map(readDir(spark, f, _))
           .reduce(_.unionByName(_, allowMissingColumns = true))
-      else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      else try spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      catch {
+        // WIDENED chains (r13, ALTER COLUMN TYPE): parquet footer
+        // merging refuses int32-vs-int64 shards, but UNION coerces
+        // them to the wider member — re-read per dir and union. Only
+        // widened tables pay the fallback (and only its plan has N
+        // scan nodes); never-widened chains keep the single merged
+        // scan.
+        case e: Exception
+            if e.getMessage != null &&
+              e.getMessage.contains("CANNOT_MERGE") =>
+          dirs.map(readDir(spark, f, _))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+      }
     } else {
       // ordered fold: a tombstone deletes its keys from everything
       // BEFORE it in the entry list; rows appended AFTER the tombstone
@@ -456,6 +469,35 @@ object Txn {
       }
     }
     n
+  }
+
+  /** True when `a` and `b` sit on the same LOSSLESS widening chain
+    * (either direction): byte→short→int→long, or float→double. Mixed
+    * shards of chain types are read-safe — per-dir reads union-coerce
+    * to the wider member, and an explicit wider read schema makes the
+    * parquet readers widen each file's values (verified: Spark 4's
+    * vectorized reader promotes INT32→int64 and FLOAT→double when the
+    * requested schema says so) — which is what makes ALTER COLUMN TYPE
+    * a metadata-only operation. */
+  private[graft] def sameWideningChain(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val ints: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val fps: Set[DataType] = Set(FloatType, DoubleType)
+    a != b && ((ints(a) && ints(b)) || (fps(a) && fps(b)))
+  }
+
+  /** The wider member of a same-chain pair (callers guarantee
+    * [[sameWideningChain]] holds). */
+  private[graft] def widerType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val order: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    if (order.indexOf(a) >= order.indexOf(b)) a else b
   }
 
   /** Structural type with every nullability flag normalized — the
@@ -912,8 +954,14 @@ object Txn {
             // nullability-insensitive: a shard tightening (or loosening)
             // nullability is not a type change — every read path unions
             // schemas as nullable anyway (r11; strict equality rejected
-            // `array<long> not-null` into `array<long>`)
-            require(ignoreNullability(t) == ignoreNullability(fld.dataType),
+            // `array<long> not-null` into `array<long>`). Same-chain
+            // WIDENING shards are accepted (r13, ALTER COLUMN TYPE):
+            // lossless either direction — readVersion union-coerces
+            // mixed chains to the wider member, so they cannot poison
+            // reads the way a string-into-long shard would.
+            require(ignoreNullability(t) == ignoreNullability(fld.dataType)
+              || sameWideningChain(ignoreNullability(t),
+                ignoreNullability(fld.dataType)),
               s"appended shard changes column ${fld.name} from $t to " +
                 s"${fld.dataType} at $root — a type change needs a full " +
                 "rewrite commit, not an append")
@@ -2304,17 +2352,30 @@ object Txn {
         val prevFields = prev.schema.fields
         prevFields.foreach { pf =>
           curFields.find(_.name == pf.name).foreach { cf =>
-            require(cf.dataType == pf.dataType,
+            // same-chain WIDENING across versions diffs in the wider
+            // domain (r13, ALTER COLUMN TYPE — lossless, so a carried
+            // row compares equal to its widened self and emits no
+            // change); any other type change stays fail-loud
+            require(cf.dataType == pf.dataType ||
+              sameWideningChain(pf.dataType, cf.dataType),
               s"column ${pf.name} changed type between versions ${v - 1} " +
                 s"and $v at $root (${pf.dataType} -> ${cf.dataType}); " +
                 "CDC across a type change requires reader versioning")
           }
         }
         val allFields =
-          curFields ++ prevFields.filterNot(pf => curFields.exists(_.name == pf.name))
+          (curFields ++ prevFields.filterNot(pf =>
+            curFields.exists(_.name == pf.name))).map { fl =>
+            prevFields.find(_.name == fl.name) match {
+              case Some(pf) if sameWideningChain(pf.dataType, fl.dataType) =>
+                fl.copy(dataType = widerType(pf.dataType, fl.dataType))
+              case _ => fl
+            }
+          }
         def align(df: DataFrame): DataFrame =
           df.select(allFields.toSeq.map { fl =>
-            if (df.columns.contains(fl.name)) col(fl.name)
+            if (df.columns.contains(fl.name))
+              col(fl.name).cast(fl.dataType).as(fl.name)
             else lit(null).cast(fl.dataType).as(fl.name)
           }: _*)
         val (pa, ca) = (align(prev), align(cur))

@@ -1234,4 +1234,93 @@ class CatalogSpec extends SparkSpec {
       GraftCatalog.renameTable(spark, cat, "ghost", "x1")
     }.getMessage.contains("no table"))
   }
+
+  test("V2 SQL catalog: ALTER COLUMN TYPE widens losslessly as a " +
+      "metadata-only commit (r13)") {
+    import org.apache.spark.sql.types._
+    val c = sqlCat("widen")
+    spark.sql(s"CREATE TABLE $c.w (k INT, bal FLOAT, tag STRING)")
+    spark.sql(s"INSERT INTO $c.w VALUES (1, CAST(1.5 AS FLOAT), 'a'), " +
+      s"(2, CAST(2.5 AS FLOAT), 'b')")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    val root = GraftCatalog.resolve(spark, catRoot, "w")
+    val preWiden = Txn.currentVersion(spark, root).get
+    // widen both columns — two metadata-only commits, no data moves
+    val filesBefore = Txn.tableDetail(spark, root)._2
+    spark.sql(s"ALTER TABLE $c.w ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $c.w ALTER COLUMN bal TYPE DOUBLE")
+    assert(Txn.tableDetail(spark, root)._2 == filesBefore,
+      "widening must not rewrite any data file")
+    val sch = spark.table(s"$c.w").schema
+    assert(sch("k").dataType == LongType && sch("bal").dataType == DoubleType)
+    // old rows surface widened, values preserved
+    val rows = spark.sql(s"SELECT k, bal, tag FROM $c.w ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 1.5d, "a"), (2L, 2.5d, "b")))
+    // post-widen INSERT carries values only the WIDE type can hold —
+    // the chain now mixes int32 and int64 files and still reads
+    spark.sql(s"INSERT INTO $c.w VALUES (3000000000, 3.5, 'c')")
+    val sum = spark.sql(s"SELECT CAST(SUM(k) AS BIGINT) AS s, " +
+      s"CAST(SUM(bal) AS DOUBLE) AS b FROM $c.w").head()
+    assert(sum.getLong(0) == 3000000003L && math.abs(sum.getDouble(1) - 7.5) < 1e-9)
+    // time travel: the pre-widen version reads with the old types
+    val old = spark.sql(s"SELECT * FROM $c.w VERSION AS OF $preWiden").schema
+    assert(old("k").dataType == IntegerType && old("bal").dataType == FloatType)
+    // widened type FOLLOWS a rename (the override re-keys in the same
+    // commit)
+    spark.sql(s"ALTER TABLE $c.w RENAME COLUMN k TO k2")
+    val ren = spark.table(s"$c.w").schema
+    assert(ren("k2").dataType == LongType)
+    assert(spark.sql(s"SELECT CAST(SUM(k2) AS BIGINT) AS s FROM $c.w")
+      .head().getLong(0) == 3000000003L)
+    // refusals: narrowing, cross-family, contract columns
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.w ALTER COLUMN k2 TYPE INT") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.w ALTER COLUMN tag TYPE BIGINT") }
+    spark.sql(s"CREATE TABLE $c.wc (id INT, v INT) " +
+      s"TBLPROPERTIES ('graft.stats' = 'id')")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.wc ALTER COLUMN id TYPE BIGINT") }
+  }
+
+  test("V2 SQL catalog: runtime join filters prune fact files through " +
+      "sidecars (DPP, r13)") {
+    import spark.implicits._
+    val c = sqlCat("dpp")
+    // fact: 16 key-clustered files with stats+bloom on the join key —
+    // NO literal predicate on the fact anywhere in the query
+    spark.sql(s"CREATE TABLE $c.f_dpp (id BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('graft.stats' = 'id', 'graft.bloom' = 'id')")
+    (1L to 16000L).map(i => (i, i % 97L)).toDF("id", "v")
+      .repartitionByRange(16, col("id"))
+      .createOrReplaceTempView("dpp_fact_src")
+    spark.sql(s"INSERT INTO $c.f_dpp SELECT * FROM dpp_fact_src")
+    // dim: tiny, with a selective predicate — its surviving keys land
+    // in two distinct fact files
+    spark.sql(s"CREATE TABLE $c.d_dpp (id BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $c.d_dpp VALUES " +
+      s"(5, 'x'), (9001, 'x'), (12345, 'y')")
+    graft.catalog.GraftScanStats.reset()
+    val out = spark.sql(
+      s"""SELECT f.id, f.v FROM $c.f_dpp f
+         |JOIN $c.d_dpp d ON f.id = d.id
+         |WHERE d.tag = 'x'""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((5L, 5L), (9001L, 9001L % 97L)))
+    val d = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d.label.endsWith("(runtime)"),
+      s"the decision must come from the RUNTIME filter path: $d")
+    // 17 = 16 clustered INSERT files + the empty CREATE shard (no
+    // sidecars -> kept one-sidedly); two surviving dim keys admit 2
+    assert(d.filesTotal == 17 && d.filesKept <= 3,
+      s"two surviving dim keys must open <= 3 of 17 fact files: $d")
+    // one-sided contract: pruned result ≡ the same join unpruned
+    // (through a plain filter-less read of both snapshots)
+    val fact = spark.sql(s"SELECT id, v FROM $c.f_dpp")
+    val dim = spark.sql(s"SELECT id FROM $c.d_dpp WHERE tag = 'x'")
+    val ref = fact.join(dim, "id").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == ref)
+  }
 }

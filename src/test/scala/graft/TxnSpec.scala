@@ -1053,6 +1053,37 @@ class TxnSpec extends SparkSpec {
       .select("grp").collect().map(_.getLong(0)).toSeq.sorted)
   }
 
+  test("widening appends: a same-chain wider shard is accepted, mixed " +
+      "chains read union-coerced, CDC diffs across the boundary (r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshRoot("widen")
+    Txn.commit(Seq((1, 1.5f), (2, 2.5f)).toDF("k", "bal"), root)
+    // a WIDER shard appends (int->long, float->double): lossless, so
+    // the guard admits it where a cross-family change stays refused
+    Txn.commitAppend(Seq((3000000000L, 3.5d)).toDF("k", "bal"), root)
+    val df = Txn.read(spark, root)
+    assert(df.schema("k").dataType == LongType &&
+      df.schema("bal").dataType == DoubleType,
+      s"mixed chain must union-coerce to the wider member: ${df.schema}")
+    val got = df.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.5d), (2L, 2.5d), (3000000000L, 3.5d)))
+    // a NARROWER same-chain shard also reads safely (coerces up)
+    Txn.commitAppend(Seq((4, 4.5f)).toDF("k", "bal"), root)
+    assert(Txn.read(spark, root).count() == 4)
+    // cross-family stays poison-guarded
+    intercept[IllegalArgumentException] {
+      Txn.commitAppend(Seq(("x", 9.9d)).toDF("k", "bal"), root)
+    }
+    // CDC across the widen boundary: the diff runs in the wider domain
+    // and reports exactly the appended rows as inserts
+    val cdc = Txn.changes(spark, root, 1L, 2L)
+      .select("change_op", "k", "bal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cdc == Seq(("insert", 3000000000L, 3.5d)), s"got $cdc")
+  }
+
   test("commitChecked: violation publishes nothing, SQL NULL-check semantics") {
     import spark.implicits._
     val root = freshRoot("check")
