@@ -58,6 +58,23 @@ private[catalog] object GraftBatchWrite {
     * named partition. */
   final case class ReplaceWhere(colVals: Seq[(String, Any)]) extends Mode
 
+  /** Evaluate a bound CHECK predicate against one row (r13): SQL CHECK
+    * semantics — only an explicit FALSE violates (NULL passes). The
+    * throw fails the task, which fails the statement; the half-written
+    * files sit in a dir no manifest will ever reference, so nothing
+    * was committed (the same atomicity every abort path rides). */
+  def assertCheck(check: Option[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)],
+      row: InternalRow, schema: StructType): Unit =
+    check.foreach { case (sql, e) =>
+      val r = e.eval(row)
+      if (r != null && !r.asInstanceOf[Boolean])
+        throw new IllegalStateException(
+          s"CHECK ($sql) violated by row " +
+            row.toSeq(schema).mkString("[", ", ", "]") +
+            " — statement aborted, nothing was committed")
+    }
+
   /** StructType → parquet MessageType for the supported flat set; all
     * fields optional (Spark's reader null-fills; nullability is
     * enforced upstream by the analyzer). */
@@ -140,7 +157,10 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
     pinnedBase: Option[Long] = None,
     partCol: Option[String] = None,
     statsCols: Seq[String] = Nil,
-    bloomCols: Seq[String] = Nil) extends BatchWrite {
+    bloomCols: Seq[String] = Nil,
+    check: Option[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = None)
+  extends BatchWrite {
 
   private val dataRel = s"data/${UUID.randomUUID().toString}"
   // the partition spec is one column or a comma list (r13 multi-level)
@@ -221,7 +241,8 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(s"$root/$dataRel", schema, rowLevel, partCols)
+    new GraftWriterFactory(s"$root/$dataRel", schema, rowLevel, partCols,
+      check)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // no manifest references the dir — deleting it is cleanup, not
@@ -234,14 +255,18 @@ private[catalog] class GraftBatchWrite(root: String, schema: StructType,
 
 private[catalog] class GraftWriterFactory(dataDir: String,
     schema: StructType, rowLevel: Boolean,
-    partCols: Seq[String] = Nil) extends DataWriterFactory {
+    partCols: Seq[String] = Nil,
+    check: Option[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = None)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     if (partCols.nonEmpty)
       new GraftPartitionedParquetWriter(dataDir, schema, partCols,
-        partitionId, taskId)
+        partitionId, taskId, check = check)
     else
-      new GraftParquetWriter(dataDir, schema, partitionId, taskId, rowLevel)
+      new GraftParquetWriter(dataDir, schema, partitionId, taskId, rowLevel,
+        check = check)
 }
 
 /** Native HIVE-PARTITIONED task writer (r12): each row routes to a
@@ -258,7 +283,9 @@ private[catalog] class GraftWriterFactory(dataDir: String,
   * same knob Spark's own partitioned writer exposes. */
 private[catalog] class GraftPartitionedParquetWriter(dataDir: String,
     schema: StructType, partCols: Seq[String], partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    check: Option[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = None)
   extends DataWriter[InternalRow] {
 
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
@@ -304,6 +331,9 @@ private[catalog] class GraftPartitionedParquetWriter(dataDir: String,
   }
 
   override def write(row: InternalRow): Unit = {
+    // CHECK evaluates on the FULL row (partition columns included),
+    // BEFORE the projection drops them; inner writers get no check
+    GraftBatchWrite.assertCheck(check, row, schema)
     val dir = dirOf(row)
     val w = writers.getOrElseUpdate(dir,
       new GraftParquetWriter(dir, fileSchema, partitionId, taskId,
@@ -343,7 +373,9 @@ private[catalog] case object GraftNoRowsMessage extends WriterCommitMessage
   * the projected two-arg write path delegates to the one-arg form. */
 private[catalog] class GraftParquetWriter(dataDir: String,
     schema: StructType, partitionId: Int, taskId: Long,
-    rowLevel: Boolean)
+    rowLevel: Boolean,
+    check: Option[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = None)
   extends DataWriter[InternalRow] {
 
   private val file =
@@ -380,6 +412,9 @@ private[catalog] class GraftParquetWriter(dataDir: String,
         org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION) {
       return
     }
+    // declared CHECK per surviving row (un-prefixed rows only — the
+    // prefixed group-COW shape never carries a check, see CheckProp)
+    if (off == 0) GraftBatchWrite.assertCheck(check, row, schema)
     val g = factory.newGroup()
     var i = 0
     while (i < schema.fields.length) {

@@ -41,16 +41,22 @@ import graft.ops.Txn
 private[catalog] class GraftDeltaWrite(root: String, rowSchema: StructType,
     keySchema: StructType, keyCols: Seq[String], pinnedBase: Long,
     opName: String, statsCols: Seq[String] = Nil,
-    bloomCols: Seq[String] = Nil) extends DeltaWrite {
+    bloomCols: Seq[String] = Nil,
+    check: Option[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = None)
+  extends DeltaWrite {
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(root, rowSchema, keySchema, keyCols,
-      pinnedBase, opName, statsCols, bloomCols)
+      pinnedBase, opName, statsCols, bloomCols, check)
 }
 
 private[catalog] class GraftDeltaBatchWrite(root: String,
     rowSchema: StructType, keySchema: StructType, keyCols: Seq[String],
     pinnedBase: Long, opName: String, statsCols: Seq[String] = Nil,
-    bloomCols: Seq[String] = Nil) extends DeltaBatchWrite {
+    bloomCols: Seq[String] = Nil,
+    check: Option[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = None)
+  extends DeltaBatchWrite {
 
   private val keysRel = s"data/${UUID.randomUUID()}"
   private val rowsRel = s"data/${UUID.randomUUID()}"
@@ -61,7 +67,7 @@ private[catalog] class GraftDeltaBatchWrite(root: String,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory =
     new GraftDeltaWriterFactory(s"$root/$keysRel", s"$root/$rowsRel",
-      rowSchema, keySchema)
+      rowSchema, keySchema, check)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -104,11 +110,14 @@ private[catalog] case class GraftDeltaMessage(keysFile: Option[String],
 
 private[catalog] class GraftDeltaWriterFactory(keysDir: String,
     rowsDir: String, rowSchema: StructType,
-    keySchema: StructType) extends DeltaWriterFactory {
+    keySchema: StructType,
+    check: Option[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = None)
+  extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaRowWriter(keysDir, rowsDir, rowSchema, keySchema,
-      partitionId, taskId)
+      partitionId, taskId, check)
 }
 
 /** One task's delta: touched keys stream into a keys file (the future
@@ -117,14 +126,19 @@ private[catalog] class GraftDeltaWriterFactory(keysDir: String,
   * distinct names keep speculation safe exactly like the plain writer. */
 private[catalog] class GraftDeltaRowWriter(keysDir: String, rowsDir: String,
     rowSchema: StructType, keySchema: StructType, partitionId: Int,
-    taskId: Long) extends DeltaWriter[InternalRow] {
+    taskId: Long,
+    check: Option[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = None)
+  extends DeltaWriter[InternalRow] {
 
   private val keysW =
     new GraftParquetWriter(keysDir, keySchema, partitionId, taskId,
       rowLevel = false)
+  // replacement/new rows carry the declared CHECK (r13); deleting a
+  // violating row is always legal, so the keys writer never checks
   private val rowsW =
     new GraftParquetWriter(rowsDir, rowSchema, partitionId, taskId,
-      rowLevel = false)
+      rowLevel = false, check = check)
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     keysW.write(id)

@@ -90,6 +90,50 @@ object GraftSqlCatalog {
     * maintained automatically across the table's life. */
   val StatsProp = "graft.stats"
   val BloomProp = "graft.bloom"
+  /** TBLPROPERTIES key declaring a CHECK constraint (r13): a boolean
+    * SQL expression over the table's columns, enforced on EVERY SQL
+    * write path — native batch writes evaluate it per row in the task
+    * writers (a violating row fails the task, so the statement aborts
+    * with nothing published — data files are inert until the manifest
+    * rename), the V1 bridge validates the batch frame, and delta
+    * row-level operations check their replacement rows. SQL CHECK
+    * semantics: NULL is not a violation (same as the programmatic
+    * [[graft.ops.Txn.commitChecked]]). */
+  val CheckProp = "graft.check"
+
+  /** Parse + analyze + BIND a declared CHECK expression against a
+    * write schema (binding is positional, so a column-mapped writer's
+    * renamed-but-aligned physical schema evaluates identically). Loud
+    * on unresolvable columns, non-boolean types, nondeterminism, and
+    * subqueries — called at DDL time for validation and at write-build
+    * time for the executor-side predicate. */
+  private[catalog] def bindCheck(spark: SparkSession, checkSql: String,
+      schema: StructType): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, SubqueryExpression}
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    // ReplaceExpressions lowers RuntimeReplaceable forms (BETWEEN,
+    // nvl, …) to their evaluable cores and RewriteWithExpression
+    // flattens the With/common-expression wrappers that lowering
+    // introduces — the analyzer leaves both abstract and interpreted
+    // eval() refuses them (the same two rules Spark's own
+    // finish-analysis batch runs)
+    val analyzed =
+      org.apache.spark.sql.catalyst.optimizer.RewriteWithExpression(
+        org.apache.spark.sql.catalyst.optimizer.ReplaceExpressions(
+          empty.where(org.apache.spark.sql.functions.expr(checkSql))
+            .queryExecution.analyzed))
+    val f = analyzed.collectFirst {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl
+    }.getOrElse(sys.error(
+      s"CHECK ($checkSql) did not analyze to a boolean filter"))
+    require(f.condition.deterministic,
+      s"CHECK ($checkSql) must be deterministic")
+    require(f.condition.collectFirst {
+      case s: SubqueryExpression => s
+    }.isEmpty, s"CHECK ($checkSql) may not contain subqueries")
+    BindReferences.bindReference(f.condition, f.child.output)
+  }
 
   /** COLUMN MAPPING codec (r13, r12 verdict item 5): the ordered
     * (physical, logical) pairs of the table's LIVE columns, carried as
@@ -256,6 +300,11 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       require(schema.fieldNames.contains(ic),
         s"declared index column $ic absent from the schema")
     }
+    // declared CHECK constraint (r13): must analyze against the
+    // declared schema NOW — a bad expression fails the CREATE, not the
+    // first INSERT
+    val checkSql = Option(properties.get(GraftSqlCatalog.CheckProp))
+    checkSql.foreach(c => GraftSqlCatalog.bindCheck(spark, c, schema))
     if (GraftCatalog.tableExists(spark, catalogRoot, ident.name()))
       throw new TableAlreadyExistsException(ident)
     // LOCATION '...' = external root; otherwise managed under the
@@ -272,7 +321,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       (if (statsCols.nonEmpty) Map("stats" -> statsCols.mkString(","))
        else Map.empty) ++
       (if (bloomCols.nonEmpty) Map("bloom" -> bloomCols.mkString(","))
-       else Map.empty)
+       else Map.empty) ++
+      checkSql.map("check" -> _).toMap
     if (props.nonEmpty) Txn.setTableProps(spark, root, props)
     GraftCatalog.create(spark, catalogRoot, ident.name(), root)
     new GraftSqlTable(ident.name(), root, 1L, spark)
@@ -405,6 +455,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         }
         val k = if (p.property() == GraftSqlCatalog.StatsProp) "stats" else "bloom"
         propUpdates += (k -> cols.mkString(","))
+      case p: TableChange.SetProperty
+          if p.property() == GraftSqlCatalog.CheckProp =>
+        // validated against the CURRENT logical schema — a bad
+        // expression fails the ALTER, not the next INSERT
+        GraftSqlCatalog.bindCheck(spark, p.value(), current)
+        propUpdates += ("check" -> p.value())
       case other => sys.error(
         s"graft SQL catalog: unsupported ALTER TABLE change $other — " +
           "supported: ADD COLUMN (nullable), RENAME COLUMN, " +
@@ -432,6 +488,23 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           "cannot DROP the table's last column")
         Some(dropped)
       }
+    // a RENAME/DROP may not orphan the declared CHECK constraint (r13):
+    // the stored expression must still analyze against the post-change
+    // logical schema, or later INSERTs would fail at write-build time
+    newMap.foreach { m =>
+      props.get("check").foreach { c =>
+        val oldByPhys = baseMap.toMap
+        val postSchema = StructType(m.map { case (ph, l) =>
+          current(oldByPhys(ph)).copy(name = l)
+        })
+        try GraftSqlCatalog.bindCheck(spark, c, postSchema)
+        catch {
+          case e: Exception => sys.error(
+            s"RENAME/DROP COLUMN would break the declared CHECK ($c): " +
+              s"${e.getMessage}; update '${GraftSqlCatalog.CheckProp}' first")
+        }
+      }
+    }
     // declared TYPE overrides follow renames/drops (r13): entries are
     // keyed by LOGICAL name, so a rename re-keys them and a drop
     // removes them — in the SAME commit, or a widened column's
@@ -742,7 +815,8 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info.schema(), version, partCol,
       statsCols, bloomCols, mapped = colMap.nonEmpty,
-      physifyFrame = physify, physifySchemaF = physifySchema)
+      physifyFrame = physify, physifySchemaF = physifySchema,
+      checkSql = tableProps.get("check"))
 
   /** UPDATE / MERGE INTO / predicate DELETE. Two regimes (r12):
     *
@@ -794,10 +868,16 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
                     if (wInfo.rowIdSchema().isPresent) wInfo.rowIdSchema().get()
                     else StructType(
                       ks.map(k => snapshot.schema(k).copy(nullable = true)))
+                  // the declared CHECK guards replacement/new rows of
+                  // the row-level op too (binding is positional, so
+                  // the logical write schema serves the physified
+                  // rows, r13)
+                  val check = tableProps.get("check").map(c => (c,
+                    GraftSqlCatalog.bindCheck(spark, c, wInfo.schema())))
                   new GraftDeltaWrite(root, physifySchema(wInfo.schema()),
                     keySchema, ks, version,
                     s"sql-${info.command().toString.toLowerCase(java.util.Locale.ROOT)}-delta",
-                    statsCols, bloomCols)
+                    statsCols, bloomCols, check)
                 }
               }
           }
@@ -1203,7 +1283,8 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
     statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
     mapped: Boolean = false,
     physifyFrame: DataFrame => DataFrame = identity,
-    physifySchemaF: StructType => StructType = identity)
+    physifySchemaF: StructType => StructType = identity,
+    checkSql: Option[String] = None)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
   with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -1277,33 +1358,52 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
 
   override def build(): Write =
     if (nativeSupported) new Write {
+      // the declared CHECK binds ONCE at write build (driver), then
+      // evaluates per row in the task writers — a violating row fails
+      // the task, the statement aborts, nothing publishes (r13)
+      private val check = checkSql.map(c => (c,
+        GraftSqlCatalog.bindCheck(SparkSession.active, c, schema)))
       override def toBatch: BatchWrite =
         if (replaceWhere.isDefined)
           new GraftBatchWrite(root, schema,
             GraftBatchWrite.ReplaceWhere(replaceWhere.get),
             "sql-overwrite-partition", pinnedBase = Some(pinnedVersion),
-            partCol = partCol, statsCols = statsCols, bloomCols = bloomCols)
+            partCol = partCol, statsCols = statsCols, bloomCols = bloomCols,
+            check = check)
         else if (dynamic)
           // dynamic overwrite: executors write the touched partitions,
           // commit publishes ONE replace-partitions extension (r13)
           new GraftBatchWrite(root, schema, GraftBatchWrite.DynamicOverwrite,
             "sql-overwrite-dynamic", pinnedBase = Some(pinnedVersion),
-            partCol = partCol, statsCols = statsCols, bloomCols = bloomCols)
+            partCol = partCol, statsCols = statsCols, bloomCols = bloomCols,
+            check = check)
         else if (overwrite)
           // OVERWRITE replaces from a pinned base: CAS at version+1, so
           // a concurrent commit fails this writer loud (r11 advice)
           new GraftBatchWrite(root, schema, GraftBatchWrite.Replace,
             "sql-overwrite", pinnedBase = Some(pinnedVersion),
-            partCol = partCol, statsCols = statsCols, bloomCols = bloomCols)
+            partCol = partCol, statsCols = statsCols, bloomCols = bloomCols,
+            check = check)
         else
           new GraftBatchWrite(root, schema, GraftBatchWrite.Append,
             "sql-insert", partCol = partCol, statsCols = statsCols,
-            bloomCols = bloomCols)
+            bloomCols = bloomCols, check = check)
     }
     else new V1Write {
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
           override def insert(data0: DataFrame, ow: Boolean): Unit = {
+            // the declared CHECK validates the batch BEFORE any commit
+            // (SQL semantics: NULL is not a violation) — three sample
+            // violations in the error, nothing published (r13)
+            checkSql.foreach { c =>
+              val bad = data0.where(!coalesce(
+                org.apache.spark.sql.functions.expr(c), lit(true))).take(3)
+              if (bad.nonEmpty) throw new IllegalStateException(
+                s"CHECK ($c) violated by rows like " +
+                  s"${bad.mkString("; ")} — statement aborted, nothing " +
+                  "was committed")
+            }
             // under a column mapping the batch arrives with LOGICAL
             // names — land it under the physical ones (r13)
             val data = physifyFrame(data0)

@@ -472,20 +472,25 @@ object Txn {
   }
 
   /** True when `a` and `b` sit on the same LOSSLESS widening chain
-    * (either direction): byte→short→int→long, or float→double. Mixed
-    * shards of chain types are read-safe — per-dir reads union-coerce
-    * to the wider member, and an explicit wider read schema makes the
-    * parquet readers widen each file's values (verified: Spark 4's
-    * vectorized reader promotes INT32→int64 and FLOAT→double when the
-    * requested schema says so) — which is what makes ALTER COLUMN TYPE
-    * a metadata-only operation. */
+    * (either direction): byte→short→int→long, float→double, or
+    * same-scale decimals of different precision. Mixed shards of chain
+    * types are read-safe — per-dir reads union-coerce to the wider
+    * member, and an explicit wider read schema makes the parquet
+    * readers widen each file's values (verified: Spark 4's vectorized
+    * reader promotes INT32→int64, FLOAT→double, and int32-backed
+    * decimal(9,s)→decimal(18,s) when the requested schema says so) —
+    * which is what makes ALTER COLUMN TYPE a metadata-only operation. */
   private[graft] def sameWideningChain(
       a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     val ints: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
     val fps: Set[DataType] = Set(FloatType, DoubleType)
-    a != b && ((ints(a) && ints(b)) || (fps(a) && fps(b)))
+    (a, b) match {
+      case _ if a == b => false
+      case (d1: DecimalType, d2: DecimalType) => d1.scale == d2.scale
+      case _ => (ints(a) && ints(b)) || (fps(a) && fps(b))
+    }
   }
 
   /** The wider member of a same-chain pair (callers guarantee
@@ -495,9 +500,14 @@ object Txn {
       b: org.apache.spark.sql.types.DataType):
       org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
-    val order: Seq[DataType] =
-      Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
-    if (order.indexOf(a) >= order.indexOf(b)) a else b
+    (a, b) match {
+      case (d1: DecimalType, d2: DecimalType) =>
+        if (d1.precision >= d2.precision) a else b
+      case _ =>
+        val order: Seq[DataType] =
+          Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+        if (order.indexOf(a) >= order.indexOf(b)) a else b
+    }
   }
 
   /** Structural type with every nullability flag normalized — the

@@ -1282,6 +1282,94 @@ class CatalogSpec extends SparkSpec {
       s"TBLPROPERTIES ('graft.stats' = 'id')")
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $c.wc ALTER COLUMN id TYPE BIGINT") }
+    // DECIMAL precision widening (same scale): int32-backed files read
+    // under the int64-backed declared type
+    spark.sql(s"CREATE TABLE $c.wd (id BIGINT, amt DECIMAL(9,2))")
+    spark.sql(s"INSERT INTO $c.wd VALUES (1, 12.34), (2, 56.78)")
+    spark.sql(s"ALTER TABLE $c.wd ALTER COLUMN amt TYPE DECIMAL(18,2)")
+    assert(spark.table(s"$c.wd").schema("amt").dataType ==
+      DecimalType(18, 2))
+    spark.sql(s"INSERT INTO $c.wd VALUES (3, 123456789012345.67)")
+    val amts = spark.sql(s"SELECT amt FROM $c.wd ORDER BY id")
+      .collect().map(_.getDecimal(0).toPlainString).toSeq
+    assert(amts == Seq("12.34", "56.78", "123456789012345.67"))
+    // a SCALE change is not lossless — refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.wd ALTER COLUMN amt TYPE DECIMAL(18,4)") }
+  }
+
+  test("V2 SQL catalog: declared CHECK constraints enforce on every " +
+      "SQL write path (r13)") {
+    val c = sqlCat("check")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    // native flat path: per-row task-writer enforcement
+    spark.sql(s"CREATE TABLE $c.ck (id BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('graft.check' = 'v >= 0')")
+    spark.sql(s"INSERT INTO $c.ck VALUES (1, 5), (2, 0)")
+    val root = GraftCatalog.resolve(spark, catRoot, "ck")
+    val vBefore = Txn.currentVersion(spark, root).get
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.ck VALUES (3, 7), (4, -1)")
+    }
+    assert(e1.getMessage != null) // statement failed
+    // NOTHING published: same version, same rows
+    assert(Txn.currentVersion(spark, root).get == vBefore)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ck").head().getLong(0) == 2L)
+    // SQL NULL semantics: a NULL comparison is not a violation
+    spark.sql(s"INSERT INTO $c.ck VALUES (5, NULL)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ck").head().getLong(0) == 3L)
+    // native PARTITIONED path (check sees the partition column too)
+    spark.sql(s"CREATE TABLE $c.ckp (id BIGINT, yr BIGINT) " +
+      s"PARTITIONED BY (yr) " +
+      s"TBLPROPERTIES ('graft.check' = 'yr BETWEEN 1990 AND 2100')")
+    spark.sql(s"INSERT INTO $c.ckp VALUES (1, 1995)")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.ckp VALUES (2, 1889)")
+    }
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ckp").head().getLong(0) == 1L)
+    // V1 bridge path (array column forces it): batch-frame validation
+    spark.sql(s"CREATE TABLE $c.ckv (id BIGINT, xs ARRAY<BIGINT>) " +
+      s"TBLPROPERTIES ('graft.check' = 'size(xs) <= 2')")
+    spark.sql(s"INSERT INTO $c.ckv VALUES (1, array(1, 2))")
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.ckv VALUES (2, array(1, 2, 3))")
+    }
+    assert(e2.getMessage.contains("CHECK"), e2.getMessage)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ckv").head().getLong(0) == 1L)
+    // DELTA row-level path: a MERGE writing a violating replacement row
+    // fails, the valid MERGE lands O(batch)
+    spark.sql(s"CREATE TABLE $c.ckd (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('graft.key' = 'k', 'graft.check' = 'v >= 0')")
+    spark.sql(s"INSERT INTO $c.ckd VALUES (1, 10), (2, 20)")
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $c.ckd t USING (SELECT 1 AS k) s ON t.k = s.k " +
+        s"WHEN MATCHED THEN UPDATE SET v = -5")
+    }
+    assert(spark.sql(s"SELECT v FROM $c.ckd WHERE k = 1").head().getLong(0) == 10L)
+    spark.sql(s"MERGE INTO $c.ckd t USING (SELECT 1 AS k) s ON t.k = s.k " +
+      s"WHEN MATCHED THEN UPDATE SET v = 99")
+    assert(spark.sql(s"SELECT v FROM $c.ckd WHERE k = 1").head().getLong(0) == 99L)
+    // DDL-time validation: bad column / subquery refuse at declaration
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.ckbad (id BIGINT) " +
+        s"TBLPROPERTIES ('graft.check' = 'nope > 0')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ck SET TBLPROPERTIES " +
+        s"('graft.check' = 'ghost_col >= 0')")
+    }
+    // a RENAME that would orphan the declared check refuses loud
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ck RENAME COLUMN v TO w")
+    }
+    assert(e3.getMessage.contains("CHECK"), e3.getMessage)
+    // updating the check re-arms enforcement
+    spark.sql(s"ALTER TABLE $c.ck SET TBLPROPERTIES ('graft.check' = 'v >= 1')")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.ck VALUES (6, 0)")
+    }
+    spark.sql(s"INSERT INTO $c.ck VALUES (6, 1)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ck").head().getLong(0) == 4L)
   }
 
   test("V2 SQL catalog: runtime join filters prune fact files through " +
