@@ -20,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * because shuffle.partitions is a runtime SQLConf read at plan time.
   *
   * Usage: `runMain graft.Invariance <sfDir> [keys...]`; writes
-  * INVARIANCE_r12.json ({"key": true/false} per query + a summary).
+  * INVARIANCE_r13.json ({"key": true/false} per query + a summary).
   */
 object Invariance {
   def main(args: Array[String]): Unit = {
@@ -73,7 +73,7 @@ object Invariance {
     val out = s"""{"partitions":["$cpus","7"],"sf":"$sfDir","pass":$nPass,""" +
       s""""total":${results.size},"queries":{$json}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("INVARIANCE_r12.json"), out.getBytes)
+      java.nio.file.Paths.get("INVARIANCE_r13.json"), out.getBytes)
     println(out)
     spark.stop()
   }

@@ -28,7 +28,8 @@ import graft.ops.{GraftCatalog, Txn}
   * catalog via [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]. */
 private[catalog] object GraftProcedures {
 
-  val names: Seq[String] = Seq("vacuum", "maintain", "restore", "compact")
+  val names: Seq[String] =
+    Seq("vacuum", "maintain", "restore", "compact", "clone")
 
   def load(spark: => SparkSession, catalogRoot: String,
       ident: Identifier): Option[UnboundProcedure] =
@@ -39,6 +40,7 @@ private[catalog] object GraftProcedures {
       case "maintain" => Some(maintainProc(spark, catalogRoot))
       case "restore"  => Some(restoreProc(spark, catalogRoot))
       case "compact"  => Some(compactProc(spark, catalogRoot))
+      case "clone"    => Some(cloneProc(spark, catalogRoot))
       case _          => None
     }
 
@@ -199,6 +201,36 @@ private[catalog] object GraftProcedures {
     }
 
   /** CALL graft.restore(table, version) — O(manifest) rollback. */
+  /** CALL graft.clone(table, target) — zero-copy SHALLOW CLONE into a
+    * NEW catalog name (Delta's CLONE verb): the target's manifest
+    * points at the source's current data dirs, no data moves; writes
+    * to either side diverge copy-on-write (Txn commits never mutate
+    * files). The source-vacuum caveat applies exactly as in the
+    * programmatic [[Txn.cloneTable]]. */
+  private def cloneProc(spark: => SparkSession,
+      catalogRoot: String): UnboundProcedure =
+    new GraftProc("clone",
+      "zero-copy shallow clone of the table's current version into a new name") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType), param("target", StringType))
+      private val out = StructType(Seq(
+        StructField("target", StringType, nullable = false),
+        StructField("location", StringType, nullable = false),
+        StructField("cloned_version", LongType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val s = spark
+        val srcRoot = resolve(s, catalogRoot, input, 0)
+        val target = input.getUTF8String(1).toString
+        require(!GraftCatalog.tableExists(s, catalogRoot, target),
+          s"table $target already exists")
+        val dstRoot = s"$catalogRoot/_managed/$target"
+        val v = Txn.cloneTable(s, srcRoot, dstRoot,
+          meta = Map("op" -> "sql-clone"))
+        GraftCatalog.create(s, catalogRoot, target, dstRoot)
+        resultScan(out, Seq(target, dstRoot, v))
+      }
+    }
+
   private def restoreProc(spark: => SparkSession,
       catalogRoot: String): UnboundProcedure =
     new GraftProc("restore",

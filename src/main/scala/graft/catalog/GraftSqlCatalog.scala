@@ -1027,7 +1027,7 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
   * manifest log (O(versions) small-file reads, never data), served
   * through the V1 bridge like any other driver-computed frame. */
 private[catalog] object GraftMetaTable {
-  val kinds: Set[String] = Set("history", "detail", "props")
+  val kinds: Set[String] = Set("history", "detail", "props", "files")
 }
 
 private[catalog] class GraftMetaTable(tableName: String, kind: String,
@@ -1049,6 +1049,15 @@ private[catalog] class GraftMetaTable(tableName: String, kind: String,
             "size_bytes", "tombstone_entries", "partition_col", "key_col")
       case "props" =>
         Txn.tableProps(spark, root).toSeq.sorted.toDF("key", "value")
+      case "files" =>
+        // the CURRENT version's data-file inventory (Iceberg's .files
+        // role): deterministic manifest-order enumeration, file sizes
+        // from the same listing the streaming byte-budget uses —
+        // O(files) metadata, never opens data
+        val v = Txn.currentVersion(spark, root).getOrElse(0L)
+        Txn.snapshotFileSizes(spark, root, v)
+          .toDF("file", "size_bytes")
+          .withColumn("version", lit(v))
       case other => sys.error(s"unknown metadata table $other")
     }
   }

@@ -2234,18 +2234,27 @@ object Txn {
     * [[prunePlanBy]] convention: `basename` for flat dirs,
     * `subdir/basename` inside partitioned dirs. */
   private[graft] def snapshotFileKeys(spark: SparkSession, root: String,
-      version: Long): Seq[String] = {
+      version: Long): Seq[String] =
+    snapshotFileSizes(spark, root, version).map(_._1)
+
+  /** The same deterministic enumeration with per-file BYTES — the
+    * rate-limited streaming source's `maxBytesPerTrigger` cursor
+    * (r13): one listing yields both the order and the budget data. */
+  private[graft] def snapshotFileSizes(spark: SparkSession, root: String,
+      version: Long): Seq[(String, Long)] = {
     val f = fs(spark, root)
-    def names(dir: Path): Seq[String] = f.listStatus(dir).toSeq
+    def names(dir: Path): Seq[(String, Long)] = f.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.getName).sorted
+      .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
     manifestDirs(f, root, version).map(parseEntry).flatMap {
       case (dir, None) =>
         val abs = resolveDir(root, dir)
         if (!isPartitionedDir(f, abs)) names(new Path(abs))
         else partitionLeafDirs(f, abs).sortBy(_._1).flatMap {
           case (rel, _) =>
-            names(new Path(s"$abs/$rel")).map(n => s"$rel/$n")
+            names(new Path(s"$abs/$rel")).map { case (n, len) =>
+              (s"$rel/$n", len)
+            }
         }
       case _ => Seq.empty
     }

@@ -80,7 +80,8 @@ class GraftSourceProvider extends StreamSourceProvider
     new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
       isCdc(parameters),
       maxFilesPerTrigger = posLong("maxFilesPerTrigger"),
-      maxVersionsPerTrigger = posLong("maxVersionsPerTrigger"))
+      maxVersionsPerTrigger = posLong("maxVersionsPerTrigger"),
+      maxBytesPerTrigger = posLong("maxBytesPerTrigger"))
   }
 
   /** EXACTLY-ONCE streaming SINK (r12): `writeStream.format("graft")` —
@@ -196,7 +197,8 @@ object GraftSourceOffset {
 
 class GraftStreamSource(spark: SparkSession, root: String,
     cdc: Boolean = false, maxFilesPerTrigger: Option[Long] = None,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   // pinned at stream start: every batch projects to this shape, so a
   // mid-stream schema evolution cannot tear a running query's plan
@@ -212,41 +214,69 @@ class GraftStreamSource(spark: SparkSession, root: String,
     * the V1 Source contract has no start parameter on getOffset. */
   private var current: Option[GraftSourceOffset] = None
 
-  /** Deterministic snapshot file-key list, cached per version (the
-    * mid-snapshot regime re-reads it every trigger; manifests are
+  /** Deterministic snapshot (file key, bytes) list, cached per version
+    * (the mid-snapshot regime re-reads it every trigger; manifests are
     * immutable so the list never changes for a given version). */
-  private var keysCache: Option[(Long, Seq[String])] = None
-  private def fileKeys(v: Long): Seq[String] = keysCache match {
+  private var keysCache: Option[(Long, Seq[(String, Long)])] = None
+  private def fileSizes(v: Long): Seq[(String, Long)] = keysCache match {
     case Some((cv, ks)) if cv == v => ks
     case _ =>
-      val ks = Txn.snapshotFileKeys(spark, root, v)
+      val ks = Txn.snapshotFileSizes(spark, root, v)
       keysCache = Some((v, ks))
       ks
   }
+  private def fileKeys(v: Long): Seq[String] = fileSizes(v).map(_._1)
+
+  /** Next file cursor from `from` under BOTH budgets: at most
+    * `maxFilesPerTrigger` files AND at most `maxBytesPerTrigger` bytes
+    * per batch (always at least ONE file, or an oversized file could
+    * stall the stream forever — Delta's minimum-progress rule). */
+  private def nextCursor(v: Long, from: Long): Long = {
+    val sizes = fileSizes(v)
+    val total = sizes.size.toLong
+    val byFiles = maxFilesPerTrigger
+      .map(n => math.min(from + n, total)).getOrElse(total)
+    val byBytes = maxBytesPerTrigger.map { b =>
+      var j = from.toInt
+      var acc = 0L
+      while (j < sizes.size &&
+          (j == from.toInt || acc + sizes(j)._2 <= b)) {
+        acc += sizes(j)._2
+        j += 1
+      }
+      j.toLong
+    }.getOrElse(total)
+    math.min(byFiles, byBytes)
+  }
+
+  private def chunked: Boolean =
+    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
 
   /** Rate-limited availability (r13): a fresh stream starts the initial
     * snapshot of the CURRENT version — chunked to `maxFilesPerTrigger`
-    * files per batch when set; the snapshot stays pinned at that
+    * files AND `maxBytesPerTrigger` bytes per batch when set (both
+    * bounds compose; an oversized single file still ships alone — the
+    * minimum-progress rule); the snapshot stays pinned at that
     * version until fully served (versions landing meanwhile queue
     * behind it), then the incremental regime advances at most
     * `maxVersionsPerTrigger` versions per batch — so a post-downtime
     * backlog drains as bounded, individually checkpointed batches
-    * (Delta's maxFilesPerTrigger role). Unset = the r12 behavior. */
+    * (Delta's maxFilesPerTrigger/maxBytesPerTrigger roles). Unset =
+    * the r12 behavior. */
   override def getOffset: Option[Offset] = {
     Txn.currentVersion(spark, root).map { latest =>
       val next = current match {
         case None =>
-          maxFilesPerTrigger match {
-            case Some(n) =>
-              val total = fileKeys(latest).size.toLong
-              if (n >= total) GraftSourceOffset(latest, -1L)
-              else GraftSourceOffset(latest, n)
-            case None => GraftSourceOffset(latest, -1L)
+          if (!chunked) GraftSourceOffset(latest, -1L)
+          else {
+            val total = fileSizes(latest).size.toLong
+            val c = nextCursor(latest, 0L)
+            if (c >= total) GraftSourceOffset(latest, -1L)
+            else GraftSourceOffset(latest, c)
           }
         case Some(GraftSourceOffset(v, fsv)) if fsv >= 0L =>
-          val total = fileKeys(v).size.toLong
-          val f2 = maxFilesPerTrigger.map(n => math.min(fsv + n, total))
-            .getOrElse(total)
+          val total = fileSizes(v).size.toLong
+          val f2 = nextCursor(v, fsv)
           if (f2 >= total) GraftSourceOffset(v, -1L)
           else GraftSourceOffset(v, f2)
         case Some(GraftSourceOffset(v, _)) =>

@@ -685,6 +685,28 @@ class CatalogSpec extends SparkSpec {
     assert(vac.getString(0) == "mt" && vac.getLong(1) >= 1L)
     // the table stays readable after vacuum
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.mt").head().getLong(0) == 100L)
+    // .files (r13): the current version's data-file inventory — counts
+    // and bytes agree with the DESCRIBE DETAIL gauge
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    val tRoot = GraftCatalog.resolve(spark, catRoot, "mt")
+    val (_, nFiles, nBytes, _) = Txn.tableDetail(spark, tRoot)
+    val fl = spark.sql(s"SELECT count(*) AS n, sum(size_bytes) AS b " +
+      s"FROM $c.mt.files").head()
+    assert(fl.getLong(0) == nFiles && fl.getLong(1) == nBytes,
+      s".files drifted from tableDetail: $fl vs ($nFiles, $nBytes)")
+    // CALL clone (r13): zero-copy shallow clone into a NEW name —
+    // content identical, then the clone diverges copy-on-write
+    val cl = spark.sql(s"CALL $c.clone(`table` => 'mt', target => 'mt2')").head()
+    assert(cl.getString(0) == "mt2" && cl.getLong(2) >= 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mt2").head().getLong(0) == 100L)
+    spark.sql(s"INSERT INTO $c.mt2 VALUES (5000, 1)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mt2").head().getLong(0) == 101L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mt").head().getLong(0) == 100L,
+      "a write to the clone must not touch the source")
+    // cloning onto an existing name refuses loud
+    intercept[Exception] {
+      spark.sql(s"CALL $c.clone(`table` => 'mt', target => 'mt2')")
+    }
   }
 
   test("V2 SQL catalog: CALL compact bin-packs, z-orders, re-derives " +

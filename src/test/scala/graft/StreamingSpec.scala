@@ -769,6 +769,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == got.distinct.size, "no duplicates across chunks")
   }
 
+  test("graft streaming source rate limiting: maxBytesPerTrigger bounds " +
+      "each snapshot batch by file bytes, composing with the file " +
+      "budget (r13)") {
+    import graft.ops.Txn
+    val root = java.nio.file.Files.createTempDirectory("gsrc_bb").toString + "/t"
+    val out = java.nio.file.Files.createTempDirectory("gsrc_bb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gsrc_bb_ck").toString
+    Txn.commit((1L to 800L).map(i => (i, i % 7L)).toDF("id", "v")
+      .repartition(8), root)
+    // each ~100-row file is a few KB: a 1-byte budget forces ONE file
+    // per batch (the minimum-progress rule — an oversized file ships
+    // alone instead of stalling), so 8 snapshot batches
+    val q = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val nBatches = q.lastProgress.batchId + 1
+    q.stop()
+    assert(nBatches >= 8, s"1-byte budget must chunk per file: $nBatches")
+    val got = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(got == (1L to 800L),
+      "byte-chunked snapshot must union to the exact image")
+    // a GENEROUS byte budget with a tight file budget: the FILE bound
+    // wins (both budgets compose as a min)
+    val out2 = java.nio.file.Files.createTempDirectory("gsrc_bb_o2").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("gsrc_bb_c2").toString
+    val q2 = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", (64L << 20).toString)
+      .option("maxFilesPerTrigger", "4").load(root)
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ck2)
+      .outputMode(OutputMode.Append()).start()
+    q2.processAllAvailable()
+    val n2 = q2.lastProgress.batchId + 1
+    q2.stop()
+    assert(n2 >= 2, s"the tighter file budget must still chunk: $n2")
+    assert(spark.read.parquet(out2).count() == 800L)
+  }
+
   test("graft streaming source rate limiting: a version backlog drains " +
       "maxVersionsPerTrigger at a time, exactly-once across a " +
       "mid-backlog kill/restart (r13)") {
