@@ -60,6 +60,23 @@ private[catalog] object GraftSkipping {
     case _         => None
   }
 
+  /** TIMESTAMP values FLOOR-converted to the sidecar's epoch-SECONDS
+    * domain (r13): the stats/bloom writers record `cast('long')` of the
+    * column = whole seconds, so a probe must round its finer-grained
+    * literal DOWN to stay one-sided — an equality on a mid-second value
+    * becomes a probe on its second (keeps the file holding any row of
+    * that second, never drops the matching one), a range bound floors
+    * to a conservative second bound on either side. This re-enables
+    * file skipping for THE time-series filter shape (ts ranges over an
+    * event table) that the r12-advice type gate had to turn off
+    * entirely. V1-translated filters carry java.sql/java.time values;
+    * the Catalyst path carries internal MICROSECONDS. */
+  private def asTsSeconds(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(Math.floorDiv(t.getTime, 1000L))
+    case i: java.time.Instant  => Some(i.getEpochSecond)
+    case _                     => None
+  }
+
   private def pointProbes(a: String, vs: Seq[Any]): Seq[Txn.SkipProbe] = {
     val longs = vs.map(asLong)
     val strs = vs.map(asStr)
@@ -78,23 +95,34 @@ private[catalog] object GraftSkipping {
   private def probesOfOne(f: Filter): Seq[Txn.SkipProbe] = f match {
     case sources.EqualTo(a, v) =>
       asPartValue(v).map(p => Txn.PartProbe(a, Seq(p))).toSeq ++
-        pointProbes(a, Seq(v))
+        pointProbes(a, Seq(v)) ++
+        asTsSeconds(v).map(s => Txn.PointProbe(a, Seq(s))).toSeq
     case sources.In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
       val parts = vs.toSeq.map(asPartValue)
       val partProbe =
         if (parts.forall(_.isDefined)) Seq(Txn.PartProbe(a, parts.flatten))
         else Seq.empty
-      partProbe ++ pointProbes(a, vs.toSeq)
+      val secs = vs.toSeq.map(asTsSeconds)
+      val tsProbe =
+        if (secs.nonEmpty && secs.forall(_.isDefined))
+          Seq(Txn.PointProbe(a, secs.flatten))
+        else Seq.empty
+      partProbe ++ pointProbes(a, vs.toSeq) ++ tsProbe
     case sources.GreaterThan(a, v) =>
       asLong(v).filter(_ < Long.MaxValue)
-        .map(l => Txn.RangeProbe(a, l + 1, Long.MaxValue)).toSeq
+        .map(l => Txn.RangeProbe(a, l + 1, Long.MaxValue)).toSeq ++
+        // second-granularity floor: rows > v may share v's second
+        asTsSeconds(v).map(s => Txn.RangeProbe(a, s, Long.MaxValue)).toSeq
     case sources.GreaterThanOrEqual(a, v) =>
-      asLong(v).map(l => Txn.RangeProbe(a, l, Long.MaxValue)).toSeq
+      asLong(v).map(l => Txn.RangeProbe(a, l, Long.MaxValue)).toSeq ++
+        asTsSeconds(v).map(s => Txn.RangeProbe(a, s, Long.MaxValue)).toSeq
     case sources.LessThan(a, v) =>
       asLong(v).filter(_ > Long.MinValue)
-        .map(l => Txn.RangeProbe(a, Long.MinValue, l - 1)).toSeq
+        .map(l => Txn.RangeProbe(a, Long.MinValue, l - 1)).toSeq ++
+        asTsSeconds(v).map(s => Txn.RangeProbe(a, Long.MinValue, s)).toSeq
     case sources.LessThanOrEqual(a, v) =>
-      asLong(v).map(l => Txn.RangeProbe(a, Long.MinValue, l)).toSeq
+      asLong(v).map(l => Txn.RangeProbe(a, Long.MinValue, l)).toSeq ++
+        asTsSeconds(v).map(s => Txn.RangeProbe(a, Long.MinValue, s)).toSeq
     case sources.And(l, r) => probesOfOne(l) ++ probesOfOne(r)
     case _                 => Seq.empty // one-sided: unknown shapes keep everything
   }
@@ -134,22 +162,38 @@ private[catalog] object GraftSkipping {
       case ce.Literal(v, dt) if v != null && probeSafeType(dt) => Some(v)
       case _                                                   => None
     }
+    // TIMESTAMP literals: internal MICROSECONDS, floor-converted to the
+    // sidecar's epoch-SECONDS domain (see asTsSeconds — one-sided)
+    def tsSec(e: ce.Expression): Option[Long] = e match {
+      case ce.Literal(v: Long, org.apache.spark.sql.types.TimestampType) =>
+        Some(Math.floorDiv(v, 1000000L))
+      case _ => None
+    }
+    def tsRange(a: Option[String], v: Option[Long],
+        lo: Boolean): Seq[Txn.SkipProbe] =
+      (for (an <- a; s <- v) yield
+        if (lo) Txn.RangeProbe(an, s, Long.MaxValue)
+        else Txn.RangeProbe(an, Long.MinValue, s)).toSeq
     def one(e: ce.Expression): Seq[Txn.SkipProbe] = e match {
       case ce.EqualTo(l, r) =>
         val av = attr(l).flatMap(a => litVal(r).map(a -> _))
           .orElse(attr(r).flatMap(a => litVal(l).map(a -> _)))
+        val ts = attr(l).flatMap(a => tsSec(r).map(a -> _))
+          .orElse(attr(r).flatMap(a => tsSec(l).map(a -> _)))
         av.toSeq.flatMap { case (a, v) =>
           asPartValue(v).map(p => Txn.PartProbe(a, Seq(p))).toSeq ++
             pointProbes(a, Seq(v))
-        }
+        } ++ ts.toSeq.map { case (a, s) => Txn.PointProbe(a, Seq(s)) }
       case ce.In(l, list) if list.nonEmpty =>
-        (attr(l), list.map(litVal)) match {
-          case (Some(a), vs) if vs.forall(_.isDefined) =>
+        (attr(l), list.map(litVal), list.map(tsSec)) match {
+          case (Some(a), vs, _) if vs.forall(_.isDefined) =>
             val raw = vs.flatten
             val parts = raw.map(asPartValue)
             (if (parts.forall(_.isDefined))
               Seq(Txn.PartProbe(a, parts.flatten)) else Seq.empty) ++
               pointProbes(a, raw)
+          case (Some(a), _, ss) if ss.forall(_.isDefined) =>
+            Seq(Txn.PointProbe(a, ss.flatten))
           case _ => Seq.empty
         }
       // InSet carries RUNTIME values with no per-value Literal — gate on
@@ -163,14 +207,31 @@ private[catalog] object GraftSkipping {
             Seq(Txn.PartProbe(a, parts.flatten)) else Seq.empty) ++
             pointProbes(a, raw)
         }
+      // timestamp InSet: runtime micros → floor seconds
+      case ce.InSet(l, set) if set.nonEmpty && !set.contains(null) &&
+          l.dataType == org.apache.spark.sql.types.TimestampType =>
+        attr(l).toSeq.map { a =>
+          Txn.PointProbe(a, set.toSeq.collect {
+            case m: Long => Math.floorDiv(m, 1000000L)
+            case m: java.lang.Long => Math.floorDiv(m.longValue(), 1000000L)
+          })
+        }.filter(_.values.size == set.size)
       case ce.GreaterThan(l, r) => range(attr(l), litVal(r), lo = true,
-        strict = true) ++ range(attr(r), litVal(l), lo = false, strict = true)
+        strict = true) ++ range(attr(r), litVal(l), lo = false, strict = true) ++
+        tsRange(attr(l), tsSec(r), lo = true) ++
+        tsRange(attr(r), tsSec(l), lo = false)
       case ce.GreaterThanOrEqual(l, r) => range(attr(l), litVal(r), lo = true,
-        strict = false) ++ range(attr(r), litVal(l), lo = false, strict = false)
+        strict = false) ++ range(attr(r), litVal(l), lo = false, strict = false) ++
+        tsRange(attr(l), tsSec(r), lo = true) ++
+        tsRange(attr(r), tsSec(l), lo = false)
       case ce.LessThan(l, r) => range(attr(l), litVal(r), lo = false,
-        strict = true) ++ range(attr(r), litVal(l), lo = true, strict = true)
+        strict = true) ++ range(attr(r), litVal(l), lo = true, strict = true) ++
+        tsRange(attr(l), tsSec(r), lo = false) ++
+        tsRange(attr(r), tsSec(l), lo = true)
       case ce.LessThanOrEqual(l, r) => range(attr(l), litVal(r), lo = false,
-        strict = false) ++ range(attr(r), litVal(l), lo = true, strict = false)
+        strict = false) ++ range(attr(r), litVal(l), lo = true, strict = false) ++
+        tsRange(attr(l), tsSec(r), lo = false) ++
+        tsRange(attr(r), tsSec(l), lo = true)
       case ce.And(l, r) => one(l) ++ one(r)
       case _            => Seq.empty
     }

@@ -744,29 +744,59 @@ class CatalogSpec extends SparkSpec {
       s"z-ordered compaction must enable 2-D pruning: $d")
   }
 
-  test("skipping probes ignore TIMESTAMP literals — internal micros vs " +
-      "sidecar seconds would silently prune matching files (r13)") {
+  test("TIMESTAMP skipping probes: floor-to-second conversion prunes " +
+      "time ranges correctly — the r12-advice gate's successor (r13)") {
     val c = sqlCat("tsskip")
-    // stats+bloom DECLARED on a timestamp column: the sidecars are
-    // written via cast('long') (epoch SECONDS), while a Catalyst
-    // TIMESTAMP literal is internal MICROSECONDS — before the dataType
-    // gate, the probe compared micros against second-stats and dropped
-    // every file (empty result on any post-1970 timestamp)
+    // stats+bloom DECLARED on a timestamp column: sidecars are written
+    // via cast('long') (epoch SECONDS), Catalyst literals are internal
+    // MICROSECONDS — r13 FLOOR-converts the literal to the seconds
+    // domain (one-sided: an equality keeps the whole second, a range
+    // bound floors conservatively), so THE time-series filter shape
+    // prunes files instead of being type-gated off
     spark.sql(s"CREATE TABLE $c.ts (id BIGINT, ts TIMESTAMP) " +
       s"TBLPROPERTIES ('graft.stats' = 'ts', 'graft.bloom' = 'ts')")
-    spark.sql(s"INSERT INTO $c.ts SELECT id, " +
-      s"timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) " +
-      s"FROM range(0, 100)")
+    // 8 ts-clustered files over seconds 0..7999
+    spark.range(0, 8000).selectExpr("id",
+      "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts")
+      .repartitionByRange(8, col("ts"))
+      .createOrReplaceTempView("ts_src")
+    spark.sql(s"INSERT INTO $c.ts SELECT * FROM ts_src")
+    // range query spanning ~1/8 of the time domain prunes to ~2 files
     graft.catalog.GraftScanStats.reset()
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.ts " +
-      s"WHERE ts = timestamp'2024-01-01 00:00:30'").head().getLong(0) == 1L)
-    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ts " +
-      s"WHERE ts >= timestamp'2024-01-01 00:01:00'").head().getLong(0) == 40L)
+      s"WHERE ts >= timestamp'2024-01-01 00:16:40' " +
+      s"AND ts < timestamp'2024-01-01 00:33:20'").head().getLong(0) == 1000L)
+    val d1 = graft.catalog.GraftScanStats.lastDecision.get
+    // repartitionByRange bounds are sampled, not exact — the span can
+    // straddle an extra file; half the table pruned is the claim
+    assert(d1.filesKept <= d1.filesTotal / 2,
+      s"a 1/8-span time range must prune: $d1")
+    // equality: exactly one row back, pruned to the files of its second
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT id FROM $c.ts " +
+      s"WHERE ts = timestamp'2024-01-01 00:00:30'").head().getLong(0) == 30L)
+    val d2 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d2.filesKept < d2.filesTotal / 2, s"equality must prune: $d2")
+    // SUB-SECOND one-sidedness: two rows in ONE second, different
+    // micros — a mid-second equality keeps the second's file (floor)
+    // and Spark's residual filter returns exactly the matching row
+    spark.sql(s"CREATE TABLE $c.tsx (id BIGINT, ts TIMESTAMP) " +
+      s"TBLPROPERTIES ('graft.stats' = 'ts')")
+    spark.sql(s"INSERT INTO $c.tsx VALUES " +
+      s"(1, timestamp'2024-06-01 12:00:00.25'), " +
+      s"(2, timestamp'2024-06-01 12:00:00.75')")
+    val sub = spark.sql(s"SELECT id FROM $c.tsx " +
+      s"WHERE ts = timestamp'2024-06-01 12:00:00.75'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sub == Seq(2L), s"sub-second equality drifted: $sub")
     // and the IN shape (InSet after optimization for long lists)
-    val inVals = (0 until 150).map(i =>
-      f"timestamp'2024-01-01 00:00:$i%02d'").take(60).mkString(", ")
+    val inVals = (0 until 60).map(i =>
+      f"timestamp'2024-01-01 00:00:$i%02d'").mkString(", ")
+    graft.catalog.GraftScanStats.reset()
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.ts WHERE ts IN ($inVals)")
       .head().getLong(0) == 60L)
+    val d3 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d3.filesKept < d3.filesTotal / 2, s"IN must prune: $d3")
   }
 
   test("STRING stats compare in the writer's UTF8 binary order — " +
