@@ -77,6 +77,19 @@ private[catalog] object GraftSkipping {
     case _                     => None
   }
 
+  /** DATE values in the sidecar's epoch-DAYS domain (r13): the writers
+    * record datediff-from-epoch, the Catalyst DATE literal IS epoch
+    * days, and V1-translated filters carry java.sql.Date/LocalDate —
+    * all integral, so date probes are EXACT (no flooring needed; the
+    * usual strict ±1 range semantics apply). Dates never feed
+    * PartProbes (a days value would falsely mismatch a rendered
+    * `d=2024-01-01` directory name). */
+  private def asDateDays(v: Any): Option[Long] = v match {
+    case d: java.sql.Date      => Some(d.toLocalDate.toEpochDay)
+    case l: java.time.LocalDate => Some(l.toEpochDay)
+    case _                     => None
+  }
+
   private def pointProbes(a: String, vs: Seq[Any]): Seq[Txn.SkipProbe] = {
     val longs = vs.map(asLong)
     val strs = vs.map(asStr)
@@ -96,7 +109,8 @@ private[catalog] object GraftSkipping {
     case sources.EqualTo(a, v) =>
       asPartValue(v).map(p => Txn.PartProbe(a, Seq(p))).toSeq ++
         pointProbes(a, Seq(v)) ++
-        asTsSeconds(v).map(s => Txn.PointProbe(a, Seq(s))).toSeq
+        asTsSeconds(v).map(s => Txn.PointProbe(a, Seq(s))).toSeq ++
+        asDateDays(v).map(d => Txn.PointProbe(a, Seq(d))).toSeq
     case sources.In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
       val parts = vs.toSeq.map(asPartValue)
       val partProbe =
@@ -107,22 +121,34 @@ private[catalog] object GraftSkipping {
         if (secs.nonEmpty && secs.forall(_.isDefined))
           Seq(Txn.PointProbe(a, secs.flatten))
         else Seq.empty
-      partProbe ++ pointProbes(a, vs.toSeq) ++ tsProbe
+      val days = vs.toSeq.map(asDateDays)
+      val dateProbe =
+        if (days.nonEmpty && days.forall(_.isDefined))
+          Seq(Txn.PointProbe(a, days.flatten))
+        else Seq.empty
+      partProbe ++ pointProbes(a, vs.toSeq) ++ tsProbe ++ dateProbe
     case sources.GreaterThan(a, v) =>
       asLong(v).filter(_ < Long.MaxValue)
         .map(l => Txn.RangeProbe(a, l + 1, Long.MaxValue)).toSeq ++
         // second-granularity floor: rows > v may share v's second
-        asTsSeconds(v).map(s => Txn.RangeProbe(a, s, Long.MaxValue)).toSeq
+        asTsSeconds(v).map(s => Txn.RangeProbe(a, s, Long.MaxValue)).toSeq ++
+        // dates are exact integral days: strict bound excludes v's day
+        asDateDays(v).filter(_ < Long.MaxValue)
+          .map(d => Txn.RangeProbe(a, d + 1, Long.MaxValue)).toSeq
     case sources.GreaterThanOrEqual(a, v) =>
       asLong(v).map(l => Txn.RangeProbe(a, l, Long.MaxValue)).toSeq ++
-        asTsSeconds(v).map(s => Txn.RangeProbe(a, s, Long.MaxValue)).toSeq
+        asTsSeconds(v).map(s => Txn.RangeProbe(a, s, Long.MaxValue)).toSeq ++
+        asDateDays(v).map(d => Txn.RangeProbe(a, d, Long.MaxValue)).toSeq
     case sources.LessThan(a, v) =>
       asLong(v).filter(_ > Long.MinValue)
         .map(l => Txn.RangeProbe(a, Long.MinValue, l - 1)).toSeq ++
-        asTsSeconds(v).map(s => Txn.RangeProbe(a, Long.MinValue, s)).toSeq
+        asTsSeconds(v).map(s => Txn.RangeProbe(a, Long.MinValue, s)).toSeq ++
+        asDateDays(v).filter(_ > Long.MinValue)
+          .map(d => Txn.RangeProbe(a, Long.MinValue, d - 1)).toSeq
     case sources.LessThanOrEqual(a, v) =>
       asLong(v).map(l => Txn.RangeProbe(a, Long.MinValue, l)).toSeq ++
-        asTsSeconds(v).map(s => Txn.RangeProbe(a, Long.MinValue, s)).toSeq
+        asTsSeconds(v).map(s => Txn.RangeProbe(a, Long.MinValue, s)).toSeq ++
+        asDateDays(v).map(d => Txn.RangeProbe(a, Long.MinValue, d)).toSeq
     case sources.And(l, r) => probesOfOne(l) ++ probesOfOne(r)
     case _                 => Seq.empty // one-sided: unknown shapes keep everything
   }
@@ -169,6 +195,13 @@ private[catalog] object GraftSkipping {
         Some(Math.floorDiv(v, 1000000L))
       case _ => None
     }
+    // DATE literals: internal epoch DAYS — the exact sidecar domain
+    // (see asDateDays); boxed to ride the generic range helper
+    def dateDays(e: ce.Expression): Option[Any] = e match {
+      case ce.Literal(v: Int, org.apache.spark.sql.types.DateType) =>
+        Some(v.toLong: Any)
+      case _ => None
+    }
     def tsRange(a: Option[String], v: Option[Long],
         lo: Boolean): Seq[Txn.SkipProbe] =
       (for (an <- a; s <- v) yield
@@ -180,20 +213,27 @@ private[catalog] object GraftSkipping {
           .orElse(attr(r).flatMap(a => litVal(l).map(a -> _)))
         val ts = attr(l).flatMap(a => tsSec(r).map(a -> _))
           .orElse(attr(r).flatMap(a => tsSec(l).map(a -> _)))
+        val dd = attr(l).flatMap(a => dateDays(r).map(a -> _))
+          .orElse(attr(r).flatMap(a => dateDays(l).map(a -> _)))
         av.toSeq.flatMap { case (a, v) =>
           asPartValue(v).map(p => Txn.PartProbe(a, Seq(p))).toSeq ++
             pointProbes(a, Seq(v))
-        } ++ ts.toSeq.map { case (a, s) => Txn.PointProbe(a, Seq(s)) }
+        } ++ ts.toSeq.map { case (a, s) => Txn.PointProbe(a, Seq(s)) } ++
+          dd.toSeq.map { case (a, d) =>
+            Txn.PointProbe(a, Seq(d.asInstanceOf[Long]))
+          }
       case ce.In(l, list) if list.nonEmpty =>
-        (attr(l), list.map(litVal), list.map(tsSec)) match {
-          case (Some(a), vs, _) if vs.forall(_.isDefined) =>
+        (attr(l), list.map(litVal), list.map(tsSec), list.map(dateDays)) match {
+          case (Some(a), vs, _, _) if vs.forall(_.isDefined) =>
             val raw = vs.flatten
             val parts = raw.map(asPartValue)
             (if (parts.forall(_.isDefined))
               Seq(Txn.PartProbe(a, parts.flatten)) else Seq.empty) ++
               pointProbes(a, raw)
-          case (Some(a), _, ss) if ss.forall(_.isDefined) =>
+          case (Some(a), _, ss, _) if ss.forall(_.isDefined) =>
             Seq(Txn.PointProbe(a, ss.flatten))
+          case (Some(a), _, _, ds) if ds.forall(_.isDefined) =>
+            Seq(Txn.PointProbe(a, ds.flatten.map(_.asInstanceOf[Long])))
           case _ => Seq.empty
         }
       // InSet carries RUNTIME values with no per-value Literal — gate on
@@ -216,22 +256,39 @@ private[catalog] object GraftSkipping {
             case m: java.lang.Long => Math.floorDiv(m.longValue(), 1000000L)
           })
         }.filter(_.values.size == set.size)
+      // date InSet: runtime days (Int) → exact days
+      case ce.InSet(l, set) if set.nonEmpty && !set.contains(null) &&
+          l.dataType == org.apache.spark.sql.types.DateType =>
+        attr(l).toSeq.map { a =>
+          Txn.PointProbe(a, set.toSeq.collect {
+            case d: Int => d.toLong
+            case d: java.lang.Integer => d.longValue()
+          })
+        }.filter(_.values.size == set.size)
       case ce.GreaterThan(l, r) => range(attr(l), litVal(r), lo = true,
         strict = true) ++ range(attr(r), litVal(l), lo = false, strict = true) ++
         tsRange(attr(l), tsSec(r), lo = true) ++
-        tsRange(attr(r), tsSec(l), lo = false)
+        tsRange(attr(r), tsSec(l), lo = false) ++
+        range(attr(l), dateDays(r), lo = true, strict = true) ++
+        range(attr(r), dateDays(l), lo = false, strict = true)
       case ce.GreaterThanOrEqual(l, r) => range(attr(l), litVal(r), lo = true,
         strict = false) ++ range(attr(r), litVal(l), lo = false, strict = false) ++
         tsRange(attr(l), tsSec(r), lo = true) ++
-        tsRange(attr(r), tsSec(l), lo = false)
+        tsRange(attr(r), tsSec(l), lo = false) ++
+        range(attr(l), dateDays(r), lo = true, strict = false) ++
+        range(attr(r), dateDays(l), lo = false, strict = false)
       case ce.LessThan(l, r) => range(attr(l), litVal(r), lo = false,
         strict = true) ++ range(attr(r), litVal(l), lo = true, strict = true) ++
         tsRange(attr(l), tsSec(r), lo = false) ++
-        tsRange(attr(r), tsSec(l), lo = true)
+        tsRange(attr(r), tsSec(l), lo = true) ++
+        range(attr(l), dateDays(r), lo = false, strict = true) ++
+        range(attr(r), dateDays(l), lo = true, strict = true)
       case ce.LessThanOrEqual(l, r) => range(attr(l), litVal(r), lo = false,
         strict = false) ++ range(attr(r), litVal(l), lo = true, strict = false) ++
         tsRange(attr(l), tsSec(r), lo = false) ++
-        tsRange(attr(r), tsSec(l), lo = true)
+        tsRange(attr(r), tsSec(l), lo = true) ++
+        range(attr(l), dateDays(r), lo = false, strict = false) ++
+        range(attr(r), dateDays(l), lo = true, strict = false)
       case ce.And(l, r) => one(l) ++ one(r)
       case _            => Seq.empty
     }

@@ -1423,7 +1423,7 @@ object Txn {
       snap.schema(c).dataType == org.apache.spark.sql.types.StringType)
     if (numCols.nonEmpty)
       writeStatsSidecar(f, dataDir, snap, numCols, "_stats.tsv",
-        c => Seq(min(col(c).cast("long")), max(col(c).cast("long"))),
+        c => Seq(min(numFeed(snap, c)), max(numFeed(snap, c))),
         (r, at) => if (r.isNullAt(at)) "-" else r.getLong(at).toString)
     if (strCols.nonEmpty)
       writeStatsSidecar(f, dataDir, snap, strCols, "_stats_str.tsv",
@@ -1588,16 +1588,30 @@ object Txn {
       42L) // Spark's functions.xxhash64 default seed
       .eval(null).asInstanceOf[Long]
 
+  /** The numeric sidecar feed for a column (r13): DATE columns record
+    * epoch DAYS via datediff — ANSI forbids a date→long cast, and days
+    * is ALSO the Catalyst DATE-literal domain, so probes match the
+    * sidecar exactly with no conversion loss; everything else keeps the
+    * r10 cast('long') (TIMESTAMP = epoch seconds, see the floor-probe
+    * conversion in GraftSkipping). */
+  private def numFeed(snap: DataFrame, c: String): org.apache.spark.sql.Column =
+    snap.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        datediff(col(c), lit("1970-01-01").cast("date")).cast("long")
+      case _ => col(c).cast("long")
+    }
+
   /** A bloom column's long feed: STRING columns hash (r13 — a cast
-    * would drop every non-numeric value), everything else keeps the
-    * r10 cast('long'). Pre-r13 string "blooms" were cast-based: fully
+    * would drop every non-numeric value), everything else rides
+    * [[numFeed]] (DATE = epoch days, r13; the rest the r10
+    * cast('long')). Pre-r13 string "blooms" were cast-based: fully
     * non-numeric columns produced NO sidecar rows (always kept, safe);
     * a mixed numeric-string column's old sidecar would mislead the
     * hashing reader — re-commit or compact such tables to refresh. */
   private def bloomFeed(snap: DataFrame, c: String): org.apache.spark.sql.Column =
     if (snap.schema(c).dataType == org.apache.spark.sql.types.StringType)
       xxhash64(col(c))
-    else col(c).cast("long")
+    else numFeed(snap, c)
 
   private def writeBloom(spark: SparkSession, f: FileSystem,
       dataDir: String, bloomCols: Seq[String], mBits: Int): Unit = {

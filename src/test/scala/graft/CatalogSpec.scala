@@ -799,6 +799,44 @@ class CatalogSpec extends SparkSpec {
     assert(d3.filesKept < d3.filesTotal / 2, s"IN must prune: $d3")
   }
 
+  test("DATE skipping probes: epoch-days sidecars prune date filters " +
+      "exactly (r13)") {
+    val c = sqlCat("dtskip")
+    // stats+bloom on a DATE column: the writers record datediff-from-
+    // epoch DAYS (ANSI forbids a date->long cast) and the Catalyst DATE
+    // literal IS epoch days, so probes are exact — the daily-partition-
+    // free date-filter shape
+    spark.sql(s"CREATE TABLE $c.dt (id BIGINT, d DATE) " +
+      s"TBLPROPERTIES ('graft.stats' = 'd', 'graft.bloom' = 'd')")
+    spark.range(0, 800).selectExpr("id",
+      "date_add(DATE'2023-01-01', CAST(id AS INT)) AS d")
+      .repartitionByRange(8, col("d"))
+      .createOrReplaceTempView("dt_src")
+    spark.sql(s"INSERT INTO $c.dt SELECT * FROM dt_src")
+    // a ~1/8 date range prunes to the overlapping files
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.dt " +
+      s"WHERE d >= DATE'2023-04-11' AND d < DATE'2023-07-20'")
+      .head().getLong(0) == 100L)
+    val d1 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d1.filesKept <= d1.filesTotal / 2,
+      s"a 100-day range must prune: $d1")
+    // equality: exact row, pruned
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT id FROM $c.dt WHERE d = DATE'2023-01-31'")
+      .head().getLong(0) == 30L)
+    val d2 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d2.filesKept <= d2.filesTotal / 2, s"date equality must prune: $d2")
+    // the IN shape (InSet after optimization for long lists)
+    val inVals = (0 until 60).map(i =>
+      s"DATE'${java.time.LocalDate.of(2023, 1, 1).plusDays(i)}'").mkString(", ")
+    graft.catalog.GraftScanStats.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.dt WHERE d IN ($inVals)")
+      .head().getLong(0) == 60L)
+    val d3 = graft.catalog.GraftScanStats.lastDecision.get
+    assert(d3.filesKept <= d3.filesTotal / 2, s"date IN must prune: $d3")
+  }
+
   test("STRING stats compare in the writer's UTF8 binary order — " +
       "supplementary-plane values must not be dropped (r13)") {
     import spark.implicits._
