@@ -68,11 +68,16 @@ private[catalog] object GraftBatchWrite {
       row: InternalRow, schema: StructType): Unit =
     check.foreach { case (sql, e) =>
       val r = e.eval(row)
-      if (r != null && !r.asInstanceOf[Boolean])
+      if (r != null && !r.asInstanceOf[Boolean]) {
+        // rendering is best-effort: an op-prefixed rewrite row has one
+        // extra leading field the schema cannot describe
+        val rendered =
+          try row.toSeq(schema).mkString("[", ", ", "]")
+          catch { case _: Throwable => row.toString }
         throw new IllegalStateException(
-          s"CHECK ($sql) violated by row " +
-            row.toSeq(schema).mkString("[", ", ", "]") +
-            " — statement aborted, nothing was committed")
+          s"CHECK ($sql) violated by row $rendered — statement aborted, " +
+            "nothing was committed")
+      }
     }
 
   /** StructType → parquet MessageType for the supported flat set; all
@@ -380,6 +385,14 @@ private[catalog] class GraftParquetWriter(dataDir: String,
 
   private val file =
     s"$dataDir/part-$partitionId-$taskId-${UUID.randomUUID().toString}.parquet"
+  /** The CHECK rebound for the op-prefixed rewrite row shape: every
+    * BoundReference shifts one slot right past `__row_operation`. */
+  private lazy val shiftedCheck = check.map { case (sql, e) =>
+    (sql, e.transform {
+      case b: org.apache.spark.sql.catalyst.expressions.BoundReference =>
+        b.copy(ordinal = b.ordinal + 1)
+    })
+  }
   private val messageType =
     GraftBatchWrite.schemaToParquet(schema, "graft")
   private val conf = new Configuration()
@@ -412,9 +425,11 @@ private[catalog] class GraftParquetWriter(dataDir: String,
         org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION) {
       return
     }
-    // declared CHECK per surviving row (un-prefixed rows only — the
-    // prefixed group-COW shape never carries a check, see CheckProp)
+    // declared CHECK per surviving row; op-prefixed rewrite rows
+    // (group-COW UPDATE/MERGE) evaluate through the SHIFTED binding so
+    // keyless row-level ops are guarded too (r13)
     if (off == 0) GraftBatchWrite.assertCheck(check, row, schema)
+    else GraftBatchWrite.assertCheck(shiftedCheck, row, schema)
     val g = factory.newGroup()
     var i = 0
     while (i < schema.fields.length) {

@@ -929,7 +929,12 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
                   // the COW rewrite is computed from THIS pinned
                   // version: CAS the publish so a concurrent writer's
                   // commit is never silently discarded (r11 advice)
-                  pinnedBase = Some(version))
+                  pinnedBase = Some(version),
+                  // the declared CHECK guards KEYLESS UPDATE/MERGE too
+                  // (r13): the rewrite's rows may arrive op-prefixed —
+                  // the writer shifts the binding per row
+                  check = tableProps.get("check").map(c => (c,
+                    GraftSqlCatalog.bindCheck(spark, c, wInfo.schema()))))
             }
           }
       }

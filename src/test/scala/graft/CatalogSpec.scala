@@ -1439,6 +1439,19 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"MERGE INTO $c.ckd t USING (SELECT 1 AS k) s ON t.k = s.k " +
       s"WHEN MATCHED THEN UPDATE SET v = 99")
     assert(spark.sql(s"SELECT v FROM $c.ckd WHERE k = 1").head().getLong(0) == 99L)
+    // KEYLESS group-COW path: the rewrite's op-prefixed rows evaluate
+    // through the shifted binding — UPDATE on an unkeyed table is
+    // guarded too
+    spark.sql(s"CREATE TABLE $c.ckc (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('graft.check' = 'v >= 0')")
+    spark.sql(s"INSERT INTO $c.ckc VALUES (1, 10), (2, 20)")
+    intercept[Exception] {
+      spark.sql(s"UPDATE $c.ckc SET v = -1 WHERE k = 1")
+    }
+    assert(spark.sql(s"SELECT v FROM $c.ckc WHERE k = 1").head().getLong(0) == 10L,
+      "a violating keyless UPDATE must leave the table unchanged")
+    spark.sql(s"UPDATE $c.ckc SET v = 11 WHERE k = 1")
+    assert(spark.sql(s"SELECT v FROM $c.ckc WHERE k = 1").head().getLong(0) == 11L)
     // DDL-time validation: bad column / subquery refuse at declaration
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $c.ckbad (id BIGINT) " +
