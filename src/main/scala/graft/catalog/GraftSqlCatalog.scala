@@ -762,7 +762,8 @@ private[catalog] class GraftSqlTable(tableName: String, root: String,
       else Map.empty) ++
       (if (bloomCols.nonEmpty)
         Map(GraftSqlCatalog.BloomProp -> bloomCols.mkString(","))
-      else Map.empty)).asJava
+      else Map.empty) ++
+      tableProps.get("check").map(GraftSqlCatalog.CheckProp -> _)).asJava
 
   /** Spark's own vectorized parquet DSv2 scan over the pinned
     * version's data dirs — servable whenever every manifest entry is a
