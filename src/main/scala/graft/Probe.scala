@@ -195,6 +195,48 @@ object Probe {
       tick("cc total", t)
       spark.stop(); return
     }
+    if (key.startsWith("plan:")) {
+      // build-only formatted-plan dump (no timed run) for the committed
+      // plans/<round> evidence files; build-time training actions still
+      // run (they are part of building the frame)
+      val k = key.stripPrefix("plan:")
+      val df = SparkEntry.queries(k)(spark, sf)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      spark.stop(); return
+    }
+    if (key.startsWith("jobs:")) {
+      // per-stage breakdown of one query: warm run first, then an
+      // instrumented run that prints every stage's wall time, task-time
+      // sum, task count and shuffle bytes — the UI-less stand-in for
+      // the Stages tab (guide §7.1)
+      val k = key.stripPrefix("jobs:")
+      graft.ops.Q.withCached(SparkEntry.queries(k)(spark, sf))(_.count())
+      spark.catalog.clearCache()
+      t = tick("warm run", t)
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L))
+          val m = si.taskMetrics
+          stages.add(f"[stage ${si.stageId}%4d] wall=${wall}%5d ms tasks=${si.numTasks}%3d " +
+            f"taskTime=${m.executorRunTime}%6d ms shufW=${m.shuffleWriteMetrics.bytesWritten / 1024}%7d KB " +
+            f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1024}%7d KB in=${m.inputMetrics.bytesRead / 1024}%7d KB " +
+            si.name.take(90))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      graft.ops.Q.withCached(SparkEntry.queries(k)(spark, sf))(_.count())
+      println(f"[probe] instrumented run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.sparkContext.removeSparkListener(listener)
+      Thread.sleep(300) // let the listener bus drain
+      stages.forEach(s => println(s))
+      spark.catalog.clearCache()
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(key)(spark, sf)
     t = tick("build", t)
     println("[probe] rows: " + df.count())

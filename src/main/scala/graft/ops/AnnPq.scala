@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-quantization ANN — the memory-bounded third member of the
@@ -55,13 +54,19 @@ object AnnPq {
     * integer dots, code tie-break. The codebook is m×ksub rows —
     * broadcast at any corpus size, exactly like the IVF centroids. */
   private def assignCodes(subs: DataFrame, codebooks: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub_id")
-      .orderBy(col("d2").asc, col("code"))
-    subs.join(broadcast(codebooks), "sub_id")
-      .withColumn("d2",
-        expr("dot_long(sv, sv) - 2 * dot_long(sv, ce) + dot_long(ce, ce)"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    // r14: per-ROW argmin over the per-subspace codebook array instead
+    // of the join-explode (×ksub rows) + row_number window (which
+    // shuffled AND sorted nvec×m×ksub rows per call — ×3 calls per
+    // build: two train refinements plus the encode pass). Same
+    // ordering-identity argument as Llm.nearestLists: |sv|² is
+    // constant per row, so struct(|c|² − 2·sv·c, code) ranks exactly
+    // like (d2, code); |c|² precomputed per codebook entry. The join
+    // key stays sub_id (m rows broadcast), so no row explosion either.
+    val cbs = codebooks.groupBy("sub_id").agg(
+      expr("collect_list(struct(code, ce, dot_long(ce, ce) as cn2))").as("cbs"))
+    subs.join(broadcast(cbs), "sub_id")
+      .withColumn("code", expr(
+        "array_min(transform(cbs, c -> struct(c.cn2 - 2 * dot_long(sv, c.ce) as d2, c.code as code))).code"))
       .select("vec_id", "sub_id", "sv", "code")
   }
 

@@ -451,12 +451,32 @@ object Llm {
     * (nlist grows ~√N, the vectors stay partitioned). */
   private[graft] def nearestLists(vecs: org.apache.spark.sql.DataFrame,
       cs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_label"))
-    vecs.crossJoin(broadcast(cs))
-      .withColumn("d2", expr("dot_long(e, e) - 2 * dot_long(e, ce) + dot_long(ce, ce)"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
+    // r14: per-ROW argmin/top-k over the collected centroid array
+    // instead of the r2 crossJoin(centroids) + row_number window — the
+    // window shuffled AND sorted nvec×nlist rows per call (×3 calls in
+    // a 2-iteration k-means train), where the assignment is a per-row
+    // loop over nlist entries by construction (guide §2.4: remove
+    // shuffles outright). Ordering identity with the window form:
+    // ranking key was (d2, c_label) with d2 = |e|² − 2·e·c + |c|²; |e|²
+    // is constant within a row, so struct(|c|² − 2·e·c, c_label) sorts
+    // candidates identically (exact integer arithmetic, same
+    // tie-break) and array_min/array_sort are the argmin/top-k of that
+    // order. |c|² is precomputed once per centroid in the collected
+    // array. Consumers read (vecs.*, c_label) only — d2/rn were always
+    // dropped — so results are bit-identical (INVARIANCE + LlmSpec
+    // recall floors re-run green).
+    val cbs = broadcast(cs.groupBy().agg(
+      expr("collect_list(struct(c_label, ce, dot_long(ce, ce) as cn2))").as("cbs")))
+    val ranked = "transform(cbs, c -> struct(c.cn2 - 2 * dot_long(e, c.ce) as d2, c.c_label as c_label))"
+    if (k == 1)
+      vecs.crossJoin(cbs)
+        .withColumn("c_label", expr(s"array_min($ranked).c_label"))
+        .drop("cbs")
+    else
+      vecs.crossJoin(cbs)
+        .withColumn("c_label", explode(
+          expr(s"transform(slice(array_sort($ranked), 1, $k), x -> x.c_label)")))
+        .drop("cbs")
   }
 
   /** Element-wise integer-mean centroid per assigned list (exactly I4's
