@@ -72,13 +72,13 @@ object AnnPq {
 
   /** Element-wise half-up integer mean per (subspace, code) — the
     * codebook refinement step, same aggregate shape as the IVF
-    * listCentroids. */
+    * listCentroids. r14: one Llm.vecCentroid hash aggregate (partial
+    * buffers of m×ksub groups × dsub sums) instead of the posexplode →
+    * (sub, code, pos) agg → re-assemble chain that shuffled nvec×d
+    * exploded rows twice per refinement; exact same integer mean. */
   private def codeCentroids(assigned: DataFrame): DataFrame = assigned
-    .select(col("sub_id"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-    .groupBy("sub_id", "code", "pos")
-    .agg(expr("(2*sum(v) + count(1)) div (2*count(1))").as("cv"))
     .groupBy("sub_id", "code")
-    .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
+    .agg(Llm.vecCentroid(col("sv")).as("ce"))
 
   /** A persisted PQ index. `codebooks` = (sub_id, code, ce), m×ksub
     * rows, broadcast everywhere; `codes` = (vec_id, codes, n2) — the

@@ -479,15 +479,28 @@ object Llm {
         .drop("cbs")
   }
 
-  /** Element-wise integer-mean centroid per assigned list (exactly I4's
-    * aggregate shape: posexplode → (list, pos) two-phase agg). */
+  /** The element-wise integer-mean ARRAY aggregate shared by every
+    * k-means refinement (IVF lists here, PQ codebooks in AnnPq): the
+    * VectorCentroid Aggregator's buffer is one (sums[d], count) pair
+    * per group, so the exchange carries O(groups × dims) partial
+    * buffers instead of O(rows × dims) exploded rows (guide §2.3 —
+    * aggregate before you shuffle). Division is the same half-up
+    * integer mean as the posexplode form; LlmSpec pins the equality
+    * against the oracle-checked llm_embedding_centroid row. */
+  private[graft] val vecCentroid: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(graft.functions.VectorCentroid,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+
+  /** Element-wise integer-mean centroid per assigned list. r14: one
+    * [[vecCentroid]] hash aggregate (map-side partials over ≤ nlist
+    * groups) replaces the posexplode → (list, pos) agg → re-assemble
+    * chain, which shuffled nvec×d exploded rows twice per k-means
+    * refinement (×3 calls per 2-iteration train). Same exact integer
+    * math, bit-identical centroids. */
   private[graft] def listCentroids(
       assign: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = assign
-    .select(col("list_id"), posexplode(col("e")).as(Seq("pos", "v")))
-    .groupBy("list_id", "pos")
-    .agg(expr("(2*sum(v) + count(1)) div (2*count(1))").as("cv"))
-    .groupBy("list_id")
-    .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
+    .groupBy(col("list_id"))
+    .agg(vecCentroid(col("e")).as("ce"))
     .select(col("list_id").as("c_label"), col("ce"))
 
   /** A persisted IVF (inverted-file) ANN index — the library surface
