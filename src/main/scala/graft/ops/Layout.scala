@@ -69,12 +69,29 @@ object Layout {
     // project to the digest's columns before the layout write: the
     // bucketed artifact carries what downstream reads, not the full row
     // (at 100 TB the bucketed copy is usually a curated projection too)
+    //
+    // r14: repartition(8, key) BEFORE the bucketed write. The input
+    // parquet arrives as a handful of scan splits, and a bucketed write
+    // makes every input task sort by (bucket, key) and write all 8
+    // bucket files it sees — effectively one serialized writer locally
+    // (measured: the lineitem write stage was 1.66 s wall ≈ its summed
+    // task time). Hash-repartitioning on the bucket column into exactly
+    // numBuckets partitions uses the SAME murmur3 pmod function as the
+    // bucket-id assignment, so each task holds exactly one bucket and
+    // writes exactly one file — 8-way parallel write, still ONE file
+    // per bucket (the sorted-bucket metadata the exchange-free read
+    // depends on). The count derives from the table's bucket spec, not
+    // the local core count, so it scales with the declared layout
+    // (guide §2.4/§6: the one shuffle is the ingest-time price the
+    // bucketed layout already pays by contract).
     lineitem(s, dir)
       .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .repartition(8, col("l_orderkey"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$root/lineitem").mode("overwrite")
       .saveAsTable(liName)
     orders(s, dir).select("o_orderkey", "o_orderstatus")
+      .repartition(8, col("o_orderkey"))
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$root/orders").mode("overwrite")
       .saveAsTable(odName)
