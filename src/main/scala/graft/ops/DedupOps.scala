@@ -501,7 +501,10 @@ object DedupOps {
     // order-independent, so the sorted distinct-token array used by the
     // exact verify is also the signature input — one persisted frame,
     // half the split/distinct work of the former dtoks+ts pair.
-    val sets = Q.cached(docs
+    // r14: spreadScan so a single-split caller (streaming static index,
+    // spec corpora) tokenizes — and fills the cache — on every core;
+    // identity for the usual contracted/shuffled inputs.
+    val sets = Q.cached(Q.spreadScan(docs.select("doc_id", "text"), col("doc_id"))
       .select(col("doc_id"), expr("array_sort(array_distinct(split(text, ' ')))").as("ts")))
     val bands = Q.cached(sets
       .withColumn("mhs", expr("minhash32(ts)"))
@@ -628,8 +631,16 @@ object DedupOps {
     * twice is not). At bench SFs the single cache is the faster shape. */
   private[graft] def tsContraction(docs: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val withTs = docs.select(col("doc_id"), col("text"),
-      array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+    // r14: Q.spreadScan before the tokenize — a raw-documents caller
+    // hands this a single parquet split, so the split/distinct/sort
+    // token work (the map side of the reps aggregate AND the join
+    // probe) ran on one task; spreading puts it on every core, and the
+    // guard is the identity for wide or already-shuffled inputs
+    // (llm_corpus_clean passes its 32-partition cached s2 here)
+    val withTs = Q.spreadScan(docs.select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        array_sort(array_distinct(split(col("text"), " "))).as("ts"))
     val reps = withTs.groupBy(col("ts")).agg(min(col("doc_id")).as("rep"))
     val tagged = Q.cached(withTs.join(reps, "ts")
       .select(col("doc_id"), col("text"), col("rep"),
@@ -978,7 +989,12 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     // stage 1: quality gate (exact integer score, same as llm_quality_score)
-    val scored = withQualityMicro(documents(s, dir))
+    // r14: Q.spreadScan before the gate — the tokenize-heavy quality
+    // formula and the sha256 digest both ran on the one-split fixture
+    // scan's single task before the first exchange
+    val scored = withQualityMicro(Q.spreadScan(
+        documents(s, dir).select("doc_id", "lang", "n_chars", "text"),
+        col("doc_id")))
       .where(col("quality_micro") >= 500000)
       .select("doc_id", "lang", "n_chars", "quality_micro", "text")
     // stage 2: exact dedup among quality survivors — ONE digest-keyed
@@ -1090,7 +1106,10 @@ object DedupOps {
       |SELECT doc_id, cluster_id, n_members, quality_micro
       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val docs = documents(s, dir)
+    // r14: spread once, both consumers (the contraction's tokenize and
+    // the quality formula) inherit the parallel scan
+    val docs = Q.spreadScan(
+      documents(s, dir).select("doc_id", "n_chars", "text"), col("doc_id"))
     val (tagged, repDocs) = tsContraction(docs)
     val labels = componentLabels(tagged, lshVerifiedPairs(repDocs))
     val scored = withQualityMicro(docs).select(col("doc_id"), col("quality_micro"))

@@ -79,4 +79,29 @@ object Q {
     buf.foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
+
+  /** r14 — recover parallelism for heavy per-row work over a SMALL scan
+    * (guide §1.2 per-task work; §2.5 input skew "one huge unsplittable
+    * file"). A parquet file smaller than one scan split arrives as ONE
+    * task no matter the session's core count (a single row group cannot
+    * be split), so every downstream map — tokenize, n-gram explode,
+    * regex — runs single-threaded until the first exchange. When (and
+    * only when) the WHOLE input fits one split (≤
+    * `spark.sql.files.maxPartitionBytes`) and the scan is narrower than
+    * the session's parallelism, hash-repartition it by `key` across the
+    * cores: the shuffled bytes are bounded by one split, the key is a
+    * real column (no round-robin pre-sort, deterministic placement
+    * under retries), and per-row compute then uses the whole machine.
+    * At cluster scale the input exceeds one split and this is the
+    * identity — no exchange is ever added to a big scan. Callers must
+    * project to the needed columns FIRST so only they cross the wire. */
+  private[graft] def spreadScan(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    val oneSplit = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= oneSplit &&
+        df.rdd.getNumPartitions < dp)
+      df.repartition(dp, key)
+    else df
+  }
 }

@@ -150,18 +150,36 @@ object StreamTwins {
     Txn.commit(ev.where(col("event_id") % 3 === 0), root)
     Txn.commitAppend(ev.where(col("event_id") % 3 === 1), root)
     val sink = s"cdc_src_sink_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = s.readStream.format("graft").load(root)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
-        max("event_id").as("max_id"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
-    q.processAllAvailable()
-    // the third shard lands while the stream is LIVE — the next batch
-    // must serve exactly its rows
-    Txn.commitAppend(ev.where(col("event_id") % 3 === 2), root)
-    q.processAllAvailable()
-    q.stop()
+    // r14: pin the STATE partition count for this stateful stream
+    // instead of inheriting the session's batch shuffle width. The
+    // aggregate's state is keyed by event_type (a handful of groups),
+    // but every micro-batch ran one state-store task PER shuffle
+    // partition — measured 32 tasks × ~1.3 s of state-store open/commit
+    // overhead per batch with ZERO input rows attributed to the state
+    // stages (~70 s task time per bench run); at 4-8 partitions the
+    // same stages cost < 1 s. State partitioning is a property of the
+    // STREAM (checkpoint-pinned at first batch, sized to stateful-key
+    // cardinality), not of the session's batch parallelism —
+    // `spark.graft.stream.statePartitions` parameterises it for
+    // production (size to keys/executors there); the session conf is
+    // restored after the stream stops, so batch queries are untouched.
+    val sp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.graft.stream.statePartitions", "8"))
+    try {
+      val q = s.readStream.format("graft").load(root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+          max("event_id").as("max_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      // the third shard lands while the stream is LIVE — the next batch
+      // must serve exactly its rows
+      Txn.commitAppend(ev.where(col("event_id") % 3 === 2), root)
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", sp)
     s.table(sink).orderBy("event_type")
   }
 

@@ -196,6 +196,11 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-4), i -> concat_ws(' ', slice(toks, i+1, 4)))"))
         .as("gram"))
+    // (r14 note: Q.spreadScan was tried here and REVERTED —
+    // TextPipelineSpec pins this row's scale contract, "the corpus
+    // branch never exchanges before the broadcast probe", as a plan
+    // assert, and the spread's small-input exchange breaks exactly that
+    // pin; the marginal local win wasn't worth weakening the contract)
     val docs = documents(s, dir)
     // benchmark side: distinct over the SLICE only (a shuffle of the
     // small side, by construction), then broadcast
@@ -231,7 +236,10 @@ object TextOps {
       |  FROM tf JOIN df USING (term))
       |SELECT doc_id, term, tf, df FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val u = documents(s, dir)
+    // r14: Q.spreadScan — tokenize/explode (run twice: tf and df both
+    // re-derive u) was single-task on the one-split fixture scan
+    val u = Q.spreadScan(documents(s, dir).select("doc_id", "text"),
+        col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = u.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = u.groupBy("term").agg(countDistinct("doc_id").as("df"))
@@ -591,7 +599,12 @@ object TextOps {
     // scan stage and drops non-candidate rows BEFORE any exchange, so
     // the only corpus rows that ever shuffle are candidate (doc, gram)
     // pairs (the per-doc dedup the n_shared semantics need).
-    val raw = documents(s, dir)
+    // (r14: Q.spreadScan fires on small single-split inputs only — at
+    // scale the guard is the identity and the probe-before-exchange
+    // contract above holds physically; locally the 1 MB pre-probe
+    // spread buys a parallel gram/sha2 stage, measured 1.44 → 1.17 s.)
+    val raw = Q.spreadScan(documents(s, dir).select("doc_id", "text"),
+        col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 4)
       .select(col("doc_id"), explode(expr(
@@ -647,6 +660,10 @@ object TextOps {
       |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
       |ORDER BY doc_id, term""".stripMargin
   ) { (s, dir) =>
+    // (r14 note: Q.spreadScan was tried here and REVERTED — u feeds one
+    // partial-aggregated pass, and the added exchange cost more than the
+    // parallel tokenize saved on this sub-second row: 0.50 → 0.83 s
+    // window-adjusted in the A/B)
     val u = documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = u.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -968,7 +985,8 @@ object TextOps {
       |       ELSE -1 END AS vocab_id
       |FROM df ORDER BY term""".stripMargin
   ) { (s, dir) =>
-    val dfFrame = Q.cached(documents(s, dir)
+    val dfFrame = Q.cached(Q.spreadScan(
+        documents(s, dir).select("doc_id", "text"), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .distinct()
       .groupBy("term").agg(count(lit(1)).as("df")))
@@ -1238,7 +1256,14 @@ object TextOps {
 
   private def lmScoreBuild(s: org.apache.spark.sql.SparkSession, dir: String,
       hotCold: Boolean): org.apache.spark.sql.DataFrame = {
-    val t = documents(s, dir)
+    // r14: Q.spreadScan before the tokenize — the documents fixture fits
+    // one parquet split, so tokenize + bigram explode (and the pairs
+    // cache they fill) all ran on ONE task (~3 × 0.6 s single-task
+    // stages in the jobs: probe); spreading the raw (doc_id, text) rows
+    // puts the per-row work and the cache on every core, and at scale
+    // the guard makes it the identity (no exchange added to a wide scan)
+    val t = Q.spreadScan(documents(s, dir).select("doc_id", "text"),
+        col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 2)
     val pairs = Q.cached(t.select(col("doc_id"), explode(expr(
@@ -1259,7 +1284,15 @@ object TextOps {
       c12Raw.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
     val c12 = if (hotCold && !c12Small) Q.cached(c12Raw) else c12Raw
     val hist = c12.groupBy("w1").agg(sum(col("c")).as("c1"))
-    val vocab = t.select(explode(col("ws")).as("tok"))
+    // r14: vocab from the bigram table instead of a SECOND tokenize
+    // pass over documents (one full single-task scan saved). Exact
+    // identity: every doc here has ≥ 2 tokens, so its token set is
+    // slice(ws,1,n−1) ∪ slice(ws,2,n) — precisely the w1/w2 values its
+    // bigrams carry — and distinct-counting tokens over t equals
+    // distinct-counting w1 ∪ w2 over c12 (the oracle's `v` CTE is
+    // unchanged; the driver hash pins the equality on every SF).
+    val vocab = c12.select(col("w1").as("tok"))
+      .union(c12.select(col("w2").as("tok")))
       .agg(countDistinct(col("tok")).as("vocab"))
     val counted =
       if (!hotCold || c12Small) pairs.join(c12, Seq("w1", "w2"))
