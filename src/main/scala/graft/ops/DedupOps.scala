@@ -989,12 +989,12 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     // stage 1: quality gate (exact integer score, same as llm_quality_score)
-    // r14: Q.spreadScan before the gate — the tokenize-heavy quality
-    // formula and the sha256 digest both ran on the one-split fixture
-    // scan's single task before the first exchange
-    val scored = withQualityMicro(Q.spreadScan(
-        documents(s, dir).select("doc_id", "lang", "n_chars", "text"),
-        col("doc_id")))
+    // (r14 note: Q.spreadScan was tried before this gate and REVERTED —
+    // interleaved A/B measured the spread form ~0.35 s slower: the gate
+    // feeds a partial-aggregated digest shuffle, so the extra exchange
+    // moved full text rows that the map-side aggregate never needed to
+    // move. The contraction downstream still spreads via tsContraction.)
+    val scored = withQualityMicro(documents(s, dir))
       .where(col("quality_micro") >= 500000)
       .select("doc_id", "lang", "n_chars", "quality_micro", "text")
     // stage 2: exact dedup among quality survivors — ONE digest-keyed

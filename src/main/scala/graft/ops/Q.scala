@@ -97,9 +97,24 @@ object Q {
     * project to the needed columns FIRST so only they cross the wire. */
   private[graft] def spreadScan(df: DataFrame,
       key: org.apache.spark.sql.Column): DataFrame = {
+    // Scan-shaped plans only: deciding the spread needs the physical
+    // partition count (df.rdd), and physically planning an arbitrary
+    // upstream lineage per call is real driver time — measured ~0.3 s
+    // per run on llm_corpus_clean, whose contraction input is a cached
+    // multi-stage aggregate the guard would no-op on anyway. A plan of
+    // Project/Filter over a relation is cheap to plan and is exactly
+    // the "small file arrives as one task" case this helper exists for.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    def scanShaped(p: LogicalPlan): Boolean = p match {
+      case pr: Project => scanShaped(pr.child)
+      case f: Filter   => scanShaped(f.child)
+      case l            => l.children.isEmpty &&
+        !l.getClass.getSimpleName.contains("InMemoryRelation")
+    }
     val dp = df.sparkSession.sparkContext.defaultParallelism
     val oneSplit = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= oneSplit &&
+    if (scanShaped(df.queryExecution.optimizedPlan) &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= oneSplit &&
         df.rdd.getNumPartitions < dp)
       df.repartition(dp, key)
     else df

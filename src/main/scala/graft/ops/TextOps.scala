@@ -1256,14 +1256,11 @@ object TextOps {
 
   private def lmScoreBuild(s: org.apache.spark.sql.SparkSession, dir: String,
       hotCold: Boolean): org.apache.spark.sql.DataFrame = {
-    // r14: Q.spreadScan before the tokenize — the documents fixture fits
-    // one parquet split, so tokenize + bigram explode (and the pairs
-    // cache they fill) all ran on ONE task (~3 × 0.6 s single-task
-    // stages in the jobs: probe); spreading the raw (doc_id, text) rows
-    // puts the per-row work and the cache on every core, and at scale
-    // the guard makes it the identity (no exchange added to a wide scan)
-    val t = Q.spreadScan(documents(s, dir).select("doc_id", "text"),
-        col("doc_id"))
+    // (r14 note: Q.spreadScan was tried here and REVERTED — the
+    // interleaved A/B put the spread form ~0.5 s SLOWER at this row's
+    // best: the pairs cache fill is one modest tokenize pass and the
+    // added exchange + wider cache cost more than the parallelism won)
+    val t = documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 2)
     val pairs = Q.cached(t.select(col("doc_id"), explode(expr(

@@ -466,6 +466,42 @@ class CatalogSpec extends SparkSpec {
       s"file rung must prune inside the kept dir: $d")
   }
 
+  test("partitioned INSERT requires clustered distribution: one file per " +
+      "leaf even from a many-partition source (r14)") {
+    import spark.implicits._
+    val c = sqlCat("clustw")
+    val catRoot = spark.conf.get(s"spark.sql.catalog.$c.root")
+    spark.sql(s"CREATE TABLE $c.pw (id BIGINT, yr BIGINT) PARTITIONED BY (yr)")
+    // 6 input partitions × 5 partition values: the unclustered native
+    // write would land up to 6 files per leaf (and 6·P at scale); the
+    // clustered requirement routes each yr to one task → exactly one
+    // file per leaf per statement
+    (1L to 5000L).map(i => (i, 2020L + i % 5L)).toDF("id", "yr")
+      .repartition(6)
+      .createOrReplaceTempView("clustw_src")
+    spark.sql(s"INSERT INTO $c.pw SELECT id, yr FROM clustw_src")
+    val root = GraftCatalog.resolve(spark, catRoot, "pw")
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // CREATE itself lands an (empty) snapshot dir — fold the leaf file
+    // counts over EVERY data dir, so the assert sees the insert's one
+    // regardless of listing order
+    val perLeaf = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+      .filter(_.isDirectory).map(_.getPath)
+      .flatMap(d => fsys.listStatus(d)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("yr=")))
+      .map(st => st.getPath.getName ->
+        fsys.listStatus(st.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(perLeaf.keySet == (2020L to 2024L).map(y => s"yr=$y").toSet, perLeaf)
+    assert(perLeaf.values.forall(_ == 1),
+      s"clustered write must land exactly one file per leaf: $perLeaf")
+    // rows intact through the clustered exchange
+    val got = spark.sql(s"SELECT count(*) FROM $c.pw").head().getLong(0)
+    assert(got == 5000L)
+  }
+
   test("V2 SQL catalog: declared-key tables run UPDATE/MERGE/DELETE " +
       "through the O(batch) delta path — manifest extension, no rewrite") {
     import spark.implicits._

@@ -29,6 +29,23 @@ class TextPipelineSpec extends SparkSpec {
       "corpus side must not exchange before the probe:\n" + lines.mkString("\n"))
   }
 
+  test("spreadScan: one-split scans spread to the session parallelism, " +
+      "wide inputs pass through untouched, rows identical (r14)") {
+    val dp = spark.sparkContext.defaultParallelism
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // the sf0.001 fixture fits one scan split → the guard must fire
+    assert(docs.rdd.getNumPartitions < dp,
+      "fixture unexpectedly wide — the spread branch is untested")
+    val spread = ops.Q.spreadScan(docs, col("doc_id"))
+    assert(spread.rdd.getNumPartitions == dp)
+    assert(spread.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // an input at/above the session parallelism must return unchanged —
+    // at scale this is every real scan, so no exchange is ever added
+    val wide = docs.repartition(dp + 2)
+    assert(ops.Q.spreadScan(wide, col("doc_id")) eq wide)
+  }
+
   test("doc chunks reassemble to the original document") {
     // stride 32, width 40: dropping the 8-token overlap from every
     // chunk after the first and concatenating must rebuild the doc.
