@@ -120,6 +120,14 @@ object Bench {
       val dropped = results.filterNot { case (k, _) => keep.contains(k) }
       out = line(keep, dropped.size, dropped.values.filter(_ >= 0).sum)
     }
+    // r15 (verdict item 2): the stdout line below reaches the driver only
+    // through sbt's "[info] "-prefixed tail capture, and its parser has
+    // reported `parsed: null` two rounds straight. Emit the IDENTICAL
+    // contract line to a bare artifact as well — additions-only, nothing
+    // about the timed region or the stdout contract changes.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (out + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     println(out)
     spark.stop()
   }

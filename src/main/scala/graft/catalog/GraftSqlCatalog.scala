@@ -1387,9 +1387,16 @@ private[catalog] class GraftWriteBuilder(root: String, schema: StructType,
       // `PARTITION (col=v)` overwrites are exempt — their batch holds a
       // single partition value, where clustering would serialize the
       // write into one task for nothing.
+      // `spark.graft.write.distribution` (clustered|none, default
+      // clustered) is the escape hatch the Iceberg pattern exposes as
+      // write.distribution-mode (r14 advice): a value-skewed ingest
+      // (most rows in one partition value) funnels through one task
+      // under clustering, and `none` reverts to the unclustered shape.
       override def requiredDistribution()
           : org.apache.spark.sql.connector.distributions.Distribution =
-        if (partCols.nonEmpty && replaceWhere.isEmpty)
+        if (partCols.nonEmpty && replaceWhere.isEmpty &&
+            SparkSession.active.conf
+              .get("spark.graft.write.distribution", "clustered") == "clustered")
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
             partCols.map(c =>
               org.apache.spark.sql.connector.expressions.Expressions.identity(c)

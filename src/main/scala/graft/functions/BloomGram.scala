@@ -66,6 +66,24 @@ class BloomGramAgg(mBits: Int) extends Aggregator[Long, Array[Long], Array[Long]
   def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }
 
+/** [[BloomGramAgg]] over a NULLABLE feed (r15): a None (SQL NULL) input
+  * contributes nothing — the same semantics as the `WHERE col IS NOT
+  * NULL` the per-column sidecar writers used to apply, expressed inside
+  * the aggregator so the ONE-PASS sidecar aggregation (every stats and
+  * bloom column of a fresh snapshot in a single job) needs no per-column
+  * filter. Bit-identical output to BloomGramAgg over the filtered feed. */
+class BloomGramAggNullable(mBits: Int)
+    extends Aggregator[Option[Long], Array[Long], Array[Long]] {
+  private val inner = new BloomGramAgg(mBits)
+  def zero: Array[Long] = inner.zero
+  def reduce(buf: Array[Long], hash: Option[Long]): Array[Long] =
+    hash.fold(buf)(inner.reduce(buf, _))
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+  def finish(buf: Array[Long]): Array[Long] = buf
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 /** Native probe: `bloom_contains(bits, hash)` — true iff all K probe
   * bits are set. Stays inside WholeStageCodegen (no per-row array
   * materialization, no lambda): the generated code reads K words

@@ -62,6 +62,25 @@ object AnnPq {
     // constant per row, so struct(|c|² − 2·sv·c, code) ranks exactly
     // like (d2, code); |c|² precomputed per codebook entry. The join
     // key stays sub_id (m rows broadcast), so no row explosion either.
+    // Same r15 width ceiling as Llm.nearestLists: each collected row
+    // holds ONE subspace's ksub × (dsub×8) bytes; above the shared bound
+    // (conf `spark.graft.ann.maxCollectedCodebookBytes` — the estimate
+    // here covers all m subspaces, so it overestimates the per-row size
+    // m-fold, conservatively) fall back to the pre-r14 join + window
+    // form. AnnPqSpec pins output equality of the two paths.
+    val bound = BigInt(subs.sparkSession.conf
+      .get("spark.graft.ann.maxCollectedCodebookBytes", (128L << 20).toString))
+    if (codebooks.queryExecution.optimizedPlan.stats.sizeInBytes > bound) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("vec_id", "sub_id")
+        .orderBy(col("d2").asc, col("code"))
+      return subs.join(broadcast(codebooks), "sub_id")
+        .withColumn("d2",
+          expr("dot_long(sv, sv) - 2 * dot_long(sv, ce) + dot_long(ce, ce)"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("vec_id", "sub_id", "sv", "code")
+    }
     val cbs = codebooks.groupBy("sub_id").agg(
       expr("collect_list(struct(code, ce, dot_long(ce, ce) as cn2))").as("cbs"))
     subs.join(broadcast(cbs), "sub_id")

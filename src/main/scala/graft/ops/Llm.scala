@@ -465,6 +465,29 @@ object Llm {
     // array. Consumers read (vecs.*, c_label) only — d2/rn were always
     // dropped — so results are bit-identical (INVARIANCE + LlmSpec
     // recall floors re-run green).
+    // r15 width ceiling (r14 verdict item 3): the collected codebook is
+    // ONE row — a single UnsafeRow holding nlist × (d×8 + tag) bytes. At
+    // 100 TB nlist grows ~√N (10⁵-10⁶ centroids × 64 dims ≈ 50-500 MB),
+    // approaching single-row/broadcast limits. Above the documented
+    // bound (`spark.graft.ann.maxCollectedCodebookBytes`, default
+    // 128 MB — comfortably under the 8 GB broadcast cap and the 2 GB
+    // array ceiling) fall back to the pre-r14 broadcast-join + window
+    // form, which never materializes the codebook into one row. The
+    // bound reads the optimizer's size ESTIMATE (no extra action on the
+    // hot path); an overestimate just picks the always-correct fallback.
+    // LlmSpec pins output equality of the two paths.
+    val bound = BigInt(vecs.sparkSession.conf
+      .get("spark.graft.ann.maxCollectedCodebookBytes", (128L << 20).toString))
+    if (cs.queryExecution.optimizedPlan.stats.sizeInBytes > bound) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_label"))
+      return vecs.crossJoin(broadcast(cs))
+        .withColumn("d2",
+          expr("dot_long(e, e) - 2 * dot_long(e, ce) + dot_long(ce, ce)"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k)
+        .select(vecs.columns.map(col) :+ col("c_label"): _*)
+    }
     val cbs = broadcast(cs.groupBy().agg(
       expr("collect_list(struct(c_label, ce, dot_long(ce, ce) as cn2))").as("cbs")))
     val ranked = "transform(cbs, c -> struct(c.cn2 - 2 * dot_long(e, c.ce) as d2, c.c_label as c_label))"
@@ -486,7 +509,14 @@ object Llm {
     * buffers instead of O(rows × dims) exploded rows (guide §2.3 —
     * aggregate before you shuffle). Division is the same half-up
     * integer mean as the posexplode form; LlmSpec pins the equality
-    * against the oracle-checked llm_embedding_centroid row. */
+    * against the oracle-checked llm_embedding_centroid row.
+    *
+    * Null contract (r14 advice): a group whose vectors are ALL NULL
+    * yields an EMPTY-ARRAY centroid (VectorCentroid.finish on zero
+    * count), where the posexplode form dropped the group entirely.
+    * Identical on the repo's non-null embeddings tables; callers
+    * aggregating nullable vector columns should filter
+    * `col("e").isNotNull` first if they need the vanishing behavior. */
   private[graft] val vecCentroid: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(graft.functions.VectorCentroid,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())

@@ -97,11 +97,15 @@ object Q {
     * project to the needed columns FIRST so only they cross the wire. */
   private[graft] def spreadScan(df: DataFrame,
       key: org.apache.spark.sql.Column): DataFrame = {
-    // Scan-shaped plans only: deciding the spread needs the physical
-    // partition count (df.rdd), and physically planning an arbitrary
-    // upstream lineage per call is real driver time — measured ~0.3 s
-    // per run on llm_corpus_clean, whose contraction input is a cached
-    // multi-stage aggregate the guard would no-op on anyway. A plan of
+    // A streaming frame cannot be planned here (optimizedPlan/stats
+    // throw on unresolved streaming sources) and micro-batch inputs are
+    // already split by the source — degrade to identity (r14 advice;
+    // tsContraction is reachable from StreamOps.nearDupAgainst).
+    if (df.isStreaming) return df
+    // Scan-shaped plans only: physically planning an arbitrary upstream
+    // lineage per call is real driver time — measured ~0.3 s per run on
+    // llm_corpus_clean, whose contraction input is a cached multi-stage
+    // aggregate the guard would no-op on anyway. A plan of
     // Project/Filter over a relation is cheap to plan and is exactly
     // the "small file arrives as one task" case this helper exists for.
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
@@ -111,12 +115,30 @@ object Q {
       case l            => l.children.isEmpty &&
         !l.getClass.getSimpleName.contains("InMemoryRelation")
     }
-    val dp = df.sparkSession.sparkContext.defaultParallelism
-    val oneSplit = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
-    if (scanShaped(df.queryExecution.optimizedPlan) &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= oneSplit &&
-        df.rdd.getNumPartitions < dp)
-      df.repartition(dp, key)
-    else df
+    val spark = df.sparkSession
+    val dp = spark.sparkContext.defaultParallelism
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val oneSplit = conf.filesMaxPartitionBytes
+    val plan = df.queryExecution.optimizedPlan
+    if (!scanShaped(plan)) return df
+    val size = plan.stats.sizeInBytes
+    // Wide input (more than one scan split): identity — at cluster
+    // scale every real scan takes this branch, so no exchange is ever
+    // added to a big input. Derived from the optimizer's size estimate
+    // alone (r14 planned the lineage a second time via df.rdd just to
+    // read the partition count; size ≤ one split already implies the
+    // scan packs into one task, so the probe was redundant driver work).
+    if (size > oneSplit) return df
+    // r15: width derives from input BYTES, not defaultParallelism — a
+    // tiny input fanning to 32 tasks pays 32 task dispatches, 32-slot
+    // cached partitions and 32-task downstream stages for rows that fit
+    // a handful of tasks (the r14 driver-window anomaly pattern; the
+    // same binary at 8 cores ran these keys FASTER). target bytes/task
+    // is parameterised for production; the default is the interleaved
+    // A/B winner at the bench fixture sizes (see OPTIMIZATION_r15.md).
+    val target = math.max(1L,
+      spark.conf.get("spark.graft.spread.targetBytesPerTask", "49152").toLong)
+    val w = ((size + target - 1) / target).min(BigInt(dp)).toInt
+    if (w > 1) df.repartition(w, key) else df
   }
 }

@@ -173,12 +173,15 @@ object StreamTwins {
           max("event_id").as("max_id"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
-      q.processAllAvailable()
-      // the third shard lands while the stream is LIVE — the next batch
-      // must serve exactly its rows
-      Txn.commitAppend(ev.where(col("event_id") % 3 === 2), root)
-      q.processAllAvailable()
-      q.stop()
+      // stop() in its own finally (r14 advice): a failing
+      // processAllAvailable must not leak a live stream into the session
+      try {
+        q.processAllAvailable()
+        // the third shard lands while the stream is LIVE — the next batch
+        // must serve exactly its rows
+        Txn.commitAppend(ev.where(col("event_id") % 3 === 2), root)
+        q.processAllAvailable()
+      } finally if (q.isActive) q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", sp)
     s.table(sink).orderBy("event_type")
   }

@@ -341,14 +341,16 @@ object Txn {
     * first phase of every commit flavor (r9 review: previously
     * triplicated across commit/commitIf/appendCore). */
   private def writeSnapshot(df: DataFrame, root: String,
-      statsCols: Seq[String], partitionBy: Option[String] = None): String = {
+      statsCols: Seq[String], partitionBy: Option[String] = None,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 20): String = {
     val spark = df.sparkSession
     val dataRel = s"data/${java.util.UUID.randomUUID().toString}"
     val w = df.write.mode("overwrite")
     partitionBy.fold(w)(c => w.partitionBy(partitionCols(c): _*))
       .parquet(s"$root/$dataRel")
-    if (statsCols.nonEmpty)
-      writeStats(spark, fs(spark, root), s"$root/$dataRel", statsCols)
+    // every declared sidecar (num/str stats AND blooms) in one job (r15)
+    writeAllSidecars(spark, fs(spark, root), s"$root/$dataRel",
+      statsCols, bloomCols, bloomBits)
     dataRel
   }
 
@@ -552,11 +554,8 @@ object Txn {
   private[graft] def writeSidecars(spark: SparkSession, root: String,
       dataRel: String, statsCols: Seq[String], bloomCols: Seq[String],
       bloomBits: Int = 1 << 20): Unit = {
-    val f = fs(spark, root)
-    if (statsCols.nonEmpty)
-      writeStats(spark, f, s"$root/$dataRel", statsCols)
-    if (bloomCols.nonEmpty)
-      writeBloom(spark, f, s"$root/$dataRel", bloomCols, bloomBits)
+    writeAllSidecars(spark, fs(spark, root), s"$root/$dataRel",
+      statsCols, bloomCols, bloomBits)
   }
 
   /** Publish an ALREADY-WRITTEN snapshot dir as the next FULL version
@@ -743,9 +742,7 @@ object Txn {
     }
     val spark = df.sparkSession
     val dataRel = writeSnapshot(df, root, statsCols,
-      partitionBy = Some(partSpec))
-    if (bloomCols.nonEmpty)
-      writeBloom(spark, fs(spark, root), s"$root/$dataRel", bloomCols, 1 << 20)
+      partitionBy = Some(partSpec), bloomCols = bloomCols)
     publishDynamicOverwrite(spark, root, dataRel, cols, expectedBase, meta)
   }
 
@@ -903,12 +900,8 @@ object Txn {
         !k.contains('+'),
         s"upsert key column must be free of ',', '@', '+' and newlines: $k")
     }
-    lazy val written: String = { // data written once, on first need
-      val rel = writeSnapshot(df, root, statsCols, partitionBy)
-      if (bloomCols.nonEmpty)
-        writeBloom(df.sparkSession, f, s"$root/$rel", bloomCols, bloomBits)
-      rel
-    }
+    lazy val written: String = // data written once, on first need
+      writeSnapshot(df, root, statsCols, partitionBy, bloomCols, bloomBits)
     lazy val keysWritten: String = // upsert tombstone keys, written once:
       // derived from the already-written snapshot, NOT by re-evaluating
       // `df` — a non-deterministic batch (or one reading a moving
@@ -1269,9 +1262,8 @@ object Txn {
         s"partition column $c absent from the schema")
     }
     val f = fs(df.sparkSession, root)
-    val dataRel = writeSnapshot(df, root, statsCols, partitionBy = Some(partCol))
-    if (bloomCols.nonEmpty)
-      writeBloom(df.sparkSession, f, s"$root/$dataRel", bloomCols, bloomBits)
+    val dataRel = writeSnapshot(df, root, statsCols,
+      partitionBy = Some(partCol), bloomCols = bloomCols, bloomBits = bloomBits)
     publishFull(f, root, dataRel,
       manifestBody(dataRel, meta + ("partitionCol" -> partCol)))
   }
@@ -1381,9 +1373,8 @@ object Txn {
             s"computed from $expectedBase; re-read and recompute")
     }
     check()
-    val dataRel = writeSnapshot(df, root, statsCols, partitionBy)
-    if (bloomCols.nonEmpty)
-      writeBloom(spark, f, s"$root/$dataRel", bloomCols, bloomBits)
+    val dataRel = writeSnapshot(df, root, statsCols, partitionBy,
+      bloomCols, bloomBits)
     val tmp = stageManifest(f, root, dataRel.stripPrefix("data/"),
       manifestBody(dataRel, meta))
     try check()
@@ -1404,16 +1395,37 @@ object Txn {
     expectedBase + 1
   }
 
-  /** Per-file min/max for `statsCols` over the snapshot at `dataDir`,
-    * written as `_stats.tsv` lines `basename TAB col TAB min TAB max`.
+  /** ONE aggregation pass computing EVERY declared sidecar of a fresh
+    * snapshot dir (r15, guide §1.2/§6 — r14 left this as its largest
+    * unoptimized block): per-file min/max for numeric `statsCols`
+    * (`_stats.tsv`, r8 format), lexicographic min/max for string stats
+    * (`_stats_str.tsv`, r12), and one bloom per (file, bloom column)
+    * (`_bloom.tsv`, r10) — previously one Spark job per sidecar KIND
+    * plus one job PER bloom column over the same just-written snapshot,
+    * now exactly one job per commit regardless of how many index
+    * columns the table declares.
+    *
+    * Null semantics are preserved per format: min/max ignore nulls
+    * natively (a null-only (file, col) cell writes the `-` sentinel —
+    * never prunable); blooms skip nulls inside
+    * [[graft.functions.BloomGramAggNullable]] and an all-null
+    * (file, col) writes NO bloom line (its zero-bit buffer is
+    * unambiguous: any real value sets K bits) — exactly the lines the
+    * old `WHERE col IS NOT NULL` per-column jobs produced.
     * File-basename keyed: the manifest already pins the directory, so
-    * the basename is unambiguous within a snapshot. Null-only files
-    * write the sentinel `-` bounds (never prunable — always read). */
-  private def writeStats(spark: SparkSession, f: FileSystem,
-      dataDir: String, statsCols: Seq[String]): Unit = {
+    * the basename is unambiguous within a snapshot; hive-partitioned
+    * snapshots (r11/r13) get one sidecar per LEAF `col=value` subdir
+    * with the full chain captured by the pdir regex, so the metadata
+    * read composes with directory pruning. */
+  private def writeAllSidecars(spark: SparkSession, f: FileSystem,
+      dataDir: String, statsCols: Seq[String], bloomCols: Seq[String],
+      mBits: Int): Unit = {
+    if (statsCols.isEmpty && bloomCols.isEmpty) return
     val snap = readDir(spark, f, dataDir)
     statsCols.foreach { c => require(snap.schema.fieldNames.contains(c),
       s"stats column $c absent from committed schema") }
+    bloomCols.foreach { c => require(snap.schema.fieldNames.contains(c),
+      s"bloom column $c absent from committed schema") }
     // numeric (long-castable) columns keep the r8 `_stats.tsv` format;
     // STRING columns (r12) write a parallel `_stats_str.tsv` with
     // URL-encoded lexicographic min/max — the categorical-filter
@@ -1421,14 +1433,84 @@ object Txn {
     // without touching the long sidecar's parsers
     val (strCols, numCols) = statsCols.partition(c =>
       snap.schema(c).dataType == org.apache.spark.sql.types.StringType)
-    if (numCols.nonEmpty)
-      writeStatsSidecar(f, dataDir, snap, numCols, "_stats.tsv",
-        c => Seq(min(numFeed(snap, c)), max(numFeed(snap, c))),
-        (r, at) => if (r.isNullAt(at)) "-" else r.getLong(at).toString)
-    if (strCols.nonEmpty)
-      writeStatsSidecar(f, dataDir, snap, strCols, "_stats_str.tsv",
-        c => Seq(min(col(c)), max(col(c))),
-        (r, at) => if (r.isNullAt(at)) "-" else encodeStatValue(r.getString(at)))
+    val partitioned = isPartitionedDir(f, dataDir)
+    val keys: Seq[org.apache.spark.sql.Column] =
+      (if (partitioned)
+        Seq(regexp_extract(input_file_name(),
+          "/([^/]+=[^/]*(?:/[^/]+=[^/]*)*)/[^/]+$", 1).as("pdir"))
+      else Seq.empty) :+
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("file")
+    lazy val bloomAgg = udaf(new graft.functions.BloomGramAggNullable(mBits),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Long]]())
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      numCols.flatMap(c => Seq(min(numFeed(snap, c)), max(numFeed(snap, c)))) ++
+        strCols.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
+        bloomCols.map(c => bloomAgg(bloomFeed(snap, c)))
+    val rows = snap.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per data FILE — bounded by snapshot file count
+    val kw = keys.size
+    val strBase = kw + 2 * numCols.size
+    val bloomBase = strBase + 2 * strCols.size
+    def fmtLong(r: org.apache.spark.sql.Row, at: Int): String =
+      if (r.isNullAt(at)) "-" else r.getLong(at).toString
+    def fmtStr(r: org.apache.spark.sql.Row, at: Int): String =
+      if (r.isNullAt(at)) "-" else encodeStatValue(r.getString(at))
+    def encodeBits(r: org.apache.spark.sql.Row, at: Int): Option[String] = {
+      val bits = r.getSeq[Long](at).toArray
+      if (!bits.exists(_ != 0L)) None // all-null (file, col): no line
+      else {
+        val bytes = java.nio.ByteBuffer.allocate(bits.length * 8)
+        bits.foreach(bytes.putLong)
+        Some(java.util.Base64.getEncoder.encodeToString(bytes.array()))
+      }
+    }
+    def emit(rel: String, name: String, body: String): Unit = {
+      val p = new Path(if (rel.isEmpty) s"$dataDir/$name" else s"$dataDir/$rel/$name")
+      val out = f.create(p, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    // an EMPTY flat snapshot still writes its (empty) stats sidecars —
+    // the pre-r15 writers' behavior; partitioned dirs only ever wrote
+    // sidecars into leaf dirs that produced rows
+    val byDir: Seq[(String, Array[org.apache.spark.sql.Row])] =
+      if (!partitioned) Seq(("", rows))
+      else rows.groupBy(r => decodeUriChain(r.getString(0))).toSeq
+    byDir.foreach { case (rel, rs) =>
+      val fileAt = kw - 1
+      if (numCols.nonEmpty) {
+        val sb = new StringBuilder
+        rs.foreach { r =>
+          val file = decodeUriSegment(r.getString(fileAt))
+          numCols.zipWithIndex.foreach { case (c, i) =>
+            sb.append(s"$file\t$c\t${fmtLong(r, kw + 2 * i)}\t${fmtLong(r, kw + 2 * i + 1)}\n")
+          }
+        }
+        emit(rel, "_stats.tsv", sb.toString)
+      }
+      if (strCols.nonEmpty) {
+        val sb = new StringBuilder
+        rs.foreach { r =>
+          val file = decodeUriSegment(r.getString(fileAt))
+          strCols.zipWithIndex.foreach { case (c, i) =>
+            sb.append(s"$file\t$c\t${fmtStr(r, strBase + 2 * i)}\t${fmtStr(r, strBase + 2 * i + 1)}\n")
+          }
+        }
+        emit(rel, "_stats_str.tsv", sb.toString)
+      }
+      if (bloomCols.nonEmpty) {
+        val sb = new StringBuilder
+        rs.foreach { r =>
+          val file = decodeUriSegment(r.getString(fileAt))
+          bloomCols.zipWithIndex.foreach { case (c, i) =>
+            encodeBits(r, bloomBase + i).foreach(b64 =>
+              sb.append(s"$file\t$c\t$b64\n"))
+          }
+        }
+        // flat snapshots always created `_bloom.tsv` (possibly empty);
+        // partitioned ones only where a non-null row contributed
+        if (!partitioned || sb.nonEmpty) emit(rel, "_bloom.tsv", sb.toString)
+      }
+    }
   }
 
   /** TSV-safe encoding for string stat values: URL-encode (tabs and
@@ -1440,58 +1522,6 @@ object Txn {
   }
   private def decodeStatValue(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
-
-  /** Shared per-file min/max sidecar writer (flat and hive-partitioned
-    * snapshot layouts): one aggregation keyed by input file (and
-    * partition subdir), one small sidecar per dir. `fmt` renders a stat
-    * cell; the pdir/file segments URI-decode back to on-disk names. */
-  private def writeStatsSidecar(f: FileSystem, dataDir: String,
-      snap: DataFrame, cols: Seq[String], sidecar: String,
-      aggsFor: String => Seq[org.apache.spark.sql.Column],
-      fmt: (org.apache.spark.sql.Row, Int) => String): Unit = {
-    val aggs = cols.flatMap(aggsFor)
-    if (!isPartitionedDir(f, dataDir)) {
-      val rows = snap
-        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect() // one row per data FILE — bounded by snapshot file count
-      val sb = new StringBuilder
-      rows.foreach { r =>
-        val file = decodeUriSegment(r.getString(0))
-        cols.zipWithIndex.foreach { case (c, i) =>
-          sb.append(s"$file\t$c\t${fmt(r, 1 + 2 * i)}\t${fmt(r, 2 + 2 * i)}\n")
-        }
-      }
-      val out = f.create(new Path(s"$dataDir/$sidecar"), false)
-      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-    } else {
-      // HIVE-PARTITIONED snapshot (r11; r13 multi-level): one sidecar
-      // INSIDE each LEAF `col=value` subdir holding only that
-      // partition's files — so the metadata read composes with
-      // directory pruning, and because one write task emits
-      // SAME-BASENAME files into several partition dirs, per-subdir
-      // placement keeps the file key unambiguous (read-side keys are
-      // `chain/basename` with the full a=v/b=w relative path).
-      val rows = snap
-        .groupBy(
-          regexp_extract(input_file_name(),
-            "/([^/]+=[^/]*(?:/[^/]+=[^/]*)*)/[^/]+$", 1).as("pdir"),
-          regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect() // one row per data FILE — bounded by snapshot file count
-      rows.groupBy(r => decodeUriChain(r.getString(0))).foreach { case (pdir, rs) =>
-        val sb = new StringBuilder
-        rs.foreach { r =>
-          val file = decodeUriSegment(r.getString(1))
-          cols.zipWithIndex.foreach { case (c, i) =>
-            sb.append(s"$file\t$c\t${fmt(r, 2 + 2 * i)}\t${fmt(r, 3 + 2 * i)}\n")
-          }
-        }
-        val out = f.create(new Path(s"$dataDir/$pdir/$sidecar"), false)
-        try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-      }
-    }
-  }
 
   /** (file-key, col) -> (min, max) merged from every snapshot dir's
     * stats sidecar; dirs committed without stats simply contribute
@@ -1613,56 +1643,6 @@ object Txn {
       xxhash64(col(c))
     else numFeed(snap, c)
 
-  private def writeBloom(spark: SparkSession, f: FileSystem,
-      dataDir: String, bloomCols: Seq[String], mBits: Int): Unit = {
-    val snap = readDir(spark, f, dataDir)
-    bloomCols.foreach { c => require(snap.schema.fieldNames.contains(c),
-      s"bloom column $c absent from committed schema") }
-    val agg = udaf(new graft.functions.BloomGramAgg(mBits))
-    val partitioned = isPartitionedDir(f, dataDir)
-    def encode(r: org.apache.spark.sql.Row, bitsAt: Int): String = {
-      val bits = r.getSeq[Long](bitsAt).toArray
-      val bytes = java.nio.ByteBuffer.allocate(bits.length * 8)
-      bits.foreach(bytes.putLong)
-      java.util.Base64.getEncoder.encodeToString(bytes.array())
-    }
-    if (!partitioned) {
-      val sb = new StringBuilder
-      bloomCols.foreach { c =>
-        snap.where(col(c).isNotNull)
-          .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-          .agg(agg(bloomFeed(snap, c)).as("bits"))
-          .collect() // one row per data FILE — bounded by snapshot file count
-          .foreach(r => sb.append(
-            s"${decodeUriSegment(r.getString(0))}\t$c\t${encode(r, 1)}\n"))
-      }
-      val out = f.create(new Path(s"$dataDir/_bloom.tsv"), false)
-      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-    } else {
-      // per-leaf-subdir sidecars, chain-qualified keys — same layout
-      // rationale as the partitioned [[writeStats]] branch (r13: the
-      // pdir regex captures the whole a=v/b=w chain)
-      val perDir = scala.collection.mutable.Map.empty[String, StringBuilder]
-      bloomCols.foreach { c =>
-        snap.where(col(c).isNotNull)
-          .groupBy(
-            regexp_extract(input_file_name(),
-              "/([^/]+=[^/]*(?:/[^/]+=[^/]*)*)/[^/]+$", 1).as("pdir"),
-            regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-          .agg(agg(bloomFeed(snap, c)).as("bits"))
-          .collect()
-          .foreach { r =>
-            perDir.getOrElseUpdate(decodeUriChain(r.getString(0)), new StringBuilder)
-              .append(s"${decodeUriSegment(r.getString(1))}\t$c\t${encode(r, 2)}\n")
-          }
-      }
-      perDir.foreach { case (pdir, sb) =>
-        val out = f.create(new Path(s"$dataDir/$pdir/_bloom.tsv"), false)
-        try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-      }
-    }
-  }
-
   /** (file-key, col) -> bloom bit array, merged from every snapshot
     * dir's `_bloom.tsv` sidecars (dir-root for flat snapshots,
     * per-partition-subdir with `subdir/basename` keys for partitioned
@@ -1700,9 +1680,8 @@ object Txn {
       s"bloomBits must be a positive multiple of 64, got $bloomBits")
     val spark = df.sparkSession
     val f = fs(spark, root)
-    val dataRel = writeSnapshot(df, root, statsCols)
-    if (bloomCols.nonEmpty)
-      writeBloom(spark, f, s"$root/$dataRel", bloomCols, bloomBits)
+    val dataRel = writeSnapshot(df, root, statsCols,
+      bloomCols = bloomCols, bloomBits = bloomBits)
     publishFull(f, root, dataRel, manifestBody(dataRel, meta))
   }
 

@@ -27,6 +27,23 @@ class AnnPqSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall below floor")
   }
 
+  test("assignCodes: collected-codebook path == window fallback above the " +
+      "size bound (r15)") {
+    // same ceiling as Llm.nearestLists: force the pre-r14 join + window
+    // form with a 1-byte bound and pin that the whole deterministic
+    // build — codebooks and encoded codes — is identical
+    val emb = graft.ops.Llm.scaledEmb(spark, dir)
+    def codes() = graft.ops.AnnPq.buildAnnPqIndex(emb).codes
+      .select(col("vec_id"), expr("cast(codes as string)").as("cs"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val arrayPath = codes()
+    spark.conf.set("spark.graft.ann.maxCollectedCodebookBytes", "1")
+    val windowPath = try codes()
+    finally spark.conf.unset("spark.graft.ann.maxCollectedCodebookBytes")
+    assert(arrayPath == windowPath)
+    assert(arrayPath.nonEmpty)
+  }
+
   test("ann PQ/IVFPQ: sampled-trainer builds clear the floor (the 100 TB claim)") {
     // "at 100 TB the refinements run on a sample" — measured, not
     // asserted: quantizers trained on a ~4x subsample (trainSample=128

@@ -701,6 +701,27 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall unexpectedly low")
   }
 
+  test("nearestLists: collected-codebook path == window fallback above the " +
+      "size bound, k=1 and k>1 (r15)") {
+    // the r15 width ceiling (spark.graft.ann.maxCollectedCodebookBytes)
+    // swaps the one-row collected codebook for the pre-r14 broadcast-join
+    // + window form; the two paths must assign identical labels
+    val emb = graft.ops.Llm.scaledEmb(spark, dir)
+    val cents = graft.ops.Llm.trainIvfCentroids(
+      emb.select("vec_id", "e"), nlist = 5, iters = 1)
+    def labels(k: Int) = graft.ops.Llm.nearestLists(emb, cents, k)
+      .select("vec_id", "c_label")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    Seq(1, 3).foreach { k =>
+      val arrayPath = labels(k)
+      spark.conf.set("spark.graft.ann.maxCollectedCodebookBytes", "1")
+      val windowPath = try labels(k)
+      finally spark.conf.unset("spark.graft.ann.maxCollectedCodebookBytes")
+      assert(arrayPath == windowPath, s"paths diverge at k=$k")
+      assert(arrayPath.nonEmpty)
+    }
+  }
+
   test("ann IVF index API: reload == in-session, append extends without retrain (r7)") {
     // the index-as-artifact contract: train on 90% of the corpus,
     // persist, reload (identical answers), then APPEND the remaining

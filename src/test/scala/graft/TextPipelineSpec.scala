@@ -29,21 +29,38 @@ class TextPipelineSpec extends SparkSpec {
       "corpus side must not exchange before the probe:\n" + lines.mkString("\n"))
   }
 
-  test("spreadScan: one-split scans spread to the session parallelism, " +
-      "wide inputs pass through untouched, rows identical (r14)") {
+  test("spreadScan: width derives from input bytes capped at session " +
+      "parallelism, wide/tiny inputs pass through untouched, rows identical (r15)") {
     val dp = spark.sparkContext.defaultParallelism
+    // assume(), not assert (r14 advice): on a single-core runner the
+    // spread branch is untestable — cancel instead of spuriously failing
+    assume(dp > 1, "single-core session — spread branch untestable")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    // the sf0.001 fixture fits one scan split → the guard must fire
-    assert(docs.rdd.getNumPartitions < dp,
+    assume(docs.rdd.getNumPartitions < dp,
       "fixture unexpectedly wide — the spread branch is untested")
-    val spread = ops.Q.spreadScan(docs, col("doc_id"))
-    assert(spread.rdd.getNumPartitions == dp)
-    assert(spread.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
-      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    val sizeEst = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    // force the spread with a 1-byte/task target: width = min(dp, size)
+    spark.conf.set("spark.graft.spread.targetBytesPerTask", "1")
+    try {
+      val spread = ops.Q.spreadScan(docs, col("doc_id"))
+      assert(spread.rdd.getNumPartitions == sizeEst.min(BigInt(dp)).toInt)
+      assert(spread.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    } finally spark.conf.unset("spark.graft.spread.targetBytesPerTask")
+    // a byte target at/above the input size means the input already fits
+    // one task's worth of work — identity, no exchange
+    spark.conf.set("spark.graft.spread.targetBytesPerTask",
+      (sizeEst + 1).toString)
+    try assert(ops.Q.spreadScan(docs, col("doc_id")) eq docs)
+    finally spark.conf.unset("spark.graft.spread.targetBytesPerTask")
     // an input at/above the session parallelism must return unchanged —
     // at scale this is every real scan, so no exchange is ever added
     val wide = docs.repartition(dp + 2)
     assert(ops.Q.spreadScan(wide, col("doc_id")) eq wide)
+    // a streaming frame degrades to identity instead of throwing (r14
+    // advice: spreadScan is reachable from StreamOps.nearDupAgainst)
+    val stream = spark.readStream.format("rate").load()
+    assert(ops.Q.spreadScan(stream, col("value")) eq stream)
   }
 
   test("doc chunks reassemble to the original document") {
