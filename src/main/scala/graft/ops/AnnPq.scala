@@ -484,7 +484,17 @@ object AnnPq {
     * as the other ANN rows); LlmSpec pins the recall floor vs unsampled
     * brute force plus the reload/append/delete equivalences. */
   val llmAnnPq: Q = Q.noOracle("llm_ann_pq") { (s, dir) =>
-    val index = buildAnnPqIndex(Q.cached(Llm.scaledEmb(s, dir)))
+    // r15: the embeddings fixture is one row group → every cached fill's
+    // 64-long decode + n2 dot ran single-task; spread the scan a few
+    // ways before caching (192 KB/task ≈ 7 tasks here; identity at
+    // scale — guide §2.5). The PQ builds re-map the cached frame
+    // repeatedly (subVectors ×m explode, train refinements, encode), so
+    // the parallelism pays: interleaved A/B −21% on this key, −10% on
+    // ivfpq (plans/r15/ab_ann_spread_32c.txt). Downstream aggregations /
+    // argmins are partition-count-invariant (array_sort/array_min over
+    // collected codebooks, exact integer centroid sums).
+    val index = buildAnnPqIndex(Q.cached(Q.spreadScan(
+      Llm.scaledEmb(s, dir), col("vec_id"), 192 << 10)))
     pqQueryTopk(index, Llm.scaledEmb(s, dir).where(col("vec_id") < 10))
       .orderBy("query_id", "rank")
   }
@@ -492,7 +502,8 @@ object AnnPq {
   /** Registered row for the composed index: both quantizers trained,
     * coarse probe + list-restricted ADC + exact rerank end-to-end. */
   val llmAnnIvfPq: Q = Q.noOracle("llm_ann_ivfpq") { (s, dir) =>
-    val index = buildAnnIvfPqIndex(Q.cached(Llm.scaledEmb(s, dir)))
+    val index = buildAnnIvfPqIndex(Q.cached(Q.spreadScan(
+      Llm.scaledEmb(s, dir), col("vec_id"), 192 << 10))) // see llmAnnPq above
     ivfPqQueryTopk(index, Llm.scaledEmb(s, dir).where(col("vec_id") < 10))
       .orderBy("query_id", "rank")
   }

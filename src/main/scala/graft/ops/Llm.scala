@@ -421,6 +421,11 @@ object Llm {
     // probe with the vec_id < 10 queries. Candidates and output are
     // identical to the pre-API inline form — the query signatures are
     // the same deterministic hyperplane function.
+    // r15 NOT spread: the PQ-family builds keep a Q.spreadScan here
+    // (heavy repeated map passes over the cached frame), but the LSH
+    // build's first consumer is a partial-aggregated sign-bucket
+    // shuffle — the interleaved A/B (plans/r15/ab_ann_spread_32c.txt)
+    // put the spread at +8% on this key, so it stays unspread.
     val emb = Q.cached(scaledEmb(s, dir))
     val index = buildAnnLshIndex(emb)
     lshQueryTopk(index, emb.where(col("vec_id") < 10))
@@ -717,6 +722,9 @@ object Llm {
     // depend on a label column existing), then probe. LlmSpec asserts
     // the recall floor vs unsampled brute force, plus
     // reload/append-probe equivalences.
+    // r15 NOT spread (A/B flat on this key — the IVF build's per-row
+    // work is one nlist=10 argmin, too light to pay the exchange; the
+    // PQ-family builds DO spread, see AnnPq.scala)
     val index = buildAnnIvfIndex(Q.cached(scaledEmb(s, dir)))
     annQueryTopk(index, scaledEmb(s, dir).where(col("vec_id") < 10))
       .orderBy("query_id", "rank")

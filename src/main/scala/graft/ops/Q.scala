@@ -96,7 +96,8 @@ object Q {
     * identity — no exchange is ever added to a big scan. Callers must
     * project to the needed columns FIRST so only they cross the wire. */
   private[graft] def spreadScan(df: DataFrame,
-      key: org.apache.spark.sql.Column): DataFrame = {
+      key: org.apache.spark.sql.Column,
+      targetBytesPerTask: Long = 0L): DataFrame = {
     // A streaming frame cannot be planned here (optimizedPlan/stats
     // throw on unresolved streaming sources) and micro-batch inputs are
     // already split by the source — degrade to identity (r14 advice;
@@ -136,8 +137,11 @@ object Q {
     // same binary at 8 cores ran these keys FASTER). target bytes/task
     // is parameterised for production; the default is the interleaved
     // A/B winner at the bench fixture sizes (see OPTIMIZATION_r15.md).
-    val target = math.max(1L,
-      spark.conf.get("spark.graft.spread.targetBytesPerTask", "49152").toLong)
+    // call sites whose downstream per-row work is coarser than the
+    // tokenize paths (e.g. 64-long embedding decodes feeding repeated
+    // cached map passes) may pass an explicit target; 0 = session conf
+    val target = math.max(1L, if (targetBytesPerTask > 0) targetBytesPerTask
+      else spark.conf.get("spark.graft.spread.targetBytesPerTask", "49152").toLong)
     val w = ((size + target - 1) / target).min(BigInt(dp)).toInt
     if (w > 1) df.repartition(w, key) else df
   }
